@@ -1,0 +1,133 @@
+"""Snapshot readers — S1 (local scan), S2 (compressed download), S3 (listing).
+
+The reference reads one brotli-compressed JSON document per minute, id
+``YYYY/MM/DD/HH/MM`` (reference process_snapshot.py:324-349); discovery walks
+S3 prefixes year→month→day→hour (update_pending_snapshots.py:15-44).
+
+Spark-first: snapshots land under ``<root>/YYYY/MM/DD/HH/MM.json`` (or
+``.json.br``); a multi-file ``spark.read.json`` with the explicit schema reads
+any number of snapshots in one job — Spark schedules per-file tasks across
+executors, which is what the reference's 4-process pool approximated (X1).
+``snapshot_id`` is recovered from the file path, so per-snapshot status
+granularity survives bulk reads (SURVEY §3 EP3).
+
+Directory layout = partition pruning: a path glob ``<root>/2024/01/*/ * /
+*.json`` prunes at the listing level exactly like the reference's prefix
+probing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..schemas import SIRI_SNAPSHOT_SCHEMA
+
+try:  # optional: only needed for .br inputs; not in the test container
+    import brotli  # type: ignore
+except ImportError:  # pragma: no cover
+    brotli = None
+
+
+def snapshot_path(root: str, snapshot_id: str, compressed: bool = False) -> str:
+    return os.path.join(root, snapshot_id + (".json.br" if compressed else ".json"))
+
+
+def _id_from_path_col() -> F.Column:
+    # .../YYYY/MM/DD/HH/MM.json → YYYY/MM/DD/HH/MM
+    return F.regexp_extract(
+        F.input_file_name(), r"(\d{4}/\d{2}/\d{2}/\d{2}/\d{2})\.json", 1
+    )
+
+
+def read_snapshots(spark: SparkSession, paths: list[str] | str) -> DataFrame:
+    """Read snapshot JSON document(s) → (snapshot_id, Siri) rows.
+
+    PERMISSIVE mode + ``_corrupt_record`` keeps one bad file from failing a
+    bulk read (SURVEY §7 hard-part 4): corrupt documents surface as rows with
+    NULL ``Siri`` which the caller can route to per-snapshot error status.
+    """
+    from pyspark.sql import types as T
+
+    # fresh StructType: .add() mutates in place, never touch the shared one
+    schema = T.StructType(
+        list(SIRI_SNAPSHOT_SCHEMA.fields) + [T.StructField("_corrupt_record", T.StringType())]
+    )
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .option("multiLine", "true")
+        .json(paths)
+    )
+    return df.select(
+        _id_from_path_col().alias("snapshot_id"),
+        "Siri",
+        "_corrupt_record",
+    )
+
+
+def read_snapshots_brotli(spark: SparkSession, paths: list[str] | str) -> DataFrame:
+    """S2: read ``.json.br`` files via binaryFile + per-partition decode.
+
+    The decode is the one step built-in sources can't express (the reference
+    shells out to ``brotli -d``, process_snapshot.py:340-342).  It runs in
+    ``mapPartitions`` so each executor decodes its own files — no driver
+    bottleneck — then the decompressed text re-enters the declarative plan
+    through ``from_json`` with the explicit schema.
+    """
+    if brotli is None:  # pragma: no cover
+        raise NotImplementedError(
+            "brotli module not available in this environment; land decompressed "
+            ".json files instead (read_snapshots)"
+        )
+    bin_df = spark.read.format("binaryFile").load(paths)
+
+    def decode(it: Iterator) -> Iterator:
+        for row in it:
+            yield row.path, brotli.decompress(row.content).decode("utf-8")
+
+    decoded = bin_df.select("path", "content").rdd.mapPartitions(decode).toDF(
+        ["path", "json_text"]
+    )
+    return decoded.select(
+        F.regexp_extract("path", r"(\d{4}/\d{2}/\d{2}/\d{2}/\d{2})\.json\.br", 1).alias(
+            "snapshot_id"
+        ),
+        F.from_json("json_text", SIRI_SNAPSHOT_SCHEMA["Siri"].dataType).alias("Siri"),
+        F.lit(None).cast("string").alias("_corrupt_record"),
+    )
+
+
+def list_snapshot_ids(root: str, limit_prefix: str = "") -> list[str]:
+    """S3: discovery listing — walk the partitioned layout, return snapshot ids.
+
+    Local-filesystem analog of the reference's hierarchical S3 prefix walk
+    (update_pending_snapshots.py:15-44); on a real lake this is the file
+    index / partition discovery of the object store.
+    """
+    found: list[str] = []
+    base = os.path.join(root, limit_prefix) if limit_prefix else root
+    if not os.path.isdir(base):
+        return found
+    for dirpath, _dirnames, filenames in os.walk(base):
+        for fn in sorted(filenames):
+            if fn.endswith(".json") or fn.endswith(".json.br"):
+                rel = os.path.relpath(os.path.join(dirpath, fn), root)
+                sid = rel.replace(".json.br", "").replace(".json", "")
+                if len(sid.split("/")) == 5:
+                    found.append(sid)
+    return sorted(found)
+
+
+def write_snapshot_fixture(root: str, snapshot_id: str, document: dict) -> str:
+    """Test/dev helper: land a snapshot document in the canonical layout."""
+    path = snapshot_path(root, snapshot_id)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        json.dump(document, f)
+    return path

@@ -1,0 +1,159 @@
+"""Warehouse table IO — the six-table snowflake as partitioned Parquet.
+
+Replaces the reference's SQLAlchemy/Postgres row-at-a-time writes
+(reference process_snapshot.py:113-211,438-450) with set-oriented Spark IO:
+
+- dims: append-only, novelty discovered by LEFT ANTI join on the natural key
+  (the reference never updates dims, only inserts — SURVEY §2.5 J1).
+- facts: partitioned by ``snapshot_date``; idempotent reload via dynamic
+  partition overwrite that retains other snapshots sharing the date
+  partition (the reference's per-snapshot DELETE, process_snapshot.py:278).
+- control/dead-letter: small tables, read-modify-write.
+
+Scale notes: date-granular partitions keep the partition count sane at years
+of minute-cadence data (~365 partitions/year vs 525k for minute-granular)
+while still pruning every time-bounded read.  On a production lake the
+read-retain-union-overwrite reload becomes a Delta ``replaceWhere``/``MERGE``;
+plain Parquet is kept here so nothing depends on a lakehouse runtime.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from .. import schemas
+
+
+class Warehouse:
+    """A directory of Parquet tables with the engine's upsert semantics."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    def table_path(self, name: str) -> str:
+        return os.path.join(self.path, name)
+
+    def exists(self, name: str) -> bool:
+        return os.path.isdir(self.table_path(name))
+
+    def read(self, name: str, schema: T.StructType | None = None) -> DataFrame:
+        """Read a table; empty DataFrame with the declared schema if absent."""
+        schema = schema or schemas.ALL_TABLES.get(name)
+        if not self.exists(name):
+            if schema is None:
+                raise ValueError(f"unknown table {name!r} and no schema given")
+            return self.spark.createDataFrame([], schema)
+        df = self.spark.read.parquet(self.table_path(name))
+        if schema is not None:
+            # partition columns come back last & possibly re-typed; normalize
+            df = df.select(
+                *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+            )
+        return df
+
+    def append(self, name: str, df: DataFrame, partition_by: list[str] | None = None) -> None:
+        w = df.write.mode("append")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(self.table_path(name))
+
+    # -- dimension upsert (J1): get-or-create == left-anti + append ---------
+
+    def upsert_dim(self, name: str, candidates: DataFrame, key_cols: list[str]) -> DataFrame:
+        """Insert candidate rows whose natural key is absent; return the
+        novelty rows actually added (materialized).
+
+        ``candidates`` must already be deduplicated on ``key_cols`` (D2).
+        The anti join's build side is the *existing dim keys only* — Catalyst
+        broadcasts it when small; at scale AQE picks broadcast vs shuffled
+        hash per batch.  Append-only, so a rerun of the same batch adds 0.
+        """
+        existing = self.read(name).select(*key_cols)
+        novelty = candidates.join(existing, on=key_cols, how="left_anti")
+        # materialize novelty exactly once before appending to the files the
+        # anti join reads from
+        novelty = novelty.localCheckpoint(eager=True)
+        if novelty.count():
+            self.append(name, novelty)
+        return novelty
+
+    # -- fact sink with idempotent per-snapshot reload (S4/S5/T4) -----------
+
+    def write_facts(self, facts: DataFrame, reload_snapshot_ids: list[str]) -> None:
+        """Append facts; if any of ``reload_snapshot_ids`` already has rows,
+        replace them (delete-then-write, reference process_snapshot.py:278).
+
+        Implemented as dynamic partition overwrite of only the affected
+        ``snapshot_date`` partitions, retaining co-resident snapshots.
+        """
+        name = "siri_vehicle_location"
+        if not self.exists(name):
+            self.append(name, facts, partition_by=["snapshot_date"])
+            return
+        existing = self.spark.read.parquet(self.table_path(name))
+        affected_dates = [
+            r["snapshot_date"]
+            for r in facts.select("snapshot_date").distinct().collect()
+        ]
+        retained = existing.filter(
+            F.col("snapshot_date").isin(affected_dates)
+            & ~F.col("snapshot_id").isin(reload_snapshot_ids)
+        )
+        cols = [f.name for f in schemas.SIRI_VEHICLE_LOCATION_SCHEMA.fields]
+        out = retained.select(*cols).unionByName(facts.select(*cols))
+        # materialize before overwriting the files we just read
+        out = out.localCheckpoint(eager=True)
+        (
+            out.write.mode("overwrite")
+            .partitionBy("snapshot_date")
+            .parquet(self.table_path(name))
+        )  # partitionOverwriteMode=dynamic → only affected dates rewritten
+
+    def delete_fact_snapshots(self, snapshot_ids: list[str]) -> None:
+        """Counter-reset path of a reload that ends up writing no facts."""
+        name = "siri_vehicle_location"
+        if not self.exists(name):
+            return
+        existing = self.spark.read.parquet(self.table_path(name))
+        affected = (
+            existing.filter(F.col("snapshot_id").isin(snapshot_ids))
+            .select("snapshot_date")
+            .distinct()
+            .collect()
+        )
+        if not affected:
+            return
+        dates = [r["snapshot_date"] for r in affected]
+        retained = existing.filter(
+            F.col("snapshot_date").isin(dates)
+            & ~F.col("snapshot_id").isin(snapshot_ids)
+        ).localCheckpoint(eager=True)
+        (
+            retained.write.mode("overwrite")
+            .partitionBy("snapshot_date")
+            .parquet(self.table_path(name))
+        )
+
+    # -- generic keyed read-modify-write for small tables (control, DL) -----
+
+    def upsert_rows(self, name: str, rows: DataFrame, key_cols: list[str]) -> None:
+        """Replace rows matching ``key_cols``, keep the rest (control table).
+
+        The control table is tiny relative to facts (one row per snapshot
+        minute); full read-modify-write is fine.  Production analog: Delta
+        MERGE keyed on snapshot_id.
+        """
+        existing = self.read(name, schemas.ALL_TABLES.get(name))
+        keep = existing.join(rows.select(*key_cols), on=key_cols, how="left_anti")
+        out = keep.unionByName(rows).localCheckpoint(eager=True)
+        out.write.mode("overwrite").parquet(self.table_path(name))
+
+    def overwrite(self, name: str, df: DataFrame) -> None:
+        df.localCheckpoint(eager=True).write.mode("overwrite").parquet(
+            self.table_path(name)
+        )
