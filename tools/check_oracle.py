@@ -1,0 +1,118 @@
+"""Local mirror of the driver's correctness gate: run every catalog query in
+Spark AND its DuckDB oracle at sf=0.01, compare row count, schema (sorted
+column names) and order-insensitive values.  Run: python tools/check_oracle.py
+[name ...]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from pathlib import Path
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+SF_DIR = "/root/testdata/sf0.01"
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime64"):
+            df[c] = df[c].dt.tz_localize(None) if getattr(df[c].dt, "tz", None) else df[c]
+    if len(df):
+        df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
+    problems = []
+    if len(spark_pdf) != len(duck_pdf):
+        problems.append(f"row count: spark={len(spark_pdf)} duck={len(duck_pdf)}")
+    s_cols, d_cols = sorted(spark_pdf.columns), sorted(duck_pdf.columns)
+    if s_cols != d_cols:
+        problems.append(f"columns: spark={s_cols} duck={d_cols}")
+        return problems
+    if problems:
+        return problems
+    s, d = normalize(spark_pdf), normalize(duck_pdf)
+    for c in s.columns:
+        sv, dv = s[c].to_numpy(), d[c].to_numpy()
+        if np.issubdtype(sv.dtype, np.floating) or np.issubdtype(dv.dtype, np.floating):
+            sv64 = sv.astype("float64")
+            dv64 = dv.astype("float64")
+            both_nan = np.isnan(sv64) & np.isnan(dv64)
+            eq = (sv64 == dv64) | both_nan
+            if not eq.all():
+                diff = np.abs(sv64 - dv64)
+                problems.append(
+                    f"col {c}: {(~eq).sum()} value mismatches, max abs diff "
+                    f"{np.nanmax(diff[~eq]):.3e}"
+                )
+        else:
+            eq = (sv == dv) | (pd.isna(sv) & pd.isna(dv))
+            if not np.asarray(eq).all():
+                bad = int((~np.asarray(eq)).sum())
+                i = int(np.argmax(~np.asarray(eq)))
+                problems.append(
+                    f"col {c}: {bad} value mismatches, first: spark={sv[i]!r} duck={dv[i]!r}"
+                )
+    return problems
+
+
+def main() -> int:
+    from open_bus_siri_etl_spark.plans.catalog import REGISTRY
+    from open_bus_siri_etl_spark.session import get_spark
+
+    only = set(sys.argv[1:])
+    spark = get_spark(app_name="check-oracle")
+    con = duckdb.connect()
+    for tbl in TABLES:
+        con.execute(
+            f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{SF_DIR}/{tbl}.parquet')"
+        )
+
+    n_pass = n_fail = n_weak = 0
+    for name, q in REGISTRY.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            spark_pdf = q.fn(spark, SF_DIR).toPandas()
+        except Exception as e:
+            print(f"FAIL  {name}: spark error: {e}")
+            n_fail += 1
+            continue
+        if q.sql is None:
+            n_weak += 1
+            print(f"weak  {name}: rows={len(spark_pdf)} (no oracle) [{time.time()-t0:.1f}s]")
+            continue
+        try:
+            duck_pdf = con.execute(q.sql).fetchdf()
+        except Exception as e:
+            print(f"FAIL  {name}: duckdb error: {e}")
+            n_fail += 1
+            continue
+        problems = compare(name, spark_pdf, duck_pdf)
+        if problems:
+            n_fail += 1
+            print(f"FAIL  {name}: rows={len(spark_pdf)} [{time.time()-t0:.1f}s]")
+            for p in problems:
+                print(f"      - {p}")
+        else:
+            n_pass += 1
+            print(f"ok    {name}: rows={len(spark_pdf)} [{time.time()-t0:.1f}s]")
+    print(f"\n{n_pass} ok, {n_weak} weak (rows-only), {n_fail} FAIL")
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
