@@ -1,0 +1,70 @@
+"""Benchmark harness (driver contract): run the headline catalog queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and print ONE JSON line: {"metric": ..., "value": N, "unit": "sec",
+"queries": {...}, "sf": ...}.
+
+Each query is executed as a full action (count of the materialized result) so
+scan→shuffle→agg all run; timings are per-query wall clock after a warm-up of
+the session (first query pays JVM/codegen warm-up, so a trivial warm-up scan
+runs first).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from open_bus_siri_etl_spark.plans.catalog import REGISTRY  # noqa: E402
+from open_bus_siri_etl_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "flagship_snowflake",
+    "pricing_summary",
+    "dedup_first_wins",
+    "gap_sessionization",
+    "broadcast_enrichment",
+    "dim_upsert_novelty",
+    "latest_per_key",
+    "missing_minutes",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_spark(app_name="siri-etl-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # warm up JVM / parquet footers
+    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    timings: dict[str, float] = {}
+    names = [n for n in HEADLINE if n in REGISTRY]
+    # include any extra catalog queries tagged as headline later
+    for name in names:
+        q = REGISTRY[name]
+        t0 = time.time()
+        q.fn(spark, sf_dir).count()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "catalog_headline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
