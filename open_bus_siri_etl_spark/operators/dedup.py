@@ -1,0 +1,308 @@
+"""Deduplication operators for training-data pipelines (beyond-reference):
+exact (hash-groupBy), n-gram Jaccard, MinHash+LSH, SimHash.
+
+Scale design (the whole point — these must survive 100 TB):
+- exact dedup: one hash-aggregate, fully map-side-combinable.
+- shingle → posting self-join is the classic distributed candidate
+  generation: one shuffle keyed on shingle; hot shingles are the skew risk
+  and AQE skew-join splitting handles them (session.py).  Trigram shingles
+  keep posting lists short (vs unigrams/bigrams) so the join output stays
+  near-linear in the number of true near-dup pairs.
+- MinHash: the 64-permutation signature is computed with *md5* as the hash
+  family — deliberately, so the DuckDB oracle can reproduce it exactly
+  (minhash over lexicographic min of fixed-width hex strings ≡ min over the
+  underlying integers).  LSH bands (8 bands × 8 rows) turn all-pairs into an
+  equi-join on (band, band_key): only candidate pairs that agree on a full
+  band collide, then true Jaccard verifies.  At 100 TB this is the textbook
+  near-dup pipeline: everything is hash-partition-able, no driver state.
+- SimHash: 64-bit signature as 4×16-bit chunks; pairs agreeing on any chunk
+  (hamming-ball banding) are candidates, verified by exact Hamming distance
+  via bit_count(xor) per chunk.  Chunked representation doubles as the LSH
+  banding key and avoids 64-bit sign issues in both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .textstats import tokens
+
+MINHASH_PERMS = 64
+MINHASH_BANDS = 8  # 8 rows per band
+SIMHASH_CHUNKS = 4  # 4 × 16 bits
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Group identical content by md5; canonical = min(doc_id) (first-wins)."""
+    return (
+        df.select("doc_id", F.md5(F.col(text_col)).alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingling + n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+def shingles(text: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as an array column (in-JVM, no explode)."""
+    toks = tokens(text)
+    parts = F.slice(toks, 1, F.size(toks) - (n - 1))
+    gram = F.transform(
+        parts,
+        lambda x, i: F.concat_ws(
+            " ", x, *[F.get(toks, i + k) for k in range(1, n)]
+        ),
+    )
+    return F.array_distinct(gram)
+
+
+def shingle_postings(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    """(doc_id, shingle) posting list — the unit the candidate join keys on."""
+    return df.select(
+        "doc_id", F.explode(shingles(text_col, n)).alias("shingle")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, text_col: str = "text", n: int = 3, threshold: float = 0.5
+) -> DataFrame:
+    """All document pairs with shingle-set Jaccard ≥ threshold.
+
+    posting self-join on shingle → per-pair intersection count → Jaccard
+    via |A|+|B|−|A∩B|.  Jaccard is a ratio of exact integers → the double
+    division is bit-identical across engines.
+    """
+    post = shingle_postings(df, text_col, n)
+    sizes = post.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a = post.alias("a")
+    b = post.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b")
+    )
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signatures(post: DataFrame, perms: int = MINHASH_PERMS) -> DataFrame:
+    """(doc_id, seed, sig): sig = min over shingles of md5(seed|shingle).
+
+    Fixed-width hex strings compare lexicographically ≡ numerically, so
+    min(varchar) is a valid minhash and is reproducible in any engine with
+    md5 — which is exactly why md5 is the hash family here.
+    """
+    seeded = post.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(perms - 1))).alias("seed"),
+        "shingle",
+    )
+    return (
+        seeded.select(
+            "doc_id",
+            "seed",
+            F.md5(F.concat_ws("|", F.col("seed"), F.col("shingle"))).alias("h"),
+        )
+        .groupBy("doc_id", "seed")
+        .agg(F.min("h").alias("sig"))
+    )
+
+
+def lsh_band_keys(
+    sigs: DataFrame, bands: int = MINHASH_BANDS, perms: int = MINHASH_PERMS
+) -> DataFrame:
+    """(doc_id, band, band_key): band_key = md5 of the band's sigs in seed order."""
+    rows_per_band = perms // bands
+    with_band = sigs.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+    return (
+        with_band.groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(F.struct("seed", "sig"))
+                        ),
+                        lambda s: s["sig"],
+                    ),
+                )
+            ).alias("band_key")
+        )
+    )
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    perms: int = MINHASH_PERMS,
+    bands: int = MINHASH_BANDS,
+) -> DataFrame:
+    """Candidate pairs from LSH banding, verified by true shingle Jaccard.
+
+    Output: (doc_a, doc_b, jaccard) — pairs sharing ≥1 full band AND true
+    Jaccard ≥ threshold.  The banding join touches only (doc, band, key)
+    rows (perms/rows_per_band per doc), never all pairs.
+    """
+    post = shingle_postings(df, text_col, n).localCheckpoint(eager=False)
+    keys = lsh_band_keys(minhash_signatures(post, perms), bands, perms)
+    a, b = keys.alias("a"), keys.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    # verify candidates with exact Jaccard over the same postings
+    sizes = post.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    pa = post.select(F.col("doc_id").alias("doc_a"), "shingle")
+    pb = post.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        candidates.join(pa, "doc_a")
+        .join(pb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_chunks(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit SimHash as 4×16-bit chunk columns (c0..c3).
+
+    Per distinct token: 4 chunk hashes from md5 hex nibbles (conv base16).
+    Per chunk bit: +1 if set else −1, summed over tokens; sign → bit.
+    Exploded per (token, chunk) then aggregated — two narrow shuffles keyed
+    by doc_id, both partial-agg friendly.
+    """
+    tok = df.select("doc_id", F.explode(F.array_distinct(tokens(text_col))).alias("tok"))
+    tok = tok.withColumn("h", F.md5("tok"))
+    chunk = tok.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_CHUNKS - 1))).alias("chunk"),
+        "h",
+    ).withColumn(
+        "chunk_hash",
+        F.conv(F.expr("substring(h, chunk * 4 + 1, 4)"), 16, 10).cast("int"),
+    )
+    bits = chunk.select(
+        "doc_id",
+        "chunk",
+        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("bit"),
+        "chunk_hash",
+    ).withColumn(
+        "vote",
+        # shiftright/shiftleft Python wrappers demand literal shift amounts;
+        # the SQL forms accept column expressions
+        F.when(F.expr("shiftright(chunk_hash, bit)").bitwiseAND(1) == 1, 1).otherwise(-1),
+    )
+    chunk_vals = (
+        bits.groupBy("doc_id", "chunk", "bit")
+        .agg(F.sum("vote").alias("v"))
+        .withColumn("bitval", F.when(F.col("v") > 0, F.expr("shiftleft(1, bit)")).otherwise(0))
+        .groupBy("doc_id", "chunk")
+        .agg(F.sum("bitval").cast("int").alias("chunk_val"))
+    )
+    return (
+        chunk_vals.groupBy("doc_id")
+        .pivot("chunk", list(range(SIMHASH_CHUNKS)))
+        .agg(F.first("chunk_val"))
+        .select(
+            "doc_id",
+            *[F.col(str(c)).alias(f"c{c}") for c in range(SIMHASH_CHUNKS)],
+        )
+    )
+
+
+def simhash_near_pairs(df: DataFrame, text_col: str = "text", max_hamming: int = 8) -> DataFrame:
+    """Pairs within Hamming distance ≤ max_hamming of their 64-bit SimHash.
+
+    Banding: by pigeonhole, distance ≤ 12 ⇒ at least one of the 4 chunks is
+    within 3 bits; here candidates = pairs agreeing on ≥1 full chunk (sound
+    for tight thresholds on near-dup corpora), then exact Hamming verifies.
+    """
+    sh = simhash_chunks(df, text_col).localCheckpoint(eager=False)
+    cands = None
+    for c in range(SIMHASH_CHUNKS):
+        a, b = sh.alias("a"), sh.alias("b")
+        pairs = a.join(
+            b,
+            (F.col(f"a.c{c}") == F.col(f"b.c{c}"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        ).select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        cands = pairs if cands is None else cands.unionByName(pairs)
+    cands = cands.distinct()
+    a = sh.select(F.col("doc_id").alias("doc_a"), *[F.col(f"c{c}").alias(f"a{c}") for c in range(4)])
+    b = sh.select(F.col("doc_id").alias("doc_b"), *[F.col(f"c{c}").alias(f"b{c}") for c in range(4)])
+    hamming = sum(
+        F.bit_count(F.col(f"a{c}").bitwiseXOR(F.col(f"b{c}"))) for c in range(4)
+    )
+    return (
+        cands.join(a, "doc_a")
+        .join(b, "doc_b")
+        .withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )

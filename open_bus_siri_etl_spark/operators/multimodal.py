@@ -1,0 +1,108 @@
+"""Multimodal column plumbing (beyond-reference, BASELINE.json north star).
+
+Images/audio/video are carried as opaque ``binary`` columns plus a typed
+metadata struct; decode / feature-extract run as Arrow-batched
+``mapInPandas`` — the ONLY sanctioned Python hot path in the engine, because
+codec work genuinely cannot be expressed in Spark SQL.
+
+The actual media codecs (PIL/ffmpeg/etc.) are NOT in this container, so the
+decode body is a clearly-marked deterministic STUB (``_fake_decode``): it
+produces stable per-blob features (byte length, first byte, crc32) so the
+Spark-side plumbing — schema, batch iteration, partition parallelism, column
+pruning through mapInPandas — is real and tested end-to-end.  Swapping in a
+real codec changes only the inside of ``_fake_decode``.
+"""
+
+from __future__ import annotations
+
+import zlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("format", T.StringType()),
+                    T.StructField("n_bytes", T.LongType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("first_byte", T.IntegerType()),
+        T.StructField("checksum", T.LongType()),
+        T.StructField("format", T.StringType()),
+    ]
+)
+
+
+def documents_as_media(docs: DataFrame) -> DataFrame:
+    """Test harness: treat document text bytes as opaque media blobs.
+
+    In production this column comes straight from the lake (parquet BINARY /
+    image container files); nothing downstream cares that it's text here.
+    """
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("content"),
+        F.struct(
+            F.lit("fake/blob").alias("format"),
+            F.length(F.encode("text", "utf-8")).cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
+def _fake_decode(blob: bytes) -> tuple[int, int, int]:
+    """STUB decode — deterministic stand-in for a real media codec.
+
+    A real implementation would decode the container and return e.g.
+    (width, height, n_frames); raising NotImplementedError on unknown
+    formats.  Here: (n_bytes, first_byte, crc32).
+    """
+    if blob is None:
+        raise NotImplementedError("real codecs are not available in this environment")
+    return len(blob), blob[0] if blob else -1, zlib.crc32(blob)
+
+
+def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFrame:
+    """Decode + feature-extract via mapInPandas (Arrow batches).
+
+    Each executor core pulls Arrow batches of (media_id, content, meta) and
+    emits one feature row per blob — the shape a real image-resize /
+    frame-sample / spectrogram operator takes.  No shuffle: purely
+    partition-local, so throughput scales with cores × IO.
+    """
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n_bytes, first, crc = [], [], []
+            for blob in pdf["content"]:
+                b, f, c = _fake_decode(bytes(blob))
+                n_bytes.append(b)
+                first.append(f)
+                crc.append(c)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": n_bytes,
+                    "first_byte": first,
+                    "checksum": crc,
+                    "format": [m["format"] for m in pdf["meta"]],
+                }
+            )
+
+    return media.mapInPandas(decode_batches, schema=FEATURES_SCHEMA)

@@ -1,0 +1,126 @@
+"""Similarity search over an embedding column (array<float>).
+
+Two paths (beyond-reference, BASELINE.json north star):
+- brute-force cosine top-k: the exact baseline.  Query set is broadcast
+  (it's small by construction); the scan side streams — at 100 TB this is
+  one pass over the corpus per query batch with no shuffle until the final
+  per-query top-k (TakeOrdered-style window over rank).
+- LSH-bucketed ANN: random-hyperplane signatures bucket the corpus; queries
+  probe only their bucket.  Hyperplanes are seeded numpy (deterministic),
+  shipped as literal arrays → the whole plan stays native (no UDF).
+
+Dot products use F.zip_with + F.aggregate over DOUBLE — an in-JVM fold,
+no explode, no Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors for every query vector.
+
+    Output: (query_id, neighbor_id, rank), rank 1..k by similarity desc
+    (ties broken by neighbor_id for determinism); self-matches excluded.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    sim = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            _dot(F.col("q_vec"), F.col("c_vec"))
+            / (_norm(F.col("q_vec")) * _norm(F.col("c_vec"))),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> list[list[float]]:
+    rng = np.random.RandomState(seed)
+    return rng.randn(n_planes, dim).astype(float).tolist()
+
+
+def _lsh_bucket(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-pattern bucket id: bit p set iff dot(vec, plane_p) > 0."""
+    bits = [
+        F.when(
+            _dot(vec, F.array(*[F.lit(float(x)) for x in plane])) > 0,
+            F.lit(1 << p),
+        ).otherwise(0)
+        for p, plane in enumerate(planes)
+    ]
+    return sum(bits).cast("int")
+
+
+def lsh_ann_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: compare only within the query's hyperplane bucket.
+
+    2^n_planes buckets; the candidate join is an equi-join on bucket — at
+    scale this replaces the O(N·Q) cross join with O(N·Q/2^p) expected work.
+    Output schema matches cosine_topk (rank may differ from exact — it's ANN).
+    """
+    planes = hyperplanes(dim, n_planes, seed)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+    ).withColumn("bucket", _lsh_bucket(F.col("c_vec"), planes))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    ).withColumn("bucket", _lsh_bucket(F.col("q_vec"), planes))
+    sim = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            _dot(F.col("q_vec"), F.col("c_vec"))
+            / (_norm(F.col("q_vec")) * _norm(F.col("c_vec"))),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

@@ -1,0 +1,117 @@
+"""Text-analysis operators for training-data pipelines (beyond-reference,
+BASELINE.json north star): language-ID heuristic, quality scoring, token
+counting, document fingerprinting.
+
+All four are pure native-function column pipelines — no Python UDFs, so they
+run inside whole-stage codegen and scale linearly with input splits: a 100 TB
+documents table is just more parquet row groups; there is no shuffle in any
+of them (per-row transforms + optional aggregation by the caller).
+
+Tokenization contract (shared with the DuckDB oracles): tokens are the
+result of splitting on a single space — the synthetic corpus is
+space-normalized; a production corpus would add a normalization pass first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword profiles for the n-gram/stopword heuristic;
+# deliberately simple + deterministic (real lang-id would ship bigger tables)
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to"),
+    "es": ("el", "la", "de", "que", "y"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "et", "les", "des"),
+}
+
+ENGLISH_STOPWORDS = LANG_PROFILES["en"]
+
+# BPE-ish tokenization: letter runs, digit runs, or single non-alnum chars
+BPE_ISH_PATTERN = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+def tokens(text: Column | str) -> Column:
+    return F.split(F.col(text) if isinstance(text, str) else text, " ")
+
+
+def token_count(text: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column | str) -> Column:
+    """Regex-based sub-word-ish token count (letters/digits/punct runs)."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.regexp_count(c, F.lit(BPE_ISH_PATTERN))
+
+
+def stopword_count(text: Column | str, stopwords: tuple[str, ...] = ENGLISH_STOPWORDS) -> Column:
+    return F.size(F.filter(tokens(text), lambda x: x.isin(*stopwords)))
+
+
+def with_quality_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality-scoring columns: lengths, token stats, stopword ratio.
+
+    avg_token_len uses the exact identity n_chars = sum(len) + (n_tokens-1)
+    for single-space-joined text, keeping it one pass with no explode.
+    """
+    n_tok = token_count(text_col)
+    return df.select(
+        "doc_id",
+        F.length(text_col).cast("bigint").alias("n_chars_calc"),
+        n_tok.cast("bigint").alias("n_tokens"),
+        bpe_ish_token_count(text_col).cast("bigint").alias("n_bpe_tokens"),
+        stopword_count(text_col).cast("bigint").alias("n_stopwords"),
+        (stopword_count(text_col).cast("double") / n_tok).alias("stopword_ratio"),
+        (
+            (F.length(text_col) - n_tok + 1).cast("double") / n_tok
+        ).alias("avg_token_len"),
+    )
+
+
+def with_language_id(df: DataFrame, text_col: str = "text", min_score: float = 0.02) -> DataFrame:
+    """Stopword-profile language ID: score each profile, take the argmax.
+
+    greatest()/argmax over a fixed set of profile scores — branch-free,
+    codegen-friendly.  Ties broken by profile order (en > es > de > fr);
+    below ``min_score`` → 'und'.
+    """
+    n_tok = token_count(text_col).cast("double")
+    scores = {
+        lang: (stopword_count(text_col, words).cast("double") / n_tok)
+        for lang, words in LANG_PROFILES.items()
+    }
+    best = F.greatest(*scores.values())
+    predicted = F.lit("und")
+    # build reverse-priority CASE chain so earlier profiles win ties
+    for lang in reversed(list(LANG_PROFILES)):
+        predicted = F.when(
+            (scores[lang] >= min_score) & (scores[lang] == best), F.lit(lang)
+        ).otherwise(predicted)
+    out = df.select(
+        "doc_id",
+        *[scores[lang].alias(f"score_{lang}") for lang in LANG_PROFILES],
+        predicted.alias("predicted_lang"),
+    )
+    return out
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Positional rolling-hash document fingerprint.
+
+    fp = Σ_i  i · (31·len(tok_i) + ascii(tok_i[0]))   (i 1-based)
+
+    Computed as an in-JVM array fold (transform + aggregate) — no explode, no
+    shuffle, exact integer arithmetic so the DuckDB oracle matches bit-for-bit.
+    """
+    toks = tokens(text_col)
+    terms = F.transform(
+        toks,
+        lambda x, i: (
+            (i + 1) * (F.length(x) * 31 + F.ascii(F.substring(x, 1, 1)))
+        ).cast("bigint"),
+    )
+    fp = F.aggregate(terms, F.lit(0).cast("bigint"), lambda acc, x: acc + x)
+    return df.select("doc_id", fp.alias("fingerprint"))

@@ -578,6 +578,302 @@ def key_set_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Training-data operators (beyond-reference; BASELINE.json north star):
+# dedup family, similarity search, text analysis, multimodal plumbing.
+# Implementations live in operators/{dedup,similarity,textstats,multimodal}.py;
+# these entries bind them to the documents/embeddings fixtures + oracles.
+# ---------------------------------------------------------------------------
+
+_TOKS = "string_split(text, ' ')"
+_TRIGRAMS = (
+    "list_transform(list_slice(string_split(text,' '), 1, len(string_split(text,' '))-2), "
+    "(x, i) -> x || ' ' || string_split(text,' ')[i+1] || ' ' || string_split(text,' ')[i+2])"
+)
+_POSTINGS_CTE = f"""
+    tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    post AS (
+        SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id,
+                   unnest(list_transform(list_slice(toks, 1, len(toks)-2),
+                          (x, i) -> x || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+            FROM tok)
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n FROM post GROUP BY doc_id)
+"""
+
+
+@register(
+    "exact_dedup",
+    """
+    SELECT md5(text) AS content_hash, min(doc_id) AS canonical_doc_id,
+           count(*) AS n_copies
+    FROM documents GROUP BY md5(text)
+    """,
+    note="exact dedup: one hash-aggregate, map-side combinable; canonical=min(doc_id)",
+)
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import exact_dedup_groups
+
+    return exact_dedup_groups(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "ngram_jaccard_dedup",
+    f"""
+    WITH {_POSTINGS_CTE},
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        FROM post a JOIN post b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, i * 1.0 / (sa.n + sb.n - i) AS jaccard
+    FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5
+    """,
+    note="n-gram Jaccard near-dup: trigram posting self-join (shuffle on shingle, AQE skew-split)",
+)
+def ngram_jaccard_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+@register(
+    "minhash_lsh_dedup",
+    f"""
+    WITH {_POSTINGS_CTE},
+    sigs AS (
+        SELECT doc_id, seed, min(md5(seed || '|' || shingle)) AS sig
+        FROM post CROSS JOIN generate_series(0, 63) t(seed)
+        GROUP BY doc_id, seed
+    ),
+    bands AS (
+        SELECT doc_id, seed // 8 AS band,
+               md5(string_agg(sig, ',' ORDER BY seed)) AS band_key
+        FROM sigs GROUP BY doc_id, seed // 8
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+        SELECT doc_a, doc_b, count(*) AS i
+        FROM cand
+        JOIN post pa ON pa.doc_id = doc_a
+        JOIN post pb ON pb.doc_id = doc_b AND pb.shingle = pa.shingle
+        GROUP BY doc_a, doc_b
+    )
+    SELECT doc_a, doc_b, i * 1.0 / (sa.n + sb.n - i) AS jaccard
+    FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5
+    """,
+    note="MinHash(64 md5 perms) + LSH(8 bands) candidates, verified by true Jaccard; "
+    "md5 hash family chosen so the oracle reproduces signatures exactly",
+)
+def minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import minhash_lsh_dedup as mh
+
+    return mh(t(spark, sf_dir, "documents"), threshold=0.5)
+
+
+@register(
+    "simhash_near_pairs",
+    """
+    WITH tok AS (
+        SELECT DISTINCT doc_id, tok FROM (
+            SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok
+            FROM documents)
+    ),
+    h AS (SELECT doc_id, md5(tok) AS h FROM tok),
+    chunk AS (
+        SELECT doc_id, c.chunk,
+               ('0x' || substr(h, c.chunk * 4 + 1, 4))::INTEGER AS chunk_hash
+        FROM h CROSS JOIN generate_series(0, 3) c(chunk)
+    ),
+    bits AS (
+        SELECT doc_id, chunk, b.bit,
+               CASE WHEN (chunk_hash >> b.bit) & 1 = 1 THEN 1 ELSE -1 END AS vote
+        FROM chunk CROSS JOIN generate_series(0, 15) b(bit)
+    ),
+    bitvals AS (
+        SELECT doc_id, chunk, bit,
+               CASE WHEN sum(vote) > 0 THEN (1 << bit) ELSE 0 END AS bitval
+        FROM bits GROUP BY doc_id, chunk, bit
+    ),
+    chunks AS (
+        SELECT doc_id, chunk, CAST(sum(bitval) AS INTEGER) AS chunk_val
+        FROM bitvals GROUP BY doc_id, chunk
+    ),
+    sh AS (
+        SELECT doc_id,
+               max(CASE WHEN chunk = 0 THEN chunk_val END) AS c0,
+               max(CASE WHEN chunk = 1 THEN chunk_val END) AS c1,
+               max(CASE WHEN chunk = 2 THEN chunk_val END) AS c2,
+               max(CASE WHEN chunk = 3 THEN chunk_val END) AS c3
+        FROM chunks GROUP BY doc_id
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         AND (a.c0 = b.c0 OR a.c1 = b.c1 OR a.c2 = b.c2 OR a.c3 = b.c3)
+    )
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1))
+              + bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3)) AS INTEGER)
+               AS hamming
+    FROM cand JOIN sh a ON a.doc_id = doc_a JOIN sh b ON b.doc_id = doc_b
+    WHERE CAST(bit_count(xor(a.c0, b.c0)) + bit_count(xor(a.c1, b.c1))
+             + bit_count(xor(a.c2, b.c2)) + bit_count(xor(a.c3, b.c3)) AS INTEGER) <= 3
+    """,
+    note="SimHash-64 (4×16-bit chunks from md5 nibbles), chunk-match banding + exact Hamming verify",
+)
+def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import simhash_near_pairs as sp
+
+    return sp(t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+@register(
+    "embedding_cosine_topk",
+    """
+    WITH f AS (
+        SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+    ),
+    n AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM f GROUP BY vec_id),
+    d AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, sum(q.v * c.v) AS dot
+        FROM f q JOIN f c ON q.i = c.i AND q.vec_id <> c.vec_id
+        WHERE q.vec_id < 8
+        GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT query_id, neighbor_id, dot / (nq.nrm * nc.nrm) AS cosine
+        FROM d JOIN n nq ON query_id = nq.vec_id JOIN n nc ON neighbor_id = nc.vec_id
+    )
+    SELECT query_id, neighbor_id, rank FROM (
+        SELECT query_id, neighbor_id,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM s
+    ) WHERE rank <= 5
+    """,
+    note="brute-force cosine top-k (exact ANN baseline): broadcast query set, "
+    "zip_with/aggregate dot product in-JVM, per-query top-k window",
+)
+def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    return cosine_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
+@register(
+    "embedding_lsh_ann",
+    None,  # hyperplane constants live in numpy; ANN result is approximate by design
+    note="LSH-bucketed ANN (random hyperplane signs): equi-join on bucket replaces "
+    "the cross join — the 100TB scale path; rows-only check",
+)
+def embedding_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import lsh_ann_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    return lsh_ann_topk(emb, emb.filter(F.col("vec_id") < 8), k=5, n_planes=4)
+
+
+@register(
+    "text_quality",
+    """
+    SELECT doc_id,
+           length(text) AS n_chars_calc,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]')) AS n_bpe_tokens,
+           len(list_filter(string_split(text, ' '),
+               x -> x IN ('the','a','of','and','to'))) AS n_stopwords,
+           len(list_filter(string_split(text, ' '),
+               x -> x IN ('the','a','of','and','to'))) * 1.0
+               / len(string_split(text, ' ')) AS stopword_ratio,
+           (length(text) - len(string_split(text, ' ')) + 1) * 1.0
+               / len(string_split(text, ' ')) AS avg_token_len
+    FROM documents
+    """,
+    note="quality scoring: lengths / token counts (whitespace + BPE-ish regex) / "
+    "stopword ratio — all codegen'd column expressions, no shuffle",
+)
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textstats import with_quality_stats
+
+    return with_quality_stats(t(spark, sf_dir, "documents"))
+
+
+_LANGID_SCORES_SQL = ",\n".join(
+    f"""           len(list_filter(string_split(text, ' '),
+               x -> x IN ({", ".join("'" + w + "'" for w in words)}))) * 1.0
+               / len(string_split(text, ' ')) AS score_{lang}"""
+    for lang, words in [
+        ("en", ("the", "a", "of", "and", "to")),
+        ("es", ("el", "la", "de", "que", "y")),
+        ("de", ("der", "die", "und", "das", "ist")),
+        ("fr", ("le", "la", "et", "les", "des")),
+    ]
+)
+
+
+@register(
+    "language_id",
+    f"""
+    SELECT doc_id, score_en, score_es, score_de, score_fr,
+           CASE WHEN score_en >= 0.02 AND score_en = greatest(score_en, score_es, score_de, score_fr) THEN 'en'
+                WHEN score_es >= 0.02 AND score_es = greatest(score_en, score_es, score_de, score_fr) THEN 'es'
+                WHEN score_de >= 0.02 AND score_de = greatest(score_en, score_es, score_de, score_fr) THEN 'de'
+                WHEN score_fr >= 0.02 AND score_fr = greatest(score_en, score_es, score_de, score_fr) THEN 'fr'
+                ELSE 'und' END AS predicted_lang
+    FROM (
+        SELECT doc_id,
+{_LANGID_SCORES_SQL}
+        FROM documents
+    )
+    """,
+    note="stopword-profile language ID heuristic (argmax over per-language scores)",
+)
+def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textstats import with_language_id
+
+    return with_language_id(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_fingerprint",
+    """
+    SELECT doc_id,
+           CAST(list_sum(list_transform(string_split(text, ' '),
+                (x, i) -> i * (31 * length(x) + ascii(x[1])))) AS BIGINT)
+               AS fingerprint
+    FROM documents
+    """,
+    note="positional rolling-hash fingerprint via in-JVM array fold (transform+aggregate)",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textstats import with_fingerprint
+
+    return with_fingerprint(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "multimodal_features",
+    None,  # mapInPandas stub decode — not SQL-expressible; rows-only check
+    note="multimodal plumbing: binary column + typed metadata through Arrow-batched "
+    "mapInPandas with a deterministic STUB decode (real codecs absent here)",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import documents_as_media, extract_features
+
+    return extract_features(documents_as_media(t(spark, sf_dir, "documents")))
+
+
 @register(
     "broadcast_enrichment",
     """

@@ -1,0 +1,112 @@
+"""Unit tests for the beyond-reference training-data operators on small
+in-memory fixtures with known answers (the sf0.01 DuckDB-oracle parity is
+covered separately by tools/check_oracle.py)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from open_bus_siri_etl_spark.operators.dedup import (
+    exact_dedup_groups,
+    minhash_lsh_dedup,
+    ngram_jaccard_pairs,
+    simhash_near_pairs,
+)
+from open_bus_siri_etl_spark.operators.multimodal import (
+    documents_as_media,
+    extract_features,
+)
+from open_bus_siri_etl_spark.operators.similarity import cosine_topk, lsh_ann_topk
+from open_bus_siri_etl_spark.operators.textstats import (
+    with_fingerprint,
+    with_language_id,
+    with_quality_stats,
+)
+
+BASE = "the quick brown fox jumps over the lazy dog and runs far away home"
+NEAR = "the quick brown fox jumps over the lazy dog and runs far away now"
+OTHER = "completely different content with nothing shared at all whatsoever here ok"
+
+
+@pytest.fixture
+def docs(spark):
+    return spark.createDataFrame(
+        [(1, BASE), (2, NEAR), (3, OTHER), (4, BASE)], "doc_id long, text string"
+    )
+
+
+def test_exact_dedup(spark, docs):
+    groups = {r["canonical_doc_id"]: r["n_copies"] for r in exact_dedup_groups(docs).collect()}
+    assert groups[1] == 2  # doc 4 is an exact copy of doc 1
+    assert groups[2] == 1 and groups[3] == 1
+
+
+def test_ngram_jaccard(spark, docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["jaccard"] for r in ngram_jaccard_pairs(docs, threshold=0.5).collect()}
+    assert pairs[(1, 4)] == 1.0  # exact copy
+    assert (1, 2) in pairs and pairs[(1, 2)] > 0.5  # near dup
+    assert not any(3 in p for p in pairs)  # unrelated doc matches nothing
+
+
+def test_minhash_lsh(spark, docs):
+    pairs = {(r["doc_a"], r["doc_b"]) for r in minhash_lsh_dedup(docs, threshold=0.5).collect()}
+    assert (1, 4) in pairs  # identical docs always collide in every band
+    assert all(3 not in p for p in pairs)
+
+
+def test_simhash(spark, docs):
+    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in simhash_near_pairs(docs, max_hamming=10).collect()}
+    assert pairs[(1, 4)] == 0  # identical → distance 0
+    assert (1, 2) in pairs  # near dup within radius
+    assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_cosine_topk(spark):
+    vecs = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.9, 0.1, 0.0]),  # closest to 0
+            (2, [0.0, 1.0, 0.0]),
+            (3, [0.5, 0.5, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    res = cosine_topk(vecs, vecs.filter("vec_id = 0"), k=2).collect()
+    ranked = sorted((r["rank"], r["neighbor_id"]) for r in res)
+    assert ranked == [(1, 1), (2, 3)]
+
+
+def test_lsh_ann_bucket_join(spark):
+    vecs = spark.createDataFrame(
+        [(i, [float(i == j) for j in range(8)]) for i in range(8)],
+        "vec_id long, embedding array<float>",
+    )
+    res = lsh_ann_topk(vecs, vecs.filter("vec_id < 2"), k=3, n_planes=2, dim=8)
+    # ANN: results are a subset of the bucket — just schema + determinism
+    a = sorted(map(tuple, res.collect()))
+    b = sorted(map(tuple, res.collect()))
+    assert a == b
+    assert res.columns == ["query_id", "neighbor_id", "rank"]
+
+
+def test_quality_and_fingerprint_deterministic(spark, docs):
+    q = with_quality_stats(docs).filter("doc_id = 1").collect()[0]
+    assert q["n_tokens"] == 14
+    assert q["n_stopwords"] == 3  # 'the' ×2 + 'and'
+    assert q["n_chars_calc"] == len(BASE)
+    fp = {r["doc_id"]: r["fingerprint"] for r in with_fingerprint(docs).collect()}
+    assert fp[1] == fp[4] != fp[3]
+
+
+def test_language_id(spark, docs):
+    out = {r["doc_id"]: r["predicted_lang"] for r in with_language_id(docs).collect()}
+    assert out[1] == "en"  # 'the','a','and','to' profile hits
+
+
+def test_multimodal_features(spark, docs):
+    media = documents_as_media(docs)
+    feats = {r["media_id"]: r for r in extract_features(media).collect()}
+    assert len(feats) == 4
+    assert feats[1]["n_bytes"] == len(BASE.encode())
+    assert feats[1]["checksum"] == feats[4]["checksum"]  # same content
+    assert feats[1]["checksum"] != feats[3]["checksum"]
+    assert feats[1]["format"] == "fake/blob"
