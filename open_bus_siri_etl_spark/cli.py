@@ -1,0 +1,111 @@
+"""CLI — the same command surface as the reference (reference cli.py:11-83),
+argparse-based so a reference user can switch 1:1:
+
+    python -m open_bus_siri_etl_spark.cli process-snapshot 2019/05/05/16/00
+    python -m open_bus_siri_etl_spark.cli process-new-snapshots
+    python -m open_bus_siri_etl_spark.cli start-process-new-snapshots-daemon
+    python -m open_bus_siri_etl_spark.cli parallel-process-old-missing-snapshots
+    python -m open_bus_siri_etl_spark.cli update-pending-snapshots
+    python -m open_bus_siri_etl_spark.cli validate-snapshots FROM TO
+
+Environment: SIRI_ETL_WAREHOUSE (table root), SIRI_ETL_LANDING (snapshot
+landing root) replace the reference's Postgres/S3 config.
+"""
+
+from __future__ import annotations
+
+import argparse
+import datetime
+import json
+import os
+import sys
+
+
+def _ctx():
+    from .session import get_spark
+    from .sources.tables import Warehouse
+
+    spark = get_spark(app_name="siri-etl-cli")
+    wh = Warehouse(spark, os.environ.get("SIRI_ETL_WAREHOUSE", "./warehouse"))
+    landing = os.environ.get("SIRI_ETL_LANDING", "./landing")
+    return spark, wh, landing
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="open-bus-siri-etl-spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    sp = sub.add_parser("process-snapshot", help="ETL one snapshot (reference cli.py:30-35)")
+    sp.add_argument("snapshot_id")
+    sp.add_argument("--force-reload", action="store_true")
+
+    sub.add_parser("process-new-snapshots", help="one incremental tick (reference cli.py:57-61)")
+
+    d = sub.add_parser(
+        "start-process-new-snapshots-daemon",
+        help="60s-cadence daemon (reference cli.py:64-66)",
+    )
+    d.add_argument("--max-ticks", type=int, default=None)
+
+    b = sub.add_parser(
+        "parallel-process-old-missing-snapshots",
+        help="drain pending snapshots in batches (reference cli.py:48-54)",
+    )
+    b.add_argument("--batch-minutes", type=int, default=60)
+
+    sub.add_parser(
+        "update-pending-snapshots",
+        help="register unseen landed snapshots as pending (reference cli.py:69-76)",
+    )
+
+    v = sub.add_parser("validate-snapshots", help="diff warehouse vs raw (reference cli.py:79-83)")
+    v.add_argument("snapshot_id_from")
+    v.add_argument("snapshot_id_to")
+    v.add_argument("--report-path", default=None)
+
+    args = p.parse_args(argv)
+    spark, wh, landing = _ctx()
+
+    if args.cmd == "process-snapshot":
+        from .pipeline import process_snapshot
+
+        stats = process_snapshot(
+            spark, wh, args.snapshot_id, landing, force_reload=args.force_reload
+        )
+        print(json.dumps(stats, default=str))
+    elif args.cmd == "process-new-snapshots":
+        from .streaming.incremental import process_new_snapshots
+
+        print(json.dumps(process_new_snapshots(spark, wh, landing)))
+    elif args.cmd == "start-process-new-snapshots-daemon":
+        from .streaming.incremental import start_daemon
+
+        start_daemon(spark, wh, landing, max_ticks=args.max_ticks)
+    elif args.cmd == "parallel-process-old-missing-snapshots":
+        from .backfill import run_backfill
+
+        print(json.dumps(run_backfill(spark, wh, landing, args.batch_minutes)))
+    elif args.cmd == "update-pending-snapshots":
+        from . import control
+        from .sources.snapshots import list_snapshot_ids
+
+        n = control.register_pending(wh, list_snapshot_ids(landing))
+        print(json.dumps({"registered": n}))
+    elif args.cmd == "validate-snapshots":
+        from .validate import validate_snapshots
+
+        dt_from = datetime.datetime.strptime(args.snapshot_id_from, "%Y/%m/%d/%H/%M")
+        dt_to = datetime.datetime.strptime(args.snapshot_id_to, "%Y/%m/%d/%H/%M")
+        ids = []
+        cur = dt_from
+        while cur <= dt_to:
+            ids.append(cur.strftime("%Y/%m/%d/%H/%M"))
+            cur += datetime.timedelta(minutes=1)
+        report = validate_snapshots(spark, wh, landing, ids, args.report_path)
+        for row in report.collect():
+            print(json.dumps(row.asDict(), default=str))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

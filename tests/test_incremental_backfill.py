@@ -1,0 +1,142 @@
+"""Tests for the incremental daemon tick (EP2), backfill planning/drain (EP3),
+the Structured Streaming ingest, and validation — mirroring the reference's
+scenario tests (test_process_snapshot.py:177-193, test_process_old_missing_
+snapshots.py:6-56)."""
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from open_bus_siri_etl_spark import control
+from open_bus_siri_etl_spark.backfill import plan_batches, run_backfill
+from open_bus_siri_etl_spark.sources.snapshots import write_snapshot_fixture
+from open_bus_siri_etl_spark.streaming.incremental import process_new_snapshots
+
+from .fixtures import TEST_SNAPSHOT_DATA, get_test_snapshot_data
+
+
+def test_process_new_snapshots(spark, warehouse, tmp_path):
+    """Port of reference test :177-193: counts per tick + resume behavior."""
+    landing = str(tmp_path / "landing")
+    now = datetime.datetime(2019, 5, 5, 16, 5)
+
+    # no snapshots in storage → 0 processed, 11 attempted (10-min lookback)
+    stats = process_new_snapshots(spark, warehouse, landing, now=now)
+    assert (stats["processed"], stats["attempted"]) == (0, 11)
+
+    # 1 snapshot available
+    write_snapshot_fixture(landing, "2019/05/05/16/00", TEST_SNAPSHOT_DATA)
+    stats = process_new_snapshots(spark, warehouse, landing, now=now)
+    assert (stats["processed"], stats["attempted"]) == (1, 11)
+    row = control.get_control_row(warehouse, "2019/05/05/16/00")
+    assert row["etl_status"] == control.ETL_LOADED
+    assert row["num_successful_parse_vehicle_locations"] == 3
+
+    # resume: next tick starts after the last loaded snapshot
+    write_snapshot_fixture(
+        landing, "2019/05/05/16/06", get_test_snapshot_data(time_str="16:06")
+    )
+    stats = process_new_snapshots(
+        spark, warehouse, landing, now=datetime.datetime(2019, 5, 5, 16, 7)
+    )
+    assert (stats["processed"], stats["attempted"]) == (1, 7)
+    assert warehouse.read("siri_vehicle_location").count() == 6
+
+
+def test_backfill_planning_and_drain(spark, warehouse, tmp_path):
+    """Gap-run folding + chunking (reference unit test cases) + bulk drain."""
+    landing = str(tmp_path / "landing")
+    # two consecutive runs separated by a gap: 16:00-16:02 and 16:10-16:11
+    ids = [
+        "2019/05/05/16/00",
+        "2019/05/05/16/01",
+        "2019/05/05/16/02",
+        "2019/05/05/16/10",
+        "2019/05/05/16/11",
+    ]
+    for i, sid in enumerate(ids):
+        write_snapshot_fixture(
+            landing, sid, get_test_snapshot_data(time_str=f"16:{sid[-2:]}")
+        )
+    control.register_pending(warehouse, ids)
+
+    batches = plan_batches(warehouse, batch_minutes=2).collect()
+    spans = sorted((b["from_snapshot_id"], b["to_snapshot_id"], b["n"]) for b in batches)
+    # run1 (3 ids) chunks to 2+1 with batch_minutes=2; run2 (2 ids) is one batch
+    assert spans == [
+        ("2019/05/05/16/00", "2019/05/05/16/01", 2),
+        ("2019/05/05/16/02", "2019/05/05/16/02", 1),
+        ("2019/05/05/16/10", "2019/05/05/16/11", 2),
+    ]
+
+    result = run_backfill(spark, warehouse, landing, batch_minutes=2)
+    assert result == {"processed": 5, "failed": 0, "batches": 3}
+    assert warehouse.read("siri_vehicle_location").count() == 15
+    statuses = {
+        r["snapshot_id"]: r["etl_status"]
+        for r in warehouse.read("siri_snapshot").collect()
+    }
+    assert all(statuses[s] == control.ETL_LOADED for s in ids)
+
+
+def test_backfill_empty_pending(spark, warehouse, tmp_path):
+    assert plan_batches(warehouse).count() == 0
+    assert run_backfill(spark, warehouse, str(tmp_path / "landing")) == {
+        "processed": 0,
+        "failed": 0,
+        "batches": 0,
+    }
+
+
+def test_streaming_ingest(spark, warehouse, tmp_path):
+    """Structured Streaming availableNow drain over the landing dir."""
+    from open_bus_siri_etl_spark.streaming.stream import start_snapshot_stream
+
+    landing = str(tmp_path / "landing")
+    write_snapshot_fixture(landing, "2019/05/05/16/00", TEST_SNAPSHOT_DATA)
+    write_snapshot_fixture(
+        landing, "2019/05/05/16/01", get_test_snapshot_data(time_str="16:01")
+    )
+    q = start_snapshot_stream(
+        spark, warehouse, landing, str(tmp_path / "ckpt"), trigger={"availableNow": True}
+    )
+    q.awaitTermination(120)
+    assert warehouse.read("siri_vehicle_location").count() == 6
+    for sid in ("2019/05/05/16/00", "2019/05/05/16/01"):
+        assert control.get_control_row(warehouse, sid)["etl_status"] == control.ETL_LOADED
+
+    # restart with same checkpoint: nothing new → no duplicate facts
+    q = start_snapshot_stream(
+        spark, warehouse, landing, str(tmp_path / "ckpt"), trigger={"availableNow": True}
+    )
+    q.awaitTermination(120)
+    assert warehouse.read("siri_vehicle_location").count() == 6
+
+
+def test_validation_clean_and_dirty(spark, warehouse, tmp_path):
+    from open_bus_siri_etl_spark.pipeline import process_snapshot
+    from open_bus_siri_etl_spark.validate import validate_snapshots
+
+    landing = str(tmp_path / "landing")
+    write_snapshot_fixture(landing, "2019/05/05/16/00", TEST_SNAPSHOT_DATA)
+    process_snapshot(spark, warehouse, "2019/05/05/16/00", landing)
+
+    report = validate_snapshots(spark, warehouse, landing, ["2019/05/05/16/00"])
+    rows = [r.asDict() for r in report.collect()]
+    assert len(rows) == 1 and rows[0]["expected"] == "no errors"
+
+    # corrupt one ride attribute in the warehouse → field finding
+    ride = warehouse.read("siri_ride")
+    bad = ride.withColumn(
+        "vehicle_ref",
+        F.when(F.col("vehicle_ref") == "8245384", "TAMPERED").otherwise(
+            F.col("vehicle_ref")
+        ),
+    )
+    warehouse.overwrite("siri_ride", bad)
+    report = validate_snapshots(spark, warehouse, landing, ["2019/05/05/16/00"])
+    findings = [r.asDict() for r in report.collect()]
+    fields = {r["field"] for r in findings}
+    assert "vehicle_ref" in fields
+    tampered = [r for r in findings if r["field"] == "vehicle_ref"][0]
+    assert tampered["expected"] == "8245384" and tampered["actual"] == "TAMPERED"
