@@ -129,6 +129,13 @@ def minhash_signatures(post: DataFrame, perms: int = MINHASH_PERMS) -> DataFrame
     Fixed-width hex strings compare lexicographically ≡ numerically, so
     min(varchar) is a valid minhash and is reproducible in any engine with
     md5 — which is exactly why md5 is the hash family here.
+
+    Shape: explode seeds × postings, hash, min-aggregate.  The 64× row
+    expansion collapses map-side (min is partial-aggregable) so the shuffle
+    carries only |docs|×perms rows.  (A nested higher-order-function version
+    that builds the signature array in-row was tried and is ~40× slower:
+    nested lambdas fall out of whole-stage codegen into interpreted
+    evaluation — explode + codegen'd md5 + partial agg is the fast path.)
     """
     seeded = post.select(
         "doc_id",
@@ -152,20 +159,22 @@ def lsh_band_keys(
     """(doc_id, band, band_key): band_key = md5 of the band's sigs in seed order."""
     rows_per_band = perms // bands
     with_band = sigs.withColumn("band", (F.col("seed") / rows_per_band).cast("int"))
+    # one conditional-min column per in-band position instead of
+    # collect_list+array_sort: declarative min/when stays in codegen'd
+    # HashAggregate (collect_list forces the slower ObjectHashAggregate)
+    slots = [
+        F.min(F.when(F.col("seed") % rows_per_band == k, F.col("sig"))).alias(f"_s{k}")
+        for k in range(rows_per_band)
+    ]
     return (
         with_band.groupBy("doc_id", "band")
-        .agg(
-            F.md5(
-                F.concat_ws(
-                    ",",
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct("seed", "sig"))
-                        ),
-                        lambda s: s["sig"],
-                    ),
-                )
-            ).alias("band_key")
+        .agg(*slots)
+        .select(
+            "doc_id",
+            "band",
+            F.md5(F.concat_ws(",", *[f"_s{k}" for k in range(rows_per_band)])).alias(
+                "band_key"
+            ),
         )
     )
 
@@ -184,8 +193,13 @@ def minhash_lsh_dedup(
     Jaccard ≥ threshold.  The banding join touches only (doc, band, key)
     rows (perms/rows_per_band per doc), never all pairs.
     """
-    post = shingle_postings(df, text_col, n).localCheckpoint(eager=False)
-    keys = lsh_band_keys(minhash_signatures(post, perms), bands, perms)
+    # materialize both reused intermediates: ``post`` feeds sigs + verify,
+    # ``keys`` is self-joined (an unmaterialized self-join would recompute
+    # the whole signature pipeline for each side)
+    post = shingle_postings(df, text_col, n).localCheckpoint(eager=True)
+    keys = lsh_band_keys(minhash_signatures(post, perms), bands, perms).localCheckpoint(
+        eager=True
+    )
     a, b = keys.alias("a"), keys.alias("b")
     candidates = (
         a.join(
