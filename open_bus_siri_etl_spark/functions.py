@@ -39,8 +39,13 @@ def parse_siri_ts(c: Column | str) -> Column:
     Mirrors strptime('%Y-%m-%dT%H:%M:%S%z') at reference
     process_snapshot.py:37-38; invalid input yields NULL (routed to the
     dead-letter branch by the caller) instead of raising per-row.
+    try_to_timestamp, NOT to_timestamp: under Spark 4's default ANSI mode
+    the plain version throws on the first malformed row and would fail the
+    whole job instead of dead-lettering the record.
     """
-    return F.to_timestamp(F.col(c) if isinstance(c, str) else c, SIRI_TS_FORMAT)
+    return F.try_to_timestamp(
+        F.col(c) if isinstance(c, str) else c, F.lit(SIRI_TS_FORMAT)
+    )
 
 
 # ---------------------------------------------------------------------------

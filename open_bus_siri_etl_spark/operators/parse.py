@@ -30,9 +30,14 @@ _MVJ = "visit.MonitoredVehicleJourney"
 
 
 def _optional_int(path: str) -> Column:
-    """Default -1 iff absent; NULL (→ invalid) iff present but uncastable."""
+    """Default -1 iff absent; NULL (→ invalid) iff present but uncastable.
+
+    try_cast throughout this module: Spark 4's ANSI mode makes plain cast
+    THROW on malformed strings — one bad record would fail the job instead
+    of dead-lettering (caught by the hypothesis property test).
+    """
     c = F.col(path)
-    return F.when(c.isNull(), F.lit(-1)).otherwise(c.cast("int"))
+    return F.when(c.isNull(), F.lit(-1)).otherwise(c.try_cast("int"))
 
 
 def parse_monitored_stop_visits(visits_df: DataFrame) -> DataFrame:
@@ -45,8 +50,8 @@ def parse_monitored_stop_visits(visits_df: DataFrame) -> DataFrame:
         "snapshot_id",
         F.to_json("visit").alias("raw"),
         parse_siri_ts("visit.RecordedAtTime").alias("recorded_at_time"),
-        F.col(f"{_MVJ}.LineRef").cast("int").alias("line_ref"),
-        F.col(f"{_MVJ}.OperatorRef").cast("int").alias("operator_ref"),
+        F.col(f"{_MVJ}.LineRef").try_cast("int").alias("line_ref"),
+        F.col(f"{_MVJ}.OperatorRef").try_cast("int").alias("operator_ref"),
         # journey_ref = DataFrameRef + '-' + DatedVehicleJourneyRef
         # (reference process_snapshot.py:220).  concat (not concat_ws): NULL in
         # either part must poison the result so the record dead-letters like
@@ -58,10 +63,10 @@ def parse_monitored_stop_visits(visits_df: DataFrame) -> DataFrame:
         ).alias("journey_ref"),
         parse_siri_ts(f"{_MVJ}.OriginAimedDepartureTime").alias("scheduled_start_time"),
         F.coalesce(F.col(f"{_MVJ}.VehicleRef"), F.lit("")).alias("vehicle_ref"),
-        F.col(f"{_MVJ}.MonitoredCall.Order").cast("int").alias("order"),
-        F.col(f"{_MVJ}.MonitoredCall.StopPointRef").cast("int").alias("stop_point_ref"),
-        F.col(f"{_MVJ}.VehicleLocation.Longitude").cast("double").alias("lon"),
-        F.col(f"{_MVJ}.VehicleLocation.Latitude").cast("double").alias("lat"),
+        F.col(f"{_MVJ}.MonitoredCall.Order").try_cast("int").alias("order"),
+        F.col(f"{_MVJ}.MonitoredCall.StopPointRef").try_cast("int").alias("stop_point_ref"),
+        F.col(f"{_MVJ}.VehicleLocation.Longitude").try_cast("double").alias("lon"),
+        F.col(f"{_MVJ}.VehicleLocation.Latitude").try_cast("double").alias("lat"),
         _optional_int(f"{_MVJ}.Bearing").alias("bearing"),
         _optional_int(f"{_MVJ}.Velocity").alias("velocity"),
         _optional_int(f"{_MVJ}.MonitoredCall.DistanceFromStop").alias(

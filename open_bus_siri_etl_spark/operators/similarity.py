@@ -68,6 +68,37 @@ def cosine_topk(
     )
 
 
+def cosine_near_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup: all pairs with cosine ≥ threshold.
+
+    Brute-force all-pairs (the exact baseline — the LSH bucket join below is
+    the scale path): self cross-join upper triangle, in-JVM dot products.
+    Output: (vec_a, vec_b, cosine) with cosine rounded to 6dp so the value
+    is insensitive to summation-order float noise across engines.
+    """
+    a = corpus.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("a_vec"))
+    b = corpus.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("b_vec"))
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("a_vec"), F.col("b_vec"))
+                / (_norm(F.col("a_vec")) * _norm(F.col("b_vec"))),
+                6,
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "cosine")
+    )
+
+
 def hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> list[list[float]]:
     rng = np.random.RandomState(seed)
     return rng.randn(n_planes, dim).astype(float).tolist()

@@ -30,6 +30,10 @@ from pyspark.sql import functions as F
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # timestamp semantics must not depend on the caller's session timezone
+    # (the driver's harness session may not be UTC): pin it here, so
+    # date_format/date_trunc/to_timestamp agree with the tz-naive oracle
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # the synthetic events table is written with TIMESTAMP(NANOS), which
         # Spark's vectorized Parquet reader rejects; read the raw int64 nanos
@@ -769,6 +773,34 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = t(spark, sf_dir, "embeddings")
     return cosine_topk(emb, emb.filter(F.col("vec_id") < 8), k=5)
+
+
+@register(
+    "embedding_cosine_pairs",
+    """
+    WITH f AS (
+        SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+    ),
+    n AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM f GROUP BY vec_id),
+    d AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, sum(a.v * b.v) AS dot
+        FROM f a JOIN f b ON a.i = b.i AND a.vec_id < b.vec_id
+        GROUP BY 1, 2
+    )
+    SELECT vec_a, vec_b, cosine FROM (
+        SELECT vec_a, vec_b, round(dot / (na.nrm * nb.nrm), 6) AS cosine
+        FROM d JOIN n na ON vec_a = na.vec_id JOIN n nb ON vec_b = nb.vec_id
+    ) WHERE cosine >= 0.4
+    """,
+    note="embedding-cosine near-dup: all-pairs upper triangle, 6dp-rounded cosine "
+    "(exact baseline; embedding_lsh_ann is the bucketed scale path)",
+)
+def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine_near_pairs
+
+    return cosine_near_pairs(t(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
 @register(

@@ -1,0 +1,52 @@
+"""Plan-quality guards: the physical plans we rely on at scale must not
+silently regress — pushdown reaches the scan, small dims broadcast, hot
+paths stay in whole-stage codegen with no Python UDFs."""
+
+from pyspark.sql import functions as F
+
+from open_bus_siri_etl_spark.plans.catalog import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def explain_str(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_flagship_pushdown_and_broadcast(spark):
+    plan = explain_str(REGISTRY["flagship_snowflake"].fn(spark, SF))
+    # the orders date filter must reach the parquet scan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    # nation/region joins must be broadcast, not shuffle
+    assert plan.count("BroadcastHashJoin") >= 2
+    # lineitem scan must be column-pruned (no l_comment-style full reads)
+    assert "struct<l_orderkey:bigint,l_extendedprice:double,l_discount:double>" in plan
+
+
+def test_pricing_summary_partial_agg(spark):
+    plan = explain_str(REGISTRY["pricing_summary"].fn(spark, SF))
+    assert "partial_sum" in plan  # map-side combine before the exchange
+    assert "LessThanOrEqual(l_shipdate" in plan  # filter pushed to scan
+
+
+def test_no_python_udf_in_native_paths(spark):
+    """Everything except the multimodal mapInPandas stub must be JVM-only."""
+    for name, q in REGISTRY.items():
+        if name == "multimodal_features":
+            continue
+        plan = explain_str(q.fn(spark, SF))
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+
+
+def test_top_orders_take_ordered(spark):
+    """ORDER BY + LIMIT must plan as TakeOrderedAndProject, not a full sort."""
+    plan = explain_str(REGISTRY["top_orders"].fn(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_dim_novelty_uses_anti_join(spark):
+    plan = explain_str(REGISTRY["dim_upsert_novelty"].fn(spark, SF))
+    assert "LeftAnti" in plan
