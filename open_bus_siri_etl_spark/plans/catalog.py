@@ -582,6 +582,50 @@ def key_set_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "salted_skew_join",
+    """
+    WITH dim AS (
+        SELECT DISTINCT event_type, length(event_type) AS type_len FROM events
+    )
+    SELECT e.event_type, count(*) AS n,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           max(d.type_len) AS type_len
+    FROM events e JOIN dim d ON e.event_type = d.event_type
+    GROUP BY e.event_type
+    """,
+    note="salted join: hot-key shuffle join spread over salt buckets; "
+    "result-identical to the plain join (the oracle)",
+)
+def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_join
+
+    ev = t(spark, sf_dir, "events")
+    dim = ev.select("event_type").distinct().withColumn(
+        "type_len", F.length("event_type")
+    )
+    joined = salted_join(ev, dim, on=["event_type"], salt=8)
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(dec("value")).cast("double").alias("total_value"),
+        F.max("type_len").alias("type_len"),
+    )
+
+
+@register(
+    "salted_two_stage_agg",
+    """
+    SELECT event_type, count(*) AS n FROM events GROUP BY event_type
+    """,
+    note="two-stage salted aggregation for skewed group keys; "
+    "result-identical to the plain groupBy (the oracle)",
+)
+def salted_two_stage_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.skew import salted_agg_count
+
+    return salted_agg_count(t(spark, sf_dir, "events"), ["event_type"], salt=16)
+
+
 # ---------------------------------------------------------------------------
 # Training-data operators (beyond-reference; BASELINE.json north star):
 # dedup family, similarity search, text analysis, multimodal plumbing.

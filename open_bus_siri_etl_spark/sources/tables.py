@@ -157,3 +157,31 @@ class Warehouse:
         df.localCheckpoint(eager=True).write.mode("overwrite").parquet(
             self.table_path(name)
         )
+
+    # -- maintenance: small-file compaction ---------------------------------
+
+    def compact(self, name: str, target_files: int = 1) -> int:
+        """Rewrite a table into ``target_files`` files per partition.
+
+        Minute-cadence ingest appends one small file set per snapshot; after
+        a day the dim tables hold ~1440 tiny files and every anti-join scan
+        pays per-file open cost.  Run compact() periodically (the daily
+        pending-sweep DAG slot in the reference is the natural place).
+        Facts keep their snapshot_date partitioning.  Returns the number of
+        data files after compaction.
+        """
+        import glob
+
+        if not self.exists(name):
+            return 0
+        path = self.table_path(name)
+        df = self.spark.read.parquet(path)
+        partition_by = (
+            ["snapshot_date"] if name == "siri_vehicle_location" else None
+        )
+        out = df.repartition(target_files).localCheckpoint(eager=True)
+        w = out.write.mode("overwrite")
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(path)
+        return len(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))

@@ -1,0 +1,100 @@
+"""Tests for the stateful streaming sessionizer, salted skew operators, and
+warehouse compaction."""
+
+import datetime
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from open_bus_siri_etl_spark.operators.skew import salted_agg_count, salted_join
+
+
+def test_stateful_sessionizer_stream(spark, tmp_path):
+    from open_bus_siri_etl_spark.streaming.stateful import sessionize_stream
+
+    src = tmp_path / "events_src"
+    src.mkdir()
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def write_batch(name, rows):
+        df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+        df.coalesce(1).write.mode("overwrite").parquet(str(src / name))
+
+    # user 1: two bursts separated by > 30 min (session closes in-stream);
+    # user 2: one burst (stays open, not emitted without timeout)
+    write_batch(
+        "b1",
+        [
+            (1, base),
+            (1, base + datetime.timedelta(minutes=1)),
+            (2, base),
+            (1, base + datetime.timedelta(minutes=45)),
+            (1, base + datetime.timedelta(minutes=46)),
+        ],
+    )
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    sessions = sessionize_stream(stream, gap_minutes=30)
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sessions_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = {
+        (r["user_id"], r["n_events"]): (r["session_start"], r["session_end"])
+        for r in spark.sql("SELECT * FROM sessions_out").collect()
+    }
+    # exactly one closed session: user 1's first burst of 2 events
+    assert list(out) == [(1, 2)]
+    start, end = out[(1, 2)]
+    assert start == base and end == base + datetime.timedelta(minutes=1)
+
+
+def test_salted_join_equals_plain_join(spark):
+    big = spark.createDataFrame(
+        [(i, "hot" if i % 10 else "cold") for i in range(1000)], "id long, k string"
+    )
+    small = spark.createDataFrame([("hot", 1), ("cold", 2)], "k string, v int")
+    salted = salted_join(big, small, on=["k"], salt=4)
+    plain = big.join(small, "k")
+    assert salted.count() == plain.count() == 1000
+    assert (
+        salted.groupBy("k").agg(F.sum("v").alias("s")).orderBy("k").collect()
+        == plain.groupBy("k").agg(F.sum("v").alias("s")).orderBy("k").collect()
+    )
+
+
+def test_salted_agg_equals_plain_agg(spark):
+    df = spark.createDataFrame(
+        [(i, "hot" if i % 100 else "cold") for i in range(5000)], "id long, k string"
+    )
+    got = {r["k"]: r["n"] for r in salted_agg_count(df, ["k"], salt=8).collect()}
+    assert got == {"hot": 4950, "cold": 50}
+
+
+def test_compact_reduces_files_preserves_data(spark, warehouse):
+    for i in range(6):
+        warehouse.append(
+            "siri_route",
+            spark.createDataFrame(
+                [(i * 10 + j, i, j) for j in range(5)],
+                "id long, operator_ref int, line_ref int",
+            ),
+        )
+    path = warehouse.table_path("siri_route")
+    before_files = len(glob.glob(os.path.join(path, "*.parquet")))
+    before_rows = sorted(
+        tuple(r) for r in warehouse.read("siri_route").collect()
+    )
+    after_files = warehouse.compact("siri_route", target_files=1)
+    assert after_files < before_files
+    assert after_files == 1
+    after_rows = sorted(tuple(r) for r in warehouse.read("siri_route").collect())
+    assert after_rows == before_rows
