@@ -112,10 +112,8 @@ def start_loading(
     return row, is_reload
 
 
-def mark_loaded(wh: Warehouse, snapshot_id: str, stats: dict) -> None:
-    """loading → loaded with counters (reference :302-312)."""
-    now = _now()
-    row = _control_row(
+def _loaded_row(snapshot_id: str, stats: dict, now) -> dict:
+    return _control_row(
         snapshot_id,
         etl_status=ETL_LOADED,
         etl_start_time=stats.get("etl_start_time"),
@@ -131,7 +129,46 @@ def mark_loaded(wh: Warehouse, snapshot_id: str, stats: dict) -> None:
         num_added_siri_rides=stats.get("num_added_siri_rides", 0),
         num_added_siri_ride_stops=stats.get("num_added_siri_ride_stops", 0),
     )
-    _write_rows(wh, [row])
+
+
+def mark_loaded(wh: Warehouse, snapshot_id: str, stats: dict) -> None:
+    """loading → loaded with counters (reference :302-312)."""
+    _write_rows(wh, [_loaded_row(snapshot_id, stats, _now())])
+
+
+def mark_loaded_bulk(wh: Warehouse, stats_by_id: dict[str, dict]) -> None:
+    """Bulk form: ONE control-table read-modify-write for a whole batch
+    (a per-snapshot loop would pay |batch| sequential table rewrites)."""
+    if not stats_by_id:
+        return
+    now = _now()
+    _write_rows(wh, [_loaded_row(sid, s, now) for sid, s in stats_by_id.items()])
+
+
+def start_loading_bulk(wh: Warehouse, snapshot_ids: list[str]) -> None:
+    """Bulk loading-status write for force-reload batch paths (backfill /
+    streaming foreachBatch): skips the per-snapshot guard — batch callers
+    own the whole id range — and writes one control update for all ids."""
+    if not snapshot_ids:
+        return
+    now = _now()
+    rows = [
+        _control_row(
+            sid,
+            etl_status=ETL_LOADING,
+            etl_start_time=now,
+            last_heartbeat=now,
+            created_by=CREATED_BY,
+            num_successful_parse_vehicle_locations=0,
+            num_failed_parse_vehicle_locations=0,
+            num_added_siri_routes=0,
+            num_added_siri_stops=0,
+            num_added_siri_rides=0,
+            num_added_siri_ride_stops=0,
+        )
+        for sid in snapshot_ids
+    ]
+    _write_rows(wh, rows)
 
 
 def mark_error(wh: Warehouse, snapshot_id: str, error: str, stats: dict | None = None) -> None:

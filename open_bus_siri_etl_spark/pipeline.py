@@ -195,8 +195,7 @@ def process_snapshots_bulk(
     """
     if not snapshot_ids:
         return {}
-    for sid in snapshot_ids:
-        control.start_loading(wh, sid, force_reload=True)
+    control.start_loading_bulk(wh, snapshot_ids)
     paths = [snapshot_path(landing_root, s) for s in snapshot_ids]
     try:
         snapshots_df = read_snapshots(spark, paths)
@@ -208,8 +207,7 @@ def process_snapshots_bulk(
         }
         good_ids = [s for s in snapshot_ids if s not in corrupt_ids]
         stats = run_core(wh, snapshots_df, good_ids)
-        for sid in good_ids:
-            control.mark_loaded(wh, sid, stats[sid])
+        control.mark_loaded_bulk(wh, {sid: stats[sid] for sid in good_ids})
         for sid in corrupt_ids:
             control.mark_error(wh, sid, "corrupt document")
         return stats

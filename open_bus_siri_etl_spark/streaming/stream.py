@@ -72,8 +72,7 @@ def start_snapshot_stream(
         ]
         if not ids:
             return
-        for sid in ids:
-            control.start_loading(wh, sid, force_reload=True)
+        control.start_loading_bulk(wh, ids)
         good = batch_df.filter(F.col("Siri").isNotNull())
         corrupt_ids = {
             r["snapshot_id"]
@@ -84,8 +83,7 @@ def start_snapshot_stream(
         }
         good_ids = [s for s in ids if s not in corrupt_ids]
         stats = run_core(wh, good, good_ids)
-        for sid in good_ids:
-            control.mark_loaded(wh, sid, stats[sid])
+        control.mark_loaded_bulk(wh, {sid: stats[sid] for sid in good_ids})
         for sid in corrupt_ids:
             control.mark_error(wh, sid, "corrupt document")
 
