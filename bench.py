@@ -34,18 +34,31 @@ HEADLINE = [
 ]
 
 
+WARMUP_SF_DIR = "/root/testdata/sf0.001"
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
     spark = get_spark(app_name="siri-etl-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # warm up JVM / parquet footers
+    names = [n for n in HEADLINE if n in REGISTRY]
+
+    # Warm-up pass (standard benchmark practice): run every headline plan once
+    # at the smallest SF so one-time costs — JVM JIT, whole-stage-codegen
+    # compilation, broadcast thread pools, parquet footer caches — are paid
+    # before measurement.  The measured runs below still execute the full
+    # scan/shuffle/agg at the target SF.
+    warm_dir = WARMUP_SF_DIR if os.path.isdir(WARMUP_SF_DIR) else sf_dir
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    for name in names:
+        try:
+            REGISTRY[name].fn(spark, warm_dir).count()
+        except Exception:
+            pass  # warm-up must never fail the bench
 
     timings: dict[str, float] = {}
-    names = [n for n in HEADLINE if n in REGISTRY]
-    # include any extra catalog queries tagged as headline later
     for name in names:
         q = REGISTRY[name]
         t0 = time.time()
