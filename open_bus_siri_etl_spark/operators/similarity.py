@@ -99,6 +99,79 @@ def cosine_near_pairs(
     )
 
 
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) ANN: coarse-quantize the corpus into clusters,
+    probe only the query's ``n_probe`` nearest clusters.
+
+    Deterministic spec (so an exact SQL oracle can replicate it):
+    - centroids = the ``n_centroids`` corpus vectors with the smallest ids
+      (at scale you'd train KMeans once and persist the codebook; the
+      assignment/probe dataflow below is identical either way);
+    - each corpus vector is assigned to its max-cosine centroid (ties →
+      smaller centroid id);
+    - a query probes its ``n_probe`` top-cosine centroids and ranks exact
+      cosine within the probed clusters only.
+
+    Scale shape: the centroid set is tiny → broadcast on both the assignment
+    and probe joins, so the only shuffle is the candidate equi-join on
+    ``cluster`` (vs cosine_topk's corpus×queries cross join).  Persisting the
+    corpus bucketed by ``cluster`` turns the probe into a partition-pruned
+    scan of n_probe/n_centroids of the data.
+    Output schema matches cosine_topk: (query_id, neighbor_id, rank).
+    """
+    cents = F.broadcast(
+        corpus.orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec"))
+    )
+
+    def _nearest(df: DataFrame, out: str, keep: int) -> DataFrame:
+        scored = df.crossJoin(cents).withColumn(
+            "cent_cos",
+            _dot(F.col("_vec"), F.col("cent_vec"))
+            / (_norm(F.col("_vec")) * _norm(F.col("cent_vec"))),
+        )
+        w = Window.partitionBy("_id").orderBy(F.desc("cent_cos"), "cent_id")
+        return (
+            scored.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") <= keep)
+            .select("_id", "_vec", F.col("cent_id").alias(out))
+        )
+
+    c = corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
+    assigned = _nearest(c, "cluster", 1).select(
+        F.col("_id").alias("neighbor_id"), F.col("_vec").alias("c_vec"), "cluster"
+    )
+    q = queries.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
+    probed = _nearest(q, "cluster", n_probe).select(
+        F.col("_id").alias("query_id"), F.col("_vec").alias("q_vec"), "cluster"
+    )
+
+    sim = (
+        assigned.join(probed, "cluster")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "cosine",
+            _dot(F.col("q_vec"), F.col("c_vec"))
+            / (_norm(F.col("q_vec")) * _norm(F.col("c_vec"))),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
 def hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> list[list[float]]:
     rng = np.random.RandomState(seed)
     return rng.randn(n_planes, dim).astype(float).tolist()

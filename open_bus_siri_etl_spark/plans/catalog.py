@@ -848,6 +848,69 @@ def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "embedding_ivf_ann",
+    """
+    WITH f AS (
+        SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+    ),
+    n AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM f GROUP BY vec_id),
+    cent AS (SELECT vec_id AS cent_id FROM embeddings ORDER BY vec_id LIMIT 8),
+    vc AS (
+        SELECT a.vec_id, c.cent_id,
+               sum(a.v * b.v) / (na.nrm * nb.nrm) AS cos
+        FROM f a
+        JOIN cent c ON true
+        JOIN f b ON b.vec_id = c.cent_id AND b.i = a.i
+        JOIN n na ON na.vec_id = a.vec_id
+        JOIN n nb ON nb.vec_id = c.cent_id
+        GROUP BY a.vec_id, c.cent_id, na.nrm, nb.nrm
+    ),
+    assigned AS (
+        SELECT vec_id, cent_id AS cluster FROM (
+            SELECT vec_id, cent_id, row_number() OVER (
+                PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS r
+            FROM vc) WHERE r = 1
+    ),
+    probed AS (
+        SELECT vec_id AS query_id, cent_id AS cluster FROM (
+            SELECT vec_id, cent_id, row_number() OVER (
+                PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS r
+            FROM vc WHERE vec_id BETWEEN 8 AND 15) WHERE r <= 2
+    ),
+    d AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id, sum(q.v * c.v) AS dot
+        FROM probed p
+        JOIN assigned a ON a.cluster = p.cluster AND a.vec_id <> p.query_id
+        JOIN f q ON q.vec_id = p.query_id
+        JOIN f c ON c.vec_id = a.vec_id AND c.i = q.i
+        GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT query_id, neighbor_id, dot / (nq.nrm * nc.nrm) AS cosine
+        FROM d JOIN n nq ON query_id = nq.vec_id
+               JOIN n nc ON neighbor_id = nc.vec_id
+    )
+    SELECT query_id, neighbor_id, rank FROM (
+        SELECT query_id, neighbor_id, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM s) WHERE rank <= 5
+    """,
+    note="IVF ANN: deterministic coarse quantizer (lowest-id centroids, argmax-cosine "
+    "assignment), n_probe=2 cluster probe, exact re-rank inside probed clusters — "
+    "the candidate join is an equi-join on cluster (partition-prunable at scale)",
+)
+def embedding_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivf_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    return ivf_topk(
+        emb, emb.filter(F.col("vec_id").between(8, 15)), k=5, n_centroids=8, n_probe=2
+    )
+
+
+@register(
     "embedding_lsh_ann",
     None,  # hyperplane constants live in numpy; ANN result is approximate by design
     note="LSH-bucketed ANN (random hyperplane signs): equi-join on bucket replaces "

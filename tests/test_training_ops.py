@@ -15,7 +15,11 @@ from open_bus_siri_etl_spark.operators.multimodal import (
     documents_as_media,
     extract_features,
 )
-from open_bus_siri_etl_spark.operators.similarity import cosine_topk, lsh_ann_topk
+from open_bus_siri_etl_spark.operators.similarity import (
+    cosine_topk,
+    ivf_topk,
+    lsh_ann_topk,
+)
 from open_bus_siri_etl_spark.operators.textstats import (
     with_fingerprint,
     with_language_id,
@@ -86,6 +90,32 @@ def test_lsh_ann_bucket_join(spark):
     b = sorted(map(tuple, res.collect()))
     assert a == b
     assert res.columns == ["query_id", "neighbor_id", "rank"]
+
+
+def test_ivf_topk_matches_exact_when_probing_all_clusters(spark):
+    # two tight clusters around orthogonal axes; centroids = vec_id 0 and 1
+    vecs = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.0, 1.0, 0.0]),
+            (2, [0.9, 0.1, 0.0]),
+            (3, [0.1, 0.9, 0.0]),
+            (4, [0.8, 0.2, 0.0]),
+            (5, [0.2, 0.8, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    queries = vecs.filter("vec_id >= 4")
+    # n_probe = n_centroids ⇒ IVF degenerates to exact search
+    exact = sorted(map(tuple, cosine_topk(vecs, queries, k=3).collect()))
+    ivf_all = sorted(
+        map(tuple, ivf_topk(vecs, queries, k=3, n_centroids=2, n_probe=2).collect())
+    )
+    assert ivf_all == exact
+    # n_probe=1: query 4 (x-cluster) only sees x-cluster members {0, 2}
+    one = ivf_topk(vecs, queries, k=3, n_centroids=2, n_probe=1)
+    got = {r["neighbor_id"] for r in one.collect() if r["query_id"] == 4}
+    assert got == {0, 2}
 
 
 def test_quality_and_fingerprint_deterministic(spark, docs):
