@@ -583,6 +583,28 @@ def key_set_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tumbling_window_agg",
+    """
+    SELECT date_trunc('hour', ts) AS window_start,
+           date_trunc('hour', ts) + INTERVAL 1 HOUR AS window_end,
+           event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(round(value, 2) AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+    note="T3 watermark analog: event-time tumbling window (F.window) — same plan "
+    "runs incrementally under withWatermark on a stream (streaming/windowed.py); "
+    "state bounded by watermark × key cardinality, not stream length",
+)
+def tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..streaming.windowed import windowed_event_stats
+
+    return windowed_event_stats(t(spark, sf_dir, "events"), window="1 hour")
+
+
+@register(
     "salted_skew_join",
     """
     WITH dim AS (

@@ -57,6 +57,51 @@ def test_stateful_sessionizer_stream(spark, tmp_path):
     assert start == base and end == base + datetime.timedelta(minutes=1)
 
 
+def test_windowed_agg_stream_merges_late_row(spark, tmp_path):
+    """The tumbling-window plan runs incrementally under a watermark: a late
+    row arriving in a later micro-batch but inside the watermark merges into
+    its (already seen) window's state."""
+    from open_bus_siri_etl_spark.streaming.windowed import windowed_event_stats
+
+    src = tmp_path / "win_src"
+    src.mkdir()
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def write_batch(name, rows):
+        df = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+        df.coalesce(1).write.mode("overwrite").parquet(str(src / name))
+
+    write_batch(
+        "b1",
+        [
+            (base + datetime.timedelta(minutes=5), "click", 1.0),
+            (base + datetime.timedelta(minutes=70), "click", 1.0),
+        ],
+    )
+    # 10 min late relative to max seen (01:10), within the 30 min watermark
+    write_batch("b2", [(base + datetime.timedelta(minutes=59), "click", 1.0)])
+
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    agg = windowed_event_stats(stream, window="1 hour", watermark="30 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_out")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = {
+        r["window_start"]: r["n_events"]
+        for r in spark.sql("SELECT * FROM win_out").collect()
+    }
+    assert out == {base: 2, base + datetime.timedelta(hours=1): 1}
+
+
 def test_salted_join_equals_plain_join(spark):
     big = spark.createDataFrame(
         [(i, "hot" if i % 10 else "cold") for i in range(1000)], "id long, k string"
