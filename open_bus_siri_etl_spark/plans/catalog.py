@@ -583,6 +583,64 @@ def key_set_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "asof_join_prior_view",
+    """
+    SELECT c.event_id, c.user_id, c.ts, v.event_id AS view_event_id
+    FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+    ASOF LEFT JOIN
+         (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view') v
+    ON c.user_id = v.user_id AND c.ts >= v.ts
+    """,
+    note="as-of join (beyond-reference): latest prior row per key via UNION + "
+    "single-sort carry-forward — one shuffle, linear state; NOT an inequality "
+    "join (BroadcastNestedLoop).  Oracle uses DuckDB's native ASOF JOIN",
+)
+def asof_join_prior_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.temporal import asof_join
+
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select("event_id", "user_id", "ts")
+    views = ev.filter(F.col("event_type") == "view").select("event_id", "user_id", "ts")
+    return asof_join(clicks, views, on="user_id", right_cols=["event_id"]).select(
+        "event_id", "user_id", "ts", F.col("event_id_asof").alias("view_event_id")
+    )
+
+
+@register(
+    "range_join_error_windows",
+    """
+    WITH iv AS (
+        SELECT event_id AS interval_id, ts AS start_ts,
+               ts + INTERVAL 30 MINUTE AS end_ts
+        FROM events WHERE event_type = 'error' AND event_id < 2000
+    ),
+    p AS (SELECT ts FROM events WHERE event_type = 'click')
+    SELECT interval_id, count(*) AS n_points
+    FROM iv JOIN p ON p.ts >= iv.start_ts AND p.ts < iv.end_ts
+    GROUP BY interval_id
+    """,
+    note="range join (beyond-reference): intervals explode into overlapped "
+    "time buckets, equi-join on bucket + exact refine — replaces the "
+    "BroadcastNestedLoopJoin a raw inequality join would plan",
+)
+def range_join_error_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.temporal import range_join_bucketed
+
+    ev = t(spark, sf_dir, "events")
+    intervals = (
+        ev.filter((F.col("event_type") == "error") & (F.col("event_id") < 2000))
+        .select(
+            F.col("event_id").alias("interval_id"),
+            F.col("ts").alias("start_ts"),
+            (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end_ts"),
+        )
+    )
+    points = ev.filter(F.col("event_type") == "click").select("ts")
+    joined = range_join_bucketed(points, intervals, bucket_seconds=1800)
+    return joined.groupBy("interval_id").agg(F.count(F.lit(1)).alias("n_points"))
+
+
+@register(
     "tumbling_window_agg",
     """
     SELECT date_trunc('hour', ts) AS window_start,

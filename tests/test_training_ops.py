@@ -140,3 +140,54 @@ def test_multimodal_features(spark, docs):
     assert feats[1]["checksum"] == feats[4]["checksum"]  # same content
     assert feats[1]["checksum"] != feats[3]["checksum"]
     assert feats[1]["format"] == "fake/blob"
+
+
+def test_asof_join_semantics(spark):
+    import datetime
+
+    from open_bus_siri_etl_spark.operators.temporal import asof_join
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t0 + datetime.timedelta(minutes=m)
+
+    left = spark.createDataFrame(
+        [(1, 100, ts(10)), (2, 100, ts(5)), (3, 100, ts(0)), (4, 200, ts(10))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(50, 100, ts(5)), (51, 100, ts(8)), (52, 999, ts(0))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    out = {
+        r["event_id"]: r["event_id_asof"]
+        for r in asof_join(left, right, on="user_id", right_cols=["event_id"]).collect()
+    }
+    assert out[1] == 51  # latest of the two prior rows
+    assert out[2] == 50  # tie on ts: right row at ts==left.ts matches (>= semantics)
+    assert out[3] is None  # nothing at or before
+    assert out[4] is None  # key has no right rows at all
+
+
+def test_range_join_bucketed_boundaries(spark):
+    import datetime
+
+    from open_bus_siri_etl_spark.operators.temporal import range_join_bucketed
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t0 + datetime.timedelta(minutes=m)
+
+    # interval [0, 60); points at -1, 0, 59, 60 → start inclusive, end exclusive
+    points = spark.createDataFrame(
+        [(ts(-1),), (ts(0),), (ts(59),), (ts(60),)], "ts timestamp"
+    )
+    intervals = spark.createDataFrame(
+        [(7, ts(0), ts(60))], "interval_id long, start_ts timestamp, end_ts timestamp"
+    )
+    got = sorted(
+        r["ts"] for r in range_join_bucketed(points, intervals, bucket_seconds=600).collect()
+    )
+    assert got == [ts(0), ts(59)]
