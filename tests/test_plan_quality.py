@@ -50,3 +50,31 @@ def test_top_orders_take_ordered(spark):
 def test_dim_novelty_uses_anti_join(spark):
     plan = explain_str(REGISTRY["dim_upsert_novelty"].fn(spark, SF))
     assert "LeftAnti" in plan
+
+
+def test_asof_join_is_not_nested_loop(spark):
+    """The as-of join must plan as one shuffle + window, never a
+    BroadcastNestedLoopJoin (the naive inequality-join physical plan)."""
+    plan = explain_str(REGISTRY["asof_join_prior_view"].fn(spark, SF))
+    assert "NestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+
+
+def test_range_join_is_equi_join(spark):
+    """Bucketed range join must be a hash equi-join on the bucket column."""
+    plan = explain_str(REGISTRY["range_join_error_windows"].fn(spark, SF))
+    assert "NestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ivf_ann_candidate_join_is_hash_join(spark):
+    """IVF's candidate join is an equi-join on cluster id; the only cross
+    joins in the plan are against the tiny broadcast centroid set."""
+    plan = explain_str(REGISTRY["embedding_ivf_ann"].fn(spark, SF))
+    assert "CartesianProduct" not in plan  # centroid cross joins broadcast
+
+
+def test_tumbling_window_partial_agg(spark):
+    plan = explain_str(REGISTRY["tumbling_window_agg"].fn(spark, SF))
+    assert "partial_count" in plan or "partial_sum" in plan
