@@ -71,18 +71,19 @@ def with_quality_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def with_language_id(df: DataFrame, text_col: str = "text", min_score: float = 0.02) -> DataFrame:
-    """Stopword-profile language ID: score each profile, take the argmax.
-
-    greatest()/argmax over a fixed set of profile scores — branch-free,
-    codegen-friendly.  Ties broken by profile order (en > es > de > fr);
-    below ``min_score`` → 'und'.
-    """
+def language_scores(text_col: Column | str) -> dict[str, Column]:
     n_tok = token_count(text_col).cast("double")
-    scores = {
+    return {
         lang: (stopword_count(text_col, words).cast("double") / n_tok)
         for lang, words in LANG_PROFILES.items()
     }
+
+
+def predicted_language(text_col: Column | str, min_score: float = 0.02) -> Column:
+    """Argmax language over the stopword-profile scores as a single Column —
+    branch-free CASE chain, ties broken by profile order (en > es > de > fr);
+    below ``min_score`` → 'und'."""
+    scores = language_scores(text_col)
     best = F.greatest(*scores.values())
     predicted = F.lit("und")
     # build reverse-priority CASE chain so earlier profiles win ties
@@ -90,12 +91,17 @@ def with_language_id(df: DataFrame, text_col: str = "text", min_score: float = 0
         predicted = F.when(
             (scores[lang] >= min_score) & (scores[lang] == best), F.lit(lang)
         ).otherwise(predicted)
-    out = df.select(
+    return predicted
+
+
+def with_language_id(df: DataFrame, text_col: str = "text", min_score: float = 0.02) -> DataFrame:
+    """Stopword-profile language ID: score each profile, take the argmax."""
+    scores = language_scores(text_col)
+    return df.select(
         "doc_id",
         *[scores[lang].alias(f"score_{lang}") for lang in LANG_PROFILES],
-        predicted.alias("predicted_lang"),
+        predicted_language(text_col, min_score).alias("predicted_lang"),
     )
-    return out
 
 
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -115,3 +121,39 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
     fp = F.aggregate(terms, F.lit(0).cast("bigint"), lambda acc, x: acc + x)
     return df.select("doc_id", fp.alias("fingerprint"))
+
+
+def prep_training_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    min_tokens: int = 20,
+    max_tokens: int = 80,
+    lang: str = "en",
+) -> DataFrame:
+    """Composite training-data prep: quality gate → language gate → exact
+    dedup, as ONE scan.
+
+    Every gate is a column expression over the same row, so the filters fuse
+    into the scan (no self-joins between derived tables); the only shuffle
+    is the dedup's hash partition on the text.  Output: surviving
+    (doc_id, n_tokens, n_bpe_tokens), keeping the lowest doc_id per distinct
+    text (first-wins, reference dedup semantics D2).
+    """
+    from pyspark.sql import Window
+
+    n_tok = token_count(text_col)
+    surv = df.filter(
+        n_tok.between(min_tokens, max_tokens)
+        & (predicted_language(text_col) == lang)
+    ).select(
+        "doc_id",
+        F.col(text_col).alias("_text"),
+        n_tok.cast("bigint").alias("n_tokens"),
+        bpe_ish_token_count(text_col).cast("bigint").alias("n_bpe_tokens"),
+    )
+    w = Window.partitionBy("_text").orderBy("doc_id")
+    return (
+        surv.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("doc_id", "n_tokens", "n_bpe_tokens")
+    )

@@ -1082,6 +1082,39 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "training_prep_pipeline",
+    f"""
+    WITH s AS (
+        SELECT doc_id, text,
+               len(string_split(text, ' ')) AS n_tokens,
+               len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))
+                   AS n_bpe_tokens,
+{_LANGID_SCORES_SQL}
+        FROM documents
+    ),
+    surv AS (
+        SELECT doc_id, text, n_tokens, n_bpe_tokens
+        FROM s
+        WHERE n_tokens BETWEEN 20 AND 80
+          AND score_en >= 0.02
+          AND score_en = greatest(score_en, score_es, score_de, score_fr)
+    )
+    SELECT doc_id, n_tokens, n_bpe_tokens FROM (
+        SELECT doc_id, n_tokens, n_bpe_tokens,
+               row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        FROM surv) WHERE rn = 1
+    """,
+    note="composite training-data prep: quality gate + language gate + exact "
+    "first-wins dedup in ONE scan — all gates are column expressions fused "
+    "into the scan; the only shuffle is the dedup hash partition",
+)
+def training_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textstats import prep_training_corpus
+
+    return prep_training_corpus(t(spark, sf_dir, "documents"))
+
+
+@register(
     "multimodal_features",
     None,  # mapInPandas stub decode — not SQL-expressible; rows-only check
     note="multimodal plumbing: binary column + typed metadata through Arrow-batched "
