@@ -583,6 +583,30 @@ def key_set_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "distinct_users_per_type",
+    """
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users,
+           count(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+    note="distinct aggregation (beyond-reference): two-phase partial-distinct "
+    "plan; at 100 TB swap count_distinct for approx_count_distinct (HLL++, "
+    "no second shuffle) — see test_training_ops for the error-bound check",
+)
+def distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.count_distinct(F.col("user_id")).alias("n_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@register(
     "asof_join_prior_view",
     """
     SELECT c.event_id, c.user_id, c.ts, v.event_id AS view_event_id

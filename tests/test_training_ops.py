@@ -191,3 +191,10 @@ def test_range_join_bucketed_boundaries(spark):
         r["ts"] for r in range_join_bucketed(points, intervals, bucket_seconds=600).collect()
     )
     assert got == [ts(0), ts(59)]
+
+
+def test_approx_count_distinct_error_bound(spark):
+    """The 100 TB path for distinct counts: HLL++ within its configured rsd."""
+    df = spark.range(0, 20000).select((F.col("id") % 5000).alias("user_id"))
+    approx = df.agg(F.approx_count_distinct("user_id", rsd=0.02)).collect()[0][0]
+    assert abs(approx - 5000) / 5000 < 0.06  # 3×rsd safety margin
