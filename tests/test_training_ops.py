@@ -198,3 +198,15 @@ def test_approx_count_distinct_error_bound(spark):
     df = spark.range(0, 20000).select((F.col("id") % 5000).alias("user_id"))
     approx = df.agg(F.approx_count_distinct("user_id", rsd=0.02)).collect()[0][0]
     assert abs(approx - 5000) / 5000 < 0.06  # 3×rsd safety margin
+
+
+def test_blocked_cosine_pairs_matches_exact(spark):
+    from open_bus_siri_etl_spark.operators.similarity import (
+        cosine_near_pairs,
+        cosine_near_pairs_blocked,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = sorted(map(tuple, cosine_near_pairs(emb, 0.4).collect()))
+    blocked = sorted(map(tuple, cosine_near_pairs_blocked(emb, 0.4).collect()))
+    assert exact == blocked and len(exact) > 0
