@@ -68,8 +68,21 @@ def shingles(text: Column | str, n: int = 3) -> Column:
     return F.array_distinct(gram)
 
 
-def shingle_postings(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
-    """(doc_id, shingle) posting list — the unit the candidate join keys on."""
+def shingle_postings(
+    df: DataFrame, text_col: str = "text", n: int = 3, spread: bool = True
+) -> DataFrame:
+    """(doc_id, shingle) posting list — the unit the candidate join keys on.
+
+    ``spread`` repartitions the input by doc_id first: the shingle explode
+    (and the 64× seed explode downstream of it) amplifies each input row
+    ~100-6000×, so a compact input (one parquet file → one split) would pin
+    the whole hash chain to a single core.  Input-amplifying operators must
+    parallelize on OUTPUT size, not input splits.
+    """
+    if spread:
+        df = df.repartition(
+            df.sparkSession.sparkContext.defaultParallelism, "doc_id"
+        )
     return df.select(
         "doc_id", F.explode(shingles(text_col, n)).alias("shingle")
     )
@@ -251,6 +264,9 @@ def simhash_chunks(df: DataFrame, text_col: str = "text") -> DataFrame:
     Exploded per (token, chunk) then aggregated — two narrow shuffles keyed
     by doc_id, both partial-agg friendly.
     """
+    # same input-amplification spread as shingle_postings: tokens × 4 chunks
+    # × 16 bits ≈ 4000× per doc — parallelize on output size, not input splits
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism, "doc_id")
     tok = df.select("doc_id", F.explode(F.array_distinct(tokens(text_col))).alias("tok"))
     tok = tok.withColumn("h", F.md5("tok"))
     chunk = tok.select(
