@@ -583,6 +583,74 @@ def key_set_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rollup_revenue",
+    """
+    SELECT coalesce(r_name, 'ALL') AS region_name,
+           coalesce(n_name, 'ALL') AS nation_name,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           count(*) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+    note="hierarchical rollup (beyond-reference): one pass + Expand ×3 grain "
+    "levels instead of three scans; DECIMAL-exact sums across all grains",
+)
+def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od, cu = t(spark, sf_dir, "orders"), t(spark, sf_dir, "customer")
+    na, re = t(spark, sf_dir, "nation"), t(spark, sf_dir, "region")
+    return (
+        od.join(cu, od.o_custkey == cu.c_custkey)
+        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
+        .rollup("r_name", "n_name")
+        .agg(
+            F.sum(dec("o_totalprice")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            F.coalesce("r_name", F.lit("ALL")).alias("region_name"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation_name"),
+            "revenue",
+            "n_orders",
+        )
+    )
+
+
+@register(
+    "median_disc_value",
+    """
+    SELECT event_type, value AS median_value FROM (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    ) WHERE rn = (n + 1) // 2
+    """,
+    note="discrete median (exact element at position, no interpolation — "
+    "deterministic across engines); at 100 TB swap for approx_percentile "
+    "(one pass, mergeable sketch, no per-key sort)",
+)
+def median_disc_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    return (
+        ev.select(
+            "event_type",
+            "value",
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(wn).alias("n"),
+        )
+        .filter(F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        .select("event_type", F.col("value").alias("median_value"))
+    )
+
+
+@register(
     "distinct_users_per_type",
     """
     SELECT event_type,
