@@ -1,0 +1,47 @@
+"""End-to-end test of the CLI surface (the reference's primary API,
+reference cli.py:11-83) — commands run in-process via main(argv) against a
+temp warehouse/landing pair wired through the same env vars a reference
+user would set."""
+
+import json
+
+from open_bus_siri_etl_spark.cli import main
+
+from .fixtures import TEST_SNAPSHOT_DATA
+
+
+def test_cli_surface(spark, tmp_path, monkeypatch, capsys):
+    from open_bus_siri_etl_spark.sources.snapshots import write_snapshot_fixture
+
+    wh_root = tmp_path / "warehouse"
+    landing = tmp_path / "landing"
+    monkeypatch.setenv("SIRI_ETL_WAREHOUSE", str(wh_root))
+    monkeypatch.setenv("SIRI_ETL_LANDING", str(landing))
+
+    for sid in ["2019/05/05/16/00", "2019/05/05/16/01"]:
+        write_snapshot_fixture(str(landing), sid, TEST_SNAPSHOT_DATA)
+
+    # process one snapshot
+    assert main(["process-snapshot", "2019/05/05/16/00"]) in (0, None)
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["num_successful"] == 3 and stats["num_failed"] == 2
+
+    # register the other landed snapshot as pending, then drain via backfill
+    assert main(["update-pending-snapshots"]) in (0, None)
+    capsys.readouterr()
+    assert main(["parallel-process-old-missing-snapshots"]) in (0, None)
+    drained = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert drained.get("processed", 0) >= 1
+
+    # validate what was loaded: zero findings on a clean warehouse
+    report = tmp_path / "report.csv"
+    assert main(
+        [
+            "validate-snapshots",
+            "2019/05/05/16/00",
+            "2019/05/05/16/01",
+            "--report-path",
+            str(report),
+        ]
+    ) in (0, None)
+    assert report.exists()
