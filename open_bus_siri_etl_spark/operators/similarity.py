@@ -327,3 +327,73 @@ def cosine_near_pairs_blocked(
     return corpus.select(id_col, vec_col).mapInPandas(
         gen, "vec_a long, vec_b long, cosine double"
     )
+
+
+def cosine_near_pairs_tiled(
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    n_blocks: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """All-pairs cosine ≥ threshold with BOTH sides tiled — the path past
+    ~10⁷ vectors where broadcasting the corpus (cosine_near_pairs_blocked)
+    no longer fits.
+
+    The corpus is hashed into ``n_blocks`` disjoint blocks; every unordered
+    block pair (i ≤ j) becomes one tile processed by a numpy matmul inside
+    ``applyInPandas``.  Each row ships to n_blocks tiles, so shuffle volume
+    is n_blocks × |corpus| — the classic tiled-matmul tradeoff (pick
+    n_blocks so a block fits executor memory).  Diagonal tiles dedupe via
+    vec_a < vec_b; off-diagonal tiles emit (min, max) so every unordered
+    pair appears exactly once.  Output contract matches cosine_near_pairs
+    (6dp rounding before thresholding) ⇒ the same SQL oracle verifies it.
+    """
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    tiles = spark.createDataFrame(
+        [(i, j) for i in range(n_blocks) for j in range(i, n_blocks)],
+        "bi int, bj int",
+    )
+    v = corpus.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).alias("_vec"),
+        F.pmod(F.hash(F.col(id_col)), F.lit(n_blocks)).alias("_blk"),
+    )
+    a_side = v.join(F.broadcast(tiles), F.col("_blk") == F.col("bi")).withColumn(
+        "_side", F.lit(0)
+    )
+    b_side = v.join(F.broadcast(tiles), F.col("_blk") == F.col("bj")).withColumn(
+        "_side", F.lit(1)
+    )
+    both = a_side.unionByName(b_side).select("bi", "bj", "_side", "_id", "_vec")
+
+    def tile_pairs(key, pdf):
+        bi, bj = key
+        a = pdf[pdf["_side"] == 0]
+        b = pdf[pdf["_side"] == 1]
+        if not len(a) or not len(b):
+            return pd.DataFrame({"vec_a": [], "vec_b": [], "cosine": []}).astype(
+                {"vec_a": "int64", "vec_b": "int64", "cosine": "float64"}
+            )
+        a_ids = a["_id"].to_numpy()
+        b_ids = b["_id"].to_numpy()
+        am = np.stack(a["_vec"].to_numpy()).astype("float64")
+        bm = np.stack(b["_vec"].to_numpy()).astype("float64")
+        am /= np.linalg.norm(am, axis=1, keepdims=True)
+        bm /= np.linalg.norm(bm, axis=1, keepdims=True)
+        sims = np.round(am @ bm.T, 6)
+        ai, bj_ix = np.nonzero(sims >= threshold)
+        ia, ib = a_ids[ai], b_ids[bj_ix]
+        if bi == bj:  # same set on both sides: keep each unordered pair once
+            keep = ia < ib
+            ia, ib, cs = ia[keep], ib[keep], sims[ai[keep], bj_ix[keep]]
+        else:  # disjoint blocks: normalize order instead of dropping
+            cs = sims[ai, bj_ix]
+            ia, ib = np.minimum(ia, ib), np.maximum(ia, ib)
+        return pd.DataFrame({"vec_a": ia, "vec_b": ib, "cosine": cs})
+
+    return both.groupBy("bi", "bj").applyInPandas(
+        tile_pairs, "vec_a long, vec_b long, cosine double"
+    )

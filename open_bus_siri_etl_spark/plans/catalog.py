@@ -1049,6 +1049,37 @@ def embedding_cosine_pairs_blocked(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "embedding_cosine_pairs_tiled",
+    """
+    WITH f AS (
+        SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+    ),
+    n AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM f GROUP BY vec_id),
+    d AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, sum(a.v * b.v) AS dot
+        FROM f a JOIN f b ON a.i = b.i AND a.vec_id < b.vec_id
+        GROUP BY 1, 2
+    )
+    SELECT vec_a, vec_b, cosine FROM (
+        SELECT vec_a, vec_b, round(dot / (na.nrm * nb.nrm), 6) AS cosine
+        FROM d JOIN n na ON vec_a = na.vec_id JOIN n nb ON vec_b = nb.vec_id
+    ) WHERE cosine >= 0.4
+    """,
+    note="both-sides-tiled blocked matmul: hash blocks × applyInPandas per "
+    "block pair — the path past ~10⁷ vectors where broadcasting the corpus "
+    "no longer fits; shuffle volume = n_blocks × corpus",
+)
+def embedding_cosine_pairs_tiled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine_near_pairs_tiled
+
+    return cosine_near_pairs_tiled(
+        t(spark, sf_dir, "embeddings"), threshold=0.4, n_blocks=4
+    )
+
+
+@register(
     "embedding_ivf_ann",
     """
     WITH f AS (

@@ -210,3 +210,15 @@ def test_blocked_cosine_pairs_matches_exact(spark):
     exact = sorted(map(tuple, cosine_near_pairs(emb, 0.4).collect()))
     blocked = sorted(map(tuple, cosine_near_pairs_blocked(emb, 0.4).collect()))
     assert exact == blocked and len(exact) > 0
+
+
+def test_tiled_cosine_pairs_matches_exact(spark):
+    from open_bus_siri_etl_spark.operators.similarity import (
+        cosine_near_pairs,
+        cosine_near_pairs_tiled,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = sorted(map(tuple, cosine_near_pairs(emb, 0.4).collect()))
+    tiled = sorted(map(tuple, cosine_near_pairs_tiled(emb, 0.4, n_blocks=3).collect()))
+    assert exact == tiled and len(exact) > 0
