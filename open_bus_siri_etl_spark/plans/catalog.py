@@ -651,6 +651,57 @@ def median_disc_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "funnel_view_click_error",
+    """
+    WITH v AS (
+        SELECT user_id, min(ts) AS v_ts FROM events
+        WHERE event_type = 'view' GROUP BY 1
+    ),
+    c AS (
+        SELECT e.user_id, min(ts) AS c_ts
+        FROM events e JOIN v USING (user_id)
+        WHERE event_type = 'click' AND ts > v_ts GROUP BY 1
+    ),
+    er AS (
+        SELECT e.user_id, min(ts) AS e_ts
+        FROM events e JOIN c USING (user_id)
+        WHERE event_type = 'error' AND ts > c_ts GROUP BY 1
+    )
+    SELECT (SELECT count(*) FROM v)  AS n_viewed,
+           (SELECT count(*) FROM c)  AS n_clicked_after_view,
+           (SELECT count(*) FROM er) AS n_errored_after_click
+    """,
+    note="funnel / ordered-sequence analytics: stage k = min-ts agg joined "
+    "back to the stream (3 narrow shuffles on user_id, all partial-agg "
+    "friendly) — no per-user collect_list, state is one timestamp per stage",
+)
+def funnel_view_click_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+
+    def stage(prev: DataFrame, etype: str, prev_ts: str, out_ts: str) -> DataFrame:
+        return (
+            ev.filter(F.col("event_type") == etype)
+            .join(prev, "user_id")
+            .filter(F.col("ts") > F.col(prev_ts))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias(out_ts))
+        )
+
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("v_ts"))
+    )
+    c = stage(v, "click", "v_ts", "c_ts")
+    er = stage(c, "error", "c_ts", "e_ts")
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_viewed"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_clicked_after_view")))
+        .crossJoin(er.agg(F.count(F.lit(1)).alias("n_errored_after_click")))
+    )
+
+
+@register(
     "distinct_users_per_type",
     """
     SELECT event_type,
