@@ -651,6 +651,35 @@ def median_disc_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pivot_user_activity",
+    """
+    SELECT user_id,
+           count(*) FILTER (event_type = 'view')     AS n_view,
+           count(*) FILTER (event_type = 'click')    AS n_click,
+           count(*) FILTER (event_type = 'purchase') AS n_purchase,
+           count(*) FILTER (event_type = 'error')    AS n_error
+    FROM events
+    GROUP BY user_id
+    """,
+    note="pivot with an explicit value list = conditional aggregation in one "
+    "pass (explicit values keep it single-job; values-discovery pivot costs "
+    "an extra distinct scan at scale)",
+)
+def pivot_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    types = ["view", "click", "purchase", "error"]
+    return (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(F.count(F.lit(1)))
+        .select(
+            "user_id",
+            *[F.coalesce(F.col(ty), F.lit(0)).alias(f"n_{ty}") for ty in types],
+        )
+    )
+
+
+@register(
     "funnel_view_click_error",
     """
     WITH v AS (
