@@ -143,3 +143,42 @@ def test_compact_reduces_files_preserves_data(spark, warehouse):
     assert after_files == 1
     after_rows = sorted(tuple(r) for r in warehouse.read("siri_route").collect())
     assert after_rows == before_rows
+
+
+def test_stream_stream_join(spark, tmp_path):
+    """Click at t+5min matches the view; click at t+40min is outside the
+    10-min join window; user 9's click has no view at all."""
+    from open_bus_siri_etl_spark.streaming.joins import join_views_to_clicks
+
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    vdir, cdir = tmp_path / "views", tmp_path / "clicks"
+    for d, rows in [
+        (vdir, [(1, base), (2, base)]),
+        (
+            cdir,
+            [
+                (1, base + datetime.timedelta(minutes=5)),
+                (2, base + datetime.timedelta(minutes=40)),
+                (9, base + datetime.timedelta(minutes=5)),
+            ],
+        ),
+    ]:
+        d.mkdir()
+        spark.createDataFrame(rows, "user_id long, ts timestamp").coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(d / "b"))
+
+    schema = "user_id long, ts timestamp"
+    views = spark.readStream.schema(schema).parquet(str(vdir / "*"))
+    clicks = spark.readStream.schema(schema).parquet(str(cdir / "*"))
+    out = join_views_to_clicks(views, clicks, max_delay="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("ssj_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM ssj_out").collect()
+    assert [(r["user_id"], r["delay_seconds"]) for r in rows] == [(1, 300)]
