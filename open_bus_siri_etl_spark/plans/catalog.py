@@ -651,6 +651,36 @@ def median_disc_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "stratified_sample",
+    """
+    SELECT doc_id, lang_bucket FROM (
+        SELECT doc_id, lang_bucket,
+               row_number() OVER (PARTITION BY lang_bucket
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                   AS rn
+        FROM (SELECT doc_id, doc_id % 4 AS lang_bucket FROM documents)
+    ) WHERE rn <= 25
+    """,
+    note="deterministic stratified sampling (beyond-reference): fixed-k per "
+    "stratum ordered by content hash — reproducible train/eval carving with "
+    "no RNG state, one shuffle on the stratum key; md5 exists in both "
+    "engines so the oracle matches exactly",
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 4).alias("lang_bucket")
+    )
+    w = Window.partitionBy("lang_bucket").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 25)
+        .select("doc_id", "lang_bucket")
+    )
+
+
+@register(
     "pivot_user_activity",
     """
     SELECT user_id,
