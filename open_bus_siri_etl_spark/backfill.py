@@ -46,6 +46,11 @@ def plan_batches(
         .filter(F.col("etl_status") == control.ETL_PENDING)
         .select("snapshot_id", snapshot_id_to_ts("snapshot_id").alias("ts"))
     )
+    # Global (unpartitioned) window — deliberate: runs span the whole
+    # timeline, so there is no partition key, and the input is one row per
+    # pending MINUTE (525k rows/year even with everything pending), a
+    # planner-sized set that one task sorts trivially.  Event-scale
+    # sessionization must partition (see catalog gap_sessionization).
     w = Window.orderBy("ts")
     run_w = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     flagged = pending.withColumn(
