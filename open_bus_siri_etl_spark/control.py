@@ -228,6 +228,27 @@ def heartbeat(wh: Warehouse, snapshot_id: str, last: datetime.datetime | None) -
     return now
 
 
+def heartbeat_bulk(
+    wh: Warehouse, snapshot_ids: list[str], last: datetime.datetime | None
+) -> datetime.datetime | None:
+    """T5 for batch paths: one amortized liveness write refreshing every id
+    in the batch (a per-id loop would pay |batch| table rewrites per beat)."""
+    now = _now()
+    if last is not None and (now - last).total_seconds() < HEARTBEAT_AMORTIZE_SECONDS:
+        return last
+    rows = [
+        r.asDict()
+        for r in wh.read(_CONTROL)
+        .filter(F.col("snapshot_id").isin(list(snapshot_ids)))
+        .collect()
+    ]
+    for r in rows:
+        r["last_heartbeat"] = now
+    if rows:
+        _write_rows(wh, rows)
+    return now
+
+
 def latest_loaded_snapshot_id(wh: Warehouse) -> str | None:
     """A2/T2: resume point = max snapshot_id where loaded (reference :495-498)."""
     r = (

@@ -66,6 +66,7 @@ def run_core(
     snapshots_df: DataFrame,
     snapshot_ids: list[str],
     save_parse_errors: bool = True,
+    heartbeat_cb=None,
 ) -> dict[str, dict]:
     """Run flatten→parse→dims→facts for a batch; return per-snapshot stats.
 
@@ -73,13 +74,23 @@ def run_core(
     Returns {snapshot_id: {"num_successful", "num_failed",
     "num_added_siri_*"}} for every id in ``snapshot_ids`` (ids with no rows in
     the batch get zero stats — an empty snapshot still loads successfully).
+
+    ``heartbeat_cb`` (T5): invoked between Spark actions so a long batch
+    keeps its control-table heartbeat fresh (the reference beats throughout
+    processing, :121-203; amortization lives in control.heartbeat*).
     """
+
+    def _beat():
+        if heartbeat_cb is not None:
+            heartbeat_cb()
     visits = iterate_monitored_stop_visits(
         snapshots_df.filter(F.col("Siri").isNotNull())
     )
     parsed = parse_monitored_stop_visits(visits)
     keyed = with_surrogate_ids(valid_pmsv(parsed)).localCheckpoint(eager=True)
+    _beat()
     invalid = dead_letters(parsed).localCheckpoint(eager=True)
+    _beat()
 
     # dims: four anti-join appends; novelty attributed back to the earliest
     # contributing snapshot so bulk runs keep per-snapshot num_added_* parity
@@ -102,10 +113,12 @@ def run_core(
             .collect()
         )
         added[table] = {r["snapshot_id"]: r["count"] for r in per_snap}
+        _beat()
 
     # facts: idempotent per-snapshot replace
     facts = build_facts(keyed)
     wh.write_facts(facts, reload_snapshot_ids=snapshot_ids)
+    _beat()
 
     # dead letters: clear-and-write per snapshot (reference :409-414,232-234)
     if save_parse_errors:
@@ -162,8 +175,17 @@ def process_snapshot(
         corrupt = snapshots_df.filter(F.col("Siri").isNull()).count()
         if corrupt:
             raise ValueError(f"snapshot {snapshot_id}: corrupt document")
+        hb_last: list = [None]
+
+        def _hb():
+            hb_last[0] = control.heartbeat(wh, snapshot_id, hb_last[0])
+
         stats = run_core(
-            wh, snapshots_df, [snapshot_id], save_parse_errors=save_parse_errors
+            wh,
+            snapshots_df,
+            [snapshot_id],
+            save_parse_errors=save_parse_errors,
+            heartbeat_cb=_hb,
         )[snapshot_id]
         stats["etl_start_time"] = row["etl_start_time"]
         stats["etl_pending_time"] = row["etl_pending_time"]
@@ -206,7 +228,12 @@ def process_snapshots_bulk(
             .collect()
         }
         good_ids = [s for s in snapshot_ids if s not in corrupt_ids]
-        stats = run_core(wh, snapshots_df, good_ids)
+        hb_last: list = [None]
+
+        def _hb():
+            hb_last[0] = control.heartbeat_bulk(wh, good_ids, hb_last[0])
+
+        stats = run_core(wh, snapshots_df, good_ids, heartbeat_cb=_hb)
         control.mark_loaded_bulk(wh, {sid: stats[sid] for sid in good_ids})
         for sid in corrupt_ids:
             control.mark_error(wh, sid, "corrupt document")

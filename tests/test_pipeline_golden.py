@@ -137,3 +137,31 @@ def test_error_snapshot_reprocessed_in_place(spark, warehouse, landing):
     assert first["id"] == second["id"]
     assert second["etl_status"] == control.ETL_LOADED
     assert warehouse.read("siri_snapshot").count() == 1
+
+
+def test_heartbeat_refreshes_during_processing(spark, warehouse, landing):
+    """T5: the heartbeat written at start_loading is refreshed between the
+    pipeline's Spark actions (amortization means at least the final beat
+    lands at-or-after the loading-start heartbeat)."""
+    from open_bus_siri_etl_spark import control as ctl
+
+    run(spark, warehouse, landing)
+    row = ctl.get_control_row(warehouse, TEST_SNAPSHOT_ID)
+    assert row["etl_status"] == ctl.ETL_LOADED
+    assert row["last_heartbeat"] is not None
+    assert row["last_heartbeat"] >= row["etl_start_time"]
+
+
+def test_bulk_heartbeat_amortization(spark, warehouse, landing):
+    from open_bus_siri_etl_spark import control as ctl
+
+    ctl.start_loading_bulk(warehouse, ["2019/05/05/16/00", "2019/05/05/16/01"])
+    t1 = ctl.heartbeat_bulk(warehouse, ["2019/05/05/16/00", "2019/05/05/16/01"], None)
+    # immediately again: amortized away, same timestamp returned
+    t2 = ctl.heartbeat_bulk(warehouse, ["2019/05/05/16/00", "2019/05/05/16/01"], t1)
+    assert t2 == t1
+    rows = {
+        r["snapshot_id"]: r
+        for r in warehouse.read("siri_snapshot").collect()
+    }
+    assert rows["2019/05/05/16/01"]["last_heartbeat"] is not None
