@@ -106,3 +106,93 @@ def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFra
             )
 
     return media.mapInPandas(decode_batches, schema=FEATURES_SCHEMA)
+
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("content", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("format", T.StringType()),
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame", T.BinaryType()),
+    ]
+)
+
+
+def resize_images(media: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
+    """Resize via mapInPandas — 1 row in, 1 row out, binary in/binary out.
+
+    STUB kernel: deterministic truncate/cycle of the source bytes to
+    width×height (a real one calls PIL/libvips inside the loop body and
+    nothing else changes).  Partition-local, no shuffle; output carries the
+    new typed metadata so downstream operators never re-decode.
+    """
+    target = width * height
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for blob in pdf["content"]:
+                b = bytes(blob)
+                if not b:
+                    raise NotImplementedError(
+                        "real codecs are not available in this environment"
+                    )
+                reps = (target // len(b)) + 1
+                out.append((b * reps)[:target])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "content": out,
+                    "meta": [
+                        {"format": "fake/raw", "width": width, "height": height}
+                        for _ in out
+                    ],
+                }
+            )
+
+    return media.mapInPandas(resize_batches, schema=RESIZED_SCHEMA)
+
+
+def sample_frames(
+    media: DataFrame, frame_bytes: int = 64, every_n: int = 2
+) -> DataFrame:
+    """Frame sampling via mapInPandas — the 1→N flat-map shape video takes.
+
+    STUB kernel: the blob is treated as a packed array of ``frame_bytes``
+    frames; every ``every_n``-th frame is emitted as its own row (a real
+    implementation seeks keyframes with ffmpeg — the fan-out dataflow is
+    identical).  Output rows inherit the input's partitioning; a huge video
+    corpus fans out without any shuffle until a downstream groupBy.
+    """
+
+    def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(blob)
+                n_frames = len(b) // frame_bytes
+                for i in range(0, n_frames, every_n):
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(b[i * frame_bytes : (i + 1) * frame_bytes])
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": idxs, "frame": frames}
+            )
+
+    return media.mapInPandas(frame_batches, schema=FRAMES_SCHEMA)

@@ -222,3 +222,25 @@ def test_tiled_cosine_pairs_matches_exact(spark):
     exact = sorted(map(tuple, cosine_near_pairs(emb, 0.4).collect()))
     tiled = sorted(map(tuple, cosine_near_pairs_tiled(emb, 0.4, n_blocks=3).collect()))
     assert exact == tiled and len(exact) > 0
+
+
+def test_multimodal_resize_and_frame_sample(spark, docs):
+    from open_bus_siri_etl_spark.operators.multimodal import (
+        documents_as_media,
+        resize_images,
+        sample_frames,
+    )
+
+    media = documents_as_media(docs)
+    resized = resize_images(media, width=8, height=4).collect()
+    assert len(resized) == 4
+    assert all(len(bytes(r["content"])) == 32 for r in resized)
+    assert resized[0]["meta"]["width"] == 8 and resized[0]["meta"]["height"] == 4
+
+    frames = sample_frames(media, frame_bytes=16, every_n=2).collect()
+    # doc 1's text is 67 bytes → 4 whole frames → indices 0, 2 sampled
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r["media_id"], []).append(r["frame_idx"])
+    assert sorted(by_doc[1]) == [0, 2]
+    assert all(len(bytes(r["frame"])) == 16 for r in frames)
