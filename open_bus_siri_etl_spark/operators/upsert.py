@@ -89,6 +89,37 @@ def derive_ride_stops(keyed: DataFrame) -> DataFrame:
     )
 
 
+def merge_frames(
+    target: DataFrame, source: DataFrame, key_cols: list[str]
+) -> DataFrame:
+    """Delta-style MERGE semantics on plain DataFrames: WHEN MATCHED THEN
+    UPDATE (source's non-key columns win), WHEN NOT MATCHED THEN INSERT,
+    unmatched target rows pass through.
+
+    The reference only ever needs insert-if-absent (process_snapshot.py:
+    113-211), but a production control table wants true upsert; this is the
+    engine's lakehouse-free MERGE.  One full-outer join on the key — the
+    single shuffle a Delta MERGE would also pay for its join phase.  Both
+    inputs must be unique on ``key_cols`` (standard MERGE precondition;
+    Delta likewise rejects duplicate source matches).
+    """
+    value_cols = [c for c in target.columns if c not in key_cols]
+    # prefix source columns so target/source stay unambiguous even when both
+    # sides share lineage (e.g. a self-derived update batch)
+    src = source.select(
+        *key_cols,
+        *[F.col(c).alias(f"_src_{c}") for c in value_cols],
+        F.lit(True).alias("_src_matched"),
+    )
+    joined = target.join(src, on=key_cols, how="full_outer")
+    matched = F.col("_src_matched").isNotNull()
+    out_cols = [F.col(c) for c in key_cols] + [
+        F.when(matched, F.col(f"_src_{c}")).otherwise(F.col(c)).alias(c)
+        for c in value_cols
+    ]
+    return joined.select(*out_cols)
+
+
 def get_or_create_objects(wh: Warehouse, keyed: DataFrame) -> dict[str, DataFrame]:
     """Upsert all four dims for a pmsv batch; return the novelty rows added
     per table (callers count them for the num_added_* control counters).

@@ -620,6 +620,109 @@ def rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cube_orders",
+    """
+    SELECT coalesce(o_orderstatus, 'ALL') AS order_status,
+           coalesce(o_orderpriority, 'ALL') AS order_priority,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    note="full cube (beyond-reference): all 4 grain combinations in one "
+    "pass via Expand ×4 — partial aggregation still applies per grain, so "
+    "the shuffle carries pre-combined rows, not ×4 raw data",
+)
+def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = t(spark, sf_dir, "orders")
+    return (
+        od.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.sum(dec("o_totalprice")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("order_status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("order_priority"),
+            "revenue",
+            "n_orders",
+        )
+    )
+
+
+@register(
+    "grouping_sets_activity",
+    """
+    SELECT coalesce(event_type, 'ALL') AS event_type,
+           coalesce(CAST(user_bucket AS VARCHAR), 'ALL') AS user_bucket,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+           count(*) AS n_events
+    FROM (SELECT event_type, user_id % 10 AS user_bucket, value FROM events)
+    GROUP BY GROUPING SETS ((event_type), (user_bucket), ())
+    """,
+    note="explicit grouping sets (beyond-reference): two independent "
+    "marginals + grand total in one scan instead of three, without cube's "
+    "cross-product grain",
+)
+def grouping_sets_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").select(
+        "event_type", (F.col("user_id") % 10).alias("user_bucket"), "value"
+    )
+    return (
+        ev.groupingSets(
+            [["event_type"], ["user_bucket"], []], "event_type", "user_bucket"
+        )
+        .agg(
+            F.sum(dec("value")).cast("double").alias("total_value"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce(F.col("user_bucket").cast("string"), F.lit("ALL")).alias(
+                "user_bucket"
+            ),
+            "total_value",
+            "n_events",
+        )
+    )
+
+
+@register(
+    "merge_upsert",
+    """
+    WITH target AS (
+        SELECT doc_id, n_chars, source FROM documents WHERE doc_id % 3 <> 0
+    ), src AS (
+        SELECT doc_id, n_chars * 2 AS n_chars, 'merged' AS source
+        FROM documents WHERE doc_id % 2 = 0
+    )
+    SELECT coalesce(tg.doc_id, s.doc_id) AS doc_id,
+           CASE WHEN s.doc_id IS NOT NULL THEN s.n_chars ELSE tg.n_chars END
+               AS n_chars,
+           CASE WHEN s.doc_id IS NOT NULL THEN s.source ELSE tg.source END
+               AS source
+    FROM target tg FULL OUTER JOIN src s ON tg.doc_id = s.doc_id
+    """,
+    note="Delta-style MERGE emulation (operators/upsert.py:merge_frames): "
+    "matched rows updated, unmatched source inserted, unmatched target kept "
+    "— one full-outer shuffle on the key, same join a lakehouse MERGE pays",
+)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.upsert import merge_frames
+
+    docs = t(spark, sf_dir, "documents")
+    target = docs.filter(F.col("doc_id") % 3 != 0).select(
+        "doc_id", "n_chars", "source"
+    )
+    src = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id",
+        (F.col("n_chars") * 2).alias("n_chars"),
+        F.lit("merged").alias("source"),
+    )
+    return merge_frames(target, src, ["doc_id"])
+
+
+@register(
     "median_disc_value",
     """
     SELECT event_type, value AS median_value FROM (

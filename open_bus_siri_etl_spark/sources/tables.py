@@ -158,6 +158,59 @@ class Warehouse:
             self.table_path(name)
         )
 
+    def merge_table(
+        self, name: str, source: DataFrame, key_cols: list[str]
+    ) -> None:
+        """True upsert (update-or-insert) via MERGE emulation: full-outer
+        join source against the stored table, matched rows take the source's
+        values, everything else passes through, rewrite.
+
+        ``upsert_rows`` (anti-join + union) is equivalent for whole-row
+        replacement; merge_frames generalizes to column-level update rules
+        and is the shape a Delta ``MERGE`` replaces 1:1 on a lakehouse.
+        """
+        from ..operators.upsert import merge_frames
+
+        existing = self.read(name, schemas.ALL_TABLES.get(name))
+        merged = merge_frames(existing, source, key_cols)
+        self.overwrite(name, merged)
+
+    # -- bucketed tables: shuffle-free co-located joins ---------------------
+
+    def save_bucketed(
+        self,
+        df: DataFrame,
+        name: str,
+        bucket_cols: list[str],
+        num_buckets: int = 8,
+        sort_cols: list[str] | None = None,
+    ) -> None:
+        """Persist a table hash-bucketed on ``bucket_cols`` via the session
+        catalog (Spark's native bucketing needs table metadata — files alone
+        can't carry the bucket spec).
+
+        Two tables bucketed on their join key with the same bucket count
+        sort-merge-join with NO Exchange on either side: at 100 TB that's
+        the difference between re-shuffling the fact table every query and
+        reading it pre-placed.  Sorted buckets additionally skip the
+        per-partition sort.  The reference has no analog (Postgres indexes
+        play this role); on a cluster the same call works against a Hive
+        metastore unchanged.
+        """
+        writer = (
+            df.write.mode("overwrite")
+            .format("parquet")
+            .option("path", self.table_path(f"bucketed_{name}"))
+            .bucketBy(num_buckets, *bucket_cols)
+        )
+        if sort_cols:
+            writer = writer.sortBy(*sort_cols)
+        self.spark.sql(f"DROP TABLE IF EXISTS {name}")
+        writer.saveAsTable(name)
+
+    def read_bucketed(self, name: str) -> DataFrame:
+        return self.spark.table(name)
+
     # -- maintenance: small-file compaction ---------------------------------
 
     def compact(self, name: str, target_files: int = 1) -> int:

@@ -52,6 +52,22 @@ def test_dim_novelty_uses_anti_join(spark):
     assert "LeftAnti" in plan
 
 
+def test_cube_expands_once_with_partial_agg(spark):
+    """CUBE must plan as one scan + Expand, with map-side partial
+    aggregation after the expand (so the shuffle carries combined rows)."""
+    plan = explain_str(REGISTRY["cube_orders"].fn(spark, SF))
+    # ") Expand" matches the per-node detail header exactly once per node
+    assert plan.count(") Expand") == 1
+    assert "partial_sum" in plan
+
+
+def test_grouping_sets_single_scan(spark):
+    """Three grains (two marginals + grand total) from ONE parquet scan."""
+    plan = explain_str(REGISTRY["grouping_sets_activity"].fn(spark, SF))
+    assert plan.count(") Scan parquet") == 1
+    assert plan.count(") Expand") == 1
+
+
 def test_asof_join_is_not_nested_loop(spark):
     """The as-of join must plan as one shuffle + window, never a
     BroadcastNestedLoopJoin (the naive inequality-join physical plan)."""

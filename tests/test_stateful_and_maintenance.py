@@ -145,6 +145,65 @@ def test_compact_reduces_files_preserves_data(spark, warehouse):
     assert after_rows == before_rows
 
 
+def test_merge_table_updates_and_inserts(spark, warehouse):
+    warehouse.overwrite(
+        "siri_route",
+        spark.createDataFrame(
+            [(1, 10, 100), (2, 20, 200)], "id long, operator_ref int, line_ref int"
+        ),
+    )
+    warehouse.merge_table(
+        "siri_route",
+        spark.createDataFrame(
+            [(2, 21, 201), (3, 30, 300)], "id long, operator_ref int, line_ref int"
+        ),
+        ["id"],
+    )
+    got = sorted(tuple(r) for r in warehouse.read("siri_route").collect())
+    # row 1 untouched, row 2 updated in place, row 3 inserted
+    assert got == [(1, 10, 100), (2, 21, 201), (3, 30, 300)]
+
+
+def test_bucketed_join_has_no_exchange(spark, warehouse):
+    """Both sides bucketed on the join key with the same bucket count must
+    sort-merge-join with zero Exchange — the co-located-join contract that
+    saves re-shuffling the fact table on every query at 100 TB."""
+    sf = "/root/testdata/sf0.001"
+    orders = spark.read.parquet(f"{sf}/orders.parquet").coalesce(1)
+    lineitem = spark.read.parquet(f"{sf}/lineitem.parquet").coalesce(1)
+    warehouse.save_bucketed(
+        orders, "orders_b", ["o_orderkey"], num_buckets=4, sort_cols=["o_orderkey"]
+    )
+    warehouse.save_bucketed(
+        lineitem, "lineitem_b", ["l_orderkey"], num_buckets=4, sort_cols=["l_orderkey"]
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = warehouse.read_bucketed("lineitem_b").join(
+            warehouse.read_bucketed("orders_b"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        plan = joined._sc._jvm.PythonSQLUtils.explainString(
+            joined._jdf.queryExecution(), "formatted"
+        )
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        expected = (
+            spark.read.parquet(f"{sf}/lineitem.parquet")
+            .join(
+                spark.read.parquet(f"{sf}/orders.parquet"),
+                F.col("l_orderkey") == F.col("o_orderkey"),
+            )
+            .count()
+        )
+        assert joined.count() == expected
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
 def test_stream_stream_join(spark, tmp_path):
     """Click at t+5min matches the view; click at t+40min is outside the
     10-min join window; user 9's click has no view at all."""
