@@ -754,6 +754,47 @@ def median_disc_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "value_quantiles_disc",
+    """
+    SELECT event_type, p, value AS q_value FROM (
+        SELECT event_type, value,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY value, event_id) AS rn,
+               count(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    ) CROSS JOIN (SELECT unnest([0.25, 0.5, 0.75]) AS p)
+    WHERE rn = CAST(floor((n - 1) * p) AS BIGINT) + 1
+    """,
+    note="exact discrete quantiles at three probabilities in one windowed "
+    "pass (positions floor((n-1)p)+1 — 0.25/0.5/0.75 are exact binary "
+    "fractions, so both engines floor identically); at 100 TB swap for "
+    "approx_percentile: one pass, mergeable KLL-style sketch, no per-key "
+    "sort (accuracy contract tested in test_stateful_and_maintenance.py)",
+)
+def value_quantiles_disc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    probs = F.explode(
+        F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))
+    ).alias("p")
+    return (
+        ranked.select("event_type", "value", "rn", "n", probs)
+        .filter(
+            F.col("rn")
+            == F.floor((F.col("n") - 1) * F.col("p")).cast("bigint") + 1
+        )
+        .select("event_type", "p", F.col("value").alias("q_value"))
+    )
+
+
+@register(
     "stratified_sample",
     """
     SELECT doc_id, lang_bucket FROM (
@@ -1003,7 +1044,10 @@ def salted_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type, count(*) AS n FROM events GROUP BY event_type
     """,
     note="two-stage salted aggregation for skewed group keys; "
-    "result-identical to the plain groupBy (the oracle)",
+    "result-identical to the plain groupBy (the oracle).  Measured caveat "
+    "(tools/bench_skew.py): for count/sum the plain plan is already "
+    "skew-immune via map-side partial agg — salt only large-state aggs "
+    "(collect_list/exact distinct sets) where partials can't collapse",
 )
 def salted_two_stage_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.skew import salted_agg_count

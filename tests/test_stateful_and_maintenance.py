@@ -145,6 +145,37 @@ def test_compact_reduces_files_preserves_data(spark, warehouse):
     assert after_rows == before_rows
 
 
+def test_approx_percentile_tracks_exact(spark):
+    """The 100 TB quantile path: approx_percentile's mergeable sketch must
+    land within its accuracy contract of the exact discrete quantile, and be
+    partitioning-invariant (partial sketches merge across 32 partitions)."""
+    from open_bus_siri_etl_spark.plans.catalog import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        (r["event_type"], r["p"]): r["q_value"]
+        for r in REGISTRY["value_quantiles_disc"].fn(spark, sf).collect()
+    }
+    ev = (
+        spark.read.parquet(f"{sf}/events.parquet")
+        .select("event_type", "value")
+        .repartition(32)
+    )
+    approx = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.25, 0.5, 0.75], 1000).alias("qs"),
+        F.count(F.lit(1)).alias("n"),
+        (F.max("value") - F.min("value")).alias("spread"),
+    )
+    for r in approx.collect():
+        for p, got in zip([0.25, 0.5, 0.75], r["qs"]):
+            want = exact[(r["event_type"], p)]
+            # accuracy=1000 bounds the rank error at n/1000 positions; on a
+            # smooth value distribution that is a tiny value-space error
+            assert abs(got - want) <= r["spread"] * max(2.0 / 1000, 2.0 / r["n"]) + 1e-9, (
+                r["event_type"], p, got, want
+            )
+
+
 def test_merge_table_updates_and_inserts(spark, warehouse):
     warehouse.overwrite(
         "siri_route",
