@@ -754,6 +754,130 @@ def median_disc_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "running_revenue",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_total
+    FROM orders WHERE o_custkey % 50 = 0
+    """,
+    note="running total per key (beyond-reference): each row's prefix set "
+    "is deterministic under the unique (date, orderkey) order and the sum "
+    "is DECIMAL-exact, so the window matches the oracle bit-for-bit; "
+    "partitioned by high-cardinality custkey — state per task is one "
+    "accumulator, no skew",
+)
+def running_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = t(spark, sf_dir, "orders").filter(F.col("o_custkey") % 50 == 0)
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return od.select(
+        "o_custkey",
+        "o_orderkey",
+        F.sum(dec("o_totalprice")).over(w).cast("double").alias("running_total"),
+    )
+
+
+@register(
+    "moving_avg_value",
+    """
+    SELECT user_id, event_id,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE)
+               / count(*) OVER w AS moving_avg
+    FROM events WHERE user_id % 100 = 0
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+    """,
+    note="7-row moving average (beyond-reference): DECIMAL-exact window sum "
+    "divided by the window count — one IEEE division on identical operands "
+    "in both engines; single shuffle on user_id",
+)
+def moving_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") % 100 == 0)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        (
+            F.sum(dec("value")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w)
+        ).alias("moving_avg"),
+    )
+
+
+@register(
+    "revenue_deciles",
+    """
+    SELECT o_custkey, total_revenue,
+           ntile(10) OVER (ORDER BY total_revenue, o_custkey) AS decile
+    FROM (
+        SELECT o_custkey,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_revenue
+        FROM orders GROUP BY o_custkey
+    )
+    """,
+    note="ntile decile assignment over aggregated revenue; the global "
+    "window is one partition by construction — fine here because its input "
+    "is already one row per customer (post-agg), and at 100 TB the "
+    "single-partition sort gets replaced by rank-over-range via "
+    "distributed sort + row_number arithmetic",
+)
+def revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = t(spark, sf_dir, "orders")
+    totals = od.groupBy("o_custkey").agg(
+        F.sum(dec("o_totalprice")).cast("double").alias("total_revenue")
+    )
+    w = Window.orderBy("total_revenue", "o_custkey")
+    return totals.select(
+        "o_custkey", "total_revenue", F.ntile(10).over(w).alias("decile")
+    )
+
+
+@register(
+    "set_ops_users",
+    """
+    SELECT 'both' AS op, count(*) AS n FROM (
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+        INTERSECT
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'click')
+    UNION ALL
+    SELECT 'view_only' AS op, count(*) AS n FROM (
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+        EXCEPT
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'click')
+    """,
+    note="native set operators (W6/W7 generalized): INTERSECT/EXCEPT plan "
+    "as distinct + semi/anti join — same shuffle budget as the hand-rolled "
+    "anti-join but declared, so AQE still picks the join strategy",
+)
+def set_ops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select("user_id").distinct()
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    both = (
+        views.intersect(clicks)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("both").alias("op"), "n")
+    )
+    view_only = (
+        views.exceptAll(clicks)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("view_only").alias("op"), "n")
+    )
+    return both.unionByName(view_only)
+
+
+@register(
     "value_quantiles_disc",
     """
     SELECT event_type, p, value AS q_value FROM (
