@@ -828,9 +828,9 @@ def moving_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     note="ntile decile assignment over aggregated revenue; the global "
     "window is one partition by construction — fine here because its input "
-    "is already one row per customer (post-agg), and at 100 TB the "
-    "single-partition sort gets replaced by rank-over-range via "
-    "distributed sort + row_number arithmetic",
+    "is already one row per customer (post-agg).  The scale-out twin "
+    "(revenue_deciles_distributed, operators/ranking.py) answers the same "
+    "query with no all-to-one data exchange",
 )
 def revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     od = t(spark, sf_dir, "orders")
@@ -841,6 +841,37 @@ def revenue_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return totals.select(
         "o_custkey", "total_revenue", F.ntile(10).over(w).alias("decile")
     )
+
+
+@register(
+    "revenue_deciles_distributed",
+    """
+    SELECT o_custkey, total_revenue,
+           ntile(10) OVER (ORDER BY total_revenue, o_custkey) AS decile
+    FROM (
+        SELECT o_custkey,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_revenue
+        FROM orders GROUP BY o_custkey
+    )
+    """,
+    note="the 100 TB version of revenue_deciles: operators/ranking.py "
+    "replaces the single-partition ntile window with range-partitioned "
+    "local sort + monotonically_increasing_id arithmetic + broadcast "
+    "offsets — the data crosses one BALANCED exchange; only P count rows "
+    "ever sit in one task.  Same oracle as revenue_deciles: the remainder "
+    "rule reproduces ntile exactly",
+)
+def revenue_deciles_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.ranking import distributed_ntile
+
+    od = t(spark, sf_dir, "orders")
+    totals = od.groupBy("o_custkey").agg(
+        F.sum(dec("o_totalprice")).cast("double").alias("total_revenue")
+    )
+    return distributed_ntile(
+        totals, ["total_revenue", "o_custkey"], k=10, tile_col="decile"
+    ).select("o_custkey", "total_revenue", "decile")
 
 
 @register(
