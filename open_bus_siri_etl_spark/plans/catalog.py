@@ -875,6 +875,85 @@ def revenue_deciles_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "revenue_rank_distribution",
+    """
+    SELECT o_custkey, total_revenue,
+           percent_rank() OVER (ORDER BY total_revenue, o_custkey) AS pct_rank,
+           cume_dist() OVER (ORDER BY total_revenue, o_custkey) AS cume
+    FROM (
+        SELECT o_custkey,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS total_revenue
+        FROM orders GROUP BY o_custkey
+    )
+    """,
+    note="percent_rank/cume_dist over aggregated revenue: both are ratios "
+    "of identical integer operands ((rank-1)/(N-1), n_at_or_before/N) so "
+    "the doubles match bit-for-bit; post-agg input keeps the global window "
+    "small (scale path: operators/ranking.py global_row_number + the same "
+    "arithmetic)",
+)
+def revenue_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = t(spark, sf_dir, "orders")
+    totals = od.groupBy("o_custkey").agg(
+        F.sum(dec("o_totalprice")).cast("double").alias("total_revenue")
+    )
+    w = Window.orderBy("total_revenue", "o_custkey")
+    return totals.select(
+        "o_custkey",
+        "total_revenue",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+
+
+@register(
+    "session_window_agg",
+    """
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events
+    FROM (
+        SELECT user_id, ts,
+               sum(CASE WHEN prev_ts IS NULL
+                        OR ts - prev_ts > INTERVAL 30 MINUTE
+                        THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS session_id
+        FROM (
+            SELECT user_id, ts, event_id,
+                   lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       AS prev_ts
+            FROM events WHERE user_id % 20 = 0
+        )
+    )
+    GROUP BY user_id, session_id
+    """,
+    note="per-user event-time sessions (30-min inactivity gap) via Spark's "
+    "native session_window in BATCH — the same operator the streaming "
+    "sessionizer uses with state; the oracle derives identical sessions "
+    "with the lag/gap-flag/cumulative-sum islands idiom.  session_window's "
+    "end = last event + gap, hence the oracle's max(ts) + interval.  One "
+    "shuffle on user_id; per-key state is linear in the session, not the "
+    "history",
+)
+def session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") % 20 == 0)
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@register(
     "set_ops_users",
     """
     SELECT 'both' AS op, count(*) AS n FROM (
