@@ -875,6 +875,80 @@ def revenue_deciles_distributed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "large_orders",
+    """
+    SELECT o_orderkey, o_orderdate, o_totalprice,
+           CAST(sum_qty_dec AS DOUBLE) AS sum_qty
+    FROM orders
+    JOIN (
+        SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty_dec
+        FROM lineitem GROUP BY l_orderkey
+        HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 150
+    ) big ON o_orderkey = l_orderkey
+    """,
+    note="TPC-H Q18 shape (beyond-reference): aggregate-then-filter "
+    "(HAVING) then join back to the parent — the HAVING prunes before the "
+    "join so only qualifying groups shuffle; DECIMAL comparison keeps the "
+    "threshold exact in both engines",
+)
+def large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li, od = t(spark, sf_dir, "lineitem"), t(spark, sf_dir, "orders")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).alias("sum_qty_dec"))
+        .filter(F.col("sum_qty_dec") > 150)
+    )
+    return od.join(big, od.o_orderkey == big.l_orderkey).select(
+        "o_orderkey",
+        "o_orderdate",
+        "o_totalprice",
+        F.col("sum_qty_dec").cast("double").alias("sum_qty"),
+    )
+
+
+@register(
+    "small_lot_revenue",
+    """
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0
+               AS avg_yearly
+    FROM lineitem l
+    JOIN (
+        SELECT l_partkey AS pk,
+               0.2 * (CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                      / count(*)) AS qty_thresh
+        FROM lineitem GROUP BY l_partkey
+    ) t ON l.l_partkey = t.pk
+    WHERE l.l_quantity < t.qty_thresh
+    """,
+    note="TPC-H Q17 shape (beyond-reference): correlated scalar subquery "
+    "(per-part average) decorrelated into an aggregate + equi-join — the "
+    "form Catalyst's RewriteCorrelatedScalarSubquery produces; the "
+    "threshold is DECIMAL-sum/count then one IEEE multiply, so the "
+    "per-row comparison is bit-identical across engines",
+)
+def small_lot_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    thresh = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (
+            F.lit(0.2)
+            * (
+                F.sum(dec("l_quantity")).cast("double")
+                / F.count(F.lit(1))
+            )
+        ).alias("qty_thresh")
+    )
+    return (
+        li.join(thresh, li.l_partkey == thresh.pk)
+        .filter(F.col("l_quantity") < F.col("qty_thresh"))
+        .agg(
+            (F.sum(dec("l_extendedprice")).cast("double") / 7.0).alias(
+                "avg_yearly"
+            )
+        )
+    )
+
+
+@register(
     "revenue_rank_distribution",
     """
     SELECT o_custkey, total_revenue,
