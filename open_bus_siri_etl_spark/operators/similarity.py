@@ -231,6 +231,53 @@ def _lsh_bucket(vec: Column, planes: list[list[float]], dim: int | None = None) 
     return sum(bits).cast("int")
 
 
+def _lsh_buckets_arrow(
+    df: DataFrame,
+    role_id: str,
+    role_vec: str,
+    n_planes: int,
+    n_tables: int,
+    dim: int,
+    seed: int,
+) -> DataFrame:
+    """(id, vec) → (id, vec, tbl, bucket) via one numpy matmul per Arrow
+    batch: all T×P plane projections at once, instead of T×P×dim unrolled
+    column expressions (whose codegen compile time dominates past ~1k
+    terms).  Bit semantics identical to _lsh_bucket: bit p set iff
+    dot(vec, plane_p) > 0, planes drawn from the same per-table seeds.
+    """
+    import pandas as pd
+
+    mats = np.vstack(
+        [
+            np.random.RandomState(seed + 7919 * t).randn(n_planes, dim)
+            for t in range(n_tables)
+        ]
+    )  # (T*P, dim)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    def gen(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.vstack([np.asarray(x, dtype=np.float64) for x in pdf[role_vec]])
+            signs = (v @ mats.T) > 0  # (n, T*P)
+            for t in range(n_tables):
+                bits = signs[:, t * n_planes : (t + 1) * n_planes]
+                yield pd.DataFrame(
+                    {
+                        role_id: pdf[role_id].to_numpy(),
+                        role_vec: pdf[role_vec],
+                        "tbl": np.int32(t),
+                        "bucket": (bits @ weights).astype(np.int32),
+                    }
+                )
+
+    return df.select(F.col(role_id), F.col(role_vec)).mapInPandas(
+        gen, f"{role_id} long, {role_vec} array<float>, tbl int, bucket int"
+    )
+
+
 def lsh_ann_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -240,29 +287,67 @@ def lsh_ann_topk(
     vec_col: str = "embedding",
     dim: int = 64,
     seed: int = 42,
+    n_tables: int = 1,
+    use_arrow: bool | None = None,
 ) -> DataFrame:
-    """Approximate top-k: compare only within the query's hyperplane bucket.
+    """Approximate top-k: compare only within the query's hyperplane
+    bucket(s), union-of-candidates across ``n_tables`` independent tables.
 
-    2^n_planes buckets; the candidate join is an equi-join on bucket — at
-    scale this replaces the O(N·Q) cross join with O(N·Q/2^p) expected work.
-    Output schema matches cosine_topk (rank may differ from exact — it's ANN).
+    Per table, 2^n_planes buckets; the candidate join is an equi-join on
+    (table, bucket) — at scale this replaces the O(N·Q) cross join with
+    O(N·Q·L/2^p) expected work.  Single-table recall on unstructured
+    embeddings decays fast with n_planes (measured in
+    tests/test_training_ops.py: ~0.15 at p=4 on random 64-dim vectors);
+    the standard fix is L tables with independent planes — a candidate
+    survives if ANY table buckets it with the query, then exact cosine
+    re-ranks the deduplicated union.  One corpus scan regardless of L (the
+    per-table buckets explode from one projection).
+    Output schema matches cosine_topk (rank may differ from exact — ANN).
     """
-    planes = hyperplanes(dim, n_planes, seed)
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-    ).withColumn("bucket", _lsh_bucket(F.col("c_vec"), planes, dim))
-    q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
-    ).withColumn("bucket", _lsh_bucket(F.col("q_vec"), planes, dim))
-    sim = (
-        c.join(F.broadcast(q), "bucket")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn(
-            "cosine",
-            _dot(F.col("q_vec"), F.col("c_vec"), dim)
-            / (_norm(F.col("q_vec"), dim) * _norm(F.col("c_vec"), dim)),
+    if use_arrow is None:
+        # past ~1 table the unrolled bucket expressions cost more to
+        # codegen-compile than to run; switch to the Arrow matmul path
+        use_arrow = n_tables > 1
+
+    def bucketed(df: DataFrame, role_id: str, role_vec: str) -> DataFrame:
+        out = df.select(
+            F.col(id_col).alias(role_id), F.col(vec_col).alias(role_vec)
         )
+        if use_arrow:
+            return _lsh_buckets_arrow(
+                out, role_id, role_vec, n_planes, n_tables, dim, seed
+            )
+        tb = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("tbl"),
+                        _lsh_bucket(
+                            F.col(role_vec),
+                            hyperplanes(dim, n_planes, seed + 7919 * t),
+                            dim,
+                        ).alias("bucket"),
+                    )
+                    for t in range(n_tables)
+                ]
+            )
+        ).alias("tb")
+        return out.select(role_id, role_vec, tb).select(
+            role_id, role_vec, "tb.tbl", "tb.bucket"
+        )
+
+    c = bucketed(corpus, "neighbor_id", "c_vec")
+    q = bucketed(queries, "query_id", "q_vec")
+    candidates = (
+        c.join(F.broadcast(q), ["tbl", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        # a pair found by several tables must score once
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    sim = candidates.withColumn(
+        "cosine",
+        _dot(F.col("q_vec"), F.col("c_vec"), dim)
+        / (_norm(F.col("q_vec"), dim) * _norm(F.col("c_vec"), dim)),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return (

@@ -330,3 +330,30 @@ def test_distributed_ntile_edge_cases(spark):
             ).collect()
         }
         assert got == want, k
+
+
+def test_lsh_multi_table_recall_floor(spark):
+    """Multi-table LSH must recover most of the exact top-10 (measured 0.90
+    at 16 tables x 4 planes on the synthetic embeddings; floor 0.75), and
+    must beat the single-table variant that motivated it (measured 0.15)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.limit(20)
+    exact = {}
+    for r in cosine_topk(emb, q, k=10).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    def recall(n_tables):
+        got = {}
+        rows = lsh_ann_topk(
+            emb, q, k=10, n_planes=4, dim=64, n_tables=n_tables
+        ).collect()
+        for r in rows:
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return sum(
+            len(exact[k] & got.get(k, set())) / len(exact[k]) for k in exact
+        ) / len(exact)
+
+    multi = recall(16)
+    single = recall(1)
+    assert multi >= 0.75, multi
+    assert multi > single + 0.3, (multi, single)
