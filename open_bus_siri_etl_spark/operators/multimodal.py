@@ -66,6 +66,37 @@ def documents_as_media(docs: DataFrame) -> DataFrame:
     )
 
 
+def read_media_dir(spark, path: str, glob: str = "*") -> DataFrame:
+    """Production media source: Spark's ``binaryFile`` format over a
+    directory of container files → the engine's MEDIA_SCHEMA.
+
+    ``media_id`` is derived from the file name (xxhash64 of the path when
+    the stem is not numeric), ``format`` from the extension.  binaryFile
+    parallelizes per file and prunes on ``pathGlobFilter``; content bytes
+    only cross into Python at the Arrow-batched decode step, never as
+    row-at-a-time Python objects.
+    """
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+    )
+    stem = F.regexp_extract(F.col("path"), r"([^/]+?)(\.[^./]*)?$", 1)
+    ext = F.lower(F.regexp_extract(F.col("path"), r"\.([^./]+)$", 1))
+    return raw.select(
+        F.when(stem.rlike("^[0-9]+$"), stem.cast("long"))
+        .otherwise(F.xxhash64(F.col("path")))
+        .alias("media_id"),
+        F.col("content"),
+        F.struct(
+            F.when(ext == "", F.lit("application/octet-stream"))
+            .otherwise(F.concat(F.lit("file/"), ext))
+            .alias("format"),
+            F.col("length").alias("n_bytes"),
+        ).alias("meta"),
+    )
+
+
 def _fake_decode(blob: bytes) -> tuple[int, int, int]:
     """STUB decode — deterministic stand-in for a real media codec.
 

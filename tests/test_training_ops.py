@@ -357,3 +357,30 @@ def test_lsh_multi_table_recall_floor(spark):
     single = recall(1)
     assert multi >= 0.75, multi
     assert multi > single + 0.3, (multi, single)
+
+
+def test_read_media_dir_binary_file_source(spark, tmp_path):
+    """binaryFile → MEDIA_SCHEMA → stub feature extraction end-to-end."""
+    from open_bus_siri_etl_spark.operators.multimodal import (
+        extract_features,
+        read_media_dir,
+    )
+
+    (tmp_path / "7.jpg").write_bytes(b"\xff\xd8fakejpeg")
+    (tmp_path / "12.wav").write_bytes(b"RIFFfakewav")
+    (tmp_path / "cover-art.png").write_bytes(b"\x89PNGfake")
+
+    media = read_media_dir(spark, str(tmp_path))
+    rows = {r["media_id"]: r for r in media.collect()}
+    assert rows[7]["meta"]["format"] == "file/jpg"
+    assert rows[12]["meta"]["n_bytes"] == 11
+    assert bytes(rows[7]["content"]) == b"\xff\xd8fakejpeg"
+    # non-numeric stem gets a stable hashed id distinct from the numeric ones
+    assert len(rows) == 3 and set(rows) - {7, 12} != set()
+
+    feats = {r["media_id"]: r for r in extract_features(media).collect()}
+    assert feats[7]["first_byte"] == 0xFF
+    assert feats[12]["n_bytes"] == 11
+
+    only_wav = read_media_dir(spark, str(tmp_path), glob="*.wav").collect()
+    assert len(only_wav) == 1 and only_wav[0]["media_id"] == 12
