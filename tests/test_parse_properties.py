@@ -122,3 +122,36 @@ def test_split_matches_reference_semantics(spark, tmp_path_factory, visits):
     assert n_valid + n_dead == len(visits)  # total conservation
     expected_valid = sum(1 for v in visits if reference_is_valid(v))
     assert n_valid == expected_valid
+
+
+# ---------------------------------------------------------------------------
+# MERGE emulation properties: for ANY target/source (unique on the key),
+# merge_frames must equal the reference semantics computed in plain Python —
+# matched keys take source values (including explicit NULLs: UPDATE, not
+# coalesce), unmatched flow through.
+# ---------------------------------------------------------------------------
+
+row_val = st.one_of(st.none(), st.integers(min_value=-5, max_value=5))
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    target=st.dictionaries(st.integers(0, 12), row_val, max_size=8),
+    source=st.dictionaries(st.integers(0, 12), row_val, max_size=8),
+)
+def test_merge_frames_property(spark, target, source):
+    from open_bus_siri_etl_spark.operators.upsert import merge_frames
+
+    t_df = spark.createDataFrame(
+        [(k, v) for k, v in target.items()], "id long, v int"
+    )
+    s_df = spark.createDataFrame(
+        [(k, v) for k, v in source.items()], "id long, v int"
+    )
+    got = {r["id"]: r["v"] for r in merge_frames(t_df, s_df, ["id"]).collect()}
+    want = {**target, **source}
+    assert got == want
