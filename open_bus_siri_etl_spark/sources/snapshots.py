@@ -85,7 +85,15 @@ def read_snapshots_brotli(spark: SparkSession, paths: list[str] | str) -> DataFr
             "brotli module not available in this environment; land decompressed "
             ".json files instead (read_snapshots)"
         )
-    bin_df = spark.read.format("binaryFile").load(paths)
+    bin_df = (
+        spark.read.format("binaryFile")
+        # accept a landing-root directory, not just explicit file paths: the
+        # YYYY/MM/DD/HH layout is plain nesting, not k=v partitions, so the
+        # file index needs recursive lookup to reach the leaves
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.json.br")
+        .load(paths)
+    )
 
     def decode(it: Iterator) -> Iterator:
         for row in it:
@@ -98,7 +106,10 @@ def read_snapshots_brotli(spark: SparkSession, paths: list[str] | str) -> DataFr
         F.regexp_extract("path", r"(\d{4}/\d{2}/\d{2}/\d{2}/\d{2})\.json\.br", 1).alias(
             "snapshot_id"
         ),
-        F.from_json("json_text", SIRI_SNAPSHOT_SCHEMA["Siri"].dataType).alias("Siri"),
+        # parse the full document ({"Siri": {...}}), then project the Siri
+        # member — parsing with the inner struct schema would silently yield
+        # all-null fields (the top-level key wouldn't match)
+        F.from_json("json_text", SIRI_SNAPSHOT_SCHEMA)["Siri"].alias("Siri"),
         F.lit(None).cast("string").alias("_corrupt_record"),
     )
 

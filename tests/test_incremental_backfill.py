@@ -140,3 +140,31 @@ def test_validation_clean_and_dirty(spark, warehouse, tmp_path):
     assert "vehicle_ref" in fields
     tampered = [r for r in findings if r["field"] == "vehicle_ref"][0]
     assert tampered["expected"] == "8245384" and tampered["actual"] == "TAMPERED"
+
+
+def test_read_snapshots_brotli_wiring(spark, tmp_path, monkeypatch):
+    """The .br path can't run here (no brotli in the container), but the
+    wiring — binaryFile scan, per-partition decode, from_json re-entry,
+    snapshot_id recovery — is codec-agnostic: drive it with zlib, whose
+    decompress() API matches."""
+    import json
+    import zlib
+
+    from open_bus_siri_etl_spark.sources import snapshots
+
+    sid = "2019/05/05/16/00"
+    p = tmp_path / "2019" / "05" / "05" / "16"
+    p.mkdir(parents=True)
+    (p / "00.json.br").write_bytes(
+        zlib.compress(json.dumps(TEST_SNAPSHOT_DATA).encode())
+    )
+    monkeypatch.setattr(snapshots, "brotli", zlib)
+    df = snapshots.read_snapshots_brotli(spark, str(tmp_path / "2019"))
+    rows = df.collect()
+    assert len(rows) == 1
+    assert rows[0]["snapshot_id"] == sid
+    n_visits = sum(
+        len(d["MonitoredStopVisit"])
+        for d in rows[0]["Siri"]["ServiceDelivery"]["StopMonitoringDelivery"]
+    )
+    assert n_visits == 5
