@@ -982,6 +982,73 @@ def revenue_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "unpivot_user_activity",
+    """
+    WITH wide AS (
+        SELECT user_id,
+               count(*) FILTER (event_type = 'view')  AS n_view,
+               count(*) FILTER (event_type = 'click') AS n_click,
+               count(*) FILTER (event_type = 'error') AS n_error
+        FROM events WHERE user_id % 25 = 0 GROUP BY user_id
+    )
+    SELECT user_id, kind, n FROM (
+        SELECT user_id, 'n_view' AS kind, n_view AS n FROM wide
+        UNION ALL SELECT user_id, 'n_click', n_click FROM wide
+        UNION ALL SELECT user_id, 'n_error', n_error FROM wide
+    )
+    """,
+    note="unpivot/melt (inverse of pivot_user_activity) via Spark's native "
+    "unpivot — wide conditional-agg columns back to long form in one "
+    "Expand, no UNION-of-scans; the oracle spells it as UNION ALL over a "
+    "CTE, same result",
+)
+def unpivot_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").filter(F.col("user_id") % 25 == 0)
+    wide = ev.groupBy("user_id").agg(
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("n_view"),
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("n_click"),
+        F.count(F.when(F.col("event_type") == "error", 1)).alias("n_error"),
+    )
+    return wide.unpivot(
+        ids=["user_id"],
+        values=["n_view", "n_click", "n_error"],
+        variableColumnName="kind",
+        valueColumnName="n",
+    )
+
+
+@register(
+    "cube_orders_grouping_id",
+    """
+    SELECT grouping(o_orderstatus, o_orderpriority) AS gid,
+           coalesce(o_orderstatus, 'ALL') AS order_status,
+           coalesce(o_orderpriority, 'ALL') AS order_priority,
+           count(*) AS n_orders
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    note="cube with the grouping-id bitmask exposed — disambiguates a real "
+    "NULL group from a rolled-up grain without string sentinels (Spark "
+    "grouping_id == DuckDB GROUPING: bit per column, MSB first)",
+)
+def cube_orders_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = t(spark, sf_dir, "orders")
+    return (
+        od.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            F.col("gid").cast("bigint").alias("gid"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("order_status"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("order_priority"),
+            "n_orders",
+        )
+    )
+
+
+@register(
     "session_window_agg",
     """
     SELECT user_id,
