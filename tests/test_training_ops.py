@@ -384,3 +384,53 @@ def test_read_media_dir_binary_file_source(spark, tmp_path):
 
     only_wav = read_media_dir(spark, str(tmp_path), glob="*.wav").collect()
     assert len(only_wav) == 1 and only_wav[0]["media_id"] == 12
+
+
+def test_global_row_number_on_skewed_keys(spark):
+    """Heavily duplicated sort keys (90% one value) must still produce the
+    exact permutation — the range partitioner may place all duplicates in
+    few partitions, but the unique tiebreaker keeps the order total."""
+    from pyspark.sql import Window
+
+    from open_bus_siri_etl_spark.operators.ranking import global_row_number
+
+    df = spark.createDataFrame(
+        [(i, 0 if i % 10 else i) for i in range(2000)], "id long, v long"
+    ).repartition(16)
+    got = {
+        r["id"]: r["rn"]
+        for r in global_row_number(df, ["v", "id"], num_partitions=8).collect()
+    }
+    want = {
+        r["id"]: r["rn"]
+        for r in df.select(
+            "id", F.row_number().over(Window.orderBy("v", "id")).alias("rn")
+        ).collect()
+    }
+    assert got == want
+
+
+def test_ivf_recall_rises_with_probes(spark):
+    """IVF ANN quality evidence on the synthetic embeddings: recall@10 must
+    rise monotonically-ish with n_probe and reach 1.0 when probing every
+    cluster (IVF degenerates to exact search)."""
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.limit(15)
+    exact = {}
+    for r in cosine_topk(emb, q, k=10).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+
+    def recall(n_probe):
+        got = {}
+        for r in ivf_topk(
+            emb, q, k=10, n_centroids=8, n_probe=n_probe
+        ).collect():
+            got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+        return sum(
+            len(exact[k] & got.get(k, set())) / len(exact[k]) for k in exact
+        ) / len(exact)
+
+    r1, r4, r8 = recall(1), recall(4), recall(8)
+    assert r8 == 1.0, r8          # all clusters probed == exact
+    assert r1 <= r4 + 1e-9 <= r8 + 2e-9, (r1, r4, r8)
+    assert r4 >= 0.4, r4          # half the clusters recovers a usable share
