@@ -7,6 +7,7 @@ argparse-based so a reference user can switch 1:1:
     python -m open_bus_siri_etl_spark.cli parallel-process-old-missing-snapshots
     python -m open_bus_siri_etl_spark.cli update-pending-snapshots
     python -m open_bus_siri_etl_spark.cli validate-snapshots FROM TO
+    python -m open_bus_siri_etl_spark.cli prep-training-data IN.parquet OUT/
 
 Environment: SIRI_ETL_WAREHOUSE (table root), SIRI_ETL_LANDING (snapshot
 landing root) replace the reference's Postgres/S3 config.
@@ -63,6 +64,16 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("snapshot_id_to")
     v.add_argument("--report-path", default=None)
 
+    tp = sub.add_parser(
+        "prep-training-data",
+        help="beyond-reference: quality+language gate and exact-dedup a "
+        "documents parquet into a training corpus",
+    )
+    tp.add_argument("input_parquet")
+    tp.add_argument("output_dir")
+    tp.add_argument("--min-tokens", type=int, default=20)
+    tp.add_argument("--max-tokens", type=int, default=80)
+
     args = p.parse_args(argv)
     spark, wh, landing = _ctx()
 
@@ -91,6 +102,23 @@ def main(argv: list[str] | None = None) -> int:
 
         n = control.register_pending(wh, list_snapshot_ids(landing))
         print(json.dumps({"registered": n}))
+    elif args.cmd == "prep-training-data":
+        from .operators.textstats import prep_training_corpus
+
+        docs = spark.read.parquet(args.input_parquet)
+        corpus = prep_training_corpus(
+            docs, min_tokens=args.min_tokens, max_tokens=args.max_tokens
+        )
+        corpus.write.mode("overwrite").parquet(args.output_dir)
+        print(
+            json.dumps(
+                {
+                    "input_rows": docs.count(),
+                    "output_rows": spark.read.parquet(args.output_dir).count(),
+                    "output": args.output_dir,
+                }
+            )
+        )
     elif args.cmd == "validate-snapshots":
         from .validate import validate_snapshots
 

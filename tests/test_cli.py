@@ -45,3 +45,18 @@ def test_cli_surface(spark, tmp_path, monkeypatch, capsys):
         ]
     ) in (0, None)
     assert report.exists()
+
+
+def test_cli_prep_training_data(spark, tmp_path, monkeypatch, capsys):
+    monkeypatch.setenv("SIRI_ETL_WAREHOUSE", str(tmp_path / "wh"))
+    monkeypatch.setenv("SIRI_ETL_LANDING", str(tmp_path / "landing"))
+    out = tmp_path / "corpus"
+    assert main(
+        ["prep-training-data", "/root/testdata/sf0.001/documents.parquet", str(out)]
+    ) in (0, None)
+    res = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert res["input_rows"] > 0
+    assert 0 < res["output_rows"] <= res["input_rows"]
+    written = spark.read.parquet(str(out))
+    assert written.count() == res["output_rows"]
+    assert "doc_id" in written.columns
