@@ -982,6 +982,40 @@ def revenue_rank_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "data_quality_checks",
+    """
+    SELECT 'orders_null_custkey' AS chk,
+           count(*) FILTER (o_custkey IS NULL) AS n_violations FROM orders
+    UNION ALL
+    SELECT 'orders_dup_pk',
+           count(*) - count(DISTINCT o_orderkey) FROM orders
+    UNION ALL
+    SELECT 'lineitem_orphan_fk', count(*) FROM lineitem
+    WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+    """,
+    note="data-quality constraint checks (beyond-reference, the "
+    "expectations layer of a production pipeline): null-rate, PK "
+    "uniqueness, FK orphan count — nulls and dup-PK fuse into single "
+    "aggregates over one scan each; the orphan check is a LEFT ANTI join "
+    "(count of un-matched probes), never a per-row subquery",
+)
+def data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od, li = t(spark, sf_dir, "orders"), t(spark, sf_dir, "lineitem")
+    null_ck = od.agg(
+        F.count(F.when(F.col("o_custkey").isNull(), 1)).alias("n_violations")
+    ).select(F.lit("orders_null_custkey").alias("chk"), "n_violations")
+    dup_pk = od.agg(
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias("n_violations")
+    ).select(F.lit("orders_dup_pk").alias("chk"), "n_violations")
+    orphans = (
+        li.join(od.select("o_orderkey"), li.l_orderkey == od.o_orderkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_violations"))
+        .select(F.lit("lineitem_orphan_fk").alias("chk"), "n_violations")
+    )
+    return null_ck.unionByName(dup_pk).unionByName(orphans)
+
+
+@register(
     "unpivot_user_activity",
     """
     WITH wide AS (
