@@ -1973,3 +1973,82 @@ def broadcast_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(dec("l_quantity")).cast("double").alias("total_qty"),
         )
     )
+
+
+@register(
+    "late_shipment_priority",
+    """
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+    note="TPC-H Q4 shape: correlated EXISTS as a left-semi join with a "
+    "non-equi residual (l_shipdate > o_orderdate rides along the equi key). "
+    "One shuffle pair on orderkey, then the agg is map-side-partial on the "
+    "tiny priority domain — no part of the plan widens with scale",
+)
+def late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    late = od.join(
+        li,
+        (od.o_orderkey == li.l_orderkey) & (li.l_shipdate > od.o_orderdate),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders")
+    )
+
+
+@register(
+    "top_customers_per_nation",
+    """
+    SELECT n_name, c_custkey, c_name,
+           CAST(revenue_d AS DOUBLE) AS revenue, rnk
+    FROM (
+        SELECT n_name, c_custkey, c_name, revenue_d,
+               row_number() OVER (
+                   PARTITION BY n_name
+                   ORDER BY revenue_d DESC, c_custkey) AS rnk
+        FROM (
+            SELECT c_custkey, c_name, n_name,
+                   sum(CAST(o_totalprice AS DECIMAL(18,2))) AS revenue_d
+            FROM orders
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY c_custkey, c_name, n_name
+        )
+    ) WHERE rnk <= 3
+    """,
+    note="top-k per group: aggregate orders BEFORE joining dims (shuffle "
+    "carries one row per customer, not one per order), broadcast the "
+    "25-row nation dim, rank inside nation partitions — the window never "
+    "sees more than one nation's customers per partition.  Ranking on the "
+    "exact DECIMAL sum (cast to DOUBLE only on output) keeps the order "
+    "bit-identical to the oracle",
+)
+def top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = t(spark, sf_dir, "orders")
+    cust = t(spark, sf_dir, "customer")
+    nat = t(spark, sf_dir, "nation")
+    rev = (
+        od.groupBy("o_custkey")
+        .agg(F.sum(dec("o_totalprice")).alias("revenue_d"))
+        .join(cust, F.col("o_custkey") == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+    )
+    w = Window.partitionBy("n_name").orderBy(F.desc("revenue_d"), "c_custkey")
+    return (
+        rev.withColumn("rnk", F.row_number().over(w))
+        .filter("rnk <= 3")
+        .select(
+            "n_name",
+            "c_custkey",
+            "c_name",
+            F.col("revenue_d").cast("double").alias("revenue"),
+            "rnk",
+        )
+    )
