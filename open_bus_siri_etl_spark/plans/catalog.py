@@ -2052,3 +2052,84 @@ def top_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rnk",
         )
     )
+
+
+@register(
+    "forward_fill_value",
+    """
+    SELECT event_id, user_id, ts,
+           last_value(v IGNORE NULLS) OVER (
+               PARTITION BY user_id
+               ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS filled_value
+    FROM (
+        SELECT event_id, user_id, ts,
+               CASE WHEN event_type = 'view' THEN NULL ELSE value END AS v
+        FROM events
+    )
+    """,
+    note="gap imputation (forward fill / last-observation-carried-forward): "
+    "'view' events carry no reading, so their value is carried from the "
+    "user's previous non-null row.  One hash exchange on user_id, then the "
+    "running last(ignorenulls) frame is a streaming pass over each sorted "
+    "partition — state is one scalar per user regardless of history length, "
+    "so a 100 TB event log forward-fills in a single shuffle",
+)
+def forward_fill_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    v = F.when(F.col("event_type") == "view", F.lit(None)).otherwise(
+        F.col("value")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.last(v, ignorenulls=True).over(w).alias("filled_value"),
+    )
+
+
+@register(
+    "hopping_window_agg",
+    """
+    SELECT ws AS window_start, event_type,
+           count(*) AS n_events,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+    FROM (
+        SELECT event_type, value,
+               unnest([time_bucket(INTERVAL '30 minutes', ts),
+                       time_bucket(INTERVAL '30 minutes', ts)
+                           - INTERVAL '30 minutes']) AS ws
+        FROM events
+    )
+    GROUP BY ws, event_type
+    """,
+    note="hopping (sliding) event-time window: 1 h width / 30 min hop, so "
+    "every event lands in exactly width/hop = 2 windows.  Spark's window() "
+    "expands rows BEFORE the shuffle, but the map-side partial agg folds "
+    "them back to one row per (window, type) per task — the exchange "
+    "carries the small aggregated state, not 2x the events.  Same plan "
+    "shape Structured Streaming uses for its windowed aggs (windowed.py)",
+)
+def hopping_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour", "30 minutes").alias("w"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(dec("value")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
