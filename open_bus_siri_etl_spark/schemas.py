@@ -211,8 +211,21 @@ DIM_TABLES = {
     "siri_ride_stop": SIRI_RIDE_STOP_SCHEMA,
 }
 
+DAILY_ROLLUP_SCHEMA = T.StructType(
+    [
+        T.StructField("snapshot_date", T.DateType(), False),
+        T.StructField("n_locations", T.LongType()),
+        T.StructField("n_snapshots", T.LongType()),
+        T.StructField("n_ride_stops", T.LongType()),
+        T.StructField("first_recorded", T.TimestampType()),
+        T.StructField("last_recorded", T.TimestampType()),
+        T.StructField("avg_velocity", T.DoubleType()),
+    ]
+)
+
 ALL_TABLES = {
     **DIM_TABLES,
     "siri_vehicle_location": SIRI_VEHICLE_LOCATION_SCHEMA,
     "siri_snapshot": SIRI_SNAPSHOT_CONTROL_SCHEMA,
+    "siri_daily_rollup": DAILY_ROLLUP_SCHEMA,
 }
