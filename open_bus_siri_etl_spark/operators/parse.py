@@ -40,13 +40,18 @@ def _optional_int(path: str) -> Column:
     return F.when(c.isNull(), F.lit(-1)).otherwise(c.try_cast("int"))
 
 
-def parse_monitored_stop_visits(visits_df: DataFrame) -> DataFrame:
+def parse_monitored_stop_visits(
+    visits_df: DataFrame, passthrough: tuple[str, ...] = ()
+) -> DataFrame:
     """(snapshot_id, visit) rows → typed pmsv columns + ``_valid`` + ``raw``.
 
     Callers split with :func:`valid_pmsv` / :func:`dead_letters`; Catalyst
-    prunes the untaken branch's columns in each.
+    prunes the untaken branch's columns in each.  ``passthrough`` columns of
+    the input ride along unchanged (dead-letter replay keeps the original
+    quarantined bytes this way).
     """
     return visits_df.select(
+        *passthrough,
         "snapshot_id",
         F.to_json("visit").alias("raw"),
         parse_siri_ts("visit.RecordedAtTime").alias("recorded_at_time"),

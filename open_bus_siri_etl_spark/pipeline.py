@@ -242,3 +242,81 @@ def process_snapshots_bulk(
         for sid in snapshot_ids:
             control.mark_error(wh, sid, traceback.format_exc())
         raise
+
+
+def replay_dead_letters(
+    wh: Warehouse, snapshot_ids: list[str] | None = None
+) -> dict[str, int]:
+    """Re-attempt quarantined records after a parser or upstream-data fix.
+
+    The reference's only recovery path is re-running the whole snapshot
+    (process_snapshot.py:409-414 clears the error file and starts over);
+    here the quarantined raw rows are themselves a table, so recovery is a
+    set operation over JUST the failed records: re-parse them, route the
+    now-valid ones through the normal dim-upsert + fact-append flow, keep
+    the rest quarantined with their original bytes.  Control-row counters
+    shift accordingly (successful += recovered, failed -= recovered).
+
+    Facts recovered here APPEND rather than partition-overwrite: the
+    snapshot's previously loaded facts must survive, and replayed rows were
+    never written before (they were invalid), so no duplicates can arise.
+    Scale: the dead-letter table holds only failures — the whole pass costs
+    O(failures), never a fact-table scan.
+    """
+    from .schemas import DEAD_LETTER_SCHEMA, MONITORED_STOP_VISIT
+
+    dl = wh.read(_DEAD_LETTER_TABLE, DEAD_LETTER_SCHEMA)
+    if snapshot_ids is not None:
+        scope = dl.filter(F.col("snapshot_id").isin(snapshot_ids))
+        rest = dl.filter(~F.col("snapshot_id").isin(snapshot_ids))
+    else:
+        scope, rest = dl, None
+
+    probe = scope.select(
+        "snapshot_id",
+        F.col("raw").alias("orig_raw"),
+        F.from_json("raw", MONITORED_STOP_VISIT).alias("visit"),
+    )
+    parsed = parse_monitored_stop_visits(probe, passthrough=("orig_raw",))
+    keyed = with_surrogate_ids(valid_pmsv(parsed)).localCheckpoint(eager=True)
+    still_bad = (
+        parsed.filter(~F.col("_valid"))
+        .select("snapshot_id", F.col("orig_raw").alias("raw"))
+        .localCheckpoint(eager=True)
+    )
+
+    recovered = keyed.count()
+    if recovered:
+        get_or_create_objects(wh, keyed)
+        wh.append(
+            "siri_vehicle_location",
+            build_facts(keyed),
+            partition_by=["snapshot_date"],
+        )
+        per = keyed.groupBy("snapshot_id").agg(F.count(F.lit(1)).alias("_n"))
+        ctl = wh.read("siri_snapshot")
+        touched = ctl.join(per, "snapshot_id", "inner")
+        updated = touched.select(
+            *[
+                c
+                for c in ctl.columns
+                if c
+                not in (
+                    "num_successful_parse_vehicle_locations",
+                    "num_failed_parse_vehicle_locations",
+                )
+            ],
+            (
+                F.col("num_successful_parse_vehicle_locations") + F.col("_n")
+            ).cast("int").alias("num_successful_parse_vehicle_locations"),
+            (
+                F.col("num_failed_parse_vehicle_locations") - F.col("_n")
+            ).cast("int").alias("num_failed_parse_vehicle_locations"),
+        ).select(*ctl.columns)
+        wh.upsert_rows("siri_snapshot", updated, ["snapshot_id"])
+
+    out = still_bad if rest is None else rest.unionByName(still_bad)
+    wh.overwrite(_DEAD_LETTER_TABLE, out.localCheckpoint(eager=True))
+    remaining = wh.read(_DEAD_LETTER_TABLE, DEAD_LETTER_SCHEMA).count()
+    keyed.unpersist()
+    return {"recovered": recovered, "remaining": remaining}

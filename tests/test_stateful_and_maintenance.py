@@ -325,3 +325,72 @@ def test_incremental_rollup_matches_full(spark, warehouse, tmp_path):
     assert "PartitionFilters" in plan and "snapshot_date" in plan.split(
         "PartitionFilters"
     )[1].split("]")[0]
+
+
+def test_dead_letter_replay(spark, warehouse, tmp_path):
+    """Quarantine recovery: a now-parseable dead-letter row moves into
+    dims+facts with counter fidelity; genuinely bad rows keep their original
+    bytes; a second replay is a no-op."""
+    import json
+
+    from open_bus_siri_etl_spark import control, pipeline
+    from open_bus_siri_etl_spark.sources.snapshots import write_snapshot_fixture
+
+    from .fixtures import TEST_SNAPSHOT_DATA
+
+    landing = str(tmp_path / "landing")
+    sid = "2019/05/05/16/00"
+    write_snapshot_fixture(landing, sid, TEST_SNAPSHOT_DATA)
+    pipeline.process_snapshot(spark, warehouse, sid, landing)
+    assert warehouse.read("dead_letter", None).count() == 2
+
+    # simulate an upstream fix: a fully valid visit sits quarantined
+    fixed_visit = {
+        "RecordedAtTime": "2019-05-05T16:02:00+03:00",
+        "MonitoredVehicleJourney": {
+            "LineRef": "999",
+            "OperatorRef": "25",
+            "FramedVehicleJourneyRef": {
+                "DataFrameRef": "2019-05-05",
+                "DatedVehicleJourneyRef": "99999999",
+            },
+            "OriginAimedDepartureTime": "2019-05-05T16:00:00+03:00",
+            "VehicleRef": "9999999",
+            "Bearing": "100",
+            "Velocity": "40",
+            "VehicleLocation": {"Longitude": "34.7", "Latitude": "31.9"},
+            "MonitoredCall": {
+                "StopPointRef": "12345",
+                "Order": "5",
+                "DistanceFromStop": "100",
+            },
+        },
+    }
+    warehouse.append(
+        "dead_letter",
+        spark.createDataFrame(
+            [(sid, json.dumps(fixed_visit))], "snapshot_id string, raw string"
+        ),
+    )
+
+    res = pipeline.replay_dead_letters(warehouse)
+    assert res == {"recovered": 1, "remaining": 2}
+    assert warehouse.read("siri_vehicle_location").count() == 4
+    ctl = control.get_control_row(warehouse, sid)
+    assert ctl["num_successful_parse_vehicle_locations"] == 4
+    assert ctl["num_failed_parse_vehicle_locations"] == 1
+    # the recovered journey landed in the dim chain
+    assert (
+        warehouse.read("siri_ride")
+        .filter(F.col("journey_ref") == "2019-05-05-99999999")
+        .count()
+        == 1
+    )
+    # still-bad rows keep their original bytes (golden: LineRef '26149')
+    raws = [r["raw"] for r in warehouse.read("dead_letter", None).collect()]
+    assert all("26149" in r for r in raws)
+
+    # idempotent: nothing left to recover
+    res2 = pipeline.replay_dead_letters(warehouse)
+    assert res2 == {"recovered": 0, "remaining": 2}
+    assert warehouse.read("siri_vehicle_location").count() == 4
