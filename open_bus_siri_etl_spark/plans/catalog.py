@@ -2133,3 +2133,50 @@ def hopping_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@register(
+    "neardup_components",
+    f"""
+    WITH RECURSIVE {_POSTINGS_CTE},
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        FROM post a JOIN post b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b
+        FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+                   JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+        SELECT a AS node, a AS r FROM edges
+        UNION
+        SELECT reach.node, e.b FROM reach JOIN edges e ON e.a = reach.r
+    ),
+    comp AS (SELECT node AS doc_id, min(r) AS component FROM reach GROUP BY node)
+    SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component
+    FROM documents d LEFT JOIN comp c USING (doc_id)
+    """,
+    note="near-dup CLUSTERS: the pair list (ngram_jaccard_dedup) closed into "
+    "connected components via pointer-jumping min-label propagation — "
+    "O(log diameter) rounds of edge-list hash joins (operators/dedup.py), "
+    "vs the oracle's recursive-CTE reachability closure.  Singleton docs "
+    "map to themselves; min doc_id is the cluster canonical, which is the "
+    "row a training-prep pipeline keeps",
+)
+def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import connected_components, ngram_jaccard_pairs
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
+    comp = connected_components(pairs).withColumnRenamed("node", "doc_id")
+    return docs.select("doc_id").join(comp, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("component", "doc_id").alias("component"),
+    )

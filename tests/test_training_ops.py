@@ -434,3 +434,32 @@ def test_ivf_recall_rises_with_probes(spark):
     assert r8 == 1.0, r8          # all clusters probed == exact
     assert r1 <= r4 + 1e-9 <= r8 + 2e-9, (r1, r4, r8)
     assert r4 >= 0.4, r4          # half the clusters recovers a usable share
+
+
+def test_connected_components_chains_and_merges(spark):
+    """A 5-hop chain collapses to one component (multi-round propagation),
+    two disjoint cliques stay separate, and a bridge pair merges them."""
+    from open_bus_siri_etl_spark.operators.dedup import connected_components
+
+    chain = [(i, i + 1) for i in range(10, 15)]          # 10-11-...-15
+    clique_a = [(1, 2), (2, 3), (1, 3)]
+    clique_b = [(6, 7), (7, 8)]
+    pairs = spark.createDataFrame(
+        chain + clique_a + clique_b, "doc_a long, doc_b long"
+    )
+    comp = {
+        r["node"]: r["component"]
+        for r in connected_components(pairs).collect()
+    }
+    assert all(comp[n] == 10 for n in range(10, 16))
+    assert all(comp[n] == 1 for n in (1, 2, 3))
+    assert all(comp[n] == 6 for n in (6, 7, 8))
+
+    merged = spark.createDataFrame(
+        chain + clique_a + clique_b + [(3, 6)], "doc_a long, doc_b long"
+    )
+    comp2 = {
+        r["node"]: r["component"]
+        for r in connected_components(merged).collect()
+    }
+    assert all(comp2[n] == 1 for n in (1, 2, 3, 6, 7, 8))
