@@ -2180,3 +2180,59 @@ def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.coalesce("component", "doc_id").alias("component"),
     )
+
+
+@register(
+    "value_histogram",
+    """
+    SELECT CAST(floor(value / 10.0) AS BIGINT) AS bucket,
+           count(*) AS n,
+           CAST(min(value) AS DOUBLE) AS lo,
+           CAST(max(value) AS DOUBLE) AS hi
+    FROM events
+    GROUP BY 1
+    """,
+    note="fixed-width histogram: bucket id computed row-side, so this is a "
+    "plain hash agg with map-side combine — cardinality = bucket count, not "
+    "row count; the 100 TB plan is identical to the 60 k-row plan.  Exact "
+    "int counts + min/max (no float summation) keep the oracle bit-safe",
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.floor(F.col("value") / 10.0).cast("bigint").alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").cast("double").alias("lo"),
+            F.max("value").cast("double").alias("hi"),
+        )
+    )
+
+
+@register(
+    "event_value_correlation",
+    """
+    SELECT event_type,
+           round(corr(value, extract(hour FROM ts)), 6) AS corr_value_hour,
+           round(regr_slope(value, extract(hour FROM ts)), 6) AS slope,
+           count(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+    note="statistical aggregates (corr / regression slope per group): both "
+    "engines use single-pass co-moment accumulation; results are rounded to "
+    "6 dp on BOTH sides because partial-aggregation order legitimately "
+    "perturbs the last bits.  Still one shuffle of O(groups) state",
+)
+def event_value_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    hour = F.hour("ts").cast("double")
+    return ev.groupBy("event_type").agg(
+        F.round(F.corr("value", hour), 6).alias("corr_value_hour"),
+        F.round(
+            F.covar_samp("value", hour) / F.var_samp(hour), 6
+        ).alias("slope"),
+        F.count(F.lit(1)).alias("n"),
+    )
