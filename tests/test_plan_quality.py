@@ -94,3 +94,32 @@ def test_ivf_ann_candidate_join_is_hash_join(spark):
 def test_tumbling_window_partial_agg(spark):
     plan = explain_str(REGISTRY["tumbling_window_agg"].fn(spark, SF))
     assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_forward_fill_single_balanced_exchange(spark):
+    plan = explain_str(REGISTRY["forward_fill_value"].fn(spark, SF))
+    assert "hashpartitioning(user_id" in plan
+    assert "SinglePartition" not in plan
+    # exactly one shuffle: count detail headers "(n) Exchange", which appear
+    # once per node (the tree line is "Exchange (n)" and doesn't match)
+    assert plan.count(") Exchange") == 1
+
+
+def test_hopping_window_partial_agg_after_expand(spark):
+    plan = explain_str(REGISTRY["hopping_window_agg"].fn(spark, SF))
+    assert ") Expand" in plan or "Expand (" in plan
+    assert "partial_count" in plan or "partial_sum" in plan
+
+
+def test_top_customers_agg_before_join_and_broadcast(spark):
+    plan = explain_str(REGISTRY["top_customers_per_nation"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "SinglePartition" not in plan
+    # partial agg on orders happens below the joins
+    assert "partial_sum" in plan
+
+
+def test_late_shipment_left_semi(spark):
+    plan = explain_str(REGISTRY["late_shipment_priority"].fn(spark, SF))
+    assert "LeftSemi" in plan
+    assert "partial_count" in plan
