@@ -2236,3 +2236,40 @@ def event_value_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("slope"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "weighted_sample",
+    """
+    SELECT doc_id, n_chars, ekey
+    FROM (
+        SELECT doc_id, n_chars,
+               round(
+                   -ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                             AS UBIGINT) + 0.5) / 4294967296.0) / n_chars,
+                   9) AS ekey
+        FROM documents
+    )
+    ORDER BY ekey, doc_id
+    LIMIT 50
+    """,
+    note="deterministic weight-proportional sampling (exponential-clock / "
+    "A-ES): key = -ln(u)/w with u derived from md5(doc_id) so both engines "
+    "draw the SAME uniforms — reruns and engine swaps pick the identical "
+    "sample.  Physical plan is TakeOrderedAndProject: each task keeps its "
+    "local top-k, the driver merges P*k rows — no global sort, no single "
+    "partition; weight here = n_chars (longer docs proportionally likelier)",
+)
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("double")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    ekey = F.round(-F.log(u) / F.col("n_chars"), 9)
+    return (
+        docs.select("doc_id", "n_chars", ekey.alias("ekey"))
+        .orderBy("ekey", "doc_id")
+        .limit(50)
+    )
