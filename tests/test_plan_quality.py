@@ -123,3 +123,12 @@ def test_late_shipment_left_semi(spark):
     plan = explain_str(REGISTRY["late_shipment_priority"].fn(spark, SF))
     assert "LeftSemi" in plan
     assert "partial_count" in plan
+
+
+def test_topk_queries_avoid_global_sort(spark):
+    """orderBy+limit must plan as TakeOrderedAndProject (per-task local
+    top-k, driver merge) — never a full Exchange rangepartitioning sort."""
+    for name in ("top_orders", "weighted_sample"):
+        plan = explain_str(REGISTRY[name].fn(spark, SF))
+        assert "TakeOrderedAndProject" in plan, name
+        assert "rangepartitioning" not in plan, name
