@@ -117,8 +117,18 @@ class Warehouse:
         ``snapshot_date`` partitions, retaining co-resident snapshots.
         """
         name = "siri_vehicle_location"
+        # time-cluster rows inside each written partition: parquet row-group
+        # min/max stats on recorded_at_time then prune time-range scans
+        # WITHIN a day — at 100 TB a "13:00-13:15" query skips ~99% of each
+        # day's row groups instead of reading the whole date partition.
+        # (A local per-task sort — no exchange; order survives the staged
+        # rewrite because both writes preserve within-task row order.)
         if not self.exists(name):
-            self.append(name, facts, partition_by=["snapshot_date"])
+            self.append(
+                name,
+                facts.sortWithinPartitions("snapshot_date", "recorded_at_time"),
+                partition_by=["snapshot_date"],
+            )
             return
         existing = self.spark.read.parquet(self.table_path(name))
         affected_dates = [
@@ -131,6 +141,7 @@ class Warehouse:
         )
         cols = [f.name for f in schemas.SIRI_VEHICLE_LOCATION_SCHEMA.fields]
         out = retained.select(*cols).unionByName(facts.select(*cols))
+        out = out.sortWithinPartitions("snapshot_date", "recorded_at_time")
         # partitionOverwriteMode=dynamic → only affected dates rewritten
         self._staged_rewrite(name, out, partition_by=["snapshot_date"])
 

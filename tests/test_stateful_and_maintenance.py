@@ -394,3 +394,35 @@ def test_dead_letter_replay(spark, warehouse, tmp_path):
     res2 = pipeline.replay_dead_letters(warehouse)
     assert res2 == {"recovered": 0, "remaining": 2}
     assert warehouse.read("siri_vehicle_location").count() == 4
+
+
+def test_fact_files_time_clustered(spark, warehouse, tmp_path):
+    """Rows inside every written fact file must be time-ordered so parquet
+    row-group min/max stats prune time-range scans within a date partition."""
+    import pyarrow.parquet as pq
+
+    from open_bus_siri_etl_spark import pipeline
+    from open_bus_siri_etl_spark.sources.snapshots import write_snapshot_fixture
+
+    from .fixtures import TEST_SNAPSHOT_DATA, get_test_snapshot_data
+
+    landing = str(tmp_path / "landing")
+    for mm, data in (
+        ("00", TEST_SNAPSHOT_DATA),
+        ("01", get_test_snapshot_data(time_str="16:01")),
+    ):
+        write_snapshot_fixture(landing, f"2019/05/05/16/{mm}", data)
+    pipeline.process_snapshots_bulk(
+        spark, warehouse, ["2019/05/05/16/00", "2019/05/05/16/01"], landing
+    )
+
+    files = glob.glob(
+        os.path.join(warehouse.table_path("siri_vehicle_location"), "**", "*.parquet"),
+        recursive=True,
+    )
+    assert files
+    for f in files:
+        col = pq.read_table(f, columns=["recorded_at_time"])[
+            "recorded_at_time"
+        ].to_pylist()
+        assert col == sorted(col), f
