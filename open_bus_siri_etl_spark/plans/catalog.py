@@ -2273,3 +2273,72 @@ def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ekey", "doc_id")
         .limit(50)
     )
+
+
+@register(
+    "ngram_top_terms",
+    """
+    SELECT term, count(DISTINCT doc_id) AS doc_freq, count(*) AS term_freq
+    FROM (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    )
+    GROUP BY term
+    ORDER BY doc_freq DESC, term_freq DESC, term
+    LIMIT 50
+    """,
+    note="corpus term statistics (document frequency + collection "
+    "frequency, top-50): explode tokens → hash agg.  The distinct-doc "
+    "count is the expensive half — Spark plans it as a two-level "
+    "aggregation (partial distinct inside each task first), so the "
+    "shuffle carries (term, doc_id) pairs already deduped per task; the "
+    "final top-50 is TakeOrdered, no global sort",
+)
+def ngram_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    terms = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    return (
+        terms.groupBy("term")
+        .agg(
+            F.countDistinct("doc_id").alias("doc_freq"),
+            F.count(F.lit(1)).alias("term_freq"),
+        )
+        .orderBy(F.desc("doc_freq"), F.desc("term_freq"), "term")
+        .limit(50)
+    )
+
+
+@register(
+    "value_outliers",
+    """
+    WITH stats AS (
+        SELECT event_type,
+               avg(value) AS mu,
+               stddev_samp(value) AS sigma
+        FROM events GROUP BY event_type
+    )
+    SELECT event_id, e.event_type, value,
+           round((value - mu) / sigma, 6) AS zscore
+    FROM events e JOIN stats USING (event_type)
+    WHERE abs(round((value - mu) / sigma, 6)) > 3.0
+    """,
+    note="z-score outlier detection: per-group moments from ONE aggregate "
+    "(O(groups) state), broadcast back onto the stream — no window over "
+    "the full data, no second shuffle of the events.  round-6dp on both "
+    "sides before thresholding so engine float order can't flip a "
+    "borderline row",
+)
+def value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"),
+        F.stddev_samp("value").alias("sigma"),
+    )
+    z = F.round((F.col("value") - F.col("mu")) / F.col("sigma"), 6)
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .select("event_id", "event_type", "value", z.alias("zscore"))
+        .filter(F.abs(F.col("zscore")) > 3.0)
+    )

@@ -263,5 +263,10 @@ class Warehouse:
         partition_by = (
             ["snapshot_date"] if name == "siri_vehicle_location" else None
         )
-        self._staged_rewrite(name, df.repartition(target_files), partition_by)
+        df = df.repartition(target_files)
+        if partition_by:
+            # re-establish the time-clustering invariant write_facts keeps:
+            # compaction must not trade file count for row-group skipping
+            df = df.sortWithinPartitions("snapshot_date", "recorded_at_time")
+        self._staged_rewrite(name, df, partition_by)
         return len(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
