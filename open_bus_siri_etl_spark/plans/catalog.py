@@ -2342,3 +2342,59 @@ def value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "event_type", "value", z.alias("zscore"))
         .filter(F.abs(F.col("zscore")) > 3.0)
     )
+
+
+@register(
+    "tfidf_top_term",
+    """
+    WITH terms AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, term, count(*) AS tf
+        FROM terms GROUP BY doc_id, term
+    ),
+    df AS (
+        SELECT term, count(DISTINCT doc_id) AS df FROM terms GROUP BY term
+    ),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT doc_id, term,
+               round(tf * ln(n_docs * 1.0 / df), 6) AS score
+        FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term AS top_term, score
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, term) AS rn
+        FROM scored
+    ) WHERE rn = 1
+    """,
+    note="per-document TF-IDF argmax term: tf and df come from the SAME "
+    "exploded (doc,term) set — Catalyst reuses the shuffle; df joins back "
+    "as a broadcast (vocabulary ≪ corpus); the argmax window partitions "
+    "by doc_id, so no global ordering anywhere.  Scores rounded to 6 dp "
+    "BEFORE ranking on both engines, ties broken lexicographically",
+)
+def tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    n_docs = docs.count()  # scalar, driver-side (one tiny job)
+    terms = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("term")
+    )
+    tf = terms.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = terms.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(df_), "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("doc_id", F.col("term").alias("top_term"), "score")
+    )
