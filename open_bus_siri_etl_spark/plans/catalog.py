@@ -2398,3 +2398,48 @@ def tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter("rn = 1")
         .select("doc_id", F.col("term").alias("top_term"), "score")
     )
+
+
+@register(
+    "rolling_active_users",
+    """
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day
+        FROM events
+    ),
+    dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day),
+    wau AS (
+        SELECT d.day, count(DISTINCT u.user_id) AS wau_7d
+        FROM (SELECT DISTINCT day FROM ud) d
+        JOIN ud u ON u.day BETWEEN d.day - INTERVAL 6 DAY AND d.day
+        GROUP BY d.day
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, dau, wau_7d
+    FROM dau JOIN wau USING (day)
+    """,
+    note="DAU + rolling 7-day actives.  COUNT(DISTINCT) OVER a sliding "
+    "range frame doesn't exist as a streaming window in either engine, and "
+    "the naive day x events range join is quadratic.  Scale path: dedup to "
+    "(user, day) FIRST (events collapse by orders of magnitude), then each "
+    "row contributes to exactly 7 target days via a bounded sequence() "
+    "explode — fan-out is a constant 7x of the SMALL set, then one distinct "
+    "agg.  100 TB of events never crosses a shuffle un-deduped",
+)
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("day"),
+    )
+    wau = contrib.groupBy("day").agg(
+        F.countDistinct("user_id").alias("wau_7d")
+    )
+    return dau.join(wau, "day").select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"), "dau", "wau_7d"
+    )
