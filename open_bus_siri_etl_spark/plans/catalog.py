@@ -2443,3 +2443,52 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dau.join(wau, "day").select(
         F.date_format("day", "yyyy-MM-dd").alias("day"), "dau", "wau_7d"
     )
+
+
+@register(
+    "kmeans_clusters",
+    """
+    WITH f AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+               unnest(embedding)::DOUBLE AS v
+        FROM embeddings
+    ),
+    c0 AS (SELECT vec_id AS cid, i, v FROM f WHERE vec_id < 8),
+    d1 AS (
+        SELECT f.vec_id, c0.cid,
+               round(sum((f.v - c0.v) * (f.v - c0.v)), 6) AS d2
+        FROM f JOIN c0 USING (i) GROUP BY 1, 2
+    ),
+    a1 AS (
+        SELECT vec_id, cid AS cluster FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+            FROM d1) WHERE rn = 1
+    ),
+    c1 AS (
+        SELECT a1.cluster AS cid, f.i, round(avg(f.v), 6) AS v
+        FROM f JOIN a1 USING (vec_id) GROUP BY 1, 2
+    ),
+    d2_ AS (
+        SELECT f.vec_id, c1.cid,
+               round(sum((f.v - c1.v) * (f.v - c1.v)), 6) AS d2
+        FROM f JOIN c1 USING (i) GROUP BY 1, 2
+    )
+    SELECT vec_id, cid AS cluster FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM d2_) WHERE rn = 1
+    """,
+    note="distributed k-means (2 Lloyd iterations, k=8): the iterative-"
+    "algorithm pattern — centroids are kilobytes of driver state broadcast "
+    "into an in-JVM array expression per pass; the update is posexplode + "
+    "avg with centroid-sized aggregation state.  Deterministic contract "
+    "(min-id init, round-6dp distances/centroids, min-cid ties) makes even "
+    "the ITERATIVE op oracle-exact vs fixed-iteration SQL.  Empty-cluster "
+    "carry-forward differs from the oracle only if a cluster empties "
+    "(cannot happen on this data; documented in operators/clustering.py)",
+)
+def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import kmeans_assign
+
+    return kmeans_assign(t(spark, sf_dir, "embeddings"), k=8, iters=2)
