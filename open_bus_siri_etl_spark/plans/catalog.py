@@ -2492,3 +2492,61 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.clustering import kmeans_assign
 
     return kmeans_assign(t(spark, sf_dir, "embeddings"), k=8, iters=2)
+
+
+@register(
+    "trailing_hour_sum",
+    """
+    SELECT event_id, user_id, ts,
+           CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (
+               PARTITION BY user_id ORDER BY epoch(ts)
+               RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS hour_sum
+    FROM events
+    """,
+    note="TIME-range window frame (trailing 1 h per user) — the frame "
+    "boundary is an event-time distance, not a row count, so bursts and "
+    "gaps are handled correctly where a rows-frame moving average is not.  "
+    "Spark evaluates it as one hash exchange + sorted pass with a sliding "
+    "two-pointer frame: state per key is the in-frame aggregate, never the "
+    "history.  DECIMAL accumulation keeps the sliding sum order-exact",
+)
+def trailing_hour_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(dec("value")).over(w).cast("double").alias("hour_sum"),
+    )
+
+
+@register(
+    "value_quantiles_cont",
+    """
+    SELECT event_type,
+           round(quantile_cont(value, 0.25), 6) AS p25,
+           round(quantile_cont(value, 0.50), 6) AS p50,
+           round(quantile_cont(value, 0.75), 6) AS p75
+    FROM events GROUP BY event_type
+    """,
+    note="interpolated (continuous) quantiles per group: both engines "
+    "compute (1-f)*lo + f*hi at rank (n-1)p — deterministic given the "
+    "sorted group, rounded 6 dp for float-op parity.  Complements "
+    "value_quantiles_disc (type-1 discrete) and the approx_percentile "
+    "contract test: exact-interpolated / exact-discrete / sketch are the "
+    "three quantile modes a pipeline needs",
+)
+def value_quantiles_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        *[
+            F.round(F.expr(f"percentile(value, {p})"), 6).alias(name)
+            for p, name in ((0.25, "p25"), (0.50, "p50"), (0.75, "p75"))
+        ]
+    )
