@@ -426,3 +426,61 @@ def test_fact_files_time_clustered(spark, warehouse, tmp_path):
             "recorded_at_time"
         ].to_pylist()
         assert col == sorted(col), f
+
+
+def test_windowed_agg_stream_drops_beyond_watermark(spark, tmp_path):
+    """A row older than the advanced watermark is DROPPED from streaming
+    state (update mode): its window never re-emits, while a within-watermark
+    row in the same batch still merges.  The drop side of the late-data
+    contract the merge test leaves open; rows this late belong to the
+    reconciliation path (backfill.py), like the reference's pending sweep."""
+    from open_bus_siri_etl_spark.streaming.windowed import windowed_event_stats
+
+    src = tmp_path / "win_src2"
+    src.mkdir()
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def write_batch(name, rows):
+        df = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+        df.coalesce(1).write.mode("overwrite").parquet(str(src / name))
+
+    write_batch(
+        "b1",
+        [
+            (base + datetime.timedelta(minutes=5), "click", 1.0),
+            (base + datetime.timedelta(minutes=70), "click", 1.0),
+        ],
+    )
+    # after b1 the watermark is 01:10 - 30 min = 00:40:
+    # 00:06 is beyond it (dropped), 01:00 is within it (merged)
+    write_batch(
+        "b2",
+        [
+            (base + datetime.timedelta(minutes=6), "click", 1.0),
+            (base + datetime.timedelta(minutes=60), "click", 1.0),
+        ],
+    )
+
+    stream = (
+        spark.readStream.schema("ts timestamp, event_type string, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    agg = windowed_event_stats(stream, window="1 hour", watermark="30 minutes")
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("win_drop")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    emitted = [
+        (r["window_start"], r["n_events"])
+        for r in spark.sql("SELECT * FROM win_drop").collect()
+    ]
+    h1 = base + datetime.timedelta(hours=1)
+    # the 00:00 window never grows past its batch-1 count of 2
+    assert (base, 2) in emitted and (base, 3) not in emitted
+    # the within-watermark row did merge: 01:00 window updated to 2
+    assert (h1, 2) in emitted
