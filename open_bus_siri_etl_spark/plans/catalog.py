@@ -2550,3 +2550,79 @@ def value_quantiles_cont(spark: SparkSession, sf_dir: str) -> DataFrame:
             for p, name in ((0.25, "p25"), (0.50, "p50"), (0.75, "p75"))
         ]
     )
+
+
+@register(
+    "kmeans_cluster_purity",
+    """
+    WITH f AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+               unnest(embedding)::DOUBLE AS v
+        FROM embeddings
+    ),
+    c0 AS (SELECT vec_id AS cid, i, v FROM f WHERE vec_id < 8),
+    d1 AS (
+        SELECT f.vec_id, c0.cid,
+               round(sum((f.v - c0.v) * (f.v - c0.v)), 6) AS d2
+        FROM f JOIN c0 USING (i) GROUP BY 1, 2
+    ),
+    a1 AS (
+        SELECT vec_id, cid AS cluster FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+            FROM d1) WHERE rn = 1
+    ),
+    c1 AS (
+        SELECT a1.cluster AS cid, f.i, round(avg(f.v), 6) AS v
+        FROM f JOIN a1 USING (vec_id) GROUP BY 1, 2
+    ),
+    d2_ AS (
+        SELECT f.vec_id, c1.cid,
+               round(sum((f.v - c1.v) * (f.v - c1.v)), 6) AS d2
+        FROM f JOIN c1 USING (i) GROUP BY 1, 2
+    ),
+    a2 AS (
+        SELECT vec_id, cid AS cluster FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+            FROM d2_) WHERE rn = 1
+    ),
+    cl AS (
+        SELECT a2.cluster, e.label, count(*) AS n
+        FROM a2 JOIN embeddings e USING (vec_id)
+        GROUP BY 1, 2
+    )
+    SELECT cluster,
+           sum(n) AS size,
+           first(label ORDER BY n DESC, label) AS majority_label,
+           round(max(n) * 1.0 / sum(n), 6) AS purity
+    FROM cl GROUP BY cluster
+    """,
+    note="clustering evaluation: purity per k-means cluster against the "
+    "ground-truth label — the (cluster,label) contingency table is "
+    "centroid-x-label-sized aggregation state, so evaluating a 10^9-vector "
+    "clustering costs one scan + two tiny aggs.  Majority label via "
+    "ordered-arg-min (ties -> smaller label) keeps it deterministic",
+)
+def kmeans_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import kmeans_assign
+
+    emb = t(spark, sf_dir, "embeddings")
+    assign = kmeans_assign(emb, k=8, iters=2)
+    cl = (
+        assign.join(emb.select("vec_id", "label"), "vec_id")
+        .groupBy("cluster", "label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("cluster").orderBy(F.desc("n"), "label")
+    return (
+        cl.withColumn("rn", F.row_number().over(w))
+        .groupBy("cluster")
+        .agg(
+            F.sum("n").alias("size"),
+            F.min(F.when(F.col("rn") == 1, F.col("label"))).alias(
+                "majority_label"
+            ),
+            F.round(F.max("n") * 1.0 / F.sum("n"), 6).alias("purity"),
+        )
+    )
