@@ -2626,3 +2626,77 @@ def kmeans_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("n") * 1.0 / F.sum("n"), 6).alias("purity"),
         )
     )
+
+
+@register(
+    "countmin_user_counts",
+    """
+    WITH hashed AS (
+        SELECT user_id, d,
+               CAST(('0x' || substr(md5(d::VARCHAR || '-' || user_id::VARCHAR),
+                                    1, 8)) AS UBIGINT) % 64 AS b
+        FROM events CROSS JOIN generate_series(0, 3) t(d)
+    ),
+    counters AS (SELECT d, b, count(*) AS c FROM hashed GROUP BY d, b),
+    keys AS (
+        SELECT DISTINCT user_id, d, b FROM hashed
+    ),
+    est AS (
+        SELECT user_id, min(c) AS est_count
+        FROM keys JOIN counters USING (d, b)
+        GROUP BY user_id
+    ),
+    tru AS (SELECT user_id, count(*) AS true_count FROM events GROUP BY user_id)
+    SELECT user_id, est_count, true_count,
+           est_count - true_count AS overestimate
+    FROM est JOIN tru USING (user_id)
+    """,
+    note="count-min sketch (d=4 rows x w=64 buckets) with an EXACT oracle: "
+    "hash functions derive from md5 so both engines build the identical "
+    "sketch, and the estimate (min over rows) is deterministic.  The "
+    "counters are 256 cells of map-side-combinable state — the sketch of a "
+    "100 TB stream is kilobytes crossing the shuffle, then a broadcast "
+    "lookup; est >= true always (one-sided error), visible in the "
+    "overestimate column",
+)
+def countmin_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    D, W = 4, 64
+    hashed = ev.select("user_id").crossJoin(
+        spark.range(D).select(F.col("id").cast("int").alias("d"))
+    ).select(
+        "user_id",
+        "d",
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "-",
+                            F.col("d").cast("string"),
+                            F.col("user_id").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint"),
+            F.lit(W),
+        ).alias("b"),
+    )
+    counters = hashed.groupBy("d", "b").agg(F.count(F.lit(1)).alias("c"))
+    keys = hashed.distinct()
+    est = (
+        keys.join(F.broadcast(counters), ["d", "b"])
+        .groupBy("user_id")
+        .agg(F.min("c").alias("est_count"))
+    )
+    tru = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_count"))
+    return est.join(tru, "user_id").select(
+        "user_id",
+        "est_count",
+        "true_count",
+        (F.col("est_count") - F.col("true_count")).alias("overestimate"),
+    )
