@@ -2700,3 +2700,27 @@ def countmin_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "true_count",
         (F.col("est_count") - F.col("true_count")).alias("overestimate"),
     )
+
+
+@register(
+    "order_count_distribution",
+    """
+    SELECT n_orders, count(*) AS n_customers
+    FROM (
+        SELECT o_custkey, count(*) AS n_orders
+        FROM orders GROUP BY o_custkey
+    )
+    GROUP BY n_orders
+    """,
+    note="frequency-of-frequency (TPC-H Q13 core): two chained hash aggs — "
+    "the first shuffles per-customer partial counts, the second's input is "
+    "already one row per customer so its shuffle carries distribution-"
+    "sized state.  AQE coalesces the second exchange to a handful of "
+    "partitions at any scale",
+)
+def order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = t(spark, sf_dir, "orders")
+    per_cust = od.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    return per_cust.groupBy("n_orders").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
