@@ -334,14 +334,14 @@ CHUNK_SIZE = 100
     WITH flagged AS (
         SELECT user_id, ts, event_id,
                CASE WHEN lag(ts) OVER w IS NULL
-                         OR ts - lag(ts) OVER w > INTERVAL {GAP_MINUTES} MINUTE
+                         OR epoch(ts) - epoch(lag(ts) OVER w) > {GAP_MINUTES} * 60
                     THEN 1 ELSE 0 END AS is_new
         FROM events
         WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sessions AS (
         SELECT user_id, ts,
-               sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                 ROWS UNBOUNDED PRECEDING) AS session_id
+               CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
         FROM flagged
     )
     SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
@@ -360,7 +360,10 @@ def gap_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(
             F.lag("ts").over(w).isNull()
             | (
-                F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+                # Full-precision epoch seconds on both sides (the DuckDB oracle
+                # uses epoch(ts), fractional too) so sub-second gaps cannot
+                # classify differently across engines.
+                F.col("ts").cast("double") - F.lag("ts").over(w).cast("double")
                 > GAP_MINUTES * 60
             ),
             1,
@@ -473,7 +476,7 @@ def snapshot_id_format(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT event_type,
            count(*) AS n,
-           sum(COALESCE(CAST(json_extract_string(props, '$.k') AS INTEGER), -1)) AS sum_k,
+           CAST(sum(COALESCE(CAST(json_extract_string(props, '$.k') AS INTEGER), -1)) AS BIGINT) AS sum_k,
            min(COALESCE(CAST(json_extract_string(props, '$.k') AS INTEGER), -1)) AS min_k,
            max(COALESCE(CAST(json_extract_string(props, '$.k') AS INTEGER), -1)) AS max_k
     FROM events GROUP BY event_type
