@@ -190,12 +190,22 @@ def mark_error(wh: Warehouse, snapshot_id: str, error: str, stats: dict | None =
     _write_rows(wh, [row])
 
 
-def register_pending(wh: Warehouse, snapshot_ids: list[str]) -> int:
+def register_pending(
+    wh: Warehouse,
+    snapshot_ids: list[str],
+    min_date: datetime.date | None = None,
+) -> int:
     """J4 discovery: bulk-insert unseen snapshot ids as ``pending``
     (reference update_pending_snapshots.py:47-68).  Anti-join replaces the
     reference's select-existing + set-difference + 1000-row insert batching —
     at scale the listing side is a DataFrame and this is one shuffle-free
-    broadcast anti join."""
+    broadcast anti join.
+
+    ``min_date`` is the GTFS-data clamp (reference
+    update_pending_snapshots.py:88-97: only snapshots dated at-or-after the
+    first available ``gtfs_data.date`` are registered — earlier ones can
+    never be enriched).  Callers pass ``min(gtfs_data.date)`` when a GTFS
+    table exists; None disables the clamp."""
     if not snapshot_ids:
         return 0
     spark = wh.spark
@@ -203,6 +213,11 @@ def register_pending(wh: Warehouse, snapshot_ids: list[str]) -> int:
     candidates = spark.createDataFrame(
         [(s,) for s in snapshot_ids], "snapshot_id string"
     )
+    if min_date is not None:
+        candidates = candidates.filter(
+            F.to_date(F.substring("snapshot_id", 1, 10), "yyyy/MM/dd")
+            >= F.lit(min_date)
+        )
     existing = wh.read(_CONTROL).select("snapshot_id")
     new = [r["snapshot_id"] for r in candidates.join(existing, "snapshot_id", "left_anti").collect()]
     if not new:

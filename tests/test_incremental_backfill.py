@@ -208,3 +208,28 @@ def test_streaming_restart_with_new_files(spark, warehouse, tmp_path):
     }
     for sid in per_snapshot:
         assert control.get_control_row(warehouse, sid)["etl_status"] == control.ETL_LOADED
+
+
+def test_register_pending_gtfs_date_clamp(spark, warehouse):
+    """Reference update_pending_snapshots.py:88-97: snapshots dated before
+    the first GTFS date are never registered as pending."""
+    ids = [
+        "2019/05/04/23/59",  # pre-GTFS → clamped out
+        "2019/05/05/00/00",  # boundary → registered
+        "2019/05/06/08/30",  # post → registered
+    ]
+    n = control.register_pending(
+        warehouse, ids, min_date=datetime.date(2019, 5, 5)
+    )
+    assert n == 2
+    registered = {
+        r["snapshot_id"] for r in warehouse.read("siri_snapshot").collect()
+    }
+    assert registered == {"2019/05/05/00/00", "2019/05/06/08/30"}
+    # idempotent: re-registering the same list adds nothing
+    assert (
+        control.register_pending(
+            warehouse, ids, min_date=datetime.date(2019, 5, 5)
+        )
+        == 0
+    )
