@@ -66,17 +66,32 @@ def main() -> None:
         timings[name] = round(time.time() - t0, 3)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "catalog_headline_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "catalog_headline_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+
+    # Regression guard: compare against the committed standing baseline
+    # (round-1 driver numbers) so a slower plan is mechanically visible.
+    # Ratios only make sense at the baseline's SF.
+    baseline_path = Path(__file__).resolve().parent / "BASELINE_BENCH.json"
+    if baseline_path.is_file():
+        try:
+            base = json.loads(baseline_path.read_text())
+            if base.get("sf") == sf and base.get("queries"):
+                out["vs_baseline"] = {
+                    n: round(timings[n] / base["queries"][n], 2)
+                    for n in timings
+                    if base["queries"].get(n)
+                }
+                out["vs_baseline_total"] = round(total / base["value"], 2)
+        except Exception:
+            pass  # the baseline must never fail the bench
+
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
