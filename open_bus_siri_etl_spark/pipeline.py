@@ -24,7 +24,12 @@ from .functions import snapshot_control_id
 from .operators.flatten import iterate_monitored_stop_visits
 from .operators.parse import dead_letters, parse_monitored_stop_visits, valid_pmsv
 from .operators.upsert import get_or_create_objects, with_surrogate_ids
-from .sources.snapshots import read_snapshots, snapshot_path
+from .sources.snapshots import (
+    read_snapshots,
+    read_snapshots_brotli,
+    resolve_snapshot_path,
+    snapshot_path,
+)
 from .sources.tables import Warehouse
 
 _DEAD_LETTER_TABLE = "dead_letter"
@@ -171,7 +176,12 @@ def process_snapshot(
         return None
     row, _is_reload = control.start_loading(wh, snapshot_id, force_reload=force_reload)
     try:
-        snapshots_df = read_snapshots(spark, snapshot_path(landing_root, snapshot_id))
+        path, is_br = resolve_snapshot_path(landing_root, snapshot_id)
+        snapshots_df = (
+            read_snapshots_brotli(spark, path)
+            if is_br
+            else read_snapshots(spark, path)
+        )
         corrupt = snapshots_df.filter(F.col("Siri").isNull()).count()
         if corrupt:
             raise ValueError(f"snapshot {snapshot_id}: corrupt document")

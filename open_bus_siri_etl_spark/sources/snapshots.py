@@ -27,14 +27,44 @@ from pyspark.sql import functions as F
 
 from ..schemas import SIRI_SNAPSHOT_SCHEMA
 
-try:  # optional: only needed for .br inputs; not in the test container
+try:  # prefer the real module when installed (full-format decode)
     import brotli  # type: ignore
 except ImportError:  # pragma: no cover
     brotli = None
 
+from . import brotli_fallback
+
+
+def brotli_decompress(payload: bytes) -> bytes:
+    """Decode brotli bytes: real module when present, else the vendored
+    stored-mode subset (RFC 7932 uncompressed meta-blocks)."""
+    if brotli is not None:  # pragma: no cover
+        return brotli.decompress(payload)
+    return brotli_fallback.decompress(payload)
+
+
+def brotli_compress(payload: bytes) -> bytes:
+    if brotli is not None:  # pragma: no cover
+        return brotli.compress(payload)
+    return brotli_fallback.compress(payload)
+
 
 def snapshot_path(root: str, snapshot_id: str, compressed: bool = False) -> str:
     return os.path.join(root, snapshot_id + (".json.br" if compressed else ".json"))
+
+
+def resolve_snapshot_path(root: str, snapshot_id: str) -> tuple[str, bool]:
+    """(path, is_compressed) for a landed snapshot; prefers ``.json``, falls
+    back to ``.json.br`` (the reference's native codec,
+    process_snapshot.py:324-342).  Missing files resolve to the plain path so
+    the reader raises its normal not-found error."""
+    plain = snapshot_path(root, snapshot_id)
+    if os.path.exists(plain):
+        return plain, False
+    br = snapshot_path(root, snapshot_id, compressed=True)
+    if os.path.exists(br):
+        return br, True
+    return plain, False
 
 
 def _id_from_path_col() -> F.Column:
@@ -78,13 +108,10 @@ def read_snapshots_brotli(spark: SparkSession, paths: list[str] | str) -> DataFr
     shells out to ``brotli -d``, process_snapshot.py:340-342).  It runs in
     ``mapPartitions`` so each executor decodes its own files — no driver
     bottleneck — then the decompressed text re-enters the declarative plan
-    through ``from_json`` with the explicit schema.
+    through ``from_json`` with the explicit schema.  Decode uses the real
+    ``brotli`` module when installed, else the vendored RFC 7932 stored-mode
+    subset (``brotli_fallback``).
     """
-    if brotli is None:  # pragma: no cover
-        raise NotImplementedError(
-            "brotli module not available in this environment; land decompressed "
-            ".json files instead (read_snapshots)"
-        )
     bin_df = (
         spark.read.format("binaryFile")
         # accept a landing-root directory, not just explicit file paths: the
@@ -96,8 +123,12 @@ def read_snapshots_brotli(spark: SparkSession, paths: list[str] | str) -> DataFr
     )
 
     def decode(it: Iterator) -> Iterator:
+        # imported inside the task so the closure stays slim; resolves to the
+        # real module or the vendored fallback on each executor independently
+        from open_bus_siri_etl_spark.sources.snapshots import brotli_decompress
+
         for row in it:
-            yield row.path, brotli.decompress(row.content).decode("utf-8")
+            yield row.path, brotli_decompress(bytes(row.content)).decode("utf-8")
 
     decoded = bin_df.select("path", "content").rdd.mapPartitions(decode).toDF(
         ["path", "json_text"]
@@ -135,10 +166,14 @@ def list_snapshot_ids(root: str, limit_prefix: str = "") -> list[str]:
     return sorted(found)
 
 
-def write_snapshot_fixture(root: str, snapshot_id: str, document: dict) -> str:
-    """Test/dev helper: land a snapshot document in the canonical layout."""
-    path = snapshot_path(root, snapshot_id)
+def write_snapshot_fixture(
+    root: str, snapshot_id: str, document: dict, compressed: bool = False
+) -> str:
+    """Test/dev helper: land a snapshot document in the canonical layout
+    (optionally brotli-compressed, like the reference's real inputs)."""
+    path = snapshot_path(root, snapshot_id, compressed=compressed)
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    with open(path, "w") as f:
-        json.dump(document, f)
+    payload = json.dumps(document).encode("utf-8")
+    with open(path, "wb") as f:
+        f.write(brotli_compress(payload) if compressed else payload)
     return path
