@@ -1957,6 +1957,86 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_resize",
+    """
+    WITH m AS (
+        SELECT doc_id AS media_id, text, length(text) AS n FROM documents
+    ), r AS (
+        SELECT media_id,
+               substring(repeat(text, CAST(floor(1024 / n) AS INT) + 1), 1, 1024)
+                   AS rep
+        FROM m
+    )
+    SELECT media_id,
+           CAST(32 AS BIGINT) AS width, CAST(32 AS BIGINT) AS height,
+           CAST(1024 AS BIGINT) AS n_bytes,
+           CAST(ascii(substring(rep, 1, 1)) AS BIGINT) AS first_code,
+           CAST(ascii(substring(rep, 500, 1)) AS BIGINT) AS mid_code,
+           CAST(ascii(substring(rep, 1024, 1)) AS BIGINT) AS last_code
+    FROM r
+    """,
+    note="multimodal resize through Arrow mapInPandas with the deterministic "
+    "STUB kernel (truncate/cycle to W*H bytes): the byte arithmetic is "
+    "SQL-expressible, so the plumbing gets a hash-checked contract — the "
+    "oracle recomputes the resized blob with repeat+substring (documents are "
+    "ASCII, so char ops == byte ops) and probes 3 positions",
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import documents_as_media, resize_images
+
+    resized = resize_images(
+        documents_as_media(t(spark, sf_dir, "documents")), width=32, height=32
+    )
+    s = F.decode("content", "utf-8")
+    return resized.select(
+        "media_id",
+        F.col("meta.width").cast("long").alias("width"),
+        F.col("meta.height").cast("long").alias("height"),
+        F.octet_length("content").cast("long").alias("n_bytes"),
+        F.ascii(F.substring(s, 1, 1)).cast("long").alias("first_code"),
+        F.ascii(F.substring(s, 500, 1)).cast("long").alias("mid_code"),
+        F.ascii(F.substring(s, 1024, 1)).cast("long").alias("last_code"),
+    )
+
+
+@register(
+    "multimodal_frame_sample",
+    """
+    WITH m AS (
+        SELECT doc_id AS media_id, text,
+               CAST(floor(length(text) / 64) AS INT) AS nf
+        FROM documents
+    ), f AS (
+        SELECT media_id, text,
+               unnest(generate_series(0, CAST(nf - 1 AS BIGINT), 2)) AS frame_idx
+        FROM m
+    )
+    SELECT media_id, frame_idx,
+           substring(text, CAST(frame_idx AS INT) * 64 + 1, 64) AS frame_text
+    FROM f
+    """,
+    note="multimodal frame sampling (1→N flat map through mapInPandas, the "
+    "video shape): STUB kernel slices the blob into 64-byte frames and emits "
+    "every 2nd — the oracle regenerates every sampled frame's FULL content "
+    "with generate_series+substring, so the Arrow fan-out is value-checked "
+    "byte-for-byte, not rows-only",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import documents_as_media, sample_frames
+
+    frames = sample_frames(
+        documents_as_media(t(spark, sf_dir, "documents")),
+        frame_bytes=64,
+        every_n=2,
+    )
+    return frames.select(
+        "media_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.decode("frame", "utf-8").alias("frame_text"),
+    )
+
+
+@register(
     "broadcast_enrichment",
     """
     SELECT p_brand, count(*) AS n_items,
