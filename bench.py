@@ -31,6 +31,8 @@ HEADLINE = [
     "dim_upsert_novelty",
     "latest_per_key",
     "missing_minutes",
+    "heavy_hitters_mg",
+    "kmeans_clusters_k32",
 ]
 
 
@@ -82,12 +84,17 @@ def main() -> None:
         try:
             base = json.loads(baseline_path.read_text())
             if base.get("sf") == sf and base.get("queries"):
+                # compare over queries present in BOTH runs so adding new
+                # headline entries can't masquerade as a regression
+                shared = [n for n in timings if base["queries"].get(n)]
                 out["vs_baseline"] = {
-                    n: round(timings[n] / base["queries"][n], 2)
-                    for n in timings
-                    if base["queries"].get(n)
+                    n: round(timings[n] / base["queries"][n], 2) for n in shared
                 }
-                out["vs_baseline_total"] = round(total / base["value"], 2)
+                out["vs_baseline_total"] = round(
+                    sum(timings[n] for n in shared)
+                    / sum(base["queries"][n] for n in shared),
+                    2,
+                )
         except Exception:
             pass  # the baseline must never fail the bench
 

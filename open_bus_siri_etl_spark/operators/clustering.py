@@ -5,9 +5,23 @@ Lloyd's algorithm maps onto Spark the same way MLlib implements it:
 centroids are tiny driver state broadcast into each assignment pass; the
 heavy work — one distance evaluation per (vector, centroid) and the
 per-cluster mean — is a single scan plus one aggregation per iteration.
-Nothing iterates per row in Python: assignment is an in-JVM array
-expression, the mean is posexplode + avg (k x dim grouped rows, i.e.
-aggregation state is centroid-sized, not data-sized).
+Nothing iterates per row in Python on the small-k path: assignment is an
+in-JVM array expression, the mean is posexplode + avg (k x dim grouped
+rows, i.e. aggregation state is centroid-sized, not data-sized).
+
+Two assignment kernels, one contract:
+- ``expr`` (k below ~32): a per-centroid zip_with/aggregate expression list,
+  fully whole-stage-codegen.  Codegen cost grows with k (one expression
+  tree per centroid), so past a few dozen centroids the JVM spends more
+  time compiling than computing.
+- ``matmul`` (large k): one Arrow batch per partition through mapInPandas,
+  distances accumulated in numpy as a sequential fold over dimensions —
+  the SAME left-to-right float64 addition order as the expr kernel's
+  aggregate(), so pre-round distances are bit-identical and the two
+  kernels (and the DuckDB oracle) agree exactly.  A production kernel
+  would use the |x|^2 - 2x.c + |c|^2 BLAS expansion for another ~10x; that
+  reorders float summation and is deliberately NOT used here so the
+  determinism contract holds.
 
 Determinism contract (shared with the fixed-iteration DuckDB oracle):
 - init = the k vectors with the smallest ids (no RNG);
@@ -19,34 +33,25 @@ Determinism contract (shared with the fixed-iteration DuckDB oracle):
 - a cluster that loses all members keeps its previous centroid.
 
 Scale: k*dim doubles per iteration cross the driver (kilobytes); the scan
-per iteration parallelizes on input splits.  For large k the per-centroid
-expression list should switch to the blocked numpy matmul kernel used by
-similarity.cosine_near_pairs_blocked — same contract, one Arrow batch per
-partition (not needed at k=8).
+per iteration parallelizes on input splits.  The matmul kernel ships the
+centroid matrix inside the serialized closure (k*dim*8 bytes — fine to
+~10^6 cells; beyond that, a SparkContext.broadcast handle).
 """
 
 from __future__ import annotations
 
+from typing import Iterator
+
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+#: kernel auto-switch point: above this k the codegen'd expression list is
+#: slower to compile than the Arrow kernel is to run
+EXPR_KERNEL_MAX_K = 16
 
 
-def kmeans_assign(
-    df: DataFrame,
-    k: int = 8,
-    iters: int = 2,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Assign each vector to a k-means cluster after ``iters`` Lloyd steps.
-
-    Returns (id_col, cluster int).  See module docstring for the
-    determinism contract that makes this oracle-comparable.
-    """
-    vecd = df.select(
-        id_col, F.transform(vec_col, lambda x: x.cast("double")).alias("v")
-    )
-    cents = [r["v"] for r in vecd.orderBy(id_col).limit(k).collect()]
-    dim = len(cents[0])
+def _assign_expr(vecd: DataFrame, cents: list[list[float]], id_col: str) -> DataFrame:
+    """Small-k kernel: one codegen'd distance expression per centroid."""
 
     def dist_to(cent: list[float]):
         diff = F.zip_with(
@@ -56,16 +61,89 @@ def kmeans_assign(
             F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x), 6
         )
 
+    d = F.array(*[dist_to(c) for c in cents])
+    return vecd.withColumn("d", d).select(
+        id_col,
+        "v",
+        (F.array_position(F.col("d"), F.array_min("d")) - 1)
+        .cast("int")
+        .alias("cluster"),
+    )
+
+
+def _assign_matmul(vecd: DataFrame, cents: list[list[float]], id_col: str) -> DataFrame:
+    """Large-k kernel: Arrow-batched numpy distance matrix per partition.
+
+    Float parity with _assign_expr: the fold over dimensions is sequential
+    (acc += (x_j - c_j)^2 for j = 0..dim-1), matching aggregate()'s
+    left-to-right order bit-for-bit; rounding is half-up on the binary
+    double (floor(x*1e6 + 0.5)/1e6 — distances are non-negative), matching
+    what both engines' round() computes on these values.  np.argmin takes
+    the first minimum, matching array_position(array_min) ties-to-smaller.
+    """
+    import numpy as np
+
+    cmat = [list(map(float, c)) for c in cents]
+    id_field = vecd.schema[id_col]
+    out_schema = T.StructType(
+        [
+            T.StructField(id_field.name, id_field.dataType),
+            T.StructField("v", T.ArrayType(T.DoubleType())),
+            T.StructField("cluster", T.IntegerType()),
+        ]
+    )
+
+    def assign(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        C = np.asarray(cmat, dtype=np.float64)  # k x dim
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.asarray(pdf["v"].tolist(), dtype=np.float64)  # n x dim
+            acc = np.zeros((len(pdf), C.shape[0]), dtype=np.float64)
+            for j in range(C.shape[1]):  # sequential fold = expr-kernel order
+                dj = X[:, j][:, None] - C[:, j][None, :]
+                acc += dj * dj
+            d = np.floor(acc * 1e6 + 0.5) / 1e6
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "v": pdf["v"],
+                    "cluster": np.argmin(d, axis=1).astype("int32"),
+                }
+            )
+
+    return vecd.mapInPandas(assign, schema=out_schema)
+
+
+def kmeans_assign(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    kernel: str = "auto",
+) -> DataFrame:
+    """Assign each vector to a k-means cluster after ``iters`` Lloyd steps.
+
+    Returns (id_col, cluster int).  ``kernel`` is ``auto`` (expr below
+    EXPR_KERNEL_MAX_K, matmul above), ``expr`` or ``matmul``; both satisfy
+    the module's determinism contract and return identical assignments.
+    """
+    if kernel == "auto":
+        kernel = "expr" if k <= EXPR_KERNEL_MAX_K else "matmul"
+    assign_fn = {"expr": _assign_expr, "matmul": _assign_matmul}[kernel]
+
+    vecd = df.select(
+        id_col, F.transform(vec_col, lambda x: x.cast("double")).alias("v")
+    )
+    cents = [r["v"] for r in vecd.orderBy(id_col).limit(k).collect()]
+    dim = len(cents[0])
+
     assign = None
     for it in range(iters):
-        d = F.array(*[dist_to(c) for c in cents])
-        assign = vecd.withColumn("d", d).select(
-            id_col,
-            "v",
-            (F.array_position(F.col("d"), F.array_min("d")) - 1)
-            .cast("int")
-            .alias("cluster"),
-        )
+        assign = assign_fn(vecd, cents, id_col)
         if it < iters - 1:
             rows = (
                 assign.select("cluster", F.posexplode("v").alias("i", "val"))

@@ -2711,6 +2711,44 @@ def kmeans_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _countmin_est(spark: SparkSession, ev: DataFrame) -> DataFrame:
+    """(user_id, est_count) from a d=4 x w=64 count-min sketch whose hash
+    rows derive from md5 — both engines build the identical sketch, so the
+    estimate (min over rows) is deterministic and oracle-exact."""
+    D, W = 4, 64
+    hashed = ev.select("user_id").crossJoin(
+        spark.range(D).select(F.col("id").cast("int").alias("d"))
+    ).select(
+        "user_id",
+        "d",
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            "-",
+                            F.col("d").cast("string"),
+                            F.col("user_id").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint"),
+            F.lit(W),
+        ).alias("b"),
+    )
+    counters = hashed.groupBy("d", "b").agg(F.count(F.lit(1)).alias("c"))
+    keys = hashed.distinct()
+    return (
+        keys.join(F.broadcast(counters), ["d", "b"])
+        .groupBy("user_id")
+        .agg(F.min("c").alias("est_count"))
+    )
+
+
 @register(
     "countmin_user_counts",
     """
@@ -2744,38 +2782,7 @@ def kmeans_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def countmin_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = t(spark, sf_dir, "events")
-    D, W = 4, 64
-    hashed = ev.select("user_id").crossJoin(
-        spark.range(D).select(F.col("id").cast("int").alias("d"))
-    ).select(
-        "user_id",
-        "d",
-        F.pmod(
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat_ws(
-                            "-",
-                            F.col("d").cast("string"),
-                            F.col("user_id").cast("string"),
-                        )
-                    ),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("bigint"),
-            F.lit(W),
-        ).alias("b"),
-    )
-    counters = hashed.groupBy("d", "b").agg(F.count(F.lit(1)).alias("c"))
-    keys = hashed.distinct()
-    est = (
-        keys.join(F.broadcast(counters), ["d", "b"])
-        .groupBy("user_id")
-        .agg(F.min("c").alias("est_count"))
-    )
+    est = _countmin_est(spark, ev)
     tru = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("true_count"))
     return est.join(tru, "user_id").select(
         "user_id",
@@ -2807,3 +2814,278 @@ def order_count_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_cust.groupBy("n_orders").agg(
         F.count(F.lit(1)).alias("n_customers")
     )
+
+
+# ---------------------------------------------------------------------------
+# Heavy hitters: sketch-prune-then-exact-recount (Misra-Gries) and pure
+# sketch top-k (count-min).  The 10^10-distinct-keys answer to "top users".
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "heavy_hitters_mg",
+    """
+    WITH tot AS (SELECT count(*) AS n FROM events),
+    cnt AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id)
+    SELECT user_id, CAST(cnt AS BIGINT) AS cnt
+    FROM cnt CROSS JOIN tot
+    WHERE cnt * 256 > n
+    ORDER BY cnt DESC, user_id
+    LIMIT 20
+    """,
+    note="heavy hitters via Misra-Gries prune + exact recount: a zero-"
+    "shuffle partition-local MG pass (capacity 256, mapInPandas) emits "
+    "<= 256 candidate keys per partition with NO false negatives above "
+    "N/256 (pigeonhole over the per-partition guarantee), then only the "
+    "candidates are exactly recounted — downstream hash-agg state is "
+    "candidate-sized, not key-cardinality-sized.  The > N/64 threshold "
+    "filter makes the result provably independent of partitioning, which "
+    "is why a sketch-based op can have a plain-SQL exact oracle.  Final "
+    "top-20 via TakeOrdered (count DESC, key ASC), no global sort",
+)
+def heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import misra_gries_candidates
+
+    ev = t(spark, sf_dir, "events")
+    n_total = ev.count()  # scalar, one tiny count job
+    cands = misra_gries_candidates(ev.select("user_id"), "user_id", capacity=256)
+    cnt = (
+        ev.join(F.broadcast(cands), "user_id", "left_semi")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        cnt.filter(F.col("cnt") * 256 > F.lit(n_total))
+        .orderBy(F.desc("cnt"), "user_id")
+        .limit(20)
+    )
+
+
+@register(
+    "countmin_topk_users",
+    """
+    WITH hashed AS (
+        SELECT user_id, d,
+               CAST(('0x' || substr(md5(d::VARCHAR || '-' || user_id::VARCHAR),
+                                    1, 8)) AS UBIGINT) % 64 AS b
+        FROM events CROSS JOIN generate_series(0, 3) t(d)
+    ),
+    counters AS (SELECT d, b, count(*) AS c FROM hashed GROUP BY d, b),
+    keys AS (SELECT DISTINCT user_id, d, b FROM hashed),
+    est AS (
+        SELECT user_id, min(c) AS est_count
+        FROM keys JOIN counters USING (d, b)
+        GROUP BY user_id
+    )
+    SELECT user_id, est_count
+    FROM est
+    ORDER BY est_count DESC, user_id
+    LIMIT 20
+    """,
+    note="count-min + heap top-k: the d=4 x w=64 md5-derived sketch "
+    "(shared with countmin_user_counts) ranks keys by estimated count; "
+    "the 'heap' is Spark's TakeOrdered over (est DESC, key ASC) — a "
+    "k-sized heap per partition merged on the driver, never a global "
+    "sort.  Sketch state crossing the shuffle is 256 cells regardless of "
+    "data size; md5-exact hashes make even the ESTIMATES oracle-equal",
+)
+def countmin_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    return (
+        _countmin_est(spark, ev)
+        .orderBy(F.desc("est_count"), "user_id")
+        .limit(20)
+    )
+
+
+@register(
+    "kmv_distinct_users",
+    """
+    WITH h AS (
+        SELECT DISTINCT CAST(('0x' || substr(md5(user_id::VARCHAR), 1, 15))
+                             AS UBIGINT) AS hv
+        FROM events
+    ),
+    kmin AS (SELECT hv FROM h ORDER BY hv LIMIT 64)
+    SELECT 64 AS k,
+           CAST(max(hv) AS BIGINT) AS kth_min_hash,
+           round(72634054790231359488.0 / CAST(max(hv) AS DOUBLE), 6)
+               AS est_distinct,
+           (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events)
+               AS true_distinct
+    FROM kmin
+    """,
+    note="KMV (k-minimum-values) distinct-count sketch, k=64: hash every "
+    "key to a 60-bit md5 fraction, keep the k smallest hashes (TakeOrdered "
+    "— k doubles per partition, merged on the driver), estimate "
+    "|D| ~= (k-1)/frac(h_(k)) = (k-1)*2^60/h_(k).  The sketch is "
+    "mergeable (union of KMV sets -> take k smallest), which is how "
+    "distinct counts compose across 100 TB of shards without a "
+    "count-distinct shuffle.  md5 hashing makes the sketch — and hence "
+    "the ESTIMATE — identical across engines, so an approximate op gets "
+    "an exact oracle; true_distinct shown for the error ratio",
+)
+def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    K = 64
+    h = ev.select(
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
+        .cast("bigint")
+        .alias("hv")
+    ).distinct()
+    kmin = h.orderBy("hv").limit(K)
+    true_d = ev.select("user_id").distinct().count()  # scalar oracle column
+    return kmin.agg(
+        F.lit(K).cast("int").alias("k"),
+        F.max("hv").alias("kth_min_hash"),
+        F.round(
+            F.lit(float(63 * (1 << 60))) / F.max("hv").cast("double"), 6
+        ).alias("est_distinct"),
+        F.lit(true_d).cast("bigint").alias("true_distinct"),
+    )
+
+
+@register(
+    "bloom_filter_probe",
+    """
+    WITH build AS (
+        SELECT DISTINCT user_id FROM events WHERE event_type = 'error'
+    ),
+    build_bits AS (
+        SELECT DISTINCT
+               CAST(('0x' || substr(md5(d::VARCHAR || '#' || user_id::VARCHAR),
+                                    1, 8)) AS UBIGINT) % 1024 AS bit
+        FROM build CROSS JOIN generate_series(0, 2) t(d)
+    ),
+    probe AS (SELECT DISTINCT user_id FROM events),
+    probe_bits AS (
+        SELECT DISTINCT user_id,
+               CAST(('0x' || substr(md5(d::VARCHAR || '#' || user_id::VARCHAR),
+                                    1, 8)) AS UBIGINT) % 1024 AS bit
+        FROM probe CROSS JOIN generate_series(0, 2) t(d)
+    ),
+    need AS (SELECT user_id, count(*) AS n_bits FROM probe_bits GROUP BY user_id),
+    hit AS (
+        SELECT pb.user_id, count(*) AS n_hit
+        FROM probe_bits pb JOIN build_bits bb USING (bit)
+        GROUP BY pb.user_id
+    ),
+    pass AS (
+        SELECT need.user_id
+        FROM need JOIN hit USING (user_id)
+        WHERE hit.n_hit = need.n_bits
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM probe)      AS n_probe,
+           (SELECT CAST(count(*) AS BIGINT) FROM pass)       AS n_pass,
+           (SELECT CAST(count(*) AS BIGINT) FROM build)      AS n_true,
+           (SELECT CAST(count(*) AS BIGINT) FROM pass) -
+           (SELECT CAST(count(*) AS BIGINT) FROM build)      AS n_false_positive
+    """,
+    note="Bloom-filter semi-join pruning, built by hand so both engines "
+    "construct the identical filter (3 md5-derived hash positions into "
+    "1024 bits): the build side's bitset is ~128 BYTES broadcast to every "
+    "probe task, which drops most non-matching rows BEFORE the shuffle — "
+    "the manual analog of Spark's runtime row-level bloom pruning "
+    "(spark.sql.optimizer.runtime.bloomFilter), made deterministic.  "
+    "Membership = all 3 of a key's DISTINCT positions present (a key's "
+    "own hashes may collide).  One-sided error by construction: "
+    "n_pass >= n_true, gap = false positives",
+)
+def bloom_filter_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    D, M = 3, 1024
+
+    def bits(df: DataFrame) -> DataFrame:
+        return (
+            df.crossJoin(
+                spark.range(D).select(F.col("id").cast("int").alias("d"))
+            )
+            .select(
+                "user_id",
+                F.pmod(
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat_ws(
+                                    "#",
+                                    F.col("d").cast("string"),
+                                    F.col("user_id").cast("string"),
+                                )
+                            ),
+                            1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    ).cast("bigint"),
+                    F.lit(M),
+                ).alias("bit"),
+            )
+            .distinct()
+        )
+
+    build = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
+    probe = ev.select("user_id").distinct()
+    build_bits = bits(build).select("bit").distinct()
+    probe_bits = bits(probe)
+    need = probe_bits.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_bits"))
+    hit = (
+        probe_bits.join(F.broadcast(build_bits), "bit")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    passed = need.join(hit, "user_id").filter(F.col("n_hit") == F.col("n_bits"))
+    n_probe, n_pass, n_true = probe.count(), passed.count(), build.count()
+    return spark.createDataFrame(
+        [(n_probe, n_pass, n_true, n_pass - n_true)],
+        "n_probe bigint, n_pass bigint, n_true bigint, n_false_positive bigint",
+    )
+
+
+@register(
+    "kmeans_clusters_k32",
+    """
+    WITH f AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+               unnest(embedding)::DOUBLE AS v
+        FROM embeddings
+    ),
+    c0 AS (SELECT vec_id AS cid, i, v FROM f WHERE vec_id < 32),
+    d1 AS (
+        SELECT f.vec_id, c0.cid,
+               round(sum((f.v - c0.v) * (f.v - c0.v)), 6) AS d2
+        FROM f JOIN c0 USING (i) GROUP BY 1, 2
+    ),
+    a1 AS (
+        SELECT vec_id, cid AS cluster FROM (
+            SELECT vec_id, cid,
+                   row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+            FROM d1) WHERE rn = 1
+    ),
+    c1 AS (
+        SELECT a1.cluster AS cid, f.i, round(avg(f.v), 6) AS v
+        FROM f JOIN a1 USING (vec_id) GROUP BY 1, 2
+    ),
+    d2_ AS (
+        SELECT f.vec_id, c1.cid,
+               round(sum((f.v - c1.v) * (f.v - c1.v)), 6) AS d2
+        FROM f JOIN c1 USING (i) GROUP BY 1, 2
+    )
+    SELECT vec_id, cid AS cluster FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM d2_) WHERE rn = 1
+    """,
+    note="large-k k-means (k=32) on the Arrow matmul kernel: above ~16 "
+    "centroids the per-centroid codegen expression list costs more to "
+    "JIT than to run, so assignment switches to one numpy distance matrix "
+    "per Arrow batch (mapInPandas, partition-local, no shuffle).  The "
+    "kernel folds dimensions SEQUENTIALLY so pre-round distances are "
+    "bit-identical to the small-k expression kernel — same determinism "
+    "contract, same exact oracle, kernels interchangeable "
+    "(operators/clustering.py: EXPR_KERNEL_MAX_K)",
+)
+def kmeans_clusters_k32(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import kmeans_assign
+
+    return kmeans_assign(t(spark, sf_dir, "embeddings"), k=32, iters=2)

@@ -24,8 +24,10 @@ kept here so nothing depends on a lakehouse runtime.
 
 from __future__ import annotations
 
+import contextlib
 import os
 import shutil
+import time
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -94,6 +96,40 @@ class Warehouse:
 
     # -- dimension upsert (J1): get-or-create == left-anti + append ---------
 
+    @contextlib.contextmanager
+    def _table_lock(self, name: str, timeout: float = 120.0):
+        """Advisory per-table mutual exclusion via atomic mkdir.
+
+        The anti-join upsert is read-then-append: two concurrent batches
+        that both compute novelty against the same snapshot would both
+        append the same key (the race test_concurrent_dim_upserts_no_dups
+        demonstrates).  Spark serializes micro-batches WITHIN one streaming
+        query, but two queries (or a stream plus a backfill) sharing a
+        warehouse race.  mkdir is atomic on POSIX and object-store-backed
+        NFS alike; on a production lake the lock is replaced by Delta's
+        optimistic commit protocol (the module docstring's migration
+        story).  Held for the anti-join + append only — seconds — so
+        contention is bounded by batch cadence, not data size.
+        """
+        lockdir = self.table_path(name) + "._lock"
+        os.makedirs(os.path.dirname(lockdir) or ".", exist_ok=True)
+        deadline = time.monotonic() + timeout
+        while True:
+            try:
+                os.mkdir(lockdir)
+                break
+            except FileExistsError:
+                if time.monotonic() > deadline:
+                    raise TimeoutError(
+                        f"could not acquire lock on table {name!r} within "
+                        f"{timeout}s (stale {lockdir}?)"
+                    )
+                time.sleep(0.05)
+        try:
+            yield
+        finally:
+            os.rmdir(lockdir)
+
     def upsert_dim(self, name: str, candidates: DataFrame, key_cols: list[str]) -> DataFrame:
         """Insert candidate rows whose natural key is absent; return the
         novelty rows actually added (materialized).
@@ -102,14 +138,18 @@ class Warehouse:
         The anti join's build side is the *existing dim keys only* — Catalyst
         broadcasts it when small; at scale AQE picks broadcast vs shuffled
         hash per batch.  Append-only, so a rerun of the same batch adds 0.
+        The read-novelty-append sequence runs under the table lock so
+        concurrent upserts serialize instead of double-inserting (see
+        _table_lock).
         """
-        existing = self.read(name).select(*key_cols)
-        novelty = candidates.join(existing, on=key_cols, how="left_anti")
-        # materialize novelty exactly once before appending to the files the
-        # anti join reads from
-        novelty = novelty.localCheckpoint(eager=True)
-        if novelty.count():
-            self.append(name, novelty)
+        with self._table_lock(name):
+            existing = self.read(name).select(*key_cols)
+            novelty = candidates.join(existing, on=key_cols, how="left_anti")
+            # materialize novelty exactly once before appending to the files
+            # the anti join reads from
+            novelty = novelty.localCheckpoint(eager=True)
+            if novelty.count():
+                self.append(name, novelty)
         return novelty
 
     # -- fact sink with idempotent per-snapshot reload (S4/S5/T4) -----------

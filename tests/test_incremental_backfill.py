@@ -142,32 +142,28 @@ def test_validation_clean_and_dirty(spark, warehouse, tmp_path):
     assert tampered["expected"] == "8245384" and tampered["actual"] == "TAMPERED"
 
 
-def test_read_snapshots_brotli_wiring(spark, tmp_path, monkeypatch):
-    """The .br path can't run here (no brotli in the container), but the
-    wiring — binaryFile scan, per-partition decode, from_json re-entry,
-    snapshot_id recovery — is codec-agnostic: drive it with zlib, whose
-    decompress() API matches."""
-    import json
-    import zlib
-
+def test_read_snapshots_brotli_multi_file(spark, tmp_path):
+    """Several landed .br snapshots in one binaryFile scan: the
+    per-partition decode handles >1 file and recovers each file's own
+    snapshot_id from its path (codec roundtrip itself is covered in
+    test_brotli.py)."""
     from open_bus_siri_etl_spark.sources import snapshots
 
-    sid = "2019/05/05/16/00"
-    p = tmp_path / "2019" / "05" / "05" / "16"
-    p.mkdir(parents=True)
-    (p / "00.json.br").write_bytes(
-        zlib.compress(json.dumps(TEST_SNAPSHOT_DATA).encode())
-    )
-    monkeypatch.setattr(snapshots, "brotli", zlib)
-    df = snapshots.read_snapshots_brotli(spark, str(tmp_path / "2019"))
+    landing = str(tmp_path / "landing")
+    sids = ["2019/05/05/16/00", "2019/05/05/16/01", "2019/05/05/17/30"]
+    for sid in sids:
+        snapshots.write_snapshot_fixture(
+            landing, sid, TEST_SNAPSHOT_DATA, compressed=True
+        )
+    df = snapshots.read_snapshots_brotli(spark, landing)
     rows = df.collect()
-    assert len(rows) == 1
-    assert rows[0]["snapshot_id"] == sid
-    n_visits = sum(
-        len(d["MonitoredStopVisit"])
-        for d in rows[0]["Siri"]["ServiceDelivery"]["StopMonitoringDelivery"]
-    )
-    assert n_visits == 5
+    assert sorted(r["snapshot_id"] for r in rows) == sids
+    for r in rows:
+        n_visits = sum(
+            len(d["MonitoredStopVisit"])
+            for d in r["Siri"]["ServiceDelivery"]["StopMonitoringDelivery"]
+        )
+        assert n_visits == 5
 
 
 def test_streaming_restart_with_new_files(spark, warehouse, tmp_path):

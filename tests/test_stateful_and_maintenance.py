@@ -601,3 +601,64 @@ def test_delete_fact_snapshots_unlinks_group(spark, warehouse, tmp_path):
     facts = warehouse.read("siri_vehicle_location")
     assert facts.count() == 3
     assert facts.select("snapshot_id").distinct().collect()[0][0] == "2019/05/05/16/01"
+
+
+def test_unserialized_dim_upserts_double_insert(spark, warehouse):
+    """Documents the race upsert_dim's lock closes: two batches that each
+    compute novelty against the SAME table snapshot both believe the key is
+    new and both append it (T8/J1 hazard — e.g. a streaming query plus a
+    concurrent backfill sharing the warehouse)."""
+    batch_a = spark.createDataFrame([(1, "a")], "id bigint, code string")
+    batch_b = spark.createDataFrame([(1, "b")], "id bigint, code string")
+    # interleaving by hand: both anti-joins read the empty table before
+    # either append happens (exactly what two drivers without the lock do)
+    existing = warehouse.read("siri_stop", batch_a.schema).select("id")
+    nov_a = batch_a.join(existing, "id", "left_anti").localCheckpoint(eager=True)
+    nov_b = batch_b.join(existing, "id", "left_anti").localCheckpoint(eager=True)
+    warehouse.append("siri_stop", nov_a)
+    warehouse.append("siri_stop", nov_b)
+    dup = (
+        warehouse.read("siri_stop", batch_a.schema)
+        .groupBy("id")
+        .count()
+        .filter("count > 1")
+        .count()
+    )
+    assert dup == 1  # the hazard is real: key 1 inserted twice
+
+
+def test_concurrent_dim_upserts_no_dups(spark, warehouse):
+    """The locked path: many threads upserting overlapping key ranges
+    concurrently never double-insert — each upsert's read-novelty-append
+    runs under the table lock, so later batches see earlier appends."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    schema = "id bigint, code string"
+
+    def upsert(i: int) -> int:
+        # every batch overlaps its neighbors: keys [i, i+4]
+        rows = [(k, f"b{i}") for k in range(i, i + 5)]
+        batch = spark.createDataFrame(rows, schema)
+        return warehouse.upsert_dim("siri_stop", batch, ["id"]).count()
+
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        added = list(pool.map(upsert, range(12)))
+
+    got = warehouse.read("siri_stop", spark.createDataFrame([], schema).schema)
+    assert got.groupBy("id").count().filter("count > 1").count() == 0
+    # every key 0..15 present exactly once, and novelty counts sum to the
+    # distinct key count (each key attributed to exactly one batch)
+    assert got.count() == 16
+    assert sum(added) == 16
+
+
+def test_table_lock_times_out_on_stale_lock(warehouse):
+    import os
+
+    import pytest as _pytest
+
+    os.makedirs(warehouse.path, exist_ok=True)
+    os.mkdir(warehouse.table_path("siri_stop") + "._lock")
+    with _pytest.raises(TimeoutError):
+        with warehouse._table_lock("siri_stop", timeout=0.2):
+            pass

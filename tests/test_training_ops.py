@@ -463,3 +463,45 @@ def test_connected_components_chains_and_merges(spark):
         for r in connected_components(merged).collect()
     }
     assert all(comp2[n] == 1 for n in (1, 2, 3, 6, 7, 8))
+
+
+def test_kmeans_kernels_agree(spark):
+    """The Arrow matmul kernel and the codegen expression kernel implement
+    one determinism contract (sequential dimension fold, half-up 6dp
+    rounding, first-min ties): identical assignments at the same k on the
+    real embeddings table — so the auto-switch at EXPR_KERNEL_MAX_K can
+    never change results, only plans."""
+    from open_bus_siri_etl_spark.operators.clustering import kmeans_assign
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    for k in (8, 32):
+        a = kmeans_assign(emb, k=k, iters=2, kernel="expr").collect()
+        b = kmeans_assign(emb, k=k, iters=2, kernel="matmul").collect()
+        assert sorted(map(tuple, a)) == sorted(map(tuple, b)), f"k={k}"
+
+
+def test_misra_gries_candidates_capture_heavy_keys(spark):
+    """MG guarantee end-to-end: every key with global count > N/capacity is
+    in the candidate union, at any partitioning."""
+    from open_bus_siri_etl_spark.operators.sketches import misra_gries_candidates
+
+    # events.parquet carries TIMESTAMP(NANOS); read the raw int64 like
+    # catalog.t() does (we only touch user_id here)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    n = ev.count()
+    for parts in (1, 7):
+        cands = {
+            r["user_id"]
+            for r in misra_gries_candidates(
+                ev.repartition(parts).select("user_id"), "user_id", capacity=64
+            ).collect()
+        }
+        heavy = {
+            r["user_id"]
+            for r in ev.groupBy("user_id")
+            .count()
+            .filter(F.col("count") * 64 > n)
+            .collect()
+        }
+        assert heavy <= cands
