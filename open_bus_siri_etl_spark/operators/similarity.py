@@ -414,6 +414,40 @@ def cosine_near_pairs_blocked(
     )
 
 
+def cosine_near_pairs_auto(
+    corpus: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    broadcast_cap_bytes: int = 512 << 20,
+    n_blocks: int | None = None,
+) -> DataFrame:
+    """Size-based dispatch between the two bulk-similarity kernels, so the
+    100 TB-safe variant engages without caller knowledge.
+
+    Estimates the materialized corpus-matrix footprint (rows × dim × 8 B
+    float64 + id column) with one cheap metadata-only count plus a 1-row dim
+    probe.  Under ``broadcast_cap_bytes`` (default 512 MB — comfortably
+    inside a typical executor's broadcast budget) the corpus is broadcast
+    and each partition matmuls against it (``cosine_near_pairs_blocked``);
+    over it, both sides are tiled (``cosine_near_pairs_tiled``) with
+    ``n_blocks`` sized so one block fits the cap.  Both kernels share the
+    6dp round-before-threshold contract, so the dispatch is invisible to
+    correctness.
+    """
+    probe = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+    if probe is None:  # empty corpus: either path returns empty; use blocked
+        return cosine_near_pairs_blocked(corpus, threshold, id_col, vec_col)
+    dim = int(probe["d"])
+    n = corpus.count()
+    est_bytes = n * (dim * 8 + 8)
+    if est_bytes <= broadcast_cap_bytes:
+        return cosine_near_pairs_blocked(corpus, threshold, id_col, vec_col)
+    if n_blocks is None:
+        n_blocks = max(2, -(-est_bytes // broadcast_cap_bytes))  # ceil div
+    return cosine_near_pairs_tiled(corpus, threshold, n_blocks, id_col, vec_col)
+
+
 def cosine_near_pairs_tiled(
     corpus: DataFrame,
     threshold: float = 0.4,

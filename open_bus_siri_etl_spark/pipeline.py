@@ -27,7 +27,7 @@ from .operators.upsert import get_or_create_objects, with_surrogate_ids
 from .sources.snapshots import (
     read_snapshots,
     read_snapshots_brotli,
-    resolve_snapshot_path,
+    resolve_or_download_snapshot_path,
     snapshot_path,
 )
 from .sources.tables import Warehouse
@@ -165,18 +165,24 @@ def process_snapshot(
     force_reload: bool = False,
     only_missing: bool = False,
     save_parse_errors: bool = True,
+    download_url: str | None = None,
 ) -> dict | None:
     """Process one snapshot with full control-table bookends (EP1).
 
     ``only_missing``: skip ids already loaded (F4, reference :367).
-    Returns the stats dict, or None when skipped.
+    ``download_url``: S2 fetch seam — when the snapshot isn't landed locally,
+    GET ``{download_url}/{id}.br`` into the landing root first (reference
+    process_snapshot.py:324-348, ``download=True`` mode; any urllib scheme,
+    ``file://`` in tests).  Returns the stats dict, or None when skipped.
     """
     existing = control.get_control_row(wh, snapshot_id)
     if only_missing and existing is not None and existing["etl_status"] == control.ETL_LOADED and not force_reload:
         return None
     row, _is_reload = control.start_loading(wh, snapshot_id, force_reload=force_reload)
     try:
-        path, is_br = resolve_snapshot_path(landing_root, snapshot_id)
+        path, is_br = resolve_or_download_snapshot_path(
+            landing_root, snapshot_id, url_template=download_url
+        )
         snapshots_df = (
             read_snapshots_brotli(spark, path)
             if is_br

@@ -27,6 +27,7 @@ from typing import Callable
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, TimestampNTZType
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -35,12 +36,23 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # date_format/date_trunc/to_timestamp agree with the tz-naive oracle
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
-        # the synthetic events table is written with TIMESTAMP(NANOS), which
-        # Spark's vectorized Parquet reader rejects; read the raw int64 nanos
-        # and floor-convert to microseconds (exactly what DuckDB does on read)
+        # the physical type of events.ts has drifted across driver testdata
+        # regenerations (TIMESTAMP(NANOS) in round 1, timestamp[us] since
+        # round 2) — adapt to whatever is actually on disk.  nanosAsLong makes
+        # a NANOS column read as int64 nanos (Spark's vectorized reader
+        # rejects NANOS otherwise) and is a no-op for micros columns.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, LongType):
+            # int64 nanos → floor to micros (exactly what DuckDB does on read)
+            return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if isinstance(ts_type, TimestampNTZType):
+            # oracle reads the same file as tz-naive; under the pinned UTC
+            # session a plain TIMESTAMP has identical field values, and the
+            # rest of the catalog (unix_micros, windows, date_trunc) expects it
+            return df.withColumn("ts", F.col("ts").cast("timestamp"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -360,11 +372,13 @@ def gap_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(
             F.lag("ts").over(w).isNull()
             | (
-                # Full-precision epoch seconds on both sides (the DuckDB oracle
-                # uses epoch(ts), fractional too) so sub-second gaps cannot
-                # classify differently across engines.
-                F.col("ts").cast("double") - F.lag("ts").over(w).cast("double")
-                > GAP_MINUTES * 60
+                # Exact integer microseconds on both sides; the oracle's
+                # fractional epoch(ts) difference exceeds GAP*60 seconds iff
+                # the micros difference exceeds GAP*60*1e6, so sub-second gaps
+                # cannot classify differently across engines — and unix_micros
+                # is legal for any timestamp flavor t() may return.
+                F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+                > GAP_MINUTES * 60 * 1_000_000
             ),
             1,
         ).otherwise(0),
@@ -3035,10 +3049,14 @@ def bloom_filter_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_hit"))
     )
     passed = need.join(hit, "user_id").filter(F.col("n_hit") == F.col("n_bits"))
-    n_probe, n_pass, n_true = probe.count(), passed.count(), build.count()
-    return spark.createDataFrame(
-        [(n_probe, n_pass, n_true, n_pass - n_true)],
-        "n_probe bigint, n_pass bigint, n_true bigint, n_false_positive bigint",
+    # one lazy plan, zero driver-side actions: three 1-row scalar aggregates
+    # cross-joined (broadcast nested loop over single rows) — the driver's
+    # collect runs it as a single Spark job instead of 3 eager .count()s
+    return (
+        probe.agg(F.count(F.lit(1)).cast("bigint").alias("n_probe"))
+        .crossJoin(passed.agg(F.count(F.lit(1)).cast("bigint").alias("n_pass")))
+        .crossJoin(build.agg(F.count(F.lit(1)).cast("bigint").alias("n_true")))
+        .withColumn("n_false_positive", F.col("n_pass") - F.col("n_true"))
     )
 
 

@@ -67,6 +67,49 @@ def resolve_snapshot_path(root: str, snapshot_id: str) -> tuple[str, bool]:
     return plain, False
 
 
+def download_snapshot(
+    root: str, snapshot_id: str, url_template: str, timeout: float = 30.0
+) -> str | None:
+    """S2 download seam: fetch ``{url_template}/{snapshot_id}.br`` and land
+    it in the canonical layout, returning the landed path (None on fetch
+    failure, mirroring the reference's None-on-error contract).
+
+    Mirrors reference process_snapshot.py:324-342 (download_snapshot_data:
+    GET ``{SNAPSHOT_DOWNLOAD_REMOTE_URL}/{id}.br`` → brotli -d → json), but
+    decode stays deferred: the landed ``.json.br`` is decoded executor-side
+    by ``read_snapshots_brotli``, so bulk backfills parallelize the decode
+    instead of doing it at fetch time.  ``url_template`` may be any scheme
+    urllib supports — ``file://`` for hermetic tests, ``https://`` against a
+    real snapshot bucket.
+    """
+    from urllib.request import urlopen
+
+    url = f"{url_template.rstrip('/')}/{snapshot_id}.br"
+    try:
+        with urlopen(url, timeout=timeout) as resp:
+            payload = resp.read()
+    except Exception:
+        return None
+    path = snapshot_path(root, snapshot_id, compressed=True)
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "wb") as f:
+        f.write(payload)
+    return path
+
+
+def resolve_or_download_snapshot_path(
+    root: str, snapshot_id: str, url_template: str | None = None
+) -> tuple[str, bool]:
+    """``resolve_snapshot_path`` with the reference's ``download=True`` mode
+    (process_snapshot.py:344-348): if the snapshot isn't landed locally and a
+    URL template is configured, fetch it into the landing root first."""
+    plain = snapshot_path(root, snapshot_id)
+    br = snapshot_path(root, snapshot_id, compressed=True)
+    if not os.path.exists(plain) and not os.path.exists(br) and url_template:
+        download_snapshot(root, snapshot_id, url_template)
+    return resolve_snapshot_path(root, snapshot_id)
+
+
 def _id_from_path_col() -> F.Column:
     # .../YYYY/MM/DD/HH/MM.json → YYYY/MM/DD/HH/MM
     return F.regexp_extract(

@@ -82,6 +82,33 @@ def test_process_snapshot_all_new_objects(spark, warehouse, landing):
     assert_golden(spark, warehouse)
 
 
+def test_process_snapshot_via_download_seam(spark, warehouse, tmp_path):
+    """S2 fetch path end-to-end (reference process_snapshot.py:324-348,
+    download=True): the snapshot exists only on a remote (a file:// bucket
+    mirror here), is fetched as ``{id}.br`` into the landing root, decoded
+    executor-side, and produces the full golden result."""
+    import json
+
+    from open_bus_siri_etl_spark.sources.snapshots import brotli_compress
+
+    # remote bucket layout: {url}/{id}.br — compressed document only
+    remote = tmp_path / "bucket"
+    br_path = remote / f"{TEST_SNAPSHOT_ID}.br"
+    br_path.parent.mkdir(parents=True)
+    br_path.write_bytes(brotli_compress(json.dumps(TEST_SNAPSHOT_DATA).encode()))
+
+    landing = str(tmp_path / "landing")  # empty — forces the download branch
+    stats = process_snapshot(
+        spark,
+        warehouse,
+        TEST_SNAPSHOT_ID,
+        landing,
+        download_url=remote.as_uri(),
+    )
+    assert stats["num_successful"] == 3 and stats["num_failed"] == 2
+    assert_golden(spark, warehouse)
+
+
 def test_idempotent_reload(spark, warehouse, landing):
     run(spark, warehouse, landing)
     stats = run(spark, warehouse, landing, force_reload=True)

@@ -224,6 +224,28 @@ def test_tiled_cosine_pairs_matches_exact(spark):
     assert exact == tiled and len(exact) > 0
 
 
+def test_auto_cosine_pairs_dispatch(spark):
+    """The size-based dispatcher must pick the broadcast kernel under the cap
+    and the tiled kernel over it, with identical results either way."""
+    from open_bus_siri_etl_spark.operators.similarity import (
+        cosine_near_pairs,
+        cosine_near_pairs_auto,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    exact = sorted(map(tuple, cosine_near_pairs(emb, 0.4).collect()))
+
+    # generous cap → blocked (broadcast) branch: plan contains no groupBy tiles
+    blocked = cosine_near_pairs_auto(emb, 0.4, broadcast_cap_bytes=1 << 30)
+    assert "FlatMapGroupsInPandas" not in blocked._jdf.queryExecution().toString()
+    assert sorted(map(tuple, blocked.collect())) == exact
+
+    # 1 KB cap → tiled branch (applyInPandas over block-pair groups)
+    tiled = cosine_near_pairs_auto(emb, 0.4, broadcast_cap_bytes=1 << 10)
+    assert "FlatMapGroupsInPandas" in tiled._jdf.queryExecution().toString()
+    assert sorted(map(tuple, tiled.collect())) == exact
+
+
 def test_multimodal_resize_and_frame_sample(spark, docs):
     from open_bus_siri_etl_spark.operators.multimodal import (
         documents_as_media,
