@@ -32,20 +32,65 @@ try:  # prefer the real module when installed (full-format decode)
 except ImportError:  # pragma: no cover
     brotli = None
 
+try:  # pyarrow ships a full RFC 7932 codec (huffman + static dictionary)
+    import pyarrow as _pa
+
+    _PA_BROTLI = _pa.Codec("brotli") if _pa.Codec.is_available("brotli") else None
+except Exception:  # pragma: no cover
+    _PA_BROTLI = None
+
 from . import brotli_fallback
 
 
+def _pa_brotli_decompress(payload: bytes) -> bytes:
+    """Full-format decode through pyarrow's brotli codec.
+
+    The codec API needs the decompressed size up front, which a raw brotli
+    stream doesn't carry (RFC 7932 has no length header).  But the codec
+    fails for every undersized buffer and succeeds (zero-padded) for any
+    size ≥ actual, so the exact length is the minimal succeeding size:
+    exponential probe up from a typical-text-ratio guess, then binary
+    search down.  ~5-8 whole-stream decodes per document — executor-side
+    and per-file-parallel in read_snapshots_brotli, so throughput scales
+    out with the cluster rather than with this constant.
+    """
+    # invariant: lo fails (−1 ≡ "below any size"), hi succeeds
+    lo, hi = -1, max(64, len(payload) * 8)
+    while True:  # exponential: find a succeeding upper bound
+        try:
+            _PA_BROTLI.decompress(payload, hi)
+            break
+        except OSError:
+            lo, hi = hi, hi * 4
+            if hi > 1 << 34:  # 16 GiB: not a valid stream, not a size problem
+                raise
+    while lo + 1 < hi:  # minimal succeeding size == exact decoded length
+        mid = (lo + hi) // 2
+        try:
+            _PA_BROTLI.decompress(payload, mid)
+            hi = mid
+        except OSError:
+            lo = mid
+    return bytes(_PA_BROTLI.decompress(payload, hi))
+
+
 def brotli_decompress(payload: bytes) -> bytes:
-    """Decode brotli bytes: real module when present, else the vendored
-    stored-mode subset (RFC 7932 uncompressed meta-blocks)."""
+    """Decode brotli bytes — full format (huffman + dictionary meta-blocks):
+    the real module when installed, else pyarrow's bundled codec, else the
+    vendored stored-mode subset (RFC 7932 uncompressed meta-blocks) as the
+    last-resort floor."""
     if brotli is not None:  # pragma: no cover
         return brotli.decompress(payload)
+    if _PA_BROTLI is not None:
+        return _pa_brotli_decompress(payload)
     return brotli_fallback.decompress(payload)
 
 
 def brotli_compress(payload: bytes) -> bytes:
     if brotli is not None:  # pragma: no cover
         return brotli.compress(payload)
+    if _PA_BROTLI is not None:
+        return bytes(_PA_BROTLI.compress(payload))
     return brotli_fallback.compress(payload)
 
 

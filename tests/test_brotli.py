@@ -1,9 +1,11 @@
 """S2 — the brotli input codec, exercised end-to-end.
 
-The reference's real inputs are ``.br`` files (process_snapshot.py:324-342);
-this env has no brotli module, so the vendored RFC 7932 stored-mode subset
-carries the path.  Vectors below are hand-derived from the RFC, independent
-of the encoder, so encoder and decoder cannot be wrong together.
+The reference's real inputs are ``.br`` files (process_snapshot.py:324-342).
+Full-format decode (huffman + dictionary meta-blocks) rides pyarrow's
+bundled brotli codec; the vendored RFC 7932 stored-mode subset remains the
+dependency-free floor.  Stored-mode vectors below are hand-derived from the
+RFC, independent of the encoder, so encoder and decoder cannot be wrong
+together.
 """
 
 import pytest
@@ -80,6 +82,42 @@ def test_metadata_metablock_skipped():
     w.write(1, 1)
     w.write(1, 1)
     assert brotli_fallback.decompress(bytes(w.out)) == b"hi"
+
+
+# -- full-format decode via pyarrow's bundled codec --------------------------
+
+
+def test_full_format_decode_entropy_coded():
+    """Real huffman/dictionary-coded streams (what the reference's S3 bucket
+    actually serves) decode through the pyarrow codec path — the stored-mode
+    fallback alone would raise UnsupportedBrotliData on these."""
+    import pyarrow as pa
+
+    from open_bus_siri_etl_spark.sources.snapshots import brotli_decompress
+
+    if not pa.Codec.is_available("brotli"):
+        pytest.skip("pyarrow built without brotli")
+    # compressible text → the encoder emits entropy-coded meta-blocks
+    data = b'{"Siri": {"ServiceDelivery": {"StopMonitoringDelivery": []}}}' * 500
+    comp = bytes(pa.Codec("brotli").compress(data))
+    assert len(comp) < len(data) // 10  # genuinely entropy-coded, not stored
+    with pytest.raises(brotli_fallback.UnsupportedBrotliData):
+        brotli_fallback.decompress(comp)  # fallback can't — codec must
+    assert brotli_decompress(comp) == data
+
+
+@settings(max_examples=25, deadline=None)
+@given(st.binary(max_size=2000))
+def test_full_format_roundtrip_property(data):
+    """brotli_compress→brotli_decompress roundtrip through whichever codec
+    is active (pyarrow here), incl. the empty payload and incompressible
+    random bytes (exercises the exact-size search on both branches)."""
+    from open_bus_siri_etl_spark.sources.snapshots import (
+        brotli_compress,
+        brotli_decompress,
+    )
+
+    assert brotli_decompress(brotli_compress(data)) == data
 
 
 # -- end-to-end through the Spark reader and the golden pipeline -------------
