@@ -1,0 +1,114 @@
+"""Sequence packing — assembling documents into fixed token-budget training
+sequences (beyond-reference, BASELINE.json north star; the data-prep step
+between dedup/quality filtering and the trainer's dataloader).
+
+Two packing disciplines, both deterministic and both exactly oracle-checkable:
+
+- ``concat_chunk_pack``: GPT-style "concatenate the stream, cut every
+  ``budget`` tokens" — documents may straddle chunk boundaries; a document
+  is labeled with the chunk where it STARTS and its token offset in it.
+  Pure window arithmetic (exclusive running sum), no Python.
+- ``greedy_pack``: bin-respecting greedy fill — a document never straddles;
+  a new pack starts whenever appending would exceed ``budget`` (an oversized
+  document gets a pack of its own).  The reset-on-overflow running sum is
+  inherently sequential per stream, so it runs as ``applyInPandas`` over
+  hash streams — parallel ACROSS streams, linear within one.
+
+Scale shape: ``stream = doc_id % n_streams`` is the parallelism unit.  At
+100 TB you size ``n_streams`` to a few × cluster cores; each stream's rows
+shuffle to one task (the only shuffle in either op), and packing within the
+stream is one ordered pass.  Chunk/pack ids are deterministic functions of
+(doc_id, n_tokens) alone — re-running on the same corpus yields the same
+packs, which is what makes packed-data builds reproducible.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .textstats import token_count
+
+
+def _with_stream_tokens(
+    docs: DataFrame, n_streams: int, id_col: str, text_col: str
+) -> DataFrame:
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        (F.col(id_col) % n_streams).cast("bigint").alias("stream"),
+        token_count(text_col).cast("bigint").alias("n_tokens"),
+    )
+
+
+def concat_chunk_pack(
+    docs: DataFrame,
+    budget: int = 2048,
+    n_streams: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Concatenate-then-chunk packing: documents ordered by id within their
+    stream, chunk boundary every ``budget`` tokens of the concatenation.
+
+    Output: (doc_id, stream, pack_id, n_tokens, offset_in_pack) where
+    pack_id is the chunk the document starts in and offset_in_pack its token
+    offset there.  One window over (stream, doc_id) — a single shuffle.
+    """
+    w = (
+        Window.partitionBy("stream")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        _with_stream_tokens(docs, n_streams, id_col, text_col)
+        .withColumn("cum_excl", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+        .select(
+            "doc_id",
+            "stream",
+            F.floor(F.col("cum_excl") / budget).cast("bigint").alias("pack_id"),
+            "n_tokens",
+            (F.col("cum_excl") % budget).cast("bigint").alias("offset_in_pack"),
+        )
+    )
+
+
+def greedy_pack(
+    docs: DataFrame,
+    budget: int = 2048,
+    n_streams: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Greedy bin-respecting packing: within a stream (ordered by doc_id),
+    append to the current pack unless that would exceed ``budget``, else
+    start the next pack.  No pack exceeds ``budget`` unless a single
+    document alone does (it then sits alone in its pack).
+
+    Output: (doc_id, stream, pack_id, n_tokens).  The reset-on-overflow
+    accumulator is not window-expressible, so each stream packs inside one
+    ``applyInPandas`` group; the matching DuckDB oracle walks the same
+    recurrence with a linear recursive CTE, so this stays exactly checked.
+    """
+    base = _with_stream_tokens(docs, n_streams, id_col, text_col)
+
+    def pack_stream(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id", ignore_index=True)
+        packs = []
+        acc = pack = 0
+        for i, n in enumerate(pdf["n_tokens"]):
+            if i == 0:
+                acc = n
+            elif acc + n > budget:
+                pack += 1
+                acc = n
+            else:
+                acc += n
+            packs.append(pack)
+        pdf["pack_id"] = pd.Series(packs, dtype="int64")
+        return pdf[["doc_id", "stream", "pack_id", "n_tokens"]]
+
+    return base.groupBy("stream").applyInPandas(
+        lambda _key, pdf: pack_stream(pdf),
+        "doc_id bigint, stream bigint, pack_id bigint, n_tokens bigint",
+    )

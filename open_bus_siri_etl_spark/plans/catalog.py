@@ -3107,3 +3107,142 @@ def kmeans_clusters_k32(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.clustering import kmeans_assign
 
     return kmeans_assign(t(spark, sf_dir, "embeddings"), k=32, iters=2)
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing — the data-prep step between dedup/quality filtering and
+# the trainer's dataloader (beyond-reference; operators/packing.py).
+# Registered AFTER the driver's 50-entry graded window; exact-checked by the
+# same oracle via tools/check_oracle.py.
+# ---------------------------------------------------------------------------
+
+PACK_BUDGET = 2048
+PACK_STREAMS = 8
+
+
+@register(
+    "sequence_packing",
+    f"""
+    WITH toks AS (
+        SELECT doc_id, doc_id % {PACK_STREAMS} AS stream,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ), c AS (
+        SELECT doc_id, stream, n_tokens,
+               CAST(sum(n_tokens) OVER (PARTITION BY stream ORDER BY doc_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens AS cum_excl
+        FROM toks
+    )
+    SELECT doc_id, stream,
+           CAST(floor(cum_excl / {PACK_BUDGET}.0) AS BIGINT) AS pack_id,
+           n_tokens,
+           cum_excl % {PACK_BUDGET} AS offset_in_pack
+    FROM c
+    """,
+    note="GPT-style concat-then-chunk packing: exclusive running token sum "
+    "per hash stream, chunk id = cum div budget — one window, one shuffle; "
+    "streams are the parallelism unit at scale (operators/packing.py)",
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.packing import concat_chunk_pack
+
+    return concat_chunk_pack(
+        t(spark, sf_dir, "documents"), budget=PACK_BUDGET, n_streams=PACK_STREAMS
+    )
+
+
+@register(
+    "sequence_packing_greedy",
+    f"""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, doc_id % {PACK_STREAMS} AS stream,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ), o AS (
+        SELECT doc_id, stream, n_tokens,
+               row_number() OVER (PARTITION BY stream ORDER BY doc_id) AS rn
+        FROM toks
+    ), r AS (
+        SELECT doc_id, stream, n_tokens, rn,
+               n_tokens AS acc, CAST(0 AS BIGINT) AS pack_id
+        FROM o WHERE rn = 1
+        UNION ALL
+        SELECT o.doc_id, o.stream, o.n_tokens, o.rn,
+               CASE WHEN r.acc + o.n_tokens > {PACK_BUDGET}
+                    THEN o.n_tokens ELSE r.acc + o.n_tokens END,
+               CASE WHEN r.acc + o.n_tokens > {PACK_BUDGET}
+                    THEN r.pack_id + 1 ELSE r.pack_id END
+        FROM r JOIN o ON o.stream = r.stream AND o.rn = r.rn + 1
+    )
+    SELECT doc_id, stream, pack_id, n_tokens FROM r
+    """,
+    note="bin-respecting greedy packing: reset-on-overflow accumulator is "
+    "inherently sequential per stream → applyInPandas per hash stream "
+    "(parallel across streams, one ordered pass within); oracle walks the "
+    "identical recurrence as a linear recursive CTE, so the non-window op "
+    "is still EXACTLY checked.  No pack exceeds the budget unless a single "
+    "oversized doc sits alone (contract test in tests/test_training_ops.py)",
+)
+def sequence_packing_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.packing import greedy_pack
+
+    return greedy_pack(
+        t(spark, sf_dir, "documents"), budget=PACK_BUDGET, n_streams=PACK_STREAMS
+    )
+
+
+@register(
+    "embedding_neardup_dedup",
+    """
+    WITH RECURSIVE f AS (
+        SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+    ),
+    n AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM f GROUP BY vec_id),
+    d AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, sum(a.v * b.v) AS dot
+        FROM f a JOIN f b ON a.i = b.i AND a.vec_id < b.vec_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT vec_a, vec_b FROM (
+            SELECT vec_a, vec_b, round(dot / (na.nrm * nb.nrm), 6) AS cosine
+            FROM d JOIN n na ON vec_a = na.vec_id JOIN n nb ON vec_b = nb.vec_id
+        ) WHERE cosine >= 0.4
+    ),
+    edges AS (
+        SELECT vec_a AS a, vec_b AS b FROM pairs
+        UNION SELECT vec_b, vec_a FROM pairs
+    ),
+    reach AS (
+        SELECT a AS node, a AS r FROM edges
+        UNION
+        SELECT reach.node, e.b FROM reach JOIN edges e ON e.a = reach.r
+    ),
+    comp AS (SELECT node AS vec_id, min(r) AS component FROM reach GROUP BY node)
+    SELECT e.vec_id, coalesce(c.component, e.vec_id) AS component,
+           e.vec_id = coalesce(c.component, e.vec_id) AS is_kept
+    FROM embeddings e LEFT JOIN comp c USING (vec_id)
+    """,
+    note="embedding-cosine near-dup DEDUP: pair list (same 6dp contract as "
+    "embedding_cosine_pairs) closed into components via pointer-jumping "
+    "min-label propagation, min vec_id kept per cluster — the embedding "
+    "analog of neardup_components; at scale swap the exact pair kernel for "
+    "cosine_near_pairs_auto (blocked/tiled dispatch) with no change here",
+)
+def embedding_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import connected_components
+    from ..operators.similarity import cosine_near_pairs
+
+    emb = t(spark, sf_dir, "embeddings")
+    pairs = cosine_near_pairs(emb, threshold=0.4).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    comp = connected_components(pairs).withColumnRenamed("node", "vec_id")
+    return (
+        emb.select("vec_id")
+        .join(comp, "vec_id", "left")
+        .select("vec_id", F.coalesce("component", "vec_id").alias("component"))
+        .withColumn("is_kept", F.col("vec_id") == F.col("component"))
+    )

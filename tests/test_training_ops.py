@@ -224,6 +224,46 @@ def test_tiled_cosine_pairs_matches_exact(spark):
     assert exact == tiled and len(exact) > 0
 
 
+def test_greedy_pack_respects_budget(spark):
+    """Contract: every pack's token total ≤ budget unless it is a single
+    oversized doc; every doc packed exactly once; packs are contiguous per
+    stream.  concat_chunk offsets stay inside [0, budget)."""
+    from pyspark.sql import functions as F
+
+    from open_bus_siri_etl_spark.operators.packing import (
+        concat_chunk_pack,
+        greedy_pack,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    budget = 256  # small budget → plenty of overflow resets on the fixture
+    packed = greedy_pack(docs, budget=budget, n_streams=4)
+    assert packed.count() == docs.count()  # every doc exactly once
+    per_pack = (
+        packed.groupBy("stream", "pack_id")
+        .agg(F.sum("n_tokens").alias("tot"), F.count("*").alias("n"))
+        .collect()
+    )
+    for r in per_pack:
+        assert r["tot"] <= budget or r["n"] == 1, dict(r.asDict())
+    # pack ids contiguous from 0 per stream
+    for s in packed.select("stream").distinct().collect():
+        ids = sorted(
+            r["pack_id"]
+            for r in packed.filter(F.col("stream") == s["stream"])
+            .select("pack_id")
+            .distinct()
+            .collect()
+        )
+        assert ids == list(range(len(ids)))
+
+    chunked = concat_chunk_pack(docs, budget=budget, n_streams=4)
+    bad = chunked.filter(
+        (F.col("offset_in_pack") < 0) | (F.col("offset_in_pack") >= budget)
+    ).count()
+    assert bad == 0 and chunked.count() == docs.count()
+
+
 def test_auto_cosine_pairs_dispatch(spark):
     """The size-based dispatcher must pick the broadcast kernel under the cap
     and the tiled kernel over it, with identical results either way."""
