@@ -60,12 +60,19 @@ def main() -> None:
         except Exception:
             pass  # warm-up must never fail the bench
 
+    # min-of-N per query: single runs at local scale are ±10% noise (GC,
+    # page cache, scheduler jitter); the minimum is the steady-state latency
+    # and is the standard way to report microbench-scale timings.
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
     timings: dict[str, float] = {}
     for name in names:
         q = REGISTRY[name]
-        t0 = time.time()
-        q.fn(spark, sf_dir).count()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.time()
+            q.fn(spark, sf_dir).count()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     out = {

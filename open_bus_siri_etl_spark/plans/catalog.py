@@ -30,18 +30,26 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, TimestampNTZType
 
 
+_SESSIONS_PINNED: set[int] = set()
+
+
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # timestamp semantics must not depend on the caller's session timezone
     # (the driver's harness session may not be UTC): pin it here, so
-    # date_format/date_trunc/to_timestamp agree with the tz-naive oracle
-    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # date_format/date_trunc/to_timestamp agree with the tz-naive oracle.
+    # Pinning is once per session (queries call t() several times; the conf
+    # RPCs are pure overhead after the first call).
+    if id(spark) not in _SESSIONS_PINNED:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        _SESSIONS_PINNED.add(id(spark))
     if name == "events":
         # the physical type of events.ts has drifted across driver testdata
         # regenerations (TIMESTAMP(NANOS) in round 1, timestamp[us] since
-        # round 2) — adapt to whatever is actually on disk.  nanosAsLong makes
-        # a NANOS column read as int64 nanos (Spark's vectorized reader
-        # rejects NANOS otherwise) and is a no-op for micros columns.
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # round 2) — adapt to whatever is actually on disk.  nanosAsLong
+        # (pinned above) makes a NANOS column read as int64 nanos (Spark's
+        # vectorized reader rejects NANOS otherwise) and is a no-op for
+        # micros columns.
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         ts_type = df.schema["ts"].dataType
         if isinstance(ts_type, LongType):
