@@ -32,12 +32,19 @@ from .textstats import token_count
 
 
 def _with_stream_tokens(
-    docs: DataFrame, n_streams: int, id_col: str, text_col: str
+    docs: DataFrame,
+    n_streams: int,
+    id_col: str,
+    text_col: str,
+    tokens_col: str | None = None,
 ) -> DataFrame:
+    # tokens_col: reuse an already-computed token count (e.g. from a quality
+    # pass) instead of re-tokenizing — saves a second pass over text
+    n_tok = F.col(tokens_col) if tokens_col else token_count(text_col)
     return docs.select(
         F.col(id_col).alias("doc_id"),
         (F.col(id_col) % n_streams).cast("bigint").alias("stream"),
-        token_count(text_col).cast("bigint").alias("n_tokens"),
+        n_tok.cast("bigint").alias("n_tokens"),
     )
 
 
@@ -79,6 +86,7 @@ def greedy_pack(
     n_streams: int = 8,
     id_col: str = "doc_id",
     text_col: str = "text",
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Greedy bin-respecting packing: within a stream (ordered by doc_id),
     append to the current pack unless that would exceed ``budget``, else
@@ -90,7 +98,7 @@ def greedy_pack(
     ``applyInPandas`` group; the matching DuckDB oracle walks the same
     recurrence with a linear recursive CTE, so this stays exactly checked.
     """
-    base = _with_stream_tokens(docs, n_streams, id_col, text_col)
+    base = _with_stream_tokens(docs, n_streams, id_col, text_col, tokens_col)
 
     def pack_stream(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id", ignore_index=True)

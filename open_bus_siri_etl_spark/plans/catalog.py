@@ -3254,3 +3254,92 @@ def embedding_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.coalesce("component", "vec_id").alias("component"))
         .withColumn("is_kept", F.col("vec_id") == F.col("component"))
     )
+
+
+@register(
+    "embedding_cosine_pairs_auto",
+    """
+    WITH f AS (
+        SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+    ),
+    n AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM f GROUP BY vec_id),
+    d AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, sum(a.v * b.v) AS dot
+        FROM f a JOIN f b ON a.i = b.i AND a.vec_id < b.vec_id
+        GROUP BY 1, 2
+    )
+    SELECT vec_a, vec_b, cosine FROM (
+        SELECT vec_a, vec_b, round(dot / (na.nrm * nb.nrm), 6) AS cosine
+        FROM d JOIN n na ON vec_a = na.vec_id JOIN n nb ON vec_b = nb.vec_id
+    ) WHERE cosine >= 0.4
+    """,
+    note="bulk similarity through the SIZE-BASED DISPATCHER "
+    "(operators/similarity.py:cosine_near_pairs_auto): broadcast-matmul "
+    "kernel under the 512 MB corpus estimate, both-sides-tiled kernel over "
+    "it — the 100 TB-safe path engages without caller knowledge; same 6dp "
+    "contract and oracle as the manual variants",
+)
+def embedding_cosine_pairs_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine_near_pairs_auto
+
+    return cosine_near_pairs_auto(t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+@register(
+    "training_prep_packed",
+    f"""
+    WITH RECURSIVE s AS (
+        SELECT doc_id, text,
+               len(string_split(text, ' ')) AS n_tokens,
+{_LANGID_SCORES_SQL}
+        FROM documents
+    ),
+    surv AS (
+        SELECT doc_id, text, CAST(n_tokens AS BIGINT) AS n_tokens
+        FROM s
+        WHERE n_tokens BETWEEN 20 AND 80
+          AND score_en >= 0.02
+          AND score_en = greatest(score_en, score_es, score_de, score_fr)
+    ),
+    dedup AS (
+        SELECT doc_id, n_tokens FROM (
+            SELECT doc_id, n_tokens,
+                   row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+            FROM surv) WHERE rn = 1
+    ),
+    o AS (
+        SELECT doc_id, doc_id % {PACK_STREAMS} AS stream, n_tokens,
+               row_number() OVER (PARTITION BY doc_id % {PACK_STREAMS}
+                                  ORDER BY doc_id) AS rn
+        FROM dedup
+    ),
+    r AS (
+        SELECT doc_id, stream, n_tokens, rn,
+               n_tokens AS acc, CAST(0 AS BIGINT) AS pack_id
+        FROM o WHERE rn = 1
+        UNION ALL
+        SELECT o.doc_id, o.stream, o.n_tokens, o.rn,
+               CASE WHEN r.acc + o.n_tokens > 512
+                    THEN o.n_tokens ELSE r.acc + o.n_tokens END,
+               CASE WHEN r.acc + o.n_tokens > 512
+                    THEN r.pack_id + 1 ELSE r.pack_id END
+        FROM r JOIN o ON o.stream = r.stream AND o.rn = r.rn + 1
+    )
+    SELECT doc_id, stream, pack_id, n_tokens FROM r
+    """,
+    note="the full training-data flow in one lazy plan: quality gate + "
+    "language gate + exact dedup (training_prep_pipeline) feeding greedy "
+    "sequence packing (budget 512) — gates fuse into the scan, dedup is one "
+    "hash shuffle, packing one stream shuffle; token counts computed once "
+    "and reused by the packer (tokens_col seam)",
+)
+def training_prep_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.packing import greedy_pack
+    from ..operators.textstats import prep_training_corpus
+
+    surv = prep_training_corpus(t(spark, sf_dir, "documents"))
+    return greedy_pack(
+        surv, budget=512, n_streams=PACK_STREAMS, tokens_col="n_tokens"
+    )
