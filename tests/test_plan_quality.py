@@ -132,3 +132,20 @@ def test_topk_queries_avoid_global_sort(spark):
         plan = explain_str(REGISTRY[name].fn(spark, SF))
         assert "TakeOrderedAndProject" in plan, name
         assert "rangepartitioning" not in plan, name
+
+
+def test_sequence_packing_single_shuffle(spark):
+    """Concat-chunk packing must be ONE window over (stream, doc_id): a
+    single Exchange, no Python, tokenization fused into the scan project."""
+    plan = explain_str(REGISTRY["sequence_packing"].fn(spark, SF))
+    assert plan.count(") Exchange") == 1, plan.count(") Exchange")
+    assert "Window" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_greedy_packing_one_shuffle_to_streams(spark):
+    """Greedy packing: one hash shuffle to streams feeding the per-stream
+    Arrow group processor — nothing else."""
+    plan = explain_str(REGISTRY["sequence_packing_greedy"].fn(spark, SF))
+    assert "FlatMapGroupsInPandas" in plan
+    assert plan.count(") Exchange") == 1, plan.count(") Exchange")
