@@ -157,3 +157,63 @@ def prep_training_corpus(
         .filter(F.col("_rn") == 1)
         .select("doc_id", "n_tokens", "n_bpe_tokens")
     )
+
+
+def with_repetition_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Repetition quality signals (the Gopher/RefinedWeb-style filters):
+    duplicate-token and duplicate-bigram fractions per document.
+
+    Boilerplate, keyword-stuffed, and degenerate generated text scores high
+    on dup_bigram_frac while normal prose stays low, so training pipelines
+    threshold on it after the basic length gates.  All column expressions —
+    the bigram list materializes per row inside codegen and never crosses a
+    shuffle; there is NO shuffle at all in this op.
+    """
+    toks = tokens(text_col)
+    n = F.size(toks)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.concat_ws(" ", F.get(toks, i), F.get(toks, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    n_bg = F.size(bigrams)
+    n_bg_d = F.size(F.array_distinct(bigrams))
+    return df.select(
+        "doc_id",
+        n.cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct_tokens"),
+        n_bg.cast("bigint").alias("n_bigrams"),
+        n_bg_d.cast("bigint").alias("n_distinct_bigrams"),
+        F.when(n_bg > 0, (n_bg - n_bg_d) * 1.0 / n_bg)
+        .otherwise(F.lit(0.0))
+        .alias("dup_bigram_frac"),
+    )
+
+
+def shuffle_shards(
+    df: DataFrame, n_shards: int = 16, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic pre-training shuffle + shard assignment.
+
+    shard = first 32 bits of md5(id) mod n_shards (content-hash uniform, no
+    RNG state); pos_in_shard = rank of the full md5 within the shard.  The
+    hash IS the shuffle: adjacent source rows scatter uniformly, yet the
+    layout is exactly reproducible run-to-run.  One hash shuffle per shard
+    window, all shards in parallel — no global sort, no single-partition
+    window; at scale, write with partitionBy(shard) and the per-shard order
+    becomes the file order.
+    """
+    from pyspark.sql import Window
+
+    base = df.select(F.col(id_col).alias("doc_id"))
+    h = F.md5(F.col("doc_id").cast("string"))
+    shard = F.pmod(
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint"), F.lit(n_shards)
+    ).cast("bigint")
+    w = Window.partitionBy("shard").orderBy(h, F.col("doc_id"))
+    return (
+        base.withColumn("shard", shard)
+        .withColumn("pos_in_shard", (F.row_number().over(w) - 1).cast("bigint"))
+    )

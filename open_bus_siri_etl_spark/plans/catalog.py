@@ -3343,3 +3343,66 @@ def training_prep_packed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return greedy_pack(
         surv, budget=512, n_streams=PACK_STREAMS, tokens_col="n_tokens"
     )
+
+
+@register(
+    "doc_repetition_stats",
+    """
+    WITH b AS (
+        SELECT doc_id, string_split(text, ' ') AS toks,
+               len(string_split(text, ' ')) AS n_tokens
+        FROM documents
+    ), g AS (
+        SELECT doc_id, n_tokens,
+               CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+               CASE WHEN n_tokens >= 2 THEN
+                   list_transform(generate_series(1, n_tokens - 1),
+                                  i -> toks[i] || ' ' || toks[i + 1])
+               ELSE CAST([] AS VARCHAR[]) END AS bigrams
+        FROM b
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, n_distinct_tokens,
+           CAST(len(bigrams) AS BIGINT) AS n_bigrams,
+           CAST(len(list_distinct(bigrams)) AS BIGINT) AS n_distinct_bigrams,
+           CASE WHEN len(bigrams) > 0 THEN
+                (len(bigrams) - len(list_distinct(bigrams))) * 1.0 / len(bigrams)
+           ELSE 0.0 END AS dup_bigram_frac
+    FROM documents JOIN g USING (doc_id)
+    """,
+    note="Gopher/RefinedWeb-style repetition filters: duplicate-token and "
+    "duplicate-bigram fractions as pure codegen column expressions — the "
+    "per-row bigram list never crosses a shuffle (there is none); "
+    "boilerplate and degenerate generations threshold out on "
+    "dup_bigram_frac (operators/textstats.py:with_repetition_stats)",
+)
+def doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textstats import with_repetition_stats
+
+    return with_repetition_stats(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "shuffle_shards",
+    """
+    WITH s AS (
+        SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+               CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                         AS UBIGINT) % 16 AS BIGINT) AS shard
+        FROM documents
+    )
+    SELECT doc_id, shard,
+           CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id)
+                AS BIGINT) - 1 AS pos_in_shard
+    FROM s
+    """,
+    note="deterministic pre-training shuffle + shard assignment: the "
+    "content hash IS the shuffle (uniform scatter, zero RNG state, exactly "
+    "reproducible); per-shard rank windows run in parallel — no global "
+    "sort, no single-partition window; at scale partitionBy(shard) makes "
+    "the per-shard order the file order "
+    "(operators/textstats.py:shuffle_shards)",
+)
+def shuffle_shards_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textstats import shuffle_shards
+
+    return shuffle_shards(t(spark, sf_dir, "documents"), n_shards=16)
