@@ -395,3 +395,35 @@ def connected_components(
         if changed == 0:
             break
     return labels.select(F.col("u").alias("node"), "component")
+
+
+def contamination_overlap(
+    train: DataFrame,
+    evalset: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    min_common: int = 2,
+) -> DataFrame:
+    """Train/eval contamination detection: training documents sharing at
+    least ``min_common`` distinct word n-gram shingles with any eval
+    document — the decontamination pass an LLM data pipeline runs against
+    its benchmark suites before training.
+
+    Output: (doc_id, eval_id, n_common), one row per contaminated
+    (train, eval) pair.  Scale shape: the eval side is benchmarks —
+    tiny next to a 100 TB corpus — so its posting list is broadcast and
+    the train corpus streams past it in one scan; the only shuffle is the
+    per-pair count aggregation, whose cardinality is bounded by actual
+    overlap, not corpus size.
+    """
+    tp = shingle_postings(train, text_col, n)
+    ep = (
+        shingle_postings(evalset, text_col, n, spread=False)
+        .withColumnRenamed("doc_id", "eval_id")
+    )
+    return (
+        tp.join(F.broadcast(ep), "shingle")
+        .groupBy("doc_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )

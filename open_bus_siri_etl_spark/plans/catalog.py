@@ -3406,3 +3406,39 @@ def shuffle_shards_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.textstats import shuffle_shards
 
     return shuffle_shards(t(spark, sf_dir, "documents"), n_shards=16)
+
+
+@register(
+    "contamination_check",
+    f"""
+    WITH tok AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+    post AS (
+        SELECT DISTINCT doc_id, shingle FROM (
+            SELECT doc_id,
+                   unnest(list_transform(list_slice(toks, 1, len(toks)-2),
+                          (x, i) -> x || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingle
+            FROM tok)
+    ),
+    train AS (SELECT doc_id, shingle FROM post WHERE doc_id % 100 <> 0),
+    ev AS (SELECT doc_id AS eval_id, shingle FROM post WHERE doc_id % 100 = 0)
+    SELECT t.doc_id, e.eval_id, CAST(count(*) AS BIGINT) AS n_common
+    FROM train t JOIN ev e USING (shingle)
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+    """,
+    note="train/eval contamination detection (the decontamination pass an "
+    "LLM pipeline runs against its benchmark suites): train docs sharing "
+    ">= 2 distinct trigram shingles with any eval doc.  Eval postings are "
+    "benchmark-sized -> broadcast; the 100 TB train corpus streams past in "
+    "one scan, the only shuffle is the overlap-bounded pair count "
+    "(operators/dedup.py:contamination_overlap)",
+)
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import contamination_overlap
+
+    docs = t(spark, sf_dir, "documents")
+    return contamination_overlap(
+        docs.filter(F.col("doc_id") % 100 != 0),
+        docs.filter(F.col("doc_id") % 100 == 0),
+        min_common=2,
+    )

@@ -149,3 +149,10 @@ def test_greedy_packing_one_shuffle_to_streams(spark):
     plan = explain_str(REGISTRY["sequence_packing_greedy"].fn(spark, SF))
     assert "FlatMapGroupsInPandas" in plan
     assert plan.count(") Exchange") == 1, plan.count(") Exchange")
+
+
+def test_contamination_eval_side_broadcast(spark):
+    """The eval posting list must broadcast — the train corpus may be 100 TB
+    and must not shuffle on shingle for the overlap join."""
+    plan = explain_str(REGISTRY["contamination_check"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
