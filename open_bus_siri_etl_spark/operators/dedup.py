@@ -427,3 +427,94 @@ def contamination_overlap(
         .agg(F.count(F.lit(1)).alias("n_common"))
         .filter(F.col("n_common") >= min_common)
     )
+
+
+def minhash_delta_dedup(
+    history: DataFrame,
+    delta: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    perms: int = MINHASH_PERMS,
+    bands: int = MINHASH_BANDS,
+    history_keys: DataFrame | None = None,
+) -> DataFrame:
+    """Incremental near-dup dedup: a NEW batch against an INDEXED corpus.
+
+    The batch pipeline (minhash_lsh_dedup) re-signs the whole corpus every
+    run — wrong at 100 TB, where each ingest adds a sliver.  Here only the
+    delta is shingled and signed; the history side contributes its
+    PERSISTED band-key index (``history_keys``: doc_id, band, band_key —
+    built once via ``build_minhash_index`` and appended per batch), and the
+    candidate join probes delta keys against it.  Verification re-shingles
+    ONLY the candidate history documents (a semi-join on the candidate ids
+    — O(matches), not O(|history|)), so total new work per ingest is
+    O(|delta| + matches).
+
+    Output: (doc_a, doc_b, jaccard), doc_a < doc_b, exactly the cross-set
+    (history × delta) subset of the batch pipeline's pairs — asserted
+    against the full-batch oracle.
+    """
+    if history_keys is None:
+        history_keys = build_minhash_index(history, text_col, n, perms, bands)
+    delta_post = shingle_postings(delta, text_col, n).localCheckpoint(eager=True)
+    delta_keys = lsh_band_keys(minhash_signatures(delta_post, perms), bands, perms)
+    h, d = history_keys.alias("h"), delta_keys.alias("d")
+    candidates = (
+        h.join(
+            d,
+            (F.col("h.band") == F.col("d.band"))
+            & (F.col("h.band_key") == F.col("d.band_key")),
+        )
+        .select(F.col("h.doc_id").alias("h_id"), F.col("d.doc_id").alias("d_id"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # re-shingle only the matched history docs (semi-join, candidate-sized)
+    cand_hist = history.join(
+        candidates.select(F.col("h_id").alias("doc_id")).distinct(), "doc_id", "semi"
+    )
+    h_post = shingle_postings(cand_hist, text_col, n, spread=False)
+
+    h_sizes = h_post.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_h"))
+    d_sizes = delta_post.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_d"))
+    pa = h_post.select(F.col("doc_id").alias("h_id"), "shingle")
+    pb = delta_post.select(F.col("doc_id").alias("d_id"), "shingle")
+    inter = (
+        candidates.join(pa, "h_id")
+        .join(pb, ["d_id", "shingle"])
+        .groupBy("h_id", "d_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        inter.join(h_sizes.withColumnRenamed("doc_id", "h_id"), "h_id")
+        .join(d_sizes.withColumnRenamed("doc_id", "d_id"), "d_id")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n_h") + F.col("n_d") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.least("h_id", "d_id").alias("doc_a"),
+            F.greatest("h_id", "d_id").alias("doc_b"),
+            "jaccard",
+        )
+    )
+
+
+def build_minhash_index(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    perms: int = MINHASH_PERMS,
+    bands: int = MINHASH_BANDS,
+) -> DataFrame:
+    """(doc_id, band, band_key) — the persistable LSH index of a corpus.
+
+    Built once over the history, appended with each ingested batch's keys
+    (the delta's keys are already computed during its dedup pass, so index
+    maintenance is free).  perms/bands must match at probe time."""
+    return lsh_band_keys(
+        minhash_signatures(shingle_postings(df, text_col, n), perms), bands, perms
+    )

@@ -3442,3 +3442,55 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") % 100 == 0),
         min_common=2,
     )
+
+
+@register(
+    "minhash_delta_dedup",
+    f"""
+    WITH {_POSTINGS_CTE},
+    sigs AS (
+        SELECT doc_id, seed, min(md5(seed || '|' || shingle)) AS sig
+        FROM post CROSS JOIN generate_series(0, 63) t(seed)
+        GROUP BY doc_id, seed
+    ),
+    bands AS (
+        SELECT doc_id, seed // 8 AS band,
+               md5(string_agg(sig, ',' ORDER BY seed)) AS band_key
+        FROM sigs GROUP BY doc_id, seed // 8
+    ),
+    cand AS (
+        SELECT DISTINCT least(a.doc_id, b.doc_id) AS doc_a,
+                        greatest(a.doc_id, b.doc_id) AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_key = b.band_key
+        WHERE a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
+    ),
+    inter AS (
+        SELECT doc_a, doc_b, count(*) AS i
+        FROM cand
+        JOIN post pa ON pa.doc_id = doc_a
+        JOIN post pb ON pb.doc_id = doc_b AND pb.shingle = pa.shingle
+        GROUP BY doc_a, doc_b
+    )
+    SELECT doc_a, doc_b, i * 1.0 / (sa.n + sb.n - i) AS jaccard
+    FROM inter JOIN sizes sa ON doc_a = sa.doc_id JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5
+    """,
+    note="INCREMENTAL near-dup dedup: the new batch (doc_id%10=0) signed "
+    "and probed against the history's persisted band-key index; only "
+    "matched history docs are re-shingled for verification — O(delta + "
+    "matches) new work per ingest instead of re-signing the corpus "
+    "(operators/dedup.py:minhash_delta_dedup + build_minhash_index; "
+    "warehouse round-trip test in tests/test_training_ops.py).  Oracle = "
+    "the batch pipeline restricted to cross-set pairs, so incremental == "
+    "batch is exactly asserted",
+)
+def minhash_delta_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import minhash_delta_dedup
+
+    docs = t(spark, sf_dir, "documents")
+    return minhash_delta_dedup(
+        docs.filter(F.col("doc_id") % 10 != 0),
+        docs.filter(F.col("doc_id") % 10 == 0),
+        threshold=0.5,
+    )

@@ -224,6 +224,41 @@ def test_tiled_cosine_pairs_matches_exact(spark):
     assert exact == tiled and len(exact) > 0
 
 
+def test_minhash_delta_dedup_reuses_persisted_index(spark, warehouse):
+    """The incremental path must (a) give exactly the cross-set subset of
+    the batch pipeline's pairs and (b) work from a band-key index persisted
+    to the warehouse — i.e. the history is NOT re-signed at probe time."""
+    from pyspark.sql import functions as F
+
+    from open_bus_siri_etl_spark.operators.dedup import (
+        build_minhash_index,
+        minhash_delta_dedup,
+        minhash_lsh_dedup,
+    )
+
+    corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    history = corpus.filter(F.col("doc_id") % 10 != 0)
+    delta = corpus.filter(F.col("doc_id") % 10 == 0)
+
+    # persist the index once, then dedup the delta READING it back
+    warehouse.overwrite("minhash_bands", build_minhash_index(history))
+    idx = warehouse.read("minhash_bands")
+    inc = sorted(
+        map(tuple, minhash_delta_dedup(history, delta, history_keys=idx).collect())
+    )
+
+    batch = minhash_lsh_dedup(corpus, threshold=0.5)
+    cross = sorted(
+        map(
+            tuple,
+            batch.filter(
+                ((F.col("doc_a") % 10 == 0) != (F.col("doc_b") % 10 == 0))
+            ).collect(),
+        )
+    )
+    assert inc == cross and len(inc) > 0
+
+
 def test_greedy_pack_respects_budget(spark):
     """Contract: every pack's token total ≤ budget unless it is a single
     oversized doc; every doc packed exactly once; packs are contiguous per
