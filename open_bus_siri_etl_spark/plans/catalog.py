@@ -3494,3 +3494,44 @@ def minhash_delta_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") % 10 == 0),
         threshold=0.5,
     )
+
+
+@register(
+    "mixture_sample",
+    """
+    SELECT doc_id, source FROM (
+        SELECT doc_id, source,
+               (CAST(('0x' || substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 8))
+                     AS UBIGINT) + 0.5) / 4294967296.0 AS u,
+               CASE WHEN source IN ('src0', 'src1', 'src2') THEN 0.9
+                    WHEN source IN ('src3', 'src4') THEN 0.5
+                    ELSE 0.2 END AS rate
+        FROM documents
+    ) WHERE u < rate
+    """,
+    note="dataset-mixture rebalancing: per-source Bernoulli rates (the "
+    "up/down-weighting step that hits a target corpus mixture) with "
+    "uniforms derived from md5('mix'|doc_id) — deterministic, engine-"
+    "portable, rerun-stable.  Map-only: the rate CASE and the hash fuse "
+    "into the scan, zero shuffle at any corpus size",
+)
+def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", F.lit("mix"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    rate = (
+        F.when(F.col("source").isin("src0", "src1", "src2"), F.lit(0.9))
+        .when(F.col("source").isin("src3", "src4"), F.lit(0.5))
+        .otherwise(F.lit(0.2))
+    )
+    return docs.filter(u < rate).select("doc_id", "source")
