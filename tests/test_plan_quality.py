@@ -156,3 +156,9 @@ def test_contamination_eval_side_broadcast(spark):
     and must not shuffle on shingle for the overlap join."""
     plan = explain_str(REGISTRY["contamination_check"].fn(spark, SF))
     assert "BroadcastHashJoin" in plan
+
+
+def test_mixture_sample_is_map_only(spark):
+    """Mixture rebalancing must fuse into the scan: zero exchanges."""
+    plan = explain_str(REGISTRY["mixture_sample"].fn(spark, SF))
+    assert ") Exchange" not in plan
