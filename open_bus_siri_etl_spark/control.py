@@ -6,9 +6,12 @@ registration (update_pending_snapshots.py:59-67).
 
 States: pending → loading → loaded | error.  A ``loading`` row with a fresh
 heartbeat (< 120 s) blocks concurrent reprocessing unless force_reload
-(reference :261-268).  All of this is driver-side bookkeeping over a small
-table — at production scale it would be a Delta table with MERGE; the
-dataflow tables are unaffected by that choice.
+(reference :261-268).  Every transition APPENDS a versioned row to the
+control log (Warehouse LOG_TABLES); readers see latest-per-snapshot, and the
+daily compact() collapses the log — so status writes never rewrite the table
+or take a lock, removing the last per-snapshot serialization point at
+100x ingest fan-in.  At production scale the log becomes a Delta table with
+MERGE; the dataflow tables are unaffected by that choice.
 """
 
 from __future__ import annotations

@@ -662,3 +662,53 @@ def test_table_lock_times_out_on_stale_lock(warehouse):
     with _pytest.raises(TimeoutError):
         with warehouse._table_lock("siri_stop", timeout=0.2):
             pass
+
+
+def test_control_log_appends_not_rewrites(spark, warehouse):
+    """Control-table status transitions must APPEND versioned rows, never
+    rewrite existing files (the append-log design that removes the
+    per-snapshot serialization point at 100x ingest fan-in)."""
+    from open_bus_siri_etl_spark import control
+
+    sid = "2024/01/01/00/00"
+    control.register_pending(warehouse, [sid])
+    ctl_dir = warehouse.table_path("siri_snapshot")
+
+    def data_files():
+        return {
+            f: (os.path.getmtime(f), os.path.getsize(f))
+            for f in glob.glob(os.path.join(ctl_dir, "*.parquet"))
+        }
+
+    after_pending = data_files()
+    assert after_pending, "pending registration should land a parquet file"
+
+    control.start_loading(warehouse, sid)
+    control.mark_loaded(warehouse, sid, {"num_successful": 3, "num_failed": 2})
+    after_loaded = data_files()
+
+    # every pre-existing file is still present, byte-for-byte untouched
+    for path, sig in after_pending.items():
+        assert path in after_loaded, f"transition rewrote/removed {path}"
+        assert after_loaded[path] == sig, f"transition modified {path}"
+    assert len(after_loaded) > len(after_pending), "transitions must append"
+
+    # resolved view: exactly one row, in the latest state
+    rows = warehouse.read("siri_snapshot").collect()
+    assert len(rows) == 1
+    assert rows[0]["etl_status"] == control.ETL_LOADED
+    assert rows[0]["num_successful_parse_vehicle_locations"] == 3
+
+    # the raw log retains the full history (pending, loading, loaded)
+    assert spark.read.parquet(ctl_dir).count() == 3
+
+    # compact collapses to one row per key; resolved view unchanged
+    warehouse.compact("siri_snapshot")
+    assert spark.read.parquet(ctl_dir).count() == 1
+    rows = warehouse.read("siri_snapshot").collect()
+    assert len(rows) == 1 and rows[0]["etl_status"] == control.ETL_LOADED
+
+    # post-compaction appends still win resolution (homogeneous schema)
+    control.start_loading(warehouse, sid, force_reload=True)
+    rows = warehouse.read("siri_snapshot").collect()
+    assert len(rows) == 1 and rows[0]["etl_status"] == control.ETL_LOADING
