@@ -6,6 +6,8 @@ argparse-based so a reference user can switch 1:1:
     python -m open_bus_siri_etl_spark.cli start-process-new-snapshots-daemon
     python -m open_bus_siri_etl_spark.cli parallel-process-old-missing-snapshots
     python -m open_bus_siri_etl_spark.cli update-pending-snapshots
+    python -m open_bus_siri_etl_spark.cli download-snapshot 2019/05/05/16/00
+    python -m open_bus_siri_etl_spark.cli download-latest-snapshots
     python -m open_bus_siri_etl_spark.cli validate-snapshots FROM TO
     python -m open_bus_siri_etl_spark.cli prep-training-data IN.parquet OUT/
 
@@ -59,6 +61,26 @@ def main(argv: list[str] | None = None) -> int:
         help="register unseen landed snapshots as pending (reference cli.py:69-76)",
     )
 
+    ds = sub.add_parser(
+        "download-snapshot",
+        help="fetch one snapshot from remote storage into the landing root "
+        "(reference cli.py:23-27)",
+    )
+    ds.add_argument("snapshot_id")
+    ds.add_argument(
+        "--url-template",
+        default=None,
+        help="base URL (any urllib scheme); default $SIRI_ETL_SNAPSHOT_URL",
+    )
+
+    dl = sub.add_parser(
+        "download-latest-snapshots",
+        help="fetch the last ~2h of snapshots into the landing root "
+        "(reference cli.py:17-20, local_development_helpers.py:14-18)",
+    )
+    dl.add_argument("--minutes", type=int, default=120)
+    dl.add_argument("--url-template", default=None)
+
     v = sub.add_parser("validate-snapshots", help="diff warehouse vs raw (reference cli.py:79-83)")
     v.add_argument("snapshot_id_from")
     v.add_argument("snapshot_id_to")
@@ -75,6 +97,24 @@ def main(argv: list[str] | None = None) -> int:
     tp.add_argument("--max-tokens", type=int, default=80)
 
     args = p.parse_args(argv)
+
+    # download verbs need no SparkSession — handle before _ctx() so they
+    # stay instant (the reference's local-dev helpers are plain requests)
+    if args.cmd in ("download-snapshot", "download-latest-snapshots"):
+        from .sources.snapshots import download_latest_snapshots, download_snapshot
+
+        landing = os.environ.get("SIRI_ETL_LANDING", "./landing")
+        url_template = args.url_template or os.environ.get("SIRI_ETL_SNAPSHOT_URL")
+        if not url_template:
+            p.error("--url-template or $SIRI_ETL_SNAPSHOT_URL is required")
+        if args.cmd == "download-snapshot":
+            path = download_snapshot(landing, args.snapshot_id, url_template)
+            print(json.dumps({"snapshot_id": args.snapshot_id, "path": path}))
+            return 0 if path else 1
+        landed = download_latest_snapshots(landing, url_template, minutes=args.minutes)
+        print(json.dumps({"landed": len(landed), "snapshot_ids": landed}))
+        return 0
+
     spark, wh, landing = _ctx()
 
     if args.cmd == "process-snapshot":

@@ -137,9 +137,44 @@ def download_snapshot(
         return None
     path = snapshot_path(root, snapshot_id, compressed=True)
     os.makedirs(os.path.dirname(path), exist_ok=True)
-    with open(path, "wb") as f:
-        f.write(payload)
+    # land all-or-nothing: a crash mid-write must not leave a truncated
+    # .json.br that resolve_or_download_snapshot_path would treat as landed
+    # forever (the reference downloads into a tempdir for the same reason,
+    # process_snapshot.py:332-338)
+    tmp = f"{path}.tmp-{os.getpid()}"
+    try:
+        with open(tmp, "wb") as f:
+            f.write(payload)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):  # pragma: no cover - only on write failure
+            os.remove(tmp)
     return path
+
+
+def download_latest_snapshots(
+    root: str,
+    url_template: str,
+    minutes: int = 120,
+    now: "object | None" = None,
+    timeout: float = 30.0,
+) -> list[str]:
+    """Fetch the snapshots of the last ``minutes`` minutes (oldest first),
+    skipping ones that fail to fetch; returns the landed snapshot ids.
+
+    Mirrors reference local_development_helpers.py:14-18 (last-2-hours loop
+    over minute-granular ids).  ``now`` is injectable for hermetic tests.
+    """
+    import datetime as _dt
+
+    if now is None:
+        now = _dt.datetime.now(_dt.timezone.utc)
+    landed = []
+    for i in reversed(range(1, minutes)):
+        sid = (now - _dt.timedelta(minutes=i)).strftime("%Y/%m/%d/%H/%M")
+        if download_snapshot(root, sid, url_template, timeout=timeout):
+            landed.append(sid)
+    return landed
 
 
 def resolve_or_download_snapshot_path(

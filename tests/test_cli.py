@@ -60,3 +60,53 @@ def test_cli_prep_training_data(spark, tmp_path, monkeypatch, capsys):
     written = spark.read.parquet(str(out))
     assert written.count() == res["output_rows"]
     assert "doc_id" in written.columns
+
+
+def test_cli_download_verbs(spark, tmp_path, monkeypatch, capsys):
+    """download-snapshot / download-latest-snapshots land .br payloads from
+    a file:// bucket mirror (reference cli.py:17-27) and the landed snapshot
+    processes to the golden result."""
+    import datetime
+    import json as _json
+
+    from open_bus_siri_etl_spark.sources.snapshots import (
+        brotli_compress,
+        download_latest_snapshots,
+    )
+
+    landing = tmp_path / "landing"
+    monkeypatch.setenv("SIRI_ETL_WAREHOUSE", str(tmp_path / "warehouse"))
+    monkeypatch.setenv("SIRI_ETL_LANDING", str(landing))
+
+    # remote bucket layout: {url}/{id}.br
+    payload = brotli_compress(_json.dumps(TEST_SNAPSHOT_DATA).encode())
+    bucket = tmp_path / "bucket"
+    for sid in ["2019/05/05/16/00", "2019/05/05/16/01"]:
+        p = bucket / f"{sid}.br"
+        p.parent.mkdir(parents=True, exist_ok=True)
+        p.write_bytes(payload)
+    url = bucket.as_uri()
+
+    # single-snapshot verb, then process the landed file end-to-end
+    assert main(["download-snapshot", "2019/05/05/16/00", "--url-template", url]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["path"].endswith("2019/05/05/16/00.json.br")
+    assert main(["process-snapshot", "2019/05/05/16/00"]) in (0, None)
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["num_successful"] == 3 and stats["num_failed"] == 2
+
+    # missing remote object -> rc 1, nothing landed
+    assert main(["download-snapshot", "2019/05/05/16/59", "--url-template", url]) == 1
+    capsys.readouterr()
+    assert not (landing / "2019/05/05/16/59.json.br").exists()
+
+    # latest-snapshots loop (hermetic 'now' via the library seam): only the
+    # two bucket objects inside the window land, oldest first
+    now = datetime.datetime(2019, 5, 5, 16, 3, tzinfo=datetime.timezone.utc)
+    landed = download_latest_snapshots(str(landing), url, minutes=10, now=now)
+    assert landed == ["2019/05/05/16/00", "2019/05/05/16/01"]
+
+    # CLI form of the loop runs (real clock; bucket has nothing current)
+    assert main(["download-latest-snapshots", "--minutes", "3", "--url-template", url]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["landed"] == 0
