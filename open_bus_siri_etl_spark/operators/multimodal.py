@@ -7,7 +7,7 @@ codec work genuinely cannot be expressed in Spark SQL.
 
 The actual media codecs (PIL/ffmpeg/etc.) are NOT in this container, so the
 decode body is a clearly-marked deterministic STUB (``_fake_decode``): it
-produces stable per-blob features (byte length, first byte, crc32) so the
+produces stable per-blob features (byte length, first byte, md5 prefix) so the
 Spark-side plumbing — schema, batch iteration, partition parallelism, column
 pruning through mapInPandas — is real and tested end-to-end.  Swapping in a
 real codec changes only the inside of ``_fake_decode``.
@@ -15,7 +15,7 @@ real codec changes only the inside of ``_fake_decode``.
 
 from __future__ import annotations
 
-import zlib
+import hashlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -102,11 +102,17 @@ def _fake_decode(blob: bytes) -> tuple[int, int, int]:
 
     A real implementation would decode the container and return e.g.
     (width, height, n_frames); raising NotImplementedError on unknown
-    formats.  Here: (n_bytes, first_byte, crc32).
+    formats.  Here: (n_bytes, first_byte, md5-prefix checksum).  The
+    checksum is the first 15 hex digits of md5 as an int64 — the same
+    construction the sketch operators use — so an external SQL engine can
+    recompute it exactly (``CAST('0x' || substr(md5(x),1,15) AS BIGINT)``)
+    and the whole feature row gets a hash-checked oracle contract instead
+    of a rows-only check.
     """
     if blob is None:
         raise NotImplementedError("real codecs are not available in this environment")
-    return len(blob), blob[0] if blob else -1, zlib.crc32(blob)
+    checksum = int(hashlib.md5(blob).hexdigest()[:15], 16)
+    return len(blob), blob[0] if blob else -1, checksum
 
 
 def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFrame:

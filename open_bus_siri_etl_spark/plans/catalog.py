@@ -1968,14 +1968,33 @@ def training_prep_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_features",
-    None,  # mapInPandas stub decode — not SQL-expressible; rows-only check
+    """
+    SELECT doc_id AS media_id,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           CAST(CASE WHEN strlen(text) = 0 THEN -1
+                     ELSE ascii(substring(text, 1, 1)) END AS BIGINT)
+               AS first_byte,
+           CAST(('0x' || substr(md5(text), 1, 15)) AS BIGINT) AS checksum,
+           'fake/blob' AS format
+    FROM documents
+    """,
     note="multimodal plumbing: binary column + typed metadata through Arrow-batched "
-    "mapInPandas with a deterministic STUB decode (real codecs absent here)",
+    "mapInPandas with a deterministic STUB decode (real codecs absent here); the "
+    "stub's features (byte length, first byte, md5-prefix checksum) are all "
+    "SQL-recomputable, so unlike a real codec the plumbing gets a hash-exact "
+    "oracle — documents are ASCII, so ascii(first char) == first byte",
 )
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.multimodal import documents_as_media, extract_features
 
-    return extract_features(documents_as_media(t(spark, sf_dir, "documents")))
+    feats = extract_features(documents_as_media(t(spark, sf_dir, "documents")))
+    return feats.select(
+        "media_id",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        F.col("first_byte").cast("long").alias("first_byte"),
+        F.col("checksum").cast("long").alias("checksum"),
+        "format",
+    )
 
 
 @register(
