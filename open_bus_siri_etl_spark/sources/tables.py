@@ -71,18 +71,69 @@ def _next_log_seq() -> int:
         return s
 
 
+class TableFS:
+    """Filesystem seam for table-directory maintenance operations.
+
+    Bulk data IO goes through Spark readers/writers (already portable to any
+    Hadoop-compatible FS); the *maintenance* steps — adopting staged files,
+    unlinking per-snapshot groups, lock markers — are the only places the
+    engine touches the filesystem directly, and they all funnel through this
+    interface.  An object-store deployment (S3/GCS listing + server-side
+    copy, or Delta's transactional equivalents — the module docstring's
+    migration story) is then a class swap, not a Warehouse rewrite.  The
+    test suite drives an object-store-sim impl (copy+delete rename, no POSIX
+    atomicity) through the full write→reload→compact→reload cycle.
+    """
+
+    def glob(self, pattern: str) -> list[str]:
+        import glob as _glob
+
+        return _glob.glob(pattern)
+
+    def isdir(self, path: str) -> bool:
+        return os.path.isdir(path)
+
+    def makedirs(self, path: str) -> None:
+        os.makedirs(path, exist_ok=True)
+
+    def rename(self, src: str, dst: str) -> None:
+        """Move a data file into its final name (atomic on POSIX)."""
+        os.replace(src, dst)
+
+    def remove(self, path: str) -> None:
+        os.remove(path)
+
+    def rmtree(self, path: str) -> None:
+        shutil.rmtree(path, ignore_errors=True)
+
+    def mkdir_atomic(self, path: str) -> bool:
+        """Create a lock-marker directory; False if it already exists.
+
+        On an object store this becomes a conditional PUT (if-none-match) —
+        same winner-takes-it semantics."""
+        try:
+            os.mkdir(path)
+            return True
+        except FileExistsError:
+            return False
+
+    def rmdir(self, path: str) -> None:
+        os.rmdir(path)
+
+
 class Warehouse:
     """A directory of Parquet tables with the engine's upsert semantics."""
 
-    def __init__(self, spark: SparkSession, path: str):
+    def __init__(self, spark: SparkSession, path: str, fs: TableFS | None = None):
         self.spark = spark
         self.path = path
+        self.fs = fs or TableFS()
 
     def table_path(self, name: str) -> str:
         return os.path.join(self.path, name)
 
     def exists(self, name: str) -> bool:
-        return os.path.isdir(self.table_path(name))
+        return self.fs.isdir(self.table_path(name))
 
     def read(self, name: str, schema: T.StructType | None = None) -> DataFrame:
         """Read a table; empty DataFrame with the declared schema if absent."""
@@ -130,7 +181,7 @@ class Warehouse:
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(self.table_path(name))
-        shutil.rmtree(stage, ignore_errors=True)
+        self.fs.rmtree(stage)
 
     # -- dimension upsert (J1): get-or-create == left-anti + append ---------
 
@@ -150,23 +201,19 @@ class Warehouse:
         contention is bounded by batch cadence, not data size.
         """
         lockdir = self.table_path(name) + "._lock"
-        os.makedirs(os.path.dirname(lockdir) or ".", exist_ok=True)
+        self.fs.makedirs(os.path.dirname(lockdir) or ".")
         deadline = time.monotonic() + timeout
-        while True:
-            try:
-                os.mkdir(lockdir)
-                break
-            except FileExistsError:
-                if time.monotonic() > deadline:
-                    raise TimeoutError(
-                        f"could not acquire lock on table {name!r} within "
-                        f"{timeout}s (stale {lockdir}?)"
-                    )
-                time.sleep(0.05)
+        while not self.fs.mkdir_atomic(lockdir):
+            if time.monotonic() > deadline:
+                raise TimeoutError(
+                    f"could not acquire lock on table {name!r} within "
+                    f"{timeout}s (stale {lockdir}?)"
+                )
+            time.sleep(0.05)
         try:
             yield
         finally:
-            os.rmdir(lockdir)
+            self.fs.rmdir(lockdir)
 
     def upsert_dim(self, name: str, candidates: DataFrame, key_cols: list[str]) -> DataFrame:
         """Insert candidate rows whose natural key is absent; return the
@@ -215,9 +262,7 @@ class Warehouse:
         return snapshot_id.replace("/", "-")
 
     def _fact_files(self) -> list[str]:
-        import glob
-
-        return glob.glob(
+        return self.fs.glob(
             os.path.join(self.table_path(self._FACT_TABLE), "snapshot_date=*", "*.parquet")
         )
 
@@ -228,7 +273,7 @@ class Warehouse:
         """
         name = self._FACT_TABLE
         stage = self.table_path(name) + "._incoming"
-        shutil.rmtree(stage, ignore_errors=True)
+        self.fs.rmtree(stage)
         # One job writes ALL snapshots of the batch, partitioned by
         # (date, group) so each snapshot's rows land in their own directory;
         # rows are time-clustered within each file so parquet row-group
@@ -249,9 +294,7 @@ class Warehouse:
         self._delete_fact_groups(reload_snapshot_ids)
         # adopt staged files into the final one-level layout; pure metadata
         # moves (per-file copy on an object store), no data pass
-        import glob
-
-        for src in glob.glob(
+        for src in self.fs.glob(
             os.path.join(stage, "snapshot_date=*", "snapshot_group=*", "*.parquet")
         ):
             group_dir, fname = os.path.split(src)
@@ -260,9 +303,9 @@ class Warehouse:
             dest_dir = os.path.join(
                 self.table_path(name), os.path.basename(date_dir)
             )
-            os.makedirs(dest_dir, exist_ok=True)
-            os.replace(src, os.path.join(dest_dir, f"snap-{group}-{fname}"))
-        shutil.rmtree(stage, ignore_errors=True)
+            self.fs.makedirs(dest_dir)
+            self.fs.rename(src, os.path.join(dest_dir, f"snap-{group}-{fname}"))
+        self.fs.rmtree(stage)
 
     def delete_fact_snapshots(self, snapshot_ids: list[str]) -> None:
         """Counter-reset path of a reload that ends up writing no facts."""
@@ -273,20 +316,18 @@ class Warehouse:
         groups; if any rows survive inside compacted files (reload of
         history older than the last compact()), filter-rewrite only those
         files."""
-        import glob
-
         name = self._FACT_TABLE
         if not snapshot_ids or not self.exists(name):
             return
         for sid in snapshot_ids:
-            for f in glob.glob(
+            for f in self.fs.glob(
                 os.path.join(
                     self.table_path(name),
                     "snapshot_date=*",
                     f"snap-{self._snapshot_group(sid)}-*.parquet",
                 )
             ):
-                os.remove(f)
+                self.fs.remove(f)
         compacted = [
             f
             for f in self._fact_files()
@@ -315,7 +356,7 @@ class Warehouse:
             .filter(~F.col("snapshot_id").isin(snapshot_ids))
         )
         stage = self.table_path(name) + "._rewrite"
-        shutil.rmtree(stage, ignore_errors=True)
+        self.fs.rmtree(stage)
         (
             retained.sortWithinPartitions("snapshot_date", "recorded_at_time")
             .write.mode("overwrite")
@@ -326,17 +367,17 @@ class Warehouse:
 
         for p in touched_paths:
             local = unquote(urlparse(p).path) if "://" in p or p.startswith("file:") else p
-            os.remove(local)
-        for src in glob.glob(
+            self.fs.remove(local)
+        for src in self.fs.glob(
             os.path.join(stage, "snapshot_date=*", "*.parquet")
         ):
             date_dir, fname = os.path.split(src)
             dest_dir = os.path.join(
                 self.table_path(name), os.path.basename(date_dir)
             )
-            os.makedirs(dest_dir, exist_ok=True)
-            os.replace(src, os.path.join(dest_dir, fname))
-        shutil.rmtree(stage, ignore_errors=True)
+            self.fs.makedirs(dest_dir)
+            self.fs.rename(src, os.path.join(dest_dir, fname))
+        self.fs.rmtree(stage)
 
     # -- generic keyed read-modify-write for small tables (control, DL) -----
 
@@ -444,8 +485,6 @@ class Warehouse:
         Facts keep their snapshot_date partitioning.  Returns the number of
         data files after compaction.
         """
-        import glob
-
         if not self.exists(name):
             return 0
         path = self.table_path(name)
@@ -465,4 +504,7 @@ class Warehouse:
             # compaction must not trade file count for row-group skipping
             df = df.sortWithinPartitions("snapshot_date", "recorded_at_time")
         self._staged_rewrite(name, df, partition_by)
-        return len(glob.glob(os.path.join(path, "**", "*.parquet"), recursive=True))
+        return len(
+            self.fs.glob(os.path.join(path, "*.parquet"))
+            + self.fs.glob(os.path.join(path, "*", "*.parquet"))
+        )
