@@ -229,3 +229,100 @@ def test_register_pending_gtfs_date_clamp(spark, warehouse):
         )
         == 0
     )
+
+
+def test_daemon_soak_multi_tick_late_files(spark, warehouse, tmp_path):
+    """Daemon-under-churn soak (reference process_snapshot.py:485-529
+    semantics): >=3 ticks with files landing between ticks, including a LATE
+    file inside the already-walked range.  Invariants: control-table status
+    rank per snapshot never regresses across ticks, zero fact duplicates
+    ever, and the late straggler is picked up by the backfill path (the
+    reference's division of labor) without disturbing loaded siblings."""
+    landing = str(tmp_path / "landing")
+    now = datetime.datetime(2019, 5, 5, 16, 10)
+    RANK = {
+        None: -1,
+        control.ETL_PENDING: 0,
+        control.ETL_LOADING: 1,
+        control.ETL_ERROR: 2,
+        control.ETL_LOADED: 2,
+    }
+
+    def control_state():
+        return {
+            r["snapshot_id"]: r["etl_status"]
+            for r in warehouse.read("siri_snapshot").collect()
+        }
+
+    def assert_no_fact_dups():
+        facts = warehouse.read("siri_vehicle_location")
+        total = facts.count()
+        distinct = facts.select(
+            "snapshot_id", "recorded_at_time", "lon", "lat"
+        ).distinct().count()
+        assert total == distinct, "duplicate fact rows after tick"
+        return total
+
+    def assert_monotonic(before, after):
+        for sid, st in before.items():
+            assert RANK[after.get(sid)] >= RANK[st], (
+                f"{sid} regressed {st} -> {after.get(sid)}"
+            )
+
+    # tick 1: two snapshots inside the lookback window
+    for mm in ("03", "05"):
+        write_snapshot_fixture(
+            landing, f"2019/05/05/16/{mm}", get_test_snapshot_data(time_str=f"16:{mm}")
+        )
+    s1 = process_new_snapshots(spark, warehouse, landing, now=now)
+    assert s1["processed"] == 2
+    state1 = control_state()
+    assert state1["2019/05/05/16/03"] == control.ETL_LOADED
+    assert state1["2019/05/05/16/05"] == control.ETL_LOADED
+    assert assert_no_fact_dups() == 6
+
+    # between ticks: a LATE file lands inside the already-walked range
+    # (16:04 < max loaded 16:05) plus a genuinely new one (16:06)
+    write_snapshot_fixture(
+        landing, "2019/05/05/16/04", get_test_snapshot_data(time_str="16:04")
+    )
+    write_snapshot_fixture(
+        landing, "2019/05/05/16/06", get_test_snapshot_data(time_str="16:06")
+    )
+
+    # tick 2: resumes after max(loaded) -> processes only 16:06; the late
+    # 16:04 is REGISTERED pending (discovery) but not walked (reference
+    # resume semantics: stragglers behind the watermark go to backfill)
+    s2 = process_new_snapshots(spark, warehouse, landing, now=now)
+    assert s2["processed"] == 1
+    state2 = control_state()
+    assert_monotonic(state1, state2)
+    assert state2["2019/05/05/16/06"] == control.ETL_LOADED
+    assert state2["2019/05/05/16/04"] == control.ETL_PENDING
+    assert assert_no_fact_dups() == 9
+
+    # tick 3: nothing new — fully idempotent, statuses frozen
+    s3 = process_new_snapshots(
+        spark, warehouse, landing, now=now + datetime.timedelta(minutes=1)
+    )
+    assert s3["processed"] == 0
+    state3 = control_state()
+    assert_monotonic(state2, state3)
+    assert state3 == state2
+    assert assert_no_fact_dups() == 9
+
+    # the straggler drains through backfill; loaded siblings untouched
+    result = run_backfill(spark, warehouse, landing, batch_minutes=5)
+    assert result["processed"] == 1 and result["failed"] == 0
+    state4 = control_state()
+    assert_monotonic(state3, state4)
+    assert state4["2019/05/05/16/04"] == control.ETL_LOADED
+    assert assert_no_fact_dups() == 12
+
+    # tick 4 after the drain: still nothing to do, nothing regresses
+    s5 = process_new_snapshots(
+        spark, warehouse, landing, now=now + datetime.timedelta(minutes=2)
+    )
+    assert s5["processed"] == 0
+    assert_monotonic(state4, control_state())
+    assert assert_no_fact_dups() == 12
