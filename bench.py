@@ -81,6 +81,10 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        # methodology must be visible in the artifact: per-query value is the
+        # min over `repeats` runs (round-3+ change; round-1/2 were single-run)
+        "repeats": repeats,
+        "timing": "min_of_repeats",
     }
 
     # Regression guard: compare against the committed standing baseline

@@ -30,7 +30,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, TimestampNTZType
 
 
-_SESSIONS_PINNED: set[int] = set()
+import weakref
+
+# WeakSet, not id()-keyed: CPython reuses ids after GC, so an id cache could
+# collide a new SparkSession with a dead one's id and silently skip the pin
+_SESSIONS_PINNED: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
 
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -39,10 +43,10 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # date_format/date_trunc/to_timestamp agree with the tz-naive oracle.
     # Pinning is once per session (queries call t() several times; the conf
     # RPCs are pure overhead after the first call).
-    if id(spark) not in _SESSIONS_PINNED:
+    if spark not in _SESSIONS_PINNED:
         spark.conf.set("spark.sql.session.timeZone", "UTC")
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        _SESSIONS_PINNED.add(id(spark))
+        _SESSIONS_PINNED.add(spark)
     if name == "events":
         # the physical type of events.ts has drifted across driver testdata
         # regenerations (TIMESTAMP(NANOS) in round 1, timestamp[us] since

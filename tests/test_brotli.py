@@ -151,3 +151,31 @@ def test_process_snapshot_from_brotli_golden(spark, warehouse, tmp_path):
         assert warehouse.read(t).count() == 3
     row = control.get_control_row(warehouse, TEST_SNAPSHOT_ID)
     assert row["etl_status"] == control.ETL_LOADED
+
+
+def test_pyarrow_codec_oversized_buffer_contract():
+    """_pa_brotli_decompress leans on an undocumented pyarrow codec
+    behavior: decompress succeeds (zero-padded) for ANY declared size >=
+    the actual decoded length and raises for any smaller size.  Pin that
+    assumption directly so a pyarrow upgrade that starts enforcing exact
+    decompressed_size fails HERE, obviously, instead of making every decode
+    probe to the 16 GiB cap and die confusingly."""
+    import pytest
+
+    from open_bus_siri_etl_spark.sources import snapshots
+
+    if snapshots._PA_BROTLI is None:
+        pytest.skip("pyarrow brotli codec unavailable")
+
+    plain = b"the quick brown fox jumps over the lazy dog" * 10
+    payload = bytes(snapshots._PA_BROTLI.compress(plain))
+
+    # exact size: succeeds and round-trips
+    assert bytes(snapshots._PA_BROTLI.decompress(payload, len(plain))) == plain
+    # oversized: succeeds, zero-padded to the declared size
+    over = snapshots._PA_BROTLI.decompress(payload, len(plain) + 37)
+    assert bytes(over)[: len(plain)] == plain
+    assert len(bytes(over)) in (len(plain), len(plain) + 37)
+    # undersized: must raise (the probe's bisection invariant)
+    with pytest.raises(OSError):
+        snapshots._PA_BROTLI.decompress(payload, len(plain) - 1)

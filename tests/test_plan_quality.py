@@ -162,3 +162,36 @@ def test_mixture_sample_is_map_only(spark):
     """Mixture rebalancing must fuse into the scan: zero exchanges."""
     plan = explain_str(REGISTRY["mixture_sample"].fn(spark, SF))
     assert ") Exchange" not in plan
+
+
+GATED_WINDOW = [
+    "flagship_snowflake", "pricing_summary", "dim_upsert_novelty",
+    "discovery_anti_join", "dedup_first_wins", "duplicate_key_detection",
+    "event_counters", "latest_per_key", "global_minmax", "top_orders",
+    "gap_sessionization", "chunked_batches", "missing_minutes",
+    "snapshot_id_format", "json_props_extract", "try_cast_dead_letter",
+    "validation_field_diff", "key_set_diff", "rollup_revenue", "cube_orders",
+    "grouping_sets_activity", "merge_upsert", "median_disc_value",
+    "running_revenue", "moving_avg_value", "revenue_deciles",
+    "revenue_deciles_distributed", "large_orders", "small_lot_revenue",
+    "revenue_rank_distribution", "data_quality_checks",
+    "unpivot_user_activity", "cube_orders_grouping_id", "session_window_agg",
+    "set_ops_users", "value_quantiles_disc", "stratified_sample",
+    "pivot_user_activity", "funnel_view_click_error",
+    "distinct_users_per_type", "asof_join_prior_view",
+    "range_join_error_windows", "tumbling_window_agg", "salted_skew_join",
+    "salted_two_stage_agg", "exact_dedup", "ngram_jaccard_dedup",
+    "minhash_lsh_dedup", "simhash_near_pairs", "embedding_cosine_topk",
+]
+
+
+def test_registry_gated_window_is_frozen():
+    """Registration order is load-bearing: the driver grades only the first
+    50 REGISTRY entries (__spark_entry__.py window contract), so an innocent
+    @register insertion earlier in catalog.py would silently push a
+    reference-parity query out of grading.  New entries must be APPENDED
+    after the window — if this fails, move the new registration to the end
+    of catalog.py rather than editing this list."""
+    from open_bus_siri_etl_spark.plans.catalog import REGISTRY
+
+    assert list(REGISTRY)[:50] == GATED_WINDOW
