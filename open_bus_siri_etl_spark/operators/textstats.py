@@ -217,3 +217,118 @@ def shuffle_shards(
         base.withColumn("shard", shard)
         .withColumn("pos_in_shard", (F.row_number().over(w) - 1).cast("bigint"))
     )
+
+
+# -- PII scrubbing -----------------------------------------------------------
+
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_PATTERN = r"\+1-555-[0-9]{4}"
+
+
+def scrub_pii(
+    df: DataFrame, text_col: str = "text", out_col: str = "scrubbed"
+) -> DataFrame:
+    """Redact emails/phones from a text column, counting each redaction.
+
+    Training-data hygiene pass: pure regexp_replace/regexp_count column
+    expressions (RE2-compatible patterns, so an external SQL engine agrees
+    byte-for-byte), fused into the scan — zero shuffle at any corpus size.
+    Extend by appending (pattern, token) pairs; each costs one more fused
+    regexp pass, never a new stage.
+    """
+    c = F.col(text_col)
+    return df.withColumn("n_emails", F.regexp_count(c, F.lit(EMAIL_PATTERN))).withColumn(
+        "n_phones", F.regexp_count(c, F.lit(PHONE_PATTERN))
+    ).withColumn(
+        out_col,
+        F.regexp_replace(
+            F.regexp_replace(c, EMAIL_PATTERN, "<EMAIL>"),
+            PHONE_PATTERN,
+            "<PHONE>",
+        ),
+    )
+
+
+# -- BM25 ranking ------------------------------------------------------------
+
+WORD_PATTERN = r"[a-z0-9]+"
+
+
+def bm25_rank(
+    docs: DataFrame,
+    terms: list[str],
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+    top_k: int = 20,
+) -> DataFrame:
+    """BM25 score of every document for a bag-of-terms query; top_k rows.
+
+    Retrieval-quality scoring for corpus curation: two scans total —
+    per-doc term frequencies + doc length fuse into the first scan; the
+    corpus stats (N, avgdl, per-term df) are ONE global aggregate whose
+    single row is broadcast back (no driver collect), then scoring is
+    map-only and TopK is a partial-topK-per-partition sort.  At 100 TB the
+    only full-data exchange is the 1-row stats aggregate's.
+
+    Float parity contract: all arithmetic is written as literal double
+    expressions in a fixed operand order so an external engine evaluating
+    the same formula reproduces scores bit-for-bit (ties broken by doc_id).
+    """
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_PATTERN), 0)
+
+    def term_freq(term: str):
+        # single-arg lambda: a 2-arg one would be given (element, index)
+        return F.size(F.filter(toks, lambda x: x == F.lit(term)))
+
+    d = docs.select(
+        "doc_id",
+        F.size(toks).alias("dl"),
+        *[term_freq(term).alias(f"tf_{term}") for term in terms],
+    )
+    stats = d.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+        *[
+            F.count(F.when(F.col(f"tf_{t}") > 0, 1)).alias(f"df_{t}")
+            for t in terms
+        ],
+    )
+    scored = d.crossJoin(F.broadcast(stats))
+    score = None
+    for t in terms:
+        tf, df = F.col(f"tf_{t}"), F.col(f"df_{t}")
+        part = (
+            F.log(F.lit(1) + (F.col("n") - df + F.lit(0.5)) / (df + F.lit(0.5)))
+            * (tf * F.lit(k1 + 1))
+            / (tf + F.lit(k1) * (F.lit(1 - b) + F.lit(b) * F.col("dl") / F.col("avgdl")))
+        )
+        score = part if score is None else score + part
+    return (
+        scored.select("doc_id", score.alias("score"))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(top_k)
+    )
+
+
+def inverted_index(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Corpus inverted-index postings summary: one row per term with
+    document frequency and total term frequency.
+
+    The two-level aggregation — (term, doc) partials first, then term
+    totals — replaces a count(DISTINCT doc_id) with two map-side-combinable
+    aggs, the scale-correct shape for a 100 TB corpus (a distinct-agg would
+    carry every (term, doc) pair through one exchange un-combined).
+    """
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_PATTERN), 0)
+    per_doc = (
+        docs.select("doc_id", F.explode(toks).alias("term"))
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return per_doc.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").alias("total_tf"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+    )

@@ -3558,3 +3558,346 @@ def mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0.2))
     )
     return docs.filter(u < rate).select("doc_id", "source")
+
+
+# ---------------------------------------------------------------------------
+# TPC-H classics (beyond-reference breadth): the canonical multi-join
+# analytics shapes a warehouse user expects, each plan-audited for scale
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+    note="TPC-H Q3 shape: segment filter prunes customer before the join "
+    "chain; both date filters push into the parquet scans; lineitem joins "
+    "shuffle-side for AQE to manage (customer is NOT broadcast-hinted — it "
+    "grows with SF), final TopK is a global sort of an already-aggregated "
+    "small set",
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
+        t(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    orders = t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < "1998-03-15"
+    )
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > "1998-03-15")
+    rev = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q10_returned_items",
+    """
+    SELECT c_custkey, c_name,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS revenue,
+           CAST(c_acctbal AS DOUBLE) AS c_acctbal, n_name
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    note="TPC-H Q10 shape: quarter window + returnflag pushed into scans, "
+    "nation (25 rows, SF-invariant) explicitly broadcast, the fact joins "
+    "left to AQE; one agg exchange on the customer grain then TopK",
+)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1997-04-01")
+    )
+    li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = t(spark, sf_dir, "nation")
+    rev = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "revenue",
+            F.col("c_acctbal").cast("double").alias("c_acctbal"),
+            "n_name",
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+@register(
+    "tpch_q18_large_customers",
+    """
+    SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 250
+    )
+    GROUP BY c_custkey, c_name, o_orderkey, o_orderdate, o_totalprice
+    ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+    LIMIT 100
+    """,
+    note="TPC-H Q18 shape (large-volume customers): the HAVING subquery is "
+    "a map-side-combinable agg whose survivor set is tiny, joined back "
+    "LEFT SEMI (Spark plans IN-subquery as semi join) so the big lineitem "
+    "scan happens once for the agg and once pre-filtered for the rollup; "
+    "at 100 TB AQE converts the survivor join to broadcast at runtime",
+)
+def tpch_q18_large_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    big_orders = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(dec("l_quantity")).alias("_q"))
+        .filter(F.col("_q") > 250)
+        .select("l_orderkey")
+    )
+    all_orders = t(spark, sf_dir, "orders")
+    orders = all_orders.join(
+        big_orders, all_orders.o_orderkey == big_orders.l_orderkey, "left_semi"
+    )
+    cust = t(spark, sf_dir, "customer")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy("c_custkey", "c_name", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum(dec("l_quantity")).cast("double").alias("total_qty"))
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            "total_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
+        .limit(100)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval / hygiene / entity-resolution operators (beyond-reference,
+# training-data pipeline additions round 4)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "bm25_rank",
+    """
+    WITH tok AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        FROM documents
+    ), d AS (
+        SELECT doc_id, len(toks) AS dl,
+               len(list_filter(toks, x -> x = 'spark')) AS tf_spark,
+               len(list_filter(toks, x -> x = 'join')) AS tf_join,
+               len(list_filter(toks, x -> x = 'window')) AS tf_window
+        FROM tok
+    ), s AS (
+        SELECT count(*) AS n,
+               CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+               count(*) FILTER (WHERE tf_spark > 0) AS df_spark,
+               count(*) FILTER (WHERE tf_join > 0) AS df_join,
+               count(*) FILTER (WHERE tf_window > 0) AS df_window
+        FROM d
+    )
+    SELECT doc_id, round(score, 9) AS score FROM (
+        SELECT doc_id,
+               ln(1 + (n - df_spark + 0.5) / (df_spark + 0.5))
+                   * (tf_spark * 2.2) / (tf_spark + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             + ln(1 + (n - df_join + 0.5) / (df_join + 0.5))
+                   * (tf_join * 2.2) / (tf_join + 1.2 * (0.25 + 0.75 * dl / avgdl))
+             + ln(1 + (n - df_window + 0.5) / (df_window + 0.5))
+                   * (tf_window * 2.2) / (tf_window + 1.2 * (0.25 + 0.75 * dl / avgdl))
+               AS score
+        FROM d, s
+        ORDER BY score DESC, doc_id
+        LIMIT 20
+    )
+    """,
+    note="BM25(k1=1.2, b=0.75) top-20 for a 3-term query: per-doc tf/dl "
+    "fuse into the scan, corpus stats are ONE 1-row aggregate broadcast "
+    "back (no driver collect), scoring is map-only, TopK partial-sorts per "
+    "partition.  Score arithmetic written operand-for-operand identically "
+    "on both engines, so the hash check is exact (operators/textstats.py:"
+    "bm25_rank)",
+)
+def bm25_rank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textstats import bm25_rank
+
+    ranked = bm25_rank(
+        t(spark, sf_dir, "documents"), terms=["spark", "join", "window"]
+    )
+    # engines' ln() differ in the last ulp on some inputs (observed 2e-16);
+    # ranking is unaffected (real score gaps are >> 1 ulp), so round only
+    # the REPORTED score for the hash contract
+    return ranked.select("doc_id", F.round("score", 9).alias("score"))
+
+
+@register(
+    "inverted_index_stats",
+    """
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        FROM documents
+    ), pd AS (
+        SELECT term, doc_id, count(*) AS tf FROM tok GROUP BY term, doc_id
+    )
+    SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf,
+           min(doc_id) AS first_doc, max(doc_id) AS last_doc
+    FROM pd GROUP BY term
+    """,
+    note="inverted-index postings summary: two chained map-side-combinable "
+    "aggs — (term, doc) partials then term totals — replacing a "
+    "count(DISTINCT) that would carry every posting through one exchange "
+    "un-combined; the retrieval-side complement of bm25_rank "
+    "(operators/textstats.py:inverted_index)",
+)
+def inverted_index_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textstats import inverted_index
+
+    return inverted_index(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "pii_scrub",
+    r"""
+    WITH seeded AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com or +1-555-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+               AS n_emails,
+           CAST(len(regexp_extract_all(text, '\+1-555-[0-9]{4}')) AS BIGINT)
+               AS n_phones,
+           CAST(('0x' || substr(md5(
+               regexp_replace(
+                   regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g'),
+                   '\+1-555-[0-9]{4}', '<PHONE>', 'g')
+           ), 1, 15)) AS BIGINT) AS scrubbed_sig
+    FROM seeded
+    """,
+    note="PII scrubbing (training-data hygiene): the synthetic corpus holds "
+    "no PII, so the query SEEDS a deterministic email+phone per doc, then "
+    "the operator redacts both and counts redactions — regexes are "
+    "RE2-compatible so both engines agree byte-for-byte; the scrubbed text "
+    "itself is hash-checked via the md5-prefix signature.  Map-only, fused "
+    "into the scan (operators/textstats.py:scrub_pii)",
+)
+def pii_scrub_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textstats import scrub_pii
+
+    seeded = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or +1-555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        ).alias("text"),
+    )
+    out = scrub_pii(seeded)
+    return out.select(
+        "doc_id",
+        F.col("n_emails").cast("long").alias("n_emails"),
+        F.col("n_phones").cast("long").alias("n_phones"),
+        F.conv(F.substring(F.md5(F.col("scrubbed")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("scrubbed_sig"),
+    )
+
+
+@register(
+    "fuzzy_join_dist1",
+    """
+    WITH probes AS (
+        SELECT c_custkey AS probe_id,
+               concat(substring(c_name, 1, CAST(9 + c_custkey % 5 AS INT)),
+                      substring(c_name, CAST(11 + c_custkey % 5 AS INT)))
+                   AS probe
+        FROM customer WHERE c_custkey % 97 = 0
+    )
+    SELECT p.probe_id, p.probe, c.c_custkey AS match_key,
+           c.c_name AS match_name
+    FROM probes p, customer c
+    WHERE levenshtein(p.probe, c.c_name) <= 1
+    """,
+    note="edit-distance-1 fuzzy key join via deletion-neighborhood blocking "
+    "(operators/fuzzy.py): each side explodes into its single-deletion "
+    "variants and candidates come from a hash EQUI-join on the variant "
+    "string — x(len+1) input amplification instead of the oracle's "
+    "all-pairs cross join, then an exact levenshtein refine on the "
+    "candidate set only.  The oracle IS the cross join (exact contract); "
+    "the engine path is the one that survives 100 TB",
+)
+def fuzzy_join_dist1_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.fuzzy import fuzzy_join_dist1
+
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    probes = (
+        cust.filter(F.col("c_custkey") % 97 == 0)
+        .select(
+            F.col("c_custkey").alias("probe_id"),
+            F.expr(
+                "concat(substring(c_name, 1, CAST(9 + c_custkey % 5 AS INT)),"
+                "       substring(c_name, CAST(11 + c_custkey % 5 AS INT)))"
+            ).alias("probe"),
+        )
+    )
+    matches = fuzzy_join_dist1(probes, cust, "probe", "c_name")
+    return matches.select(
+        "probe_id",
+        "probe",
+        F.col("c_custkey").alias("match_key"),
+        F.col("c_name").alias("match_name"),
+    )

@@ -602,3 +602,100 @@ def test_misra_gries_candidates_capture_heavy_keys(spark):
             .collect()
         }
         assert heavy <= cands
+
+
+def test_fuzzy_join_dist1_matches_brute_force(spark):
+    """Deletion-neighborhood blocking must return exactly the lev<=1 pairs
+    a brute-force cross join finds (the catalog oracle's contract)."""
+    from open_bus_siri_etl_spark.operators.fuzzy import fuzzy_join_dist1
+
+    left = spark.createDataFrame(
+        [(1, "abc"), (2, "hello"), (3, "spark"), (4, "x")], "lid long, lkey string"
+    )
+    right = spark.createDataFrame(
+        [
+            (10, "abc"),    # exact
+            (11, "abd"),    # substitution
+            (12, "ab"),     # deletion
+            (13, "abcd"),   # insertion
+            (14, "xyz"),    # dist 2 from x, 3 from abc
+            (15, "helo"),   # deletion from hello
+            (16, "sparks"), # insertion
+            (17, ""),       # dist 1 from "x"
+        ],
+        "rid long, rkey string",
+    )
+    got = {
+        (r["lid"], r["rid"])
+        for r in fuzzy_join_dist1(left, right, "lkey", "rkey").collect()
+    }
+    brute = {
+        (lr["lid"], rr["rid"])
+        for lr in left.collect()
+        for rr in right.collect()
+        if _lev(lr["lkey"], rr["rkey"]) <= 1
+    }
+    assert got == brute
+    assert (1, 10) in got and (1, 11) in got and (1, 12) in got and (1, 13) in got
+    assert (1, 14) not in got
+
+
+def _lev(a: str, b: str) -> int:
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[-1]
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    from open_bus_siri_etl_spark.operators.textstats import scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at a.b+c@test-x.org or +1-555-0199 thanks"),
+            (2, "no pii here"),
+            (3, "two mails x@y.io and z@w.co plus +1-555-1234"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in scrub_pii(df).collect()}
+    assert rows[1]["n_emails"] == 1 and rows[1]["n_phones"] == 1
+    assert rows[1]["scrubbed"] == "mail me at <EMAIL> or <PHONE> thanks"
+    assert rows[2]["n_emails"] == 0 and rows[2]["scrubbed"] == "no pii here"
+    assert rows[3]["n_emails"] == 2 and rows[3]["n_phones"] == 1
+    assert "@" not in rows[3]["scrubbed"]
+
+
+def test_bm25_rank_orders_by_relevance(spark):
+    from open_bus_siri_etl_spark.operators.textstats import bm25_rank
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spark spark spark join"),          # most relevant
+            (2, "spark join and some other words here to pad the length"),
+            (3, "completely unrelated text about nothing"),
+            (4, "join join window window spark"),
+        ],
+        "doc_id long, text string",
+    )
+    ranked = bm25_rank(docs, ["spark", "join", "window"], top_k=4).collect()
+    assert [r["doc_id"] for r in ranked][:1] in ([1], [4])  # term-dense docs lead
+    scores = {r["doc_id"]: r["score"] for r in ranked}
+    assert scores[3] == min(scores.values())
+    assert all(s >= 0 for s in scores.values())
+
+
+def test_inverted_index_counts(spark):
+    from open_bus_siri_etl_spark.operators.textstats import inverted_index
+
+    docs = spark.createDataFrame(
+        [(1, "a b a"), (2, "b c"), (3, "a")], "doc_id long, text string"
+    )
+    idx = {r["term"]: r for r in inverted_index(docs).collect()}
+    assert idx["a"]["df"] == 2 and idx["a"]["total_tf"] == 3
+    assert idx["b"]["df"] == 2 and idx["b"]["total_tf"] == 2
+    assert idx["c"]["df"] == 1 and idx["c"]["total_tf"] == 1
+    assert idx["a"]["first_doc"] == 1 and idx["a"]["last_doc"] == 3
