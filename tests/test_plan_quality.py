@@ -195,3 +195,42 @@ def test_registry_gated_window_is_frozen():
     from open_bus_siri_etl_spark.plans.catalog import REGISTRY
 
     assert list(REGISTRY)[:50] == GATED_WINDOW
+
+
+def test_pii_scrub_is_map_only(spark):
+    """PII scrubbing must fuse into the scan: zero exchanges of any kind."""
+    plan = explain_str(REGISTRY["pii_scrub"].fn(spark, SF))
+    assert "Exchange" not in plan
+
+
+def test_bm25_stats_broadcast_no_doc_shuffle(spark):
+    """BM25: corpus stats are a 1-row broadcast back onto the doc side —
+    the full document set must never hash-shuffle; TopK partial-sorts."""
+    plan = explain_str(REGISTRY["bm25_rank"].fn(spark, SF))
+    assert "Exchange hashpartitioning" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # 1-row stats build side
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_fuzzy_join_never_cartesian(spark):
+    """Deletion-neighborhood blocking must plan as an equi-join on the
+    variant string — the all-pairs shapes are exactly what it exists to
+    avoid."""
+    plan = explain_str(REGISTRY["fuzzy_join_dist1"].fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "levenshtein" in plan  # exact refine stays in the plan
+
+
+def test_inverted_index_two_level_agg(spark):
+    """Postings aggregate as (term, doc) partials then term totals — both
+    levels map-side combinable (no count-distinct expand)."""
+    plan = explain_str(REGISTRY["inverted_index_stats"].fn(spark, SF))
+    assert "partial_count" in plan
+    assert "Expand" not in plan
+
+
+def test_tpch_q10_broadcast_and_topk(spark):
+    plan = explain_str(REGISTRY["tpch_q10_returned_items"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
