@@ -332,3 +332,36 @@ def inverted_index(docs: DataFrame, text_col: str = "text") -> DataFrame:
         F.min("doc_id").alias("first_doc"),
         F.max("doc_id").alias("last_doc"),
     )
+
+
+def unigram_surprisal(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document unigram surprisal (C4/Gopher-style quality signal):
+    sum over tokens of ln(corpus unigram probability), in integer
+    micro-nats.
+
+    Low (very negative) average surprisal == rare-token-heavy documents;
+    the classic cheap proxy for boilerplate/garbage filtering.  Dataflow:
+    one posting explode, a term-frequency agg joined back onto the
+    postings (shuffle on term — Zipf-skewed, which AQE's skew-join split
+    handles; salting is the manual fallback), the corpus total broadcast
+    as a 1-row aggregate.  Each token's ln(p) is rounded to integer
+    micro-nats BEFORE summing, so the per-doc sum is exact integer
+    arithmetic — order-independent and engine-portable (a raw double sum
+    would hash-mismatch on summation order).
+    """
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_PATTERN), 0)
+    tok = docs.select("doc_id", F.explode(toks).alias("term"))
+    freq = tok.groupBy("term").agg(F.count(F.lit(1)).alias("tf"))
+    total = freq.agg(F.sum("tf").cast("double").alias("total"))
+    per_term = (
+        F.round(F.log(F.col("tf") / F.col("total")) * F.lit(1000000.0), 0)
+    ).cast("long")
+    return (
+        tok.join(freq, "term")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.sum(per_term).alias("lp_micro_sum"),
+        )
+    )

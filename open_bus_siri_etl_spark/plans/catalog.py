@@ -3901,3 +3901,85 @@ def fuzzy_join_dist1_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_custkey").alias("match_key"),
         F.col("c_name").alias("match_name"),
     )
+
+
+@register(
+    "tpch_q5_local_supplier",
+    """
+    SELECT n_name,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+               AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+    note="TPC-H Q5 shape (local supplier volume): the year filter pushes "
+    "into the orders scan; supplier/nation/region are SF-slow-growing dims "
+    "broadcast in revenue order; the c_nationkey = s_nationkey residual "
+    "rides the supplier equi-join; one agg exchange on the 25-row nation "
+    "grain",
+)
+def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    li = t(spark, sf_dir, "lineitem")
+    supp = t(spark, sf_dir, "supplier")
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region")
+    rev = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .filter(F.col("r_name") == "ASIA")
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+@register(
+    "unigram_surprisal",
+    """
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        FROM documents
+    ), freq AS (
+        SELECT term, count(*) AS tf FROM tok GROUP BY term
+    ), tot AS (
+        SELECT CAST(sum(tf) AS DOUBLE) AS total FROM freq
+    )
+    SELECT t.doc_id, count(*) AS n_toks,
+           CAST(sum(CAST(round(ln(f.tf / total) * 1000000.0, 0) AS BIGINT))
+                AS BIGINT) AS lp_micro_sum
+    FROM tok t JOIN freq f USING (term), tot
+    GROUP BY t.doc_id
+    """,
+    note="unigram surprisal quality score (C4/Gopher-style boilerplate "
+    "proxy): per-token ln(p) quantized to integer micro-nats BEFORE the "
+    "per-doc sum, so the result is exact integer arithmetic — order-"
+    "independent, hash-exact across engines (a raw double sum would "
+    "depend on summation order).  The term-frequency self-join shuffles "
+    "on the Zipf-skewed term key: AQE skew split handles the head terms "
+    "(operators/textstats.py:unigram_surprisal)",
+)
+def unigram_surprisal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textstats import unigram_surprisal
+
+    return unigram_surprisal(t(spark, sf_dir, "documents"))

@@ -699,3 +699,21 @@ def test_inverted_index_counts(spark):
     assert idx["b"]["df"] == 2 and idx["b"]["total_tf"] == 2
     assert idx["c"]["df"] == 1 and idx["c"]["total_tf"] == 1
     assert idx["a"]["first_doc"] == 1 and idx["a"]["last_doc"] == 3
+
+
+def test_unigram_surprisal_flags_rare_tokens(spark):
+    from open_bus_siri_etl_spark.operators.textstats import unigram_surprisal
+
+    docs = spark.createDataFrame(
+        [
+            (1, "common common common common"),
+            (2, "common common common zzzrare"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in unigram_surprisal(docs).collect()}
+    assert rows[1]["n_toks"] == 4 and rows[2]["n_toks"] == 4
+    # per-token average: the rare-token doc is more surprising (lower logprob)
+    assert rows[2]["lp_micro_sum"] < rows[1]["lp_micro_sum"]
+    # sanity: all logprobs negative
+    assert rows[1]["lp_micro_sum"] < 0
