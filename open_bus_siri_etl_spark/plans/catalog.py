@@ -3983,3 +3983,89 @@ def unigram_surprisal_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.textstats import unigram_surprisal
 
     return unigram_surprisal(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_chunk_overlap",
+    """
+    WITH tok AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        FROM documents
+    ), starts AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(0, CAST(len(toks) - 1 AS BIGINT), 24))
+                   AS chunk_start
+        FROM tok
+    )
+    SELECT doc_id, chunk_start,
+           CAST(len(list_slice(toks, CAST(chunk_start + 1 AS BIGINT),
+                               CAST(chunk_start + 32 AS BIGINT))) AS BIGINT)
+               AS n_chunk_toks,
+           array_to_string(list_slice(toks, CAST(chunk_start + 1 AS BIGINT),
+                                      CAST(chunk_start + 32 AS BIGINT)), ' ')
+               AS chunk_text
+    FROM starts
+    """,
+    note="RAG-prep chunking: overlapping 32-token windows at stride 24 "
+    "(8-token overlap) — the 1-to-N explode fans out WITHOUT a shuffle "
+    "(chunks inherit the scan partitioning; a downstream embed step "
+    "consumes them partition-local), token slicing stays an in-JVM array "
+    "op, and every chunk's full text is value-checked by the oracle",
+)
+def doc_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textstats import WORD_PATTERN
+
+    docs = t(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(WORD_PATTERN), 0)
+    base = docs.select("doc_id", toks.alias("toks"))
+    starts = base.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), (F.size("toks") - 1).cast("long"), F.lit(24).cast("long"))
+        ).alias("chunk_start"),
+    )
+    chunk = F.slice(F.col("toks"), (F.col("chunk_start") + 1).cast("int"), 32)
+    return starts.select(
+        "doc_id",
+        "chunk_start",
+        F.size(chunk).cast("long").alias("n_chunk_toks"),
+        F.concat_ws(" ", chunk).alias("chunk_text"),
+    )
+
+
+@register(
+    "corpus_stats",
+    """
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        FROM documents
+    )
+    SELECT count(DISTINCT doc_id) AS n_docs,
+           count(*) AS n_tokens,
+           count(DISTINCT term) AS vocab_size,
+           CAST(count(*) AS DOUBLE) / count(DISTINCT doc_id)
+               AS avg_doc_tokens
+    FROM tok
+    """,
+    note="one-row corpus summary (docs, tokens, vocabulary, mean length): "
+    "the two count-distincts are over doc_id (dense) and term (small "
+    "vocab) — Spark plans them as Expand + partial aggs, acceptable for a "
+    "run-once reporting query; the per-doc operators never use this shape "
+    "in a hot path",
+)
+def corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textstats import WORD_PATTERN
+
+    docs = t(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(WORD_PATTERN), 0)
+    tok = docs.select("doc_id", F.explode(toks).alias("term"))
+    return tok.agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.countDistinct("term").alias("vocab_size"),
+        (F.count(F.lit(1)).cast("double") / F.countDistinct("doc_id")).alias(
+            "avg_doc_tokens"
+        ),
+    )
