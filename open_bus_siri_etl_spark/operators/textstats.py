@@ -14,7 +14,7 @@ space-normalized; a production corpus would add a normalization pass first.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # tiny per-language stopword profiles for the n-gram/stopword heuristic;
@@ -365,3 +365,111 @@ def unigram_surprisal(docs: DataFrame, text_col: str = "text") -> DataFrame:
             F.sum(per_term).alias("lp_micro_sum"),
         )
     )
+
+
+def gopher_quality_flags(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 20,
+    max_words: int = 100_000,
+    min_mean_len: float = 3.0,
+    max_mean_len: float = 10.0,
+    min_stop_frac: float = 0.01,
+    min_uniq_frac: float = 0.2,
+) -> DataFrame:
+    """Gopher-style rule-based quality filter (Rae et al. 2021 §A1.1 shape):
+    word-count bounds, mean-word-length band, minimum stopword fraction,
+    minimum unique-word fraction — each emitted as a column plus an overall
+    ``passes`` verdict, so downstream mixtures can slice by failure reason.
+
+    Everything is higher-order array functions over ONE tokenization — no
+    explode, no shuffle, no Python: at 100 TB this is a map-only pass that
+    rides whole-stage codegen.  The fractions are single IEEE divisions of
+    exact integer counts, keeping them bit-identical to the SQL oracle.
+    """
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_PATTERN), 0)
+    out = df.withColumn("_toks", toks).filter(F.size("_toks") > 0)
+    n_words = F.size("_toks").cast("long")
+    char_sum = F.aggregate(
+        F.transform(F.col("_toks"), lambda x: F.length(x).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    stop_arr = F.array(*[F.lit(s) for s in ENGLISH_STOPWORDS[:2]])
+    n_stop = F.size(
+        F.filter(F.col("_toks"), lambda x: F.array_contains(stop_arr, x))
+    ).cast("long")
+    n_uniq = F.size(F.array_distinct("_toks")).cast("long")
+    mean_len = char_sum.cast("double") / n_words
+    stop_frac = n_stop.cast("double") / n_words
+    uniq_frac = n_uniq.cast("double") / n_words
+    passes = (
+        n_words.between(min_words, max_words)
+        & mean_len.between(min_mean_len, max_mean_len)
+        & (stop_frac >= min_stop_frac)
+        & (uniq_frac >= min_uniq_frac)
+    )
+    return out.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_len.alias("mean_word_len"),
+        stop_frac.alias("stop_frac"),
+        uniq_frac.alias("uniq_frac"),
+        passes.alias("passes"),
+    )
+
+
+def prefix_dup_groups(
+    df: DataFrame, text_col: str = "text", prefix_tokens: int = 4
+) -> DataFrame:
+    """Template/boilerplate detection: documents sharing their first
+    ``prefix_tokens`` tokens are near-certain copies of a generation
+    template (the cheap precursor to MinHash — one groupBy on a short
+    string key instead of a signature join).
+
+    Scale: the prefix is tiny (few tens of bytes) regardless of document
+    size, so the shuffle moves O(docs * prefix) bytes, and the aggregation
+    is partial-agg friendly; at 100 TB this is the cheapest dedup signal
+    in the toolbox.
+    """
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_PATTERN), 0)
+    prefix = F.concat_ws(" ", F.slice(toks, 1, prefix_tokens))
+    return (
+        df.select(prefix.alias("prefix"), "doc_id")
+        .groupBy("prefix")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def length_band_filter(
+    df: DataFrame,
+    group_col: str = "source",
+    order_col: str = "n_chars",
+    id_col: str = "doc_id",
+    low_pct: int = 5,
+    high_pct: int = 95,
+) -> DataFrame:
+    """Per-group length-band outlier trim: drop the shortest ``low_pct``%
+    and the longest ``100-high_pct``% of each group, by exact rank (not
+    approximate quantiles — the cut is reproducible run to run, which a
+    training-mixture spec needs).
+
+    The rank test is pure integer arithmetic (rn*100 > n*low) so the kept
+    set is bit-identical to the SQL oracle.  Scale: one window shuffle
+    partitioned by ``group_col``; with few giant groups the same trim
+    should run on the approx-quantile path instead (value_quantiles_cont
+    shows it) — this exact variant is for the many-moderate-groups regime.
+    """
+    w = Window.partitionBy(group_col).orderBy(F.col(order_col), F.col(id_col))
+    wc = Window.partitionBy(group_col)
+    ranked = df.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "_n", F.count(F.lit(1)).over(wc)
+    )
+    return ranked.filter(
+        (F.col("_rn") * 100 > F.col("_n") * low_pct)
+        & (F.col("_rn") * 100 <= F.col("_n") * high_pct)
+    ).drop("_rn", "_n")

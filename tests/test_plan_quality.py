@@ -234,3 +234,59 @@ def test_tpch_q10_broadcast_and_topk(spark):
     plan = explain_str(REGISTRY["tpch_q10_returned_items"].fn(spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_q6_all_predicates_reach_scan(spark):
+    """Q6 is the pushdown benchmark: shipdate range, discount band and
+    quantity cap must ALL appear as pushed parquet filters, and the scan
+    must read exactly the four referenced columns."""
+    plan = explain_str(REGISTRY["tpch_q6_forecast_revenue"].fn(spark, SF))
+    for pushed in (
+        "GreaterThanOrEqual(l_shipdate",
+        "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount",
+        "LessThanOrEqual(l_discount",
+        "LessThan(l_quantity",
+    ):
+        assert pushed in plan, pushed
+    assert (
+        "struct<l_quantity:double,l_extendedprice:double,l_discount:double,l_shipdate:timestamp"
+        in plan
+    )
+
+
+def test_q19_derives_single_table_implications(spark):
+    """The OR-of-ANDs spans lineitem and part; Catalyst must still derive
+    and push the per-table implications (quantity superset range into the
+    lineitem scan, brand IN-list into the part scan)."""
+    plan = explain_str(REGISTRY["tpch_q19_disjunctive_revenue"].fn(spark, SF))
+    # per-table Or-trees pushed into each scan
+    assert "EqualTo(p_brand,Brand#12)" in plan
+    assert "LessThanOrEqual(l_quantity,30.0)" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_q22_threshold_stays_in_plan(spark):
+    """The above-average-balance scalar must be a broadcast join (no
+    driver-side collect) and dormancy a LeftAnti against the date-pruned
+    orders scan."""
+    plan = explain_str(REGISTRY["tpch_q22_dormant_customers"].fn(spark, SF))
+    assert "LeftAnti" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_gopher_filter_is_map_only(spark):
+    """The quality rules are one tokenization + higher-order array ops:
+    zero exchanges, no Python."""
+    plan = explain_str(REGISTRY["gopher_quality_filter"].fn(spark, SF))
+    assert ") Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_length_band_single_window_shuffle(spark):
+    """Exact-rank trim must cost exactly one hash-partitioned window
+    exchange (source) plus the final agg pair, nothing more."""
+    plan = explain_str(REGISTRY["length_band_filter"].fn(spark, SF))
+    assert plan.count("hashpartitioning(source") >= 1
+    assert ") Window" in plan
