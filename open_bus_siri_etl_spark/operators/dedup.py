@@ -518,3 +518,42 @@ def build_minhash_index(
     return lsh_band_keys(
         minhash_signatures(shingle_postings(df, text_col, n), perms), bands, perms
     )
+
+
+def repeated_ngram_spans(
+    df: DataFrame, text_col: str = "text", n: int = 8
+) -> DataFrame:
+    """Exact repeated-span detection: every ``n``-token word window that
+    occurs in more than one document, with its occurrence and document
+    counts — the scan-friendly sibling of suffix-array substring dedup
+    (Lee et al. 2022 "Deduplicating Training Data Makes LMs Better"): a
+    span flagged here is a candidate for span-level removal rather than
+    whole-document dropping.
+
+    Scale: the explode fans each document into (len-n+1) grams WITHOUT a
+    shuffle; the single shuffle is the gram groupBy, whose key is n tokens
+    (~tens of bytes) and whose agg is partial-agg friendly.  At 100 TB the
+    gram key would be hashed (xxhash64 of the joined tokens) to shrink
+    shuffle bytes — kept as text here so the oracle value-checks the spans
+    themselves.
+    """
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(r"[a-z0-9]+"), 0)
+    base = df.select("doc_id", toks.alias("toks")).filter(F.size("toks") >= n)
+    starts = base.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(F.lit(1).cast("long"), (F.size("toks") - (n - 1)).cast("long"))
+        ).alias("i"),
+    )
+    gram = F.concat_ws(" ", F.slice(F.col("toks"), F.col("i").cast("int"), n))
+    return (
+        starts.select("doc_id", gram.alias("gram"))
+        .groupBy("gram")
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )

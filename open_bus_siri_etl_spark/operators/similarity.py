@@ -516,3 +516,34 @@ def cosine_near_pairs_tiled(
     return both.groupBy("bi", "bj").applyInPandas(
         tile_pairs, "vec_a long, vec_b long, cosine double"
     )
+
+
+def quantize_embeddings_int8(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Per-vector symmetric int8 quantization (the storage/serving path for
+    embedding tables: 4x smaller than float32, 8x smaller than float64):
+    scale = 127 / max|x|, q_i = floor(x_i * scale + 0.5).
+
+    floor(x+0.5) instead of round() because the two engines' round() may
+    disagree on negative-half ties; floor is bit-identical everywhere.
+    Higher-order array functions only — map-only, zero shuffle, no Python;
+    at 100 TB this runs at parquet scan speed.  Returns per-vector audit
+    stats (the quantized array itself would be the production output;
+    summing keeps the oracle comparison dense).
+    """
+    absmax = F.array_max(
+        F.transform(F.col(vec_col), lambda x: F.abs(x.cast("double")))
+    )
+    scale = F.lit(127.0) / absmax
+    q = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * scale + F.lit(0.5)).cast("long"),
+    )
+    return df.filter(absmax > 0).select(
+        "vec_id",
+        scale.alias("scale"),
+        F.size(vec_col).alias("n_dims"),
+        F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
+        F.aggregate(
+            q, F.lit(0).cast("long"), lambda a, x: a + F.abs(x)
+        ).alias("q_abs_sum"),
+    )

@@ -4569,3 +4569,204 @@ def length_band_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_chars").alias("max_chars"),
         F.sum("n_chars").alias("sum_chars"),
     )
+
+
+@register(
+    "tpch_q13_customer_distribution",
+    """
+    WITH c_orders AS (
+        SELECT c_custkey, count(o_orderkey) AS c_count
+        FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey
+    )
+    SELECT c_count, count(*) AS custdist
+    FROM c_orders GROUP BY c_count
+    """,
+    note="TPC-H Q13 (customer order-count distribution; the o_comment "
+    "NOT-LIKE arm is dropped — the synthetic orders table has no comment "
+    "column): LEFT OUTER join keeps zero-order customers, count(o_orderkey) "
+    "ignores the null-extended rows, then the second agg collapses to the "
+    "tiny count domain — both aggs map-side-partial, the join is the one "
+    "real shuffle",
+)
+def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer").select("c_custkey")
+    orders = t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register(
+    "tpch_q15_top_supplier",
+    """
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_revenue_d
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name,
+           CAST(total_revenue_d AS DOUBLE) AS total_revenue
+    FROM supplier JOIN revenue ON s_suppkey = supplier_no
+    WHERE total_revenue_d = (SELECT max(total_revenue_d) FROM revenue)
+    """,
+    note="TPC-H Q15 (top supplier of the quarter): the one-row max "
+    "broadcasts back onto the supplier-grain revenue aggregate (no driver "
+    "collect), and the argmax equality compares exact decimals so ties "
+    "surface every winner bit-stably (max_by would pick one "
+    "engine-arbitrarily).  The static plan scans the quarter-pruned "
+    "lineitem twice (revenue + max branches); the scan is the pushed-down "
+    "3-month slice, and AQE's exchange reuse collapses the duplicate "
+    "shuffle at runtime on a cluster",
+)
+def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).alias(
+            "total_revenue_d"
+        )
+    )
+    top = revenue.agg(F.max("total_revenue_d").alias("max_rev"))
+    supp = t(spark, sf_dir, "supplier")
+    return (
+        revenue.crossJoin(F.broadcast(top))
+        .filter(F.col("total_revenue_d") == F.col("max_rev"))
+        .join(F.broadcast(supp), F.col("supplier_no") == supp.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_revenue_d").cast("double").alias("total_revenue"),
+        )
+    )
+
+
+@register(
+    "repeated_ngram_spans",
+    """
+    WITH tok AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        FROM documents
+    ), grams AS (
+        SELECT doc_id,
+               array_to_string(list_slice(toks, CAST(i AS BIGINT),
+                                          CAST(i + 7 AS BIGINT)), ' ') AS gram
+        FROM tok,
+             unnest(generate_series(1, CAST(len(toks) - 7 AS BIGINT), 1)) AS u(i)
+        WHERE len(toks) >= 8
+    )
+    SELECT gram, count(*) AS n_occurrences,
+           count(DISTINCT doc_id) AS n_docs, min(doc_id) AS first_doc
+    FROM grams GROUP BY gram HAVING count(DISTINCT doc_id) > 1
+    """,
+    note="span-level exact dedup signal (suffix-array-dedup family, Lee et "
+    "al. 2022): 8-token windows occurring in >1 document — the explode "
+    "fans out shuffle-free, the gram groupBy is the single shuffle with a "
+    "tens-of-bytes key; at 100 TB the gram would ship as xxhash64 (kept "
+    "as text so the oracle value-checks the spans)",
+)
+def repeated_ngram_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import repeated_ngram_spans
+
+    return repeated_ngram_spans(t(spark, sf_dir, "documents"), n=8)
+
+
+@register(
+    "embedding_quantize_int8",
+    """
+    WITH q AS (
+        SELECT vec_id, embedding,
+               127.0 / list_max(list_transform(embedding,
+                                               x -> abs(CAST(x AS DOUBLE))))
+                   AS scale
+        FROM embeddings
+        WHERE list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) > 0
+    )
+    SELECT vec_id, scale, CAST(len(embedding) AS INT) AS n_dims,
+           CAST(list_sum(list_transform(embedding,
+                x -> CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS BIGINT)))
+               AS BIGINT) AS q_sum,
+           CAST(list_sum(list_transform(embedding,
+                x -> abs(CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS BIGINT))))
+               AS BIGINT) AS q_abs_sum
+    FROM q
+    """,
+    note="symmetric int8 embedding quantization (4x storage cut for the "
+    "serving path): scale = 127/max|x|, q = floor(x*scale + 0.5) — floor "
+    "not round so both engines agree on negative-half ties; map-only "
+    "higher-order array ops, zero shuffle, runs at parquet scan speed",
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import quantize_embeddings_int8
+
+    return quantize_embeddings_int8(t(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "source_vocab_overlap",
+    """
+    WITH st AS (
+        SELECT DISTINCT source, term FROM (
+            SELECT source,
+                   unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+            FROM documents
+        )
+    ), vocab AS (
+        SELECT source, count(*) AS v FROM st GROUP BY source
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           count(*) AS n_common,
+           CAST(count(*) AS DOUBLE) / (va.v + vb.v - count(*)) AS jaccard
+    FROM st a
+    JOIN st b ON a.term = b.term AND a.source < b.source
+    JOIN vocab va ON va.source = a.source
+    JOIN vocab vb ON vb.source = b.source
+    GROUP BY a.source, b.source, va.v, vb.v
+    """,
+    note="pairwise vocabulary Jaccard between corpus sources (mixture "
+    "diagnostics: which sources are near-clones, which add novel tokens): "
+    "the self-join key is the DISTINCT (source, term) set — vocabulary-"
+    "sized, not corpus-sized — so the join input shrinks by the token "
+    "repeat factor before any pairing; per-source vocab counts broadcast",
+)
+def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textstats import WORD_PATTERN
+
+    docs = t(spark, sf_dir, "documents")
+    toks = F.regexp_extract_all(F.lower(F.col("text")), F.lit(WORD_PATTERN), 0)
+    st = (
+        docs.select("source", F.explode(toks).alias("term"))
+        .distinct()
+    )
+    vocab = st.groupBy("source").agg(F.count(F.lit(1)).alias("v"))
+    a = st.select(F.col("source").alias("source_a"), "term")
+    b = st.select(F.col("source").alias("source_b"), "term")
+    va = vocab.select(F.col("source").alias("source_a"), F.col("v").alias("va"))
+    vb = vocab.select(F.col("source").alias("source_b"), F.col("v").alias("vb"))
+    pairs = (
+        a.join(b, "term")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        pairs.join(F.broadcast(va), "source_a")
+        .join(F.broadcast(vb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_common",
+            (
+                F.col("n_common").cast("double")
+                / (F.col("va") + F.col("vb") - F.col("n_common"))
+            ).alias("jaccard"),
+        )
+    )

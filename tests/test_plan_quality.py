@@ -290,3 +290,45 @@ def test_length_band_single_window_shuffle(spark):
     plan = explain_str(REGISTRY["length_band_filter"].fn(spark, SF))
     assert plan.count("hashpartitioning(source") >= 1
     assert ") Window" in plan
+
+
+def test_q13_left_outer_preserved(spark):
+    """Zero-order customers must survive: the join stays LeftOuter (a
+    count(*) instead of count(o_orderkey) would let Catalyst degrade it)."""
+    plan = explain_str(REGISTRY["tpch_q13_customer_distribution"].fn(spark, SF))
+    assert "LeftOuter" in plan
+    assert plan.count("partial_count") >= 1
+
+
+def test_q15_max_broadcasts_not_collected(spark):
+    """The quarter's max revenue must flow as a one-row broadcast join,
+    never a driver-side collect; the shipdate slice must push to the scan."""
+    plan = explain_str(REGISTRY["tpch_q15_top_supplier"].fn(spark, SF))
+    assert "BroadcastExchange" in plan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+
+
+def test_quantize_int8_is_map_only(spark):
+    """Quantization must fuse into the scan: zero exchanges, no Python."""
+    plan = explain_str(REGISTRY["embedding_quantize_int8"].fn(spark, SF))
+    assert ") Exchange" not in plan
+    assert "Python" not in plan
+
+
+def test_ngram_spans_explode_shuffle_free(spark):
+    """The gram fan-out must not shuffle: only the groupBy exchanges (the
+    count-distinct agg pair), the Generate sits directly over the scan."""
+    plan = explain_str(REGISTRY["repeated_ngram_spans"].fn(spark, SF))
+    assert ") Generate" in plan
+    # the Generate node's detail block must sit between the scan's and the
+    # first Exchange's: explode happens pre-shuffle, directly over the scan
+    gen_pos = plan.index(") Generate")
+    ex_pos = plan.index(") Exchange")
+    assert gen_pos < ex_pos
+    # only the count-distinct agg pair may exchange
+    assert plan.count(") Exchange") <= 2
+
+
+def test_vocab_overlap_broadcasts_vocab_counts(spark):
+    plan = explain_str(REGISTRY["source_vocab_overlap"].fn(spark, SF))
+    assert plan.count("BroadcastHashJoin") >= 2
