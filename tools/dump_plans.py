@@ -68,6 +68,24 @@ SHOWCASE = {
     " BroadcastNestedLoopJoin), exact levenshtein refine on candidates only",
     "tpch_q18_large_customers": "HAVING subquery planned as LeftSemi join"
     " of the tiny survivor set; both lineitem passes map-side partial-agg",
+    "tpch_q6_forecast_revenue": "ALL three predicates (shipdate range,"
+    " discount band, quantity cap) in PushedFilters; scan reads exactly 4"
+    " columns; no join, one partial+final agg pair",
+    "tpch_q19_disjunctive_revenue": "the cross-table OR-of-ANDs can't push"
+    " whole, but Catalyst derives the per-table implications: quantity"
+    " Or-range into the lineitem scan, brand/size Or-tree into the part"
+    " scan, residual evaluated after the broadcast join",
+    "tpch_q22_dormant_customers": "above-average-balance threshold stays"
+    " in-plan as a one-row broadcast; dormancy is LeftAnti against the"
+    " date-pruned orders scan",
+    "gopher_quality_filter": "quality rules are ONE tokenization +"
+    " higher-order array ops: zero exchanges, whole-stage codegen, no"
+    " Python",
+    "repeated_ngram_spans": "the 8-gram explode (Generate) sits directly"
+    " over the scan — no shuffle until the gram groupBy, whose key is tens"
+    " of bytes regardless of document size",
+    "embedding_quantize_int8": "int8 quantization fuses into the scan:"
+    " zero exchanges, no Python — parquet-scan-speed at any SF",
 }
 
 
