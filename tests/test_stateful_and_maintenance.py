@@ -799,3 +799,66 @@ def test_warehouse_on_object_store_sim_fs(spark, tmp_path):
     # the cycle exercised every seam verb
     verbs = {op[0] for op in fs.ops}
     assert {"glob", "makedirs", "rename", "remove", "rmtree", "mkdir_atomic", "rmdir"} <= verbs
+
+
+def test_stream_dedup_within_watermark(spark, tmp_path):
+    """An at-least-once source redelivers an event in a later micro-batch:
+    dropDuplicatesWithinWatermark must emit the key once, while a genuinely
+    new key in the same late batch still flows through."""
+    from open_bus_siri_etl_spark.streaming.dedup import dedup_stream
+
+    src = tmp_path / "dedup_src"
+    src.mkdir()
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def write_batch(name, rows):
+        df = spark.createDataFrame(rows, "event_id long, ts timestamp, value double")
+        df.coalesce(1).write.mode("overwrite").parquet(str(src / name))
+
+    write_batch(
+        "b1",
+        [
+            (1, base + datetime.timedelta(minutes=1), 10.0),
+            (2, base + datetime.timedelta(minutes=2), 20.0),
+        ],
+    )
+    # redelivery of event 1 (same key, within watermark) + a new event 3
+    write_batch(
+        "b2",
+        [
+            (1, base + datetime.timedelta(minutes=1), 10.0),
+            (3, base + datetime.timedelta(minutes=3), 30.0),
+        ],
+    )
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    out = dedup_stream(stream, ["event_id"], watermark="30 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_out")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "dedup_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT event_id FROM dedup_out").collect()
+    assert sorted(r["event_id"] for r in rows) == [1, 2, 3]
+
+
+def test_batch_dedup_matches_streaming_keys(spark, tmp_path):
+    """Batch degradation: same helper on a batch frame = plain first-wins
+    key dedup (the exact_dedup oracle's semantics)."""
+    from open_bus_siri_etl_spark.streaming.dedup import dedup_stream
+
+    df = spark.createDataFrame(
+        [(1, datetime.datetime(2024, 1, 1), 1.0), (1, datetime.datetime(2024, 1, 1), 2.0),
+         (2, datetime.datetime(2024, 1, 1), 3.0)],
+        "event_id long, ts timestamp, value double",
+    )
+    out = dedup_stream(df, ["event_id"])
+    assert sorted(r["event_id"] for r in out.collect()) == [1, 2]
