@@ -4770,3 +4770,366 @@ def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H completion batch (round 4): Q2/Q9/Q11/Q12/Q16/Q20/Q21 — the remaining
+# canonical shapes.  With these, all 22 TPC-H query archetypes have a catalog
+# entry (some columns the synthetic schema lacks are substituted per-entry,
+# noted).  Reference analog: the ad-hoc SQL a reference user runs over the
+# warehouse tables (open-bus-siri-etl exposes them via SQLAlchemy; here the
+# same analytical surface is Catalyst plans over parquet).
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q2_min_cost_supplier",
+    """
+    WITH supply AS (
+        SELECT l_partkey, l_suppkey,
+               min(CAST(l_extendedprice AS DOUBLE)
+                   / CAST(l_quantity AS DOUBLE)) AS unit_cost
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    ), eligible AS (
+        SELECT p_partkey, s_suppkey, s_name, s_acctbal, n_name, unit_cost,
+               min(unit_cost) OVER (PARTITION BY p_partkey) AS best_cost
+        FROM supply
+        JOIN part ON p_partkey = l_partkey
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE p_size = 15 AND p_type = 'STANDARD' AND r_name = 'EUROPE'
+    )
+    SELECT p_partkey, s_suppkey, s_name, n_name, s_acctbal, unit_cost
+    FROM eligible WHERE unit_cost = best_cost
+    """,
+    note="TPC-H Q2 (min-cost supplier; the missing partsupp table is derived "
+    "from lineitem as min observed unit price per (part, supplier) — same "
+    "correlated-min-per-part shape): the correlated scalar subquery becomes "
+    "a per-part window MIN over the already-filtered eligible set, so the "
+    "expensive supply aggregation runs once; part/supplier/nation/region "
+    "are all broadcast dims.  unit_cost is one IEEE division on identical "
+    "operands in both engines, and MIN is order-independent, so the double "
+    "stays hash-exact",
+)
+def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    supply = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(
+            F.col("l_extendedprice").cast("double")
+            / F.col("l_quantity").cast("double")
+        ).alias("unit_cost")
+    )
+    part = t(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
+    )
+    sup = t(spark, sf_dir, "supplier")
+    na = t(spark, sf_dir, "nation")
+    re = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
+    eligible = (
+        supply.join(F.broadcast(part), supply.l_partkey == part.p_partkey)
+        .join(F.broadcast(sup), supply.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(na), sup.s_nationkey == na.n_nationkey)
+        .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
+        .select("p_partkey", "s_suppkey", "s_name", "n_name", "s_acctbal", "unit_cost")
+    )
+    w = Window.partitionBy("p_partkey")
+    return (
+        eligible.withColumn("best_cost", F.min("unit_cost").over(w))
+        .filter(F.col("unit_cost") == F.col("best_cost"))
+        .drop("best_cost")
+        .select("p_partkey", "s_suppkey", "s_name", "n_name", "s_acctbal", "unit_cost")
+    )
+
+
+@register(
+    "tpch_q9_product_profit",
+    """
+    SELECT n_name AS nation, year(o_orderdate) AS o_year,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                    - CAST(p_retailprice * 0.6 AS DECIMAL(18,2))
+                      * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS profit
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    JOIN supplier ON s_suppkey = l_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN orders ON o_orderkey = l_orderkey
+    WHERE p_name LIKE '%gear%'
+    GROUP BY n_name, year(o_orderdate)
+    """,
+    note="TPC-H Q9 (product-type profit by nation and year; ps_supplycost "
+    "substituted by 0.6*p_retailprice — one IEEE multiply then one decimal "
+    "rounding, identical in both engines): part filter broadcast-prunes "
+    "lineitem before the orders shuffle join; the profit expression stays "
+    "in exact DECIMAL until the final cast, so the 175-group sum is "
+    "order-independent",
+)
+def tpch_q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part").filter(F.col("p_name").like("%gear%"))
+    sup = t(spark, sf_dir, "supplier")
+    na = t(spark, sf_dir, "nation")
+    od = t(spark, sf_dir, "orders")
+    supplycost = (F.col("p_retailprice") * F.lit(0.6)).cast("decimal(18,2)")
+    amount = dec("l_extendedprice") * (F.lit(1) - dec("l_discount")) - (
+        supplycost * dec("l_quantity")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(na), sup.s_nationkey == na.n_nationkey)
+        .join(od, li.l_orderkey == od.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.sum(amount).cast("double").alias("profit"))
+    )
+
+
+@register(
+    "tpch_q11_important_stock",
+    """
+    WITH val AS (
+        SELECT l_partkey,
+               sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * CAST(l_quantity AS DECIMAL(18,2))) AS value
+        FROM lineitem
+        JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE n_name IN ('NATION_3', 'NATION_7', 'NATION_11')
+        GROUP BY l_partkey
+    ), tot AS (SELECT sum(value) AS total FROM val)
+    SELECT l_partkey, CAST(value AS DOUBLE) AS part_value
+    FROM val, tot
+    WHERE CAST(value AS DOUBLE) > CAST(total AS DOUBLE) * 0.001
+    """,
+    note="TPC-H Q11 (important stock; partsupp value substituted by shipped "
+    "extendedprice*quantity per part for the selected nations' suppliers): "
+    "the fraction-of-global-total HAVING is a one-row broadcast cross join "
+    "against the reused per-part aggregate — no second scan, no driver "
+    "collect; supplier/nation broadcast semi-filter the lineitem scan "
+    "before the per-part shuffle",
+)
+def tpch_q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    sup = t(spark, sf_dir, "supplier")
+    na = t(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_7", "NATION_11")
+    )
+    val = (
+        li.join(F.broadcast(sup), li.l_suppkey == sup.s_suppkey)
+        .join(F.broadcast(na), sup.s_nationkey == na.n_nationkey)
+        .groupBy("l_partkey")
+        .agg(F.sum(dec("l_extendedprice") * dec("l_quantity")).alias("value"))
+    )
+    tot = val.agg(F.sum("value").alias("total"))
+    return (
+        val.crossJoin(F.broadcast(tot))
+        .filter(
+            F.col("value").cast("double") > F.col("total").cast("double") * F.lit(0.001)
+        )
+        .select("l_partkey", F.col("value").cast("double").alias("part_value"))
+    )
+
+
+@register(
+    "tpch_q12_shipmode_priority",
+    """
+    SELECT CASE l_linenumber % 3 WHEN 0 THEN 'MAIL' WHEN 1 THEN 'SHIP'
+           ELSE 'RAIL' END AS ship_mode,
+           sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END) AS high_line_count,
+           sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+               THEN 1 ELSE 0 END) AS low_line_count
+    FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+    WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY ship_mode
+    """,
+    note="TPC-H Q12 (shipping-mode priority counts; l_shipmode and the "
+    "commit/receipt-date lateness test are substituted by a deterministic "
+    "linenumber-derived mode and shipdate > orderdate+60d — the synthetic "
+    "lineitem has neither column): conditional-sum pivot aggregated in one "
+    "pass; the orderdate range pushes into the orders parquet scan and the "
+    "lateness predicate is evaluated post-join (it spans both tables)",
+)
+def tpch_q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    od = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    mode = (
+        F.when(F.col("l_linenumber") % 3 == 0, "MAIL")
+        .when(F.col("l_linenumber") % 3 == 1, "SHIP")
+        .otherwise("RAIL")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+        .groupBy(mode.alias("ship_mode"))
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "tpch_q16_supplier_relationship",
+    """
+    SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#13' AND p_type <> 'PROMO'
+      AND p_size IN (5, 10, 15, 20, 25, 30)
+      AND l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+    GROUP BY p_brand, p_type, p_size
+    """,
+    note="TPC-H Q16 (parts/supplier relationship; the 'customer complaints' "
+    "supplier exclusion is substituted by negative account balance, and "
+    "partsupp by the observed lineitem part-supplier pairs): the NOT IN "
+    "becomes a broadcast LEFT ANTI join (s_suppkey is never null so the "
+    "semantics coincide); COUNT(DISTINCT) is the one distinct-heavy shape "
+    "in the suite — Spark expands it to a two-level aggregate, partial "
+    "per-partition distinct before the (brand,type,size) shuffle",
+)
+def tpch_q16_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    part = t(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#13")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(5, 10, 15, 20, 25, 30)
+    )
+    bad_sup = (
+        t(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0.0)
+        .select("s_suppkey")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(
+            F.broadcast(bad_sup), li.l_suppkey == bad_sup.s_suppkey, "left_anti"
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+@register(
+    "tpch_q20_promotion_suppliers",
+    """
+    WITH qty AS (
+        SELECT l_partkey, l_suppkey,
+               sum(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s_suppkey, s_name FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND s_suppkey IN (
+          SELECT l_suppkey FROM qty JOIN part ON p_partkey = l_partkey
+          WHERE p_name LIKE '%red%' AND CAST(total_qty AS DOUBLE) > 40.0)
+    """,
+    note="TPC-H Q20 (potential part promotion; partsupp availqty threshold "
+    "substituted by a fixed shipped-quantity threshold (40) over the 1996 "
+    "window): nested IN-subqueries become a chain of LEFT SEMI joins — "
+    "part names broadcast-filter the per-(part,supplier) quantity "
+    "aggregate, whose distinct supplier keys then semi-filter the "
+    "region-pruned supplier dim; no distinct/exists materialization",
+)
+def tpch_q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    qty = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(dec("l_quantity")).alias("total_qty")
+    )
+    red_parts = (
+        t(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%red%"))
+        .select("p_partkey")
+    )
+    heavy = (
+        qty.join(F.broadcast(red_parts), qty.l_partkey == red_parts.p_partkey)
+        .filter(F.col("total_qty").cast("double") > 40.0)
+        .select("l_suppkey")
+    )
+    sup = t(spark, sf_dir, "supplier")
+    na = t(spark, sf_dir, "nation")
+    re = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        sup.join(F.broadcast(na), sup.s_nationkey == na.n_nationkey)
+        .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
+        .join(heavy, sup.s_suppkey == heavy.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+    )
+
+
+@register(
+    "tpch_q21_waiting_suppliers",
+    """
+    SELECT s_name, count(*) AS numwait
+    FROM lineitem l1
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    JOIN supplier ON s_suppkey = l1.l_suppkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s_name
+    """,
+    note="TPC-H Q21 (suppliers who kept orders waiting; receipt/commit-date "
+    "lateness substituted by shipdate > orderdate+60d): the correlated "
+    "EXISTS / NOT EXISTS pair is rewritten as ONE per-order aggregate — "
+    "n_supp = countDistinct(suppkey), n_late_supp = countDistinct(late "
+    "suppkey) — rejoined to the late lines; 'another supplier exists' is "
+    "n_supp >= 2 and 'no OTHER supplier was late' is n_late_supp = 1 "
+    "(the probing line is itself late, so the single late supplier must "
+    "be its own).  One extra shuffle replaces two correlated semi/anti "
+    "scans of lineitem — at 100 TB that's the difference between 2 scans "
+    "+ 2 joins and 1 scan + 1 reused aggregate",
+)
+def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    od = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    lines = (
+        li.join(od, li.l_orderkey == od.o_orderkey)
+        .withColumn(
+            "is_late",
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+        )
+        .select("l_orderkey", "l_suppkey", "is_late")
+    )
+    per_order = lines.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
+            "n_late_supp"
+        ),
+    )
+    qualifying = (
+        lines.filter(F.col("is_late"))
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
+    )
+    sup = t(spark, sf_dir, "supplier")
+    return (
+        qualifying.join(F.broadcast(sup), qualifying.l_suppkey == sup.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )

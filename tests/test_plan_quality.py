@@ -332,3 +332,54 @@ def test_ngram_spans_explode_shuffle_free(spark):
 def test_vocab_overlap_broadcasts_vocab_counts(spark):
     plan = explain_str(REGISTRY["source_vocab_overlap"].fn(spark, SF))
     assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_tpch_q2_window_min_no_cartesian(spark):
+    """Q2's correlated min-per-part must plan as a window over the joined
+    eligible set — broadcast dims, no nested-loop/cartesian fallback."""
+    plan = explain_str(REGISTRY["tpch_q2_min_cost_supplier"].fn(spark, SF))
+    assert "NestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 4
+    assert "Window" in plan
+
+
+def test_tpch_q9_part_filter_pushdown(spark):
+    """The p_name contains-filter must reach the part scan (StringContains
+    pushdown), and all dims must broadcast so lineitem shuffles once at
+    most (for the orders join)."""
+    plan = explain_str(REGISTRY["tpch_q9_product_profit"].fn(spark, SF))
+    assert "StringContains(p_name,gear)" in plan
+    assert plan.count("BroadcastHashJoin") >= 3
+
+
+def test_tpch_q12_orders_pushdown(spark):
+    plan = explain_str(REGISTRY["tpch_q12_shipmode_priority"].fn(spark, SF))
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+    assert "partial_sum" in plan
+
+
+def test_tpch_q16_anti_join_and_partial_distinct(spark):
+    """NOT IN (never-null key) must become broadcast LEFT ANTI; the
+    COUNT(DISTINCT) must expand to a two-level aggregate with a partial
+    per-partition pass before the group shuffle."""
+    plan = explain_str(REGISTRY["tpch_q16_supplier_relationship"].fn(spark, SF))
+    assert "LeftAnti" in plan
+    assert "partial_count" in plan or "HashAggregate" in plan
+
+
+def test_tpch_q20_semi_join_chain(spark):
+    plan = explain_str(REGISTRY["tpch_q20_promotion_suppliers"].fn(spark, SF))
+    assert "LeftSemi" in plan
+    assert "NestedLoop" not in plan
+
+
+def test_tpch_q21_single_extra_shuffle_not_three_scans(spark):
+    """The EXISTS/NOT-EXISTS pair is rewritten as one per-order aggregate:
+    lineitem appears at most twice in the plan (probe + aggregate), never
+    the three scans the correlated-subquery translation would need, and no
+    nested-loop join materializes the correlation."""
+    plan = explain_str(REGISTRY["tpch_q21_waiting_suppliers"].fn(spark, SF))
+    assert plan.count("lineitem.parquet") <= 2
+    assert "NestedLoop" not in plan
+    assert "CartesianProduct" not in plan
