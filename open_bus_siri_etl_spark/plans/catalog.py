@@ -5133,3 +5133,162 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+@register(
+    "hll_distinct_users",
+    """
+    WITH h AS (
+        SELECT CAST(('0x' || substr(md5(user_id::VARCHAR), 1, 13))
+                    AS UBIGINT) AS hv
+        FROM events
+    ), br AS (
+        SELECT CAST(hv % 256 AS BIGINT) AS bucket,
+               CASE WHEN hv // 256 = 0 THEN 45
+                    ELSE 45 - length(bin(hv // 256)) END AS rho
+        FROM h
+    ), regs AS (
+        SELECT bucket, max(rho) AS m_j FROM br GROUP BY bucket
+    ), s AS (
+        SELECT count(*) AS v_filled,
+               sum(power(2.0, -m_j)) + (256 - count(*)) AS sum_pow
+        FROM regs
+    )
+    SELECT 256 AS m,
+           CAST(v_filled AS BIGINT) AS n_filled,
+           round((0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 / sum_pow, 6)
+               AS raw_est,
+           CASE WHEN (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 / sum_pow
+                     <= 640.0 AND v_filled < 256
+                THEN round(256.0 * ln(256.0 / (256 - v_filled)), 6)
+                ELSE round((0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
+                           / sum_pow, 6) END AS est_distinct,
+           (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events)
+               AS true_distinct
+    FROM s
+    """,
+    note="HyperLogLog distinct-count sketch, p=8 (256 registers): 52-bit "
+    "md5 hash -> low 8 bits pick the register, rho = leading-zero count of "
+    "the remaining 44 bits + 1 (computed as 45 - length(bin(w)), exact "
+    "integer string math in both engines — no floor(log2()) double-rounding "
+    "hazard), register = max(rho).  The aggregation is groupBy(bucket)."
+    "max() — map-side partial max then a 256-row shuffle, NO distinct "
+    "shuffle, which is the entire point at 100 TB: registers are mergeable "
+    "across shards/executors by element-wise max.  sum(2^-M_j) adds "
+    "multiples of 2^-45 bounded by 256 so every partial sum is exactly "
+    "representable -> order-independent double, hash-exact vs the oracle; "
+    "the small-range linear-counting correction (n << m here) engages "
+    "identically on both sides; round(,6) absorbs the one trailing-ulp "
+    "ln() difference.  Completes the sketch family (CountMin / KMV / "
+    "Bloom / Misra-Gries / HLL)",
+)
+def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    hv = F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 13), 16, 10
+                ).cast("bigint")
+    br = ev.select(hv.alias("hv")).select(
+        (F.col("hv") % 256).alias("bucket"),
+        F.when(F.expr("hv div 256") == 0, F.lit(45))
+        .otherwise(F.lit(45) - F.length(F.bin(F.expr("hv div 256"))))
+        .cast("int")
+        .alias("rho"),
+    )
+    regs = br.groupBy("bucket").agg(F.max("rho").alias("m_j"))
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(256.0))
+    s = regs.agg(
+        F.count(F.lit(1)).alias("v_filled"),
+        (F.sum(F.pow(F.lit(2.0), -F.col("m_j"))) + (256 - F.count(F.lit(1)))).alias(
+            "sum_pow"
+        ),
+    )
+    raw = alpha * F.lit(65536.0) / F.col("sum_pow")
+    true_d = ev.select("user_id").distinct().count()  # oracle comparison column
+    return s.select(
+        F.lit(256).cast("int").alias("m"),
+        F.col("v_filled").cast("bigint").alias("n_filled"),
+        F.round(raw, 6).alias("raw_est"),
+        F.when(
+            (raw <= 640.0) & (F.col("v_filled") < 256),
+            F.round(F.lit(256.0) * F.log(F.lit(256.0) / (256 - F.col("v_filled"))), 6),
+        )
+        .otherwise(F.round(raw, 6))
+        .alias("est_distinct"),
+        F.lit(true_d).cast("bigint").alias("true_distinct"),
+    )
+
+
+@register(
+    "triangle_count",
+    """
+    WITH b AS (
+        SELECT DISTINCT user_id, date_trunc('hour', ts) AS h
+        FROM events WHERE event_type = 'error'
+    ), e AS (
+        SELECT DISTINCT a.user_id AS u1, c.user_id AS u2
+        FROM b a JOIN b c ON a.h = c.h AND a.user_id < c.user_id
+    )
+    SELECT (SELECT count(*) FROM (SELECT u1 AS u FROM e
+                                  UNION SELECT u2 FROM e)) AS n_nodes,
+           (SELECT count(*) FROM e) AS n_edges,
+           (SELECT count(*)
+            FROM e e1
+            JOIN e e2 ON e1.u2 = e2.u1
+            JOIN e e3 ON e3.u1 = e1.u1 AND e3.u2 = e2.u2) AS n_triangles
+    """,
+    note="Triangle counting on the hourly error-co-occurrence user graph. "
+    "The ORACLE is the naive spec (wedge self-join through every vertex); "
+    "the SPARK plan is the degree-oriented algorithm: direct each "
+    "undirected edge from its lower-(degree, id) endpoint to the higher "
+    "one, enumerate wedges only from out-edges, close against the "
+    "canonical edge set.  Orientation bounds every vertex's out-degree by "
+    "O(sqrt(|E|)) regardless of how skewed the raw degree distribution is "
+    "— a celebrity node with 10^6 neighbors produces 10^12 naive wedges "
+    "but only ~|E| oriented ones, which is what makes the join plan "
+    "survive a power-law graph at 100 TB.  Both countings are exact and "
+    "provably equal (each triangle has exactly one apex with two "
+    "out-edges), so the approximate-looking rewrite keeps an exact oracle",
+)
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    b = ev.select(
+        "user_id", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).distinct()
+    b2 = b.select(F.col("user_id").alias("v2"), F.col("h").alias("h2"))
+    edges = (
+        b.join(b2, (F.col("h") == F.col("h2")) & (F.col("user_id") < F.col("v2")))
+        .select(F.col("user_id").alias("u1"), F.col("v2").alias("u2"))
+        .distinct()
+    )
+    deg = (
+        edges.select(F.col("u1").alias("u"))
+        .unionAll(edges.select(F.col("u2").alias("u")))
+        .groupBy("u")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    d1 = deg.select(F.col("u").alias("u1"), F.col("d").alias("deg1"))
+    d2 = deg.select(F.col("u").alias("u2"), F.col("d").alias("deg2"))
+    lower_first = (F.col("deg1") < F.col("deg2")) | (
+        (F.col("deg1") == F.col("deg2")) & (F.col("u1") < F.col("u2"))
+    )
+    oriented = (
+        edges.join(d1, "u1")
+        .join(d2, "u2")
+        .select(
+            F.when(lower_first, F.col("u1")).otherwise(F.col("u2")).alias("src"),
+            F.when(lower_first, F.col("u2")).otherwise(F.col("u1")).alias("dst"),
+        )
+    )
+    o2 = oriented.select(F.col("src").alias("src2"), F.col("dst").alias("dst2"))
+    wedges = oriented.join(
+        o2, (F.col("src") == F.col("src2")) & (F.col("dst") < F.col("dst2"))
+    ).select(F.col("dst").alias("wu1"), F.col("dst2").alias("wu2"))
+    tri = wedges.join(
+        edges, (F.col("wu1") == F.col("u1")) & (F.col("wu2") == F.col("u2")), "left_semi"
+    )
+    n_nodes = deg.count()
+    n_edges = edges.count()
+    return tri.agg(
+        F.lit(n_nodes).cast("bigint").alias("n_nodes"),
+        F.lit(n_edges).cast("bigint").alias("n_edges"),
+        F.count(F.lit(1)).alias("n_triangles"),
+    )

@@ -383,3 +383,17 @@ def test_tpch_q21_single_extra_shuffle_not_three_scans(spark):
     assert plan.count("lineitem.parquet") <= 2
     assert "NestedLoop" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_hll_no_distinct_shuffle(spark):
+    """HLL's register build must be a 256-group aggregate with map-side
+    partial max — no distinct/expand of the raw keys anywhere on the
+    register path (the whole point vs COUNT(DISTINCT) at scale)."""
+    plan = explain_str(REGISTRY["hll_distinct_users"].fn(spark, SF))
+    assert "partial_max" in plan
+
+
+def test_triangle_count_no_cartesian(spark):
+    plan = explain_str(REGISTRY["triangle_count"].fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "LeftSemi" in plan
