@@ -5292,3 +5292,152 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n_edges).cast("bigint").alias("n_edges"),
         F.count(F.lit(1)).alias("n_triangles"),
     )
+
+
+@register(
+    "pagerank_error_graph",
+    """
+    WITH b AS (
+        SELECT DISTINCT user_id, date_trunc('hour', ts) AS h
+        FROM events WHERE event_type = 'error'
+    ), e AS (
+        SELECT DISTINCT a.user_id AS u1, c.user_id AS u2
+        FROM b a JOIN b c ON a.h = c.h AND a.user_id < c.user_id
+    ), dir AS (
+        SELECT u1 AS src, u2 AS dst FROM e
+        UNION ALL SELECT u2 AS src, u1 AS dst FROM e
+    ), deg AS (
+        SELECT src AS u, count(*) AS d FROM dir GROUP BY src
+    ), r0 AS (
+        SELECT u, CAST(1000000000000 AS BIGINT) AS r FROM deg
+    ), it1 AS (
+        SELECT dir.dst AS u,
+               150000000000 + (85 * sum(r0.r // deg.d)) // 100 AS r
+        FROM dir JOIN r0 ON dir.src = r0.u JOIN deg ON dir.src = deg.u
+        GROUP BY dir.dst
+    ), it2 AS (
+        SELECT dir.dst AS u,
+               150000000000 + (85 * sum(it1.r // deg.d)) // 100 AS r
+        FROM dir JOIN it1 ON dir.src = it1.u JOIN deg ON dir.src = deg.u
+        GROUP BY dir.dst
+    ), it3 AS (
+        SELECT dir.dst AS u,
+               150000000000 + (85 * sum(it2.r // deg.d)) // 100 AS r
+        FROM dir JOIN it2 ON dir.src = it2.u JOIN deg ON dir.src = deg.u
+        GROUP BY dir.dst
+    )
+    SELECT u AS user_id, r AS rank_scaled FROM it3
+    """,
+    note="PageRank, 3 power iterations, damping 0.85, on the hourly "
+    "error-co-occurrence graph — the iterative-algorithm representative "
+    "(alongside the pointer-jumping connected components).  Arithmetic is "
+    "FIXED-POINT INTEGER: ranks start at 10^12, contributions are integer "
+    "floor-divisions, damping is (85*sum) div 100 — so the result is "
+    "bit-identical regardless of aggregation order, which is what lets an "
+    "iterative float algorithm keep a hash-exact cross-engine oracle "
+    "(float PageRank sums in nondeterministic order and can never "
+    "hash-match).  Plan shape per iteration: edges join ranks on src "
+    "(shuffle on the vertex key) then partial-sum groupBy dst — the BSP/"
+    "Pregel pattern; per-iteration state is |V|, messages are |E|, and "
+    "degree rides along the edge list so it's computed once.  3 chained "
+    "iterations = 3 shuffles, no driver-side loop state",
+)
+def pagerank_error_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events").filter(F.col("event_type") == "error")
+    b = ev.select("user_id", F.date_trunc("hour", F.col("ts")).alias("h")).distinct()
+    b2 = b.select(F.col("user_id").alias("v2"), F.col("h").alias("h2"))
+    e = (
+        b.join(b2, (F.col("h") == F.col("h2")) & (F.col("user_id") < F.col("v2")))
+        .select(F.col("user_id").alias("u1"), F.col("v2").alias("u2"))
+        .distinct()
+    )
+    dirs = e.select(F.col("u1").alias("src"), F.col("u2").alias("dst")).unionAll(
+        e.select(F.col("u2").alias("src"), F.col("u1").alias("dst"))
+    )
+    deg = dirs.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    # degree rides along the edge list: joined once, reused by every iteration
+    edges = dirs.join(deg, "src").select("src", "dst", "d")
+    ranks = deg.select(F.col("src").alias("u"), F.lit(10**12).cast("bigint").alias("r"))
+    for _ in range(3):
+        ranks = (
+            edges.join(ranks, edges.src == ranks.u)
+            .select(F.col("dst"), F.expr("r div d").alias("contrib"))
+            .groupBy("dst")
+            .agg(
+                (
+                    F.lit(150000000000).cast("bigint")
+                    + F.expr("(85 * sum(contrib)) div 100")
+                ).alias("r")
+            )
+            .select(F.col("dst").alias("u"), "r")
+        )
+    return ranks.select(F.col("u").alias("user_id"), F.col("r").alias("rank_scaled"))
+
+
+@register(
+    "zorder_layout_tiles",
+    """
+    WITH xy AS (
+        SELECT o_orderkey,
+               CAST(o_custkey % 256 AS BIGINT) AS x,
+               CAST(date_diff('day', DATE '1970-01-01',
+                              CAST(o_orderdate AS DATE)) % 256 AS BIGINT) AS y
+        FROM orders
+    ), z AS (
+        SELECT o_orderkey, x, y,
+               (((x >> 0) & 1) << 0)  + (((y >> 0) & 1) << 1)
+             + (((x >> 1) & 1) << 2)  + (((y >> 1) & 1) << 3)
+             + (((x >> 2) & 1) << 4)  + (((y >> 2) & 1) << 5)
+             + (((x >> 3) & 1) << 6)  + (((y >> 3) & 1) << 7)
+             + (((x >> 4) & 1) << 8)  + (((y >> 4) & 1) << 9)
+             + (((x >> 5) & 1) << 10) + (((y >> 5) & 1) << 11)
+             + (((x >> 6) & 1) << 12) + (((y >> 6) & 1) << 13)
+             + (((x >> 7) & 1) << 14) + (((y >> 7) & 1) << 15) AS zindex
+        FROM xy
+    )
+    SELECT zindex >> 8 AS tile,
+           count(*) AS n_orders,
+           min(x) AS min_x, max(x) AS max_x,
+           min(y) AS min_y, max(y) AS max_y
+    FROM z GROUP BY tile
+    """,
+    note="Z-order (Morton) layout clustering over (customer, order-day): "
+    "interleave 8 bits of each dimension into a 16-bit z-index, group into "
+    "256 tiles (the file-assignment a Z-ORDER BY table rewrite would "
+    "produce).  The per-tile min/max columns ARE the demonstration: every "
+    "tile is tight in BOTH dimensions simultaneously (max_x-min_x and "
+    "max_y-min_y both ~16 of 256), so parquet min/max file stats prune "
+    "point or range predicates on EITHER column — the standard lakehouse "
+    "data-layout lever at 100 TB, where a single-column sort gives "
+    "pruning on one dimension and random layout gives none.  Pure integer "
+    "bit arithmetic, identical in both engines; at scale the same z-index "
+    "feeds repartitionByRange(zindex) before the write",
+)
+def zorder_layout_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = t(spark, sf_dir, "orders")
+    xy = od.select(
+        (F.col("o_custkey") % 256).cast("bigint").alias("x"),
+        (
+            F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+            % 256
+        )
+        .cast("bigint")
+        .alias("y"),
+    )
+    zbits = None
+    for i in range(8):
+        xt = F.shiftleft(F.shiftright(F.col("x"), i).bitwiseAND(1), 2 * i)
+        yt = F.shiftleft(F.shiftright(F.col("y"), i).bitwiseAND(1), 2 * i + 1)
+        term = xt + yt
+        zbits = term if zbits is None else zbits + term
+    return (
+        xy.select("x", "y", zbits.alias("zindex"))
+        .groupBy(F.shiftright(F.col("zindex"), 8).alias("tile"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("x").alias("min_x"),
+            F.max("x").alias("max_x"),
+            F.min("y").alias("min_y"),
+            F.max("y").alias("max_y"),
+        )
+    )
