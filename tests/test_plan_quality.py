@@ -397,3 +397,20 @@ def test_triangle_count_no_cartesian(spark):
     plan = explain_str(REGISTRY["triangle_count"].fn(spark, SF))
     assert "CartesianProduct" not in plan
     assert "LeftSemi" in plan
+
+
+def test_pagerank_partial_sum_per_iteration(spark):
+    """Each PageRank iteration must partial-aggregate the contributions
+    map-side before its vertex shuffle (three iterations, three combined
+    aggregates), and the correlation must never plan as a nested loop."""
+    plan = explain_str(REGISTRY["pagerank_error_graph"].fn(spark, SF))
+    assert "partial_sum" in plan
+    assert "NestedLoop" not in plan
+
+
+def test_zorder_single_scan_partial_agg(spark):
+    """The z-index is pure projection arithmetic: one orders scan, one
+    combined aggregate — no joins, no extra exchanges."""
+    plan = explain_str(REGISTRY["zorder_layout_tiles"].fn(spark, SF))
+    assert plan.count(") Scan parquet") == 1
+    assert "partial_count" in plan or "partial_min" in plan
