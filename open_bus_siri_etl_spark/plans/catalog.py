@@ -5441,3 +5441,85 @@ def zorder_layout_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("y").alias("max_y"),
         )
     )
+
+
+@register(
+    "cohort_retention",
+    """
+    WITH activity AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS wk FROM events
+    ), cohort AS (
+        SELECT user_id, min(wk) AS cohort_week FROM activity GROUP BY user_id
+    )
+    SELECT cohort_week,
+           CAST(date_diff('day', cohort_week, wk) / 7 AS BIGINT) AS week_index,
+           count(DISTINCT activity.user_id) AS n_active
+    FROM activity JOIN cohort ON activity.user_id = cohort.user_id
+    GROUP BY cohort_week, week_index
+    """,
+    note="Cohort retention: users grouped by first-active week, counted in "
+    "each subsequent week they return — the standard product-analytics "
+    "triangle.  Shape: one distinct pass builds (user, week) activity, a "
+    "per-user min derives the cohort, and the rejoin is user-keyed (at "
+    "scale both sides shuffle on user_id — the cohort table is |users|, "
+    "NOT broadcastable at 100 TB, and the equi-join keeps it one "
+    "co-partitioned exchange); week arithmetic is exact integer day "
+    "difference so the bucketing is engine-identical",
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("wk")
+    ).distinct()
+    cohort = activity.groupBy("user_id").agg(F.min("wk").alias("cohort_week"))
+    return (
+        activity.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            (
+                F.datediff(F.col("wk").cast("date"), F.col("cohort_week").cast("date"))
+                / 7
+            )
+            .cast("bigint")
+            .alias("week_index"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+@register(
+    "month_over_month_revenue",
+    """
+    WITH m AS (
+        SELECT date_trunc('month', o_orderdate) AS month,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS revenue
+        FROM orders GROUP BY month
+    )
+    SELECT month, revenue,
+           lag(revenue) OVER (ORDER BY month) AS prev_revenue,
+           round((revenue - lag(revenue) OVER (ORDER BY month))
+                 / lag(revenue) OVER (ORDER BY month) * 100.0, 6) AS pct_change
+    FROM m
+    """,
+    note="Month-over-month revenue with LAG: period-over-period delta, the "
+    "most common reporting window shape.  The global ORDER BY window runs "
+    "over the ALREADY-AGGREGATED month table (~tens of rows after the "
+    "partial-sum month aggregate), so the single-partition window exchange "
+    "that would be a 100 TB cliff on raw rows is a no-op here — aggregate "
+    "first, window the aggregate; exact decimal sums, one IEEE "
+    "subtract/divide on identical operands, round(,6)",
+)
+def month_over_month_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    od = t(spark, sf_dir, "orders")
+    m = od.groupBy(F.date_trunc("month", F.col("o_orderdate")).alias("month")).agg(
+        F.sum(dec("o_totalprice")).cast("double").alias("revenue")
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return m.select(
+        "month",
+        "revenue",
+        prev.alias("prev_revenue"),
+        F.round((F.col("revenue") - prev) / prev * F.lit(100.0), 6).alias("pct_change"),
+    )

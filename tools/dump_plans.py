@@ -86,6 +86,20 @@ SHOWCASE = {
     " of bytes regardless of document size",
     "embedding_quantize_int8": "int8 quantization fuses into the scan:"
     " zero exchanges, no Python — parquet-scan-speed at any SF",
+    "tpch_q21_waiting_suppliers": "the EXISTS/NOT-EXISTS pair is ONE"
+    " per-order distinct-count aggregate rejoined to the late lines:"
+    " lineitem appears at most twice, no nested-loop join",
+    "tpch_q2_min_cost_supplier": "correlated min-per-part as a window over"
+    " the broadcast-joined eligible set; the supply aggregation runs once",
+    "hll_distinct_users": "registers via a 256-group partial_max aggregate"
+    " — NO distinct shuffle of the raw keys (the point of the sketch)",
+    "triangle_count": "degree-oriented wedges closed with LeftSemi against"
+    " the canonical edge set; no cartesian product anywhere",
+    "pagerank_error_graph": "3 BSP iterations: edges join ranks on the"
+    " vertex key, partial_sum before each vertex shuffle; degree rides the"
+    " edge list, joined once",
+    "zorder_layout_tiles": "Morton index is pure projection arithmetic:"
+    " one scan, one combined aggregate, zero joins",
 }
 
 
