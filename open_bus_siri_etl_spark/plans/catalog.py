@@ -5523,3 +5523,37 @@ def month_over_month_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         prev.alias("prev_revenue"),
         F.round((F.col("revenue") - prev) / prev * F.lit(100.0), 6).alias("pct_change"),
     )
+
+
+@register(
+    "event_transition_matrix",
+    """
+    WITH seq AS (
+        SELECT event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS next_type
+        FROM events
+    )
+    SELECT event_type, next_type, count(*) AS n_transitions
+    FROM seq WHERE next_type IS NOT NULL
+    GROUP BY event_type, next_type
+    """,
+    note="Markov transition matrix over per-user event sequences: LEAD "
+    "window partitioned by user_id (high-cardinality key — balanced "
+    "shuffle, never single-partition), tie-broken by event_id so the "
+    "sequence order is total and engine-identical; then a tiny "
+    "(|types|^2)-group count with map-side combine.  The per-user sorted "
+    "pass is the same shape session/funnel analytics use — one shuffle "
+    "per 100 TB scan, state bounded by the partition sort",
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("next_type")
+    )
+    return (
+        seq.filter(F.col("next_type").isNotNull())
+        .groupBy("event_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
