@@ -5557,3 +5557,50 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "next_type")
         .agg(F.count(F.lit(1)).alias("n_transitions"))
     )
+
+
+@register(
+    "bpe_pair_counts",
+    """
+    WITH tok AS (
+        SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        FROM documents
+    ), pairs AS (
+        SELECT unnest(list_transform(range(1, len(toks)),
+                                     i -> toks[i] || ' ' || toks[i + 1]))
+               AS pair
+        FROM tok WHERE len(toks) >= 2
+    )
+    SELECT pair, count(*) AS n_occurrences
+    FROM pairs GROUP BY pair
+    ORDER BY n_occurrences DESC, pair LIMIT 50
+    """,
+    note="Adjacent-pair frequency counting — the inner loop of BPE "
+    "vocabulary induction (each merge round = take the top pair, re-pair, "
+    "repeat).  zip_with over two shifted slices builds the pair array "
+    "inside the scan projection (no Python, no join); the explode "
+    "amplifies ~tokens-per-doc x, but the group key is a tens-of-bytes "
+    "bigram so the partial count collapses it map-side before the "
+    "shuffle, and top-50 is TakeOrderedAndProject (K rows per partition "
+    "cross the driver, never the full pair distribution).  Deterministic "
+    "tie-break (count desc, pair asc) keeps the K-cut engine-identical",
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textstats import WORD_PATTERN
+
+    docs = t(spark, sf_dir, "documents")
+    tk = F.regexp_extract_all(F.lower(F.col("text")), F.lit(WORD_PATTERN), 0)
+    pairs = F.zip_with(
+        F.slice(F.col("toks"), 1, F.size(F.col("toks")) - 1),
+        F.slice(F.col("toks"), 2, F.size(F.col("toks")) - 1),
+        lambda x, y: F.concat_ws(" ", x, y),
+    )
+    return (
+        docs.select(tk.alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("pair"))
+        .limit(50)
+    )

@@ -414,3 +414,19 @@ def test_zorder_single_scan_partial_agg(spark):
     plan = explain_str(REGISTRY["zorder_layout_tiles"].fn(spark, SF))
     assert plan.count(") Scan parquet") == 1
     assert "partial_count" in plan or "partial_min" in plan
+
+
+def test_bpe_pairs_partial_count_and_topk(spark):
+    """Pair explosion must collapse map-side (partial_count on the bigram
+    key) and the top-50 must plan as TakeOrderedAndProject."""
+    plan = explain_str(REGISTRY["bpe_pair_counts"].fn(spark, SF))
+    assert "partial_count" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_transition_matrix_keyed_window(spark):
+    """The LEAD window must partition by user_id — a keyed exchange, never
+    the single-partition global-sort cliff."""
+    plan = explain_str(REGISTRY["event_transition_matrix"].fn(spark, SF))
+    assert "SinglePartition" not in plan
