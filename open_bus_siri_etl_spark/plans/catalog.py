@@ -5249,49 +5249,14 @@ def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     "out-edges), so the approximate-looking rewrite keeps an exact oracle",
 )
 def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events").filter(F.col("event_type") == "error")
-    b = ev.select(
-        "user_id", F.date_trunc("hour", F.col("ts")).alias("h")
-    ).distinct()
-    b2 = b.select(F.col("user_id").alias("v2"), F.col("h").alias("h2"))
-    edges = (
-        b.join(b2, (F.col("h") == F.col("h2")) & (F.col("user_id") < F.col("v2")))
-        .select(F.col("user_id").alias("u1"), F.col("v2").alias("u2"))
-        .distinct()
+    from ..operators.graph import cooccurrence_edges, triangles
+
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "error")
+        .select("user_id", F.date_trunc("hour", F.col("ts")).alias("h"))
     )
-    deg = (
-        edges.select(F.col("u1").alias("u"))
-        .unionAll(edges.select(F.col("u2").alias("u")))
-        .groupBy("u")
-        .agg(F.count(F.lit(1)).alias("d"))
-    )
-    d1 = deg.select(F.col("u").alias("u1"), F.col("d").alias("deg1"))
-    d2 = deg.select(F.col("u").alias("u2"), F.col("d").alias("deg2"))
-    lower_first = (F.col("deg1") < F.col("deg2")) | (
-        (F.col("deg1") == F.col("deg2")) & (F.col("u1") < F.col("u2"))
-    )
-    oriented = (
-        edges.join(d1, "u1")
-        .join(d2, "u2")
-        .select(
-            F.when(lower_first, F.col("u1")).otherwise(F.col("u2")).alias("src"),
-            F.when(lower_first, F.col("u2")).otherwise(F.col("u1")).alias("dst"),
-        )
-    )
-    o2 = oriented.select(F.col("src").alias("src2"), F.col("dst").alias("dst2"))
-    wedges = oriented.join(
-        o2, (F.col("src") == F.col("src2")) & (F.col("dst") < F.col("dst2"))
-    ).select(F.col("dst").alias("wu1"), F.col("dst2").alias("wu2"))
-    tri = wedges.join(
-        edges, (F.col("wu1") == F.col("u1")) & (F.col("wu2") == F.col("u2")), "left_semi"
-    )
-    n_nodes = deg.count()
-    n_edges = edges.count()
-    return tri.agg(
-        F.lit(n_nodes).cast("bigint").alias("n_nodes"),
-        F.lit(n_edges).cast("bigint").alias("n_edges"),
-        F.count(F.lit(1)).alias("n_triangles"),
-    )
+    return triangles(cooccurrence_edges(ev, "user_id", "h"))
 
 
 @register(
@@ -5343,35 +5308,17 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "iterations = 3 shuffles, no driver-side loop state",
 )
 def pagerank_error_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = t(spark, sf_dir, "events").filter(F.col("event_type") == "error")
-    b = ev.select("user_id", F.date_trunc("hour", F.col("ts")).alias("h")).distinct()
-    b2 = b.select(F.col("user_id").alias("v2"), F.col("h").alias("h2"))
-    e = (
-        b.join(b2, (F.col("h") == F.col("h2")) & (F.col("user_id") < F.col("v2")))
-        .select(F.col("user_id").alias("u1"), F.col("v2").alias("u2"))
-        .distinct()
+    from ..operators.graph import cooccurrence_edges, pagerank
+
+    ev = (
+        t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "error")
+        .select("user_id", F.date_trunc("hour", F.col("ts")).alias("h"))
     )
-    dirs = e.select(F.col("u1").alias("src"), F.col("u2").alias("dst")).unionAll(
-        e.select(F.col("u2").alias("src"), F.col("u1").alias("dst"))
+    ranks = pagerank(cooccurrence_edges(ev, "user_id", "h"), iterations=3)
+    return ranks.select(
+        F.col("u").alias("user_id"), F.col("r").alias("rank_scaled")
     )
-    deg = dirs.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    # degree rides along the edge list: joined once, reused by every iteration
-    edges = dirs.join(deg, "src").select("src", "dst", "d")
-    ranks = deg.select(F.col("src").alias("u"), F.lit(10**12).cast("bigint").alias("r"))
-    for _ in range(3):
-        ranks = (
-            edges.join(ranks, edges.src == ranks.u)
-            .select(F.col("dst"), F.expr("r div d").alias("contrib"))
-            .groupBy("dst")
-            .agg(
-                (
-                    F.lit(150000000000).cast("bigint")
-                    + F.expr("(85 * sum(contrib)) div 100")
-                ).alias("r")
-            )
-            .select(F.col("dst").alias("u"), "r")
-        )
-    return ranks.select(F.col("u").alias("user_id"), F.col("r").alias("rank_scaled"))
 
 
 @register(
