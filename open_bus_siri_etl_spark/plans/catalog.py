@@ -5551,3 +5551,91 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occurrences"), F.asc("pair"))
         .limit(50)
     )
+
+
+@register(
+    "neardup_survivors",
+    f"""
+    WITH RECURSIVE {_POSTINGS_CTE},
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        FROM post a JOIN post b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b
+        FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+                   JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs
+    ),
+    reach AS (
+        SELECT a AS node, a AS r FROM edges
+        UNION
+        SELECT reach.node, e.b FROM reach JOIN edges e ON e.a = reach.r
+    ),
+    comp AS (SELECT node AS doc_id, min(r) AS component FROM reach GROUP BY node),
+    mem AS (
+        SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component, d.n_chars
+        FROM documents d LEFT JOIN comp c USING (doc_id)
+    ),
+    best AS (
+        SELECT component, max(n_chars) AS max_chars, count(*) AS n_members
+        FROM mem GROUP BY component
+    )
+    SELECT m.component, min(m.doc_id) AS kept_doc_id,
+           b.max_chars AS kept_n_chars, b.n_members
+    FROM mem m JOIN best b
+      ON m.component = b.component AND m.n_chars = b.max_chars
+    GROUP BY m.component, b.max_chars, b.n_members
+    """,
+    note="the END of the dedup pipeline: near-dup clusters resolved to ONE "
+    "surviving document each under the keep-the-longest policy (max "
+    "n_chars, ties to min doc_id) — the row set a training run actually "
+    "reads.  Survivor selection is an argmax per component: per-component "
+    "max + equi-rejoin on (component, n_chars), both map-side-combinable "
+    "aggregates; singleton docs are their own component and survive "
+    "unchanged.  Composes ngram_jaccard_pairs -> connected_components -> "
+    "argmax from already-verified parts",
+)
+def neardup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import connected_components, ngram_jaccard_pairs
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
+    comp = connected_components(pairs).withColumnRenamed("node", "doc_id")
+    mem = (
+        docs.select("doc_id", "n_chars")
+        .join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component", "doc_id").alias("component"),
+            "n_chars",
+        )
+    )
+    best = (
+        mem.groupBy("component")
+        .agg(
+            F.max("n_chars").alias("max_chars"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .withColumnRenamed("component", "b_component")
+    )
+    return (
+        mem.join(
+            best,
+            (F.col("component") == F.col("b_component"))
+            & (F.col("n_chars") == F.col("max_chars")),
+        )
+        .groupBy("component", "max_chars", "n_members")
+        .agg(F.min("doc_id").alias("kept_doc_id"))
+        .select(
+            "component",
+            "kept_doc_id",
+            F.col("max_chars").alias("kept_n_chars"),
+            "n_members",
+        )
+    )
