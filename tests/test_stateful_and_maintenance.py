@@ -862,3 +862,61 @@ def test_batch_dedup_matches_streaming_keys(spark, tmp_path):
     )
     out = dedup_stream(df, ["event_id"])
     assert sorted(r["event_id"] for r in out.collect()) == [1, 2]
+
+
+# -- training-shard export (sources/export.py) ---------------------------
+
+
+def test_write_training_shards_deterministic(spark, tmp_path):
+    """Shard assignment is content-hashed (stable across runs), every row
+    lands in exactly one shard, and each shard directory holds one file."""
+    from open_bus_siri_etl_spark.sources.export import (
+        read_shard,
+        write_training_shards,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out1, out2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    write_training_shards(docs, out1, key="doc_id", n_shards=8)
+    write_training_shards(docs, out2, key="doc_id", n_shards=8)
+
+    r1 = spark.read.parquet(out1)
+    assert r1.count() == docs.count()
+    assert r1.select("doc_id").distinct().count() == docs.count()
+    shards = {r.shard for r in r1.select("shard").distinct().collect()}
+    assert shards == set(range(8))
+
+    # determinism: identical (doc_id -> shard) mapping on a rerun
+    m1 = {r.doc_id: r.shard for r in r1.select("doc_id", "shard").collect()}
+    m2 = {
+        r.doc_id: r.shard
+        for r in spark.read.parquet(out2).select("doc_id", "shard").collect()
+    }
+    assert m1 == m2
+
+    # one data file per shard directory
+    import glob
+
+    for k in range(8):
+        files = glob.glob(f"{out1}/shard={k}/*.parquet")
+        assert len(files) == 1, f"shard {k}: {files}"
+
+    # shard read is partition-pruned to one directory's rows
+    one = read_shard(spark, out1, 3)
+    assert one.count() == sum(1 for s in m1.values() if s == 3)
+
+
+def test_write_training_shards_max_records_splits_files(spark, tmp_path):
+    from open_bus_siri_etl_spark.sources.export import write_training_shards
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = str(tmp_path / "split")
+    write_training_shards(
+        docs, out, key="doc_id", n_shards=4, max_records_per_file=10
+    )
+    import glob
+
+    n_files = len(glob.glob(f"{out}/shard=*/*.parquet"))
+    n = spark.read.parquet(out).count()
+    assert n == docs.count()
+    assert n_files >= n / 10  # files capped at 10 rows each
