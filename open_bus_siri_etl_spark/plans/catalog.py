@@ -3264,10 +3264,14 @@ def sequence_packing_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def embedding_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import connected_components
-    from ..operators.similarity import cosine_near_pairs
+    from ..operators.similarity import cosine_near_pairs_auto
 
     emb = t(spark, sf_dir, "embeddings")
-    pairs = cosine_near_pairs(emb, threshold=0.4).select(
+    # the auto kernel (blocked matmul under the broadcast cap, both-sides
+    # tiled beyond) shares the 6dp round-before-threshold contract with the
+    # expression variant, so the swap is invisible to the oracle — but it
+    # drops the all-pairs expression work (14s -> ~3s at sf0.1)
+    pairs = cosine_near_pairs_auto(emb, threshold=0.4).select(
         F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
     )
     comp = connected_components(pairs).withColumnRenamed("node", "vec_id")
