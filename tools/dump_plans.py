@@ -100,6 +100,12 @@ SHOWCASE = {
     " edge list, joined once",
     "zorder_layout_tiles": "Morton index is pure projection arithmetic:"
     " one scan, one combined aggregate, zero joins",
+    "bpe_pair_counts": "pair explode collapsed map-side (partial_count on"
+    " the bigram key); top-50 is TakeOrderedAndProject",
+    "cohort_retention": "cohort derivation and rejoin share the user_id"
+    " shuffle key; count-distinct expands to a two-level aggregate",
+    "neardup_survivors": "argmax per dup-cluster: per-component max +"
+    " equi-rejoin, both map-side combinable; no window over raw docs",
 }
 
 
