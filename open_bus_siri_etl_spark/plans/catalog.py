@@ -5643,3 +5643,85 @@ def neardup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_members",
         )
     )
+
+
+@register(
+    "histogram_quantile_sketch",
+    """
+    WITH b AS (
+        SELECT CAST(least(floor(value / 4.0), 127) AS BIGINT) AS bin,
+               count(*) AS c
+        FROM events GROUP BY bin
+    ), cum AS (
+        SELECT bin, c,
+               sum(c) OVER (ORDER BY bin) AS cum,
+               sum(c) OVER () AS n
+        FROM b
+    ), qs AS (
+        SELECT CAST(q AS DOUBLE) AS quantile FROM (VALUES (0.5), (0.9), (0.99)) t(q)
+    ), hit AS (
+        SELECT quantile, min(bin) AS bin
+        FROM cum, qs
+        WHERE cum >= ceil(quantile * n)
+        GROUP BY quantile
+    )
+    SELECT h.quantile,
+           round(h.bin * 4.0
+                 + 4.0 * (ceil(h.quantile * c2.n) - c2.cum + c2.c) / c2.c,
+                 6) AS est_value,
+           CAST(ceil(h.quantile * c2.n) AS BIGINT) AS target_rank,
+           c2.n
+    FROM hit h JOIN cum c2 ON h.bin = c2.bin
+    """,
+    note="mergeable quantile sketch: fixed equi-width histogram (128 bins "
+    "of width 4) + linear interpolation inside the target-rank bin.  This "
+    "is the deterministic member of the approximate-quantile family — "
+    "production engines reach for KLL/t-digest, whose compaction order is "
+    "run-dependent and can never hash-match an oracle; fixed bins trade "
+    "adaptivity for bit-stability and keep the two defining properties: "
+    "the structure is a 128-long vector MERGEABLE by element-wise add "
+    "(shards/executors combine without resorting raw data) and the build "
+    "is one map-side-combinable groupBy — no sort, no distinct, no "
+    "per-row state.  bin = floor(value/4): division by a power of two is "
+    "exact in IEEE, so binning is engine-identical; the interpolation is "
+    "identical-operand double math rounded at 6dp.  Completes the sketch "
+    "family: CountMin / KMV / Bloom / Misra-Gries / HLL / histogram-"
+    "quantile",
+)
+def histogram_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    b = ev.groupBy(
+        F.least(F.floor(F.col("value") / 4.0), F.lit(127))
+        .cast("bigint")
+        .alias("bin")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    # windows run over the 128-row bin table, not raw events — the
+    # single-partition exchange is a no-op by construction
+    w_cum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    w_all = Window.partitionBy()
+    cum = b.select(
+        "bin",
+        "c",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+    qs = spark.range(1).select(
+        F.explode(F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99))).alias("quantile")
+    )
+    hit = (
+        cum.crossJoin(F.broadcast(qs))
+        .filter(F.col("cum") >= F.ceil(F.col("quantile") * F.col("n")))
+        .groupBy("quantile")
+        .agg(F.min("bin").alias("bin"))
+    )
+    target = F.ceil(F.col("quantile") * F.col("n"))
+    return hit.join(cum, "bin").select(
+        "quantile",
+        F.round(
+            F.col("bin") * F.lit(4.0)
+            + F.lit(4.0) * (target - F.col("cum") + F.col("c")) / F.col("c"),
+            6,
+        ).alias("est_value"),
+        target.cast("bigint").alias("target_rank"),
+        "n",
+    )
