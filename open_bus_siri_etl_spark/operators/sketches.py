@@ -62,3 +62,36 @@ def misra_gries_candidates(
         yield pd.DataFrame({key_col: list(counters.keys())})
 
     return df.select(key_col).mapInPandas(summarize, schema=out_schema).distinct()
+
+
+def histogram_bins(
+    df: DataFrame, col: str, width: float = 4.0, n_bins: int = 128
+) -> DataFrame:
+    """Fixed equi-width histogram: the mergeable quantile-sketch structure
+    (plans/catalog.py ``histogram_quantile_sketch`` estimates quantiles
+    from it).
+
+    Returns (bin, c).  Mergeable by construction: the histogram of a union
+    is the element-wise sum of the parts' histograms (``merge_histograms``)
+    — shards/executors combine without touching raw rows again, which is
+    the property that lets 100 TB of per-file sketches collapse into one
+    128-long vector.  Use a power-of-two ``width`` to keep the binning
+    division exact in IEEE (engine-identical).
+    """
+    from pyspark.sql import functions as F
+
+    return df.groupBy(
+        F.least(F.floor(F.col(col) / width), F.lit(n_bins - 1))
+        .cast("bigint")
+        .alias("bin")
+    ).agg(F.count(F.lit(1)).alias("c"))
+
+
+def merge_histograms(*hists: DataFrame) -> DataFrame:
+    """Element-wise add of fixed-bin histograms (the sketch merge)."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F
+
+    u = reduce(lambda a, b: a.unionAll(b), hists)
+    return u.groupBy("bin").agg(F.sum("c").alias("c"))

@@ -79,3 +79,27 @@ def test_degrees(spark):
     g = edge_df(spark, [(0, 1), (0, 2), (1, 2), (0, 3)])
     d = {r.u: r.d for r in degrees(g).collect()}
     assert d == {0: 3, 1: 2, 2: 2, 3: 1}
+
+
+# -- histogram quantile sketch: the mergeability proof --------------------
+
+
+def test_histogram_sketch_merges_exactly(spark):
+    """The defining sketch property: hist(A ∪ B) == merge(hist(A), hist(B))
+    — so per-shard histograms combine without re-reading raw rows."""
+    from open_bus_siri_etl_spark.operators.sketches import (
+        histogram_bins,
+        merge_histograms,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    a = ev.filter("event_id % 2 = 0")
+    b = ev.filter("event_id % 2 = 1")
+    merged = {
+        r.bin: r.c
+        for r in merge_histograms(
+            histogram_bins(a, "value"), histogram_bins(b, "value")
+        ).collect()
+    }
+    whole = {r.bin: r.c for r in histogram_bins(ev, "value").collect()}
+    assert merged == whole
