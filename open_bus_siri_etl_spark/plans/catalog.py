@@ -5689,12 +5689,10 @@ def neardup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     "quantile",
 )
 def histogram_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.sketches import histogram_bins
+
     ev = t(spark, sf_dir, "events")
-    b = ev.groupBy(
-        F.least(F.floor(F.col("value") / 4.0), F.lit(127))
-        .cast("bigint")
-        .alias("bin")
-    ).agg(F.count(F.lit(1)).alias("c"))
+    b = histogram_bins(ev, "value", width=4.0, n_bins=128)
     # windows run over the 128-row bin table, not raw events — the
     # single-partition exchange is a no-op by construction
     w_cum = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
