@@ -86,6 +86,24 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("snapshot_id_to")
     v.add_argument("--report-path", default=None)
 
+    rq = sub.add_parser(
+        "run-query",
+        help="beyond-reference: run a named catalog query against a "
+        "parquet table directory and print JSON rows",
+    )
+    rq.add_argument("name", help="catalog entry name (see plans/catalog.py)")
+    rq.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    rq.add_argument("--limit", type=int, default=20)
+
+    rs = sub.add_parser(
+        "run-sql",
+        help="beyond-reference: run ANSI SQL against the table directory "
+        "via spark.sql (tables registered as views)",
+    )
+    rs.add_argument("query")
+    rs.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    rs.add_argument("--limit", type=int, default=20)
+
     tp = sub.add_parser(
         "prep-training-data",
         help="beyond-reference: quality+language gate and exact-dedup a "
@@ -113,6 +131,25 @@ def main(argv: list[str] | None = None) -> int:
             return 0 if path else 1
         landed = download_latest_snapshots(landing, url_template, minutes=args.minutes)
         print(json.dumps({"landed": len(landed), "snapshot_ids": landed}))
+        return 0
+
+    # query verbs need a session but no warehouse/landing context
+    if args.cmd in ("run-query", "run-sql"):
+        from .session import get_spark
+
+        spark = get_spark(app_name="siri-etl-query")
+        if args.cmd == "run-query":
+            from .plans.catalog import REGISTRY
+
+            if args.name not in REGISTRY:
+                p.error(f"unknown query {args.name!r}; see plans/catalog.py")
+            df = REGISTRY[args.name].fn(spark, args.sf_dir)
+        else:
+            from .plans.sqlapi import sql
+
+            df = sql(spark, args.sf_dir, args.query)
+        for row in df.limit(args.limit).collect():
+            print(json.dumps(row.asDict(), default=str))
         return 0
 
     spark, wh, landing = _ctx()

@@ -110,3 +110,28 @@ def test_cli_download_verbs(spark, tmp_path, monkeypatch, capsys):
     assert main(["download-latest-snapshots", "--minutes", "3", "--url-template", url]) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["landed"] == 0
+
+
+def test_cli_run_query_and_sql(spark, capsys):
+    import json
+
+    from open_bus_siri_etl_spark.cli import main
+
+    rc = main(
+        ["run-query", "global_minmax", "--sf-dir", "/root/testdata/sf0.001"]
+    )
+    assert rc == 0
+    row = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "min_value" in row or len(row) > 0
+
+    rc = main(
+        [
+            "run-sql",
+            "SELECT count(*) AS n FROM documents",
+            "--sf-dir",
+            "/root/testdata/sf0.001",
+        ]
+    )
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["n"] > 0
