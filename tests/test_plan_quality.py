@@ -430,3 +430,33 @@ def test_transition_matrix_keyed_window(spark):
     the single-partition global-sort cliff."""
     plan = explain_str(REGISTRY["event_transition_matrix"].fn(spark, SF))
     assert "SinglePartition" not in plan
+
+
+def test_cohort_retention_no_single_partition(spark):
+    """Cohort derivation and rejoin stay keyed on user_id; the distinct
+    aggregate partial-counts map-side; nothing collapses to one partition."""
+    plan = explain_str(REGISTRY["cohort_retention"].fn(spark, SF))
+    assert "SinglePartition" not in plan
+    assert "partial_count" in plan
+
+
+def test_histogram_sketch_partial_count_before_bins(spark):
+    """The raw-event pass must be ONE map-side-combinable groupBy to 128
+    bins; the only windows/joins afterwards run over the bin table (the
+    SinglePartition exchanges there carry <=128 rows by construction)."""
+    plan = explain_str(REGISTRY["histogram_quantile_sketch"].fn(spark, SF))
+    assert "partial_count" in plan
+
+
+def test_mom_partial_sum_before_global_window(spark):
+    """The LAG window is global (SinglePartition) but must sit ABOVE the
+    month aggregate — partial_sum proves raw orders collapse map-side
+    before anything single-partition sees them."""
+    plan = explain_str(REGISTRY["month_over_month_revenue"].fn(spark, SF))
+    assert "partial_sum" in plan
+
+
+def test_neardup_survivors_no_single_partition(spark):
+    plan = explain_str(REGISTRY["neardup_survivors"].fn(spark, SF))
+    assert "SinglePartition" not in plan
+    assert "NestedLoop" not in plan
