@@ -5723,3 +5723,84 @@ def histogram_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         target.cast("bigint").alias("target_rank"),
         "n",
     )
+
+
+@register(
+    "hll_distinct_users_per_type",
+    """
+    WITH h AS (
+        SELECT event_type,
+               CAST(('0x' || substr(md5(user_id::VARCHAR), 1, 13))
+                    AS UBIGINT) AS hv
+        FROM events
+    ), br AS (
+        SELECT event_type, CAST(hv % 256 AS BIGINT) AS bucket,
+               CASE WHEN hv // 256 = 0 THEN 45
+                    ELSE 45 - length(bin(hv // 256)) END AS rho
+        FROM h
+    ), regs AS (
+        SELECT event_type, bucket, max(rho) AS m_j
+        FROM br GROUP BY event_type, bucket
+    ), s AS (
+        SELECT event_type, count(*) AS v_filled,
+               sum(power(2.0, -m_j)) + (256 - count(*)) AS sum_pow
+        FROM regs GROUP BY event_type
+    ), ex AS (
+        SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT)
+                   AS true_distinct
+        FROM events GROUP BY event_type
+    )
+    SELECT s.event_type,
+           CAST(v_filled AS BIGINT) AS n_filled,
+           CASE WHEN (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 / sum_pow
+                     <= 640.0 AND v_filled < 256
+                THEN round(256.0 * ln(256.0 / (256 - v_filled)), 6)
+                ELSE round((0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0
+                           / sum_pow, 6) END AS est_distinct,
+           ex.true_distinct
+    FROM s JOIN ex ON s.event_type = ex.event_type
+    """,
+    note="HLL as a PER-GROUP aggregate — distinct users per event type, the "
+    "realistic reporting shape: registers keyed by (group, bucket), so one "
+    "map-side-combinable groupBy over (|groups| x 256) keys replaces "
+    "|groups| separate COUNT(DISTINCT) expansions; group sketches remain "
+    "independently mergeable across shards.  Same 52-bit md5 / integer "
+    "leading-zero / exact register-sum math as hll_distinct_users; "
+    "true_distinct joined in for the per-group error ratio (the exact "
+    "count here is the oracle column, not part of the sketch pass)",
+)
+def hll_distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    hv = F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 13), 16, 10
+                ).cast("bigint")
+    br = ev.select("event_type", hv.alias("hv")).select(
+        "event_type",
+        (F.col("hv") % 256).alias("bucket"),
+        F.when(F.expr("hv div 256") == 0, F.lit(45))
+        .otherwise(F.lit(45) - F.length(F.bin(F.expr("hv div 256"))))
+        .cast("int")
+        .alias("rho"),
+    )
+    regs = br.groupBy("event_type", "bucket").agg(F.max("rho").alias("m_j"))
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(256.0))
+    s = regs.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("v_filled"),
+        (F.sum(F.pow(F.lit(2.0), -F.col("m_j"))) + (256 - F.count(F.lit(1)))).alias(
+            "sum_pow"
+        ),
+    )
+    raw = alpha * F.lit(65536.0) / F.col("sum_pow")
+    ex = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("true_distinct")
+    )
+    return s.join(ex, "event_type").select(
+        "event_type",
+        F.col("v_filled").cast("bigint").alias("n_filled"),
+        F.when(
+            (raw <= 640.0) & (F.col("v_filled") < 256),
+            F.round(F.lit(256.0) * F.log(F.lit(256.0) / (256 - F.col("v_filled"))), 6),
+        )
+        .otherwise(F.round(raw, 6))
+        .alias("est_distinct"),
+        "true_distinct",
+    )
