@@ -110,6 +110,13 @@ def pagerank(edges: DataFrame, iterations: int = 3, damping_pct: int = 85) -> Da
     arithmetic: ``new = (100-damping_pct)% * RANK_SCALE + (damping_pct *
     sum(contribs)) div 100``.  Every vertex of the edge list has degree
     >= 1, so no dangling-mass term is needed.  Returns (u, rank_scaled).
+
+    Contributions are summed in DECIMAL(38,0) before damping: with int64
+    the product ``damping_pct * sum(contrib)`` silently wraps once a hub's
+    incoming contribution sum passes ~1.08e17 (roughly 10^5 full-rank
+    neighbors), while the DuckDB oracle widens BIGINT sums to HUGEINT and
+    stays exact.  Decimal keeps both engines exact to 38 digits, which
+    covers any graph whose vertex count fits in an int64.
     """
     dirs = edges.select(F.col("u1").alias("src"), F.col("u2").alias("dst")).unionAll(
         edges.select(F.col("u2").alias("src"), F.col("u1").alias("dst"))
@@ -128,7 +135,10 @@ def pagerank(edges: DataFrame, iterations: int = 3, damping_pct: int = 85) -> Da
             .agg(
                 (
                     F.lit(base).cast("bigint")
-                    + F.expr(f"({damping_pct} * sum(contrib)) div 100")
+                    + F.expr(
+                        f"cast(({damping_pct} * sum(cast(contrib as decimal(38,0))))"
+                        " div 100 as bigint)"
+                    )
                 ).alias("r")
             )
             .select(F.col("dst").alias("u"), "r")

@@ -377,6 +377,12 @@ def cosine_near_pairs_blocked(
     shuffle blocks, matmul per (block_i, block_j ≥ block_i) pair — same
     kernel, one extra shuffle.  Output/rounding contract matches
     cosine_near_pairs (round 6dp), so the same SQL oracle verifies both.
+
+    Operand order matches the expression kernel exactly — raw dot divided
+    by the product of norms, NOT pre-normalized rows — so the only residual
+    cross-kernel float difference is summation order inside the dot (BLAS
+    blocked sums vs a left-to-right fold), absorbed by the 6dp round except
+    for values sitting exactly on a rounding/threshold boundary.
     """
     import pandas as pd
 
@@ -384,20 +390,22 @@ def cosine_near_pairs_blocked(
     pdf = corpus.select(id_col, vec_col).toPandas()
     ids = pdf[id_col].to_numpy()
     m = np.stack(pdf[vec_col].to_numpy()).astype("float64")
-    m_unit = m / np.linalg.norm(m, axis=1, keepdims=True)
-    bc = spark.sparkContext.broadcast((ids, m_unit))
+    m_norm = np.linalg.norm(m, axis=1)
+    bc = spark.sparkContext.broadcast((ids, m, m_norm))
 
     def gen(batches):
-        b_ids, m_u = bc.value
+        b_ids, m_mat, b_norm = bc.value
         for block in batches:
             if not len(block):
                 continue
             a_ids = block[id_col].to_numpy()
             a = np.stack(block[vec_col].to_numpy()).astype("float64")
-            a_unit = a / np.linalg.norm(a, axis=1, keepdims=True)
+            a_norm = np.linalg.norm(a, axis=1)
             # round BEFORE thresholding — the exact operator filters on the
-            # rounded value, and the two must agree at the boundary
-            sims = np.round(a_unit @ m_u.T, 6)
+            # rounded value, and the two must agree at the boundary; divide
+            # dot by the norm product (same operand order as the expression
+            # kernel) rather than normalizing rows first
+            sims = np.round((a @ m_mat.T) / np.outer(a_norm, b_norm), 6)
             ai, bj = np.nonzero(sims >= threshold)
             keep = a_ids[ai] < b_ids[bj]
             ai, bj = ai[keep], bj[keep]
@@ -500,9 +508,13 @@ def cosine_near_pairs_tiled(
         b_ids = b["_id"].to_numpy()
         am = np.stack(a["_vec"].to_numpy()).astype("float64")
         bm = np.stack(b["_vec"].to_numpy()).astype("float64")
-        am /= np.linalg.norm(am, axis=1, keepdims=True)
-        bm /= np.linalg.norm(bm, axis=1, keepdims=True)
-        sims = np.round(am @ bm.T, 6)
+        # dot / (norm_a * norm_b) — same operand order as the expression
+        # kernel and the SQL oracle (see cosine_near_pairs_blocked)
+        sims = np.round(
+            (am @ bm.T)
+            / np.outer(np.linalg.norm(am, axis=1), np.linalg.norm(bm, axis=1)),
+            6,
+        )
         ai, bj_ix = np.nonzero(sims >= threshold)
         ia, ib = a_ids[ai], b_ids[bj_ix]
         if bi == bj:  # same set on both sides: keep each unordered pair once

@@ -3260,7 +3260,12 @@ def sequence_packing_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_cosine_pairs) closed into components via pointer-jumping "
     "min-label propagation, min vec_id kept per cluster — the embedding "
     "analog of neardup_components; at scale swap the exact pair kernel for "
-    "cosine_near_pairs_auto (blocked/tiled dispatch) with no change here",
+    "cosine_near_pairs_auto (blocked/tiled dispatch) with no change here. "
+    "Boundary assumption: the matmul kernels compute dot/(nrm_a*nrm_b) in "
+    "the oracle's operand order, but summation order inside the dot (BLAS "
+    "vs fold) can still differ by ulps — a cosine sitting exactly on the "
+    "6dp rounding boundary or the 0.4 threshold could flip inclusion; no "
+    "such value exists in the synthetic embeddings",
 )
 def embedding_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import connected_components
@@ -4997,7 +5002,10 @@ def tpch_q12_shipmode_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "supplier exclusion is substituted by negative account balance, and "
     "partsupp by the observed lineitem part-supplier pairs): the NOT IN "
     "becomes a broadcast LEFT ANTI join (s_suppkey is never null so the "
-    "semantics coincide); COUNT(DISTINCT) is the one distinct-heavy shape "
+    "right side coincides; the probe side filters l_suppkey IS NOT NULL "
+    "because SQL NOT IN drops null-keyed probe rows while left_anti keeps "
+    "them — a no-op on non-null data but required for semantic equality); "
+    "COUNT(DISTINCT) is the one distinct-heavy shape "
     "in the suite — Spark expands it to a two-level aggregate, partial "
     "per-partition distinct before the (brand,type,size) shuffle",
 )
@@ -5014,7 +5022,8 @@ def tpch_q16_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFram
         .select("s_suppkey")
     )
     return (
-        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        li.filter(F.col("l_suppkey").isNotNull())
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .join(
             F.broadcast(bad_sup), li.l_suppkey == bad_sup.s_suppkey, "left_anti"
         )

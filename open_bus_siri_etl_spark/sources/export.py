@@ -21,8 +21,14 @@ from pyspark.sql import DataFrame, functions as F
 
 
 def with_shard(df: DataFrame, key: str, n_shards: int) -> DataFrame:
-    """Deterministic content-hash shard id + intra-shard shuffle key."""
-    h = F.md5(F.col(key).cast("string"))
+    """Deterministic content-hash shard id + intra-shard shuffle key.
+
+    NULL keys are coalesced to a sentinel before hashing so every row lands
+    in exactly one of the ``n_shards`` (md5(NULL) is NULL, which would
+    otherwise scatter null-keyed rows into a Hive default partition that
+    ``read_shard`` can never return).
+    """
+    h = F.md5(F.coalesce(F.col(key).cast("string"), F.lit("\x00__null_key__")))
     shard = (
         F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint") % n_shards
     ).alias("shard")

@@ -44,3 +44,23 @@ def test_bench_training_contract():
     )
     assert d["metric"] == "training_ops_total" and d["value"] > 0
     assert "minhash_lsh_dedup" in d["queries"]
+
+
+def test_parse_sf_never_raises():
+    """An SPARK_GRAFT_SF_DIR like '.../sfdata' (contains 'sf' but no
+    number) must degrade to sf=-1.0, not crash the unattended bench run."""
+    import bench
+
+    assert bench.parse_sf("/root/testdata/sf0.1") == 0.1
+    assert bench.parse_sf("/root/testdata/sf0.001/") == 0.001
+    assert bench.parse_sf("/data/sfdata") == -1.0
+    assert bench.parse_sf("/plain/dir") == -1.0
+
+    sys.path.insert(0, os.path.join(REPO, "tools"))
+    try:
+        import bench_training
+
+        assert bench_training.parse_sf("/data/sfdata") == -1.0
+        assert bench_training.parse_sf("/root/testdata/sf0.01") == 0.01
+    finally:
+        sys.path.pop(0)

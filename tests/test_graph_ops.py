@@ -103,3 +103,19 @@ def test_histogram_sketch_merges_exactly(spark):
     }
     whole = {r.bin: r.c for r in histogram_bins(ev, "value").collect()}
     assert merged == whole
+
+
+def test_pagerank_no_int64_wrap_at_huge_rank_scale(spark, monkeypatch):
+    """Contribution sums are aggregated in DECIMAL(38,0): with RANK_SCALE
+    pushed to 10^18 the damping product 85 * sum(contrib) exceeds int64
+    (8.5e19 > 9.2e18) on a 2-regular graph, which silently wrapped when the
+    sum stayed bigint.  On a cycle the exact stationary point is preserved:
+    every rank must remain exactly RANK_SCALE after any number of
+    iterations (contrib = S/2 per side, 0.15*S + 0.85*S = S)."""
+    import open_bus_siri_etl_spark.operators.graph as G
+
+    monkeypatch.setattr(G, "RANK_SCALE", 10**18)
+    n = 4
+    cycle = edge_df(spark, [(i, (i + 1) % n) for i in range(n)])
+    ranks = {r.u: r.r for r in G.pagerank(cycle, iterations=2).collect()}
+    assert ranks == {i: 10**18 for i in range(n)}

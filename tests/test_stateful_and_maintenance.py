@@ -920,3 +920,29 @@ def test_write_training_shards_max_records_splits_files(spark, tmp_path):
     n = spark.read.parquet(out).count()
     assert n == docs.count()
     assert n_files >= n / 10  # files capped at 10 rows each
+
+
+def test_write_training_shards_null_key_lands_in_a_shard(spark, tmp_path):
+    """A NULL shard key must still land in exactly one of the n_shards
+    (md5(NULL) is NULL -> Hive default partition, unreachable by
+    read_shard) — nulls coalesce to a sentinel before hashing."""
+    from open_bus_siri_etl_spark.sources.export import (
+        read_shard,
+        with_shard,
+        write_training_shards,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, None), (3, "c")], "row_id long, key string"
+    )
+    sharded = with_shard(df, "key", 4)
+    assert sharded.filter("shard IS NULL").count() == 0
+
+    out = str(tmp_path / "nullshard")
+    write_training_shards(df, out, key="key", n_shards=4)
+    back = spark.read.parquet(out)
+    assert back.count() == 3
+    assert back.filter("key IS NULL").count() == 1
+    # the null-keyed row is reachable through read_shard
+    null_shard = back.filter("key IS NULL").select("shard").collect()[0][0]
+    assert read_shard(spark, out, null_shard).filter("key IS NULL").count() == 1
