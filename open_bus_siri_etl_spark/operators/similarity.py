@@ -559,3 +559,104 @@ def quantize_embeddings_int8(df: DataFrame, vec_col: str = "embedding") -> DataF
             q, F.lit(0).cast("long"), lambda a, x: a + F.abs(x)
         ).alias("q_abs_sum"),
     )
+
+
+def lsh_quantized_planes(
+    n_planes: int, n_tables: int, dim: int, quant_mod: int = 1001
+) -> dict[tuple[int, int], list[int]]:
+    """Integer hyperplane weights derived from md5 — reproducible in ANY
+    engine that has md5: w[t][p][i] = (int(md5(f"{t}_{p}_{i}")[:8], 16)
+    % quant_mod) - quant_mod//2, uniform on [-500, 500] for the default
+    modulus.  A symmetric weight distribution is all sign-LSH needs; using
+    a hash-derived integer family (instead of seeded Gaussian floats) is
+    what lets the bucketing stage carry an exact cross-engine oracle."""
+    import hashlib
+
+    half = quant_mod // 2
+    return {
+        (t, p): [
+            (int(hashlib.md5(f"{t}_{p}_{i}".encode()).hexdigest()[:8], 16) % quant_mod)
+            - half
+            for i in range(dim)
+        ]
+        for t in range(n_tables)
+        for p in range(n_planes)
+    }
+
+
+def lsh_candidate_pairs(
+    corpus: DataFrame,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    quant: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = EMBEDDING_DIM,
+) -> DataFrame:
+    """Deterministic LSH candidate generation — the bucketing stage of
+    ANN/near-dup split out as an exactly-verifiable operator.
+
+    Two determinism moves make bucket assignment bit-identical across
+    engines (no float sign flips at the decision boundary):
+    - vectors quantize to int64 via floor(v * quant) — floor of a double
+      product is IEEE-identical everywhere (cast alone differs: Spark
+      truncates, DuckDB rounds);
+    - hyperplane weights are md5-derived integers (lsh_quantized_planes),
+      so the signed projection is an exact integer sum, order-independent.
+
+    Output: (vec_a, vec_b, n_tables) — every unordered pair bucketed
+    together by at least one of the ``n_tables`` tables, with the collision
+    count.  The ANN tail (exact cosine re-rank of candidates) remains
+    approximate relative to full top-k; THIS stage is exact by
+    construction, which is the part worth a value-level contract.
+
+    Scale shape: one scan computes all T×P projections per row (native
+    fold expressions, no Python); candidates come from an equi-join on
+    (tbl, bucket) — expected pair work O(N² · T / 2^P), tuned by raising
+    n_planes; never a cross join.
+    """
+    planes = lsh_quantized_planes(n_planes, n_tables, dim)
+    qv = F.transform(
+        F.col(vec_col),
+        lambda x: F.floor(x.cast("double") * F.lit(float(quant))).cast("long"),
+    )
+
+    def dot_q(t: int, p: int) -> Column:
+        w = F.array(*[F.lit(w_i).cast("long") for w_i in planes[(t, p)]])
+        return F.aggregate(
+            F.zip_with(F.col("_qv"), w, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+
+    def bucket(t: int) -> Column:
+        bits = [
+            F.when(dot_q(t, p) > 0, F.lit(1 << p)).otherwise(F.lit(0))
+            for p in range(n_planes)
+        ]
+        out = bits[0]
+        for b in bits[1:]:
+            out = out + b
+        return out.cast("int")
+
+    tb = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(t).alias("tbl"), bucket(t).alias("bucket"))
+                for t in range(n_tables)
+            ]
+        )
+    )
+    buckets = (
+        corpus.select(F.col(id_col).alias("_id"), qv.alias("_qv"))
+        .select("_id", tb.alias("tb"))
+        .select("_id", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+    )
+    a = buckets.select(F.col("_id").alias("vec_a"), "tbl", "bucket")
+    b = buckets.select(F.col("_id").alias("vec_b"), "tbl", "bucket")
+    return (
+        a.join(b, ["tbl", "bucket"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .groupBy("vec_a", "vec_b")
+        .agg(F.count(F.lit(1)).alias("n_tables"))
+    )

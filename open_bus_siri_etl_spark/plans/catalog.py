@@ -5813,3 +5813,55 @@ def hll_distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("est_distinct"),
         "true_distinct",
     )
+
+
+@register(
+    "embedding_lsh_candidates",
+    """
+    WITH f AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+               CAST(floor(unnest(embedding)::DOUBLE * 1000.0) AS BIGINT) AS qv
+        FROM embeddings
+    ),
+    planes AS (
+        SELECT t.t, p.p, i.i,
+               (('0x' || substr(md5(t.t::VARCHAR || '_' || p.p::VARCHAR
+                                || '_' || i.i::VARCHAR), 1, 8))::BIGINT
+                % 1001) - 500 AS qw
+        FROM generate_series(0, 3) t(t)
+        CROSS JOIN generate_series(0, 7) p(p)
+        CROSS JOIN generate_series(0, 63) i(i)
+    ),
+    dots AS (
+        SELECT f.vec_id, pl.t, pl.p, sum(f.qv * pl.qw) AS dot_q
+        FROM f JOIN planes pl ON f.i = pl.i
+        GROUP BY 1, 2, 3
+    ),
+    buckets AS (
+        SELECT vec_id, t,
+               CAST(sum(CASE WHEN dot_q > 0 THEN 1 << p ELSE 0 END)
+                    AS INTEGER) AS bucket
+        FROM dots GROUP BY vec_id, t
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, count(*) AS n_tables
+    FROM buckets a
+    JOIN buckets b ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    GROUP BY 1, 2
+    """,
+    note="the deterministic candidate-generation stage of LSH ANN, split "
+    "out with a value-level contract (closing the one rows-only hole "
+    "embedding_lsh_ann left): vectors quantize to int64 via floor(v*1000) "
+    "(floor, not cast — Spark truncates, DuckDB rounds), hyperplane "
+    "weights are md5-derived integers in [-500,500], so the signed "
+    "projection is an exact order-independent integer sum and bucket "
+    "assignment is bit-identical across engines; 4 tables x 8 planes, "
+    "candidates from an equi-join on (tbl, bucket) — never a cross join; "
+    "the approximate ANN ranking tail (embedding_lsh_ann) keeps its "
+    "recall-floor tests",
+)
+def embedding_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import lsh_candidate_pairs
+
+    return lsh_candidate_pairs(
+        t(spark, sf_dir, "embeddings"), n_planes=8, n_tables=4
+    )

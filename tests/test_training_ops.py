@@ -717,3 +717,53 @@ def test_unigram_surprisal_flags_rare_tokens(spark):
     assert rows[2]["lp_micro_sum"] < rows[1]["lp_micro_sum"]
     # sanity: all logprobs negative
     assert rows[1]["lp_micro_sum"] < 0
+
+
+def test_lsh_candidate_pairs_matches_numpy_reimplementation(spark):
+    """The deterministic candidate stage must agree EXACTLY with an
+    independent integer reimplementation (numpy int64): same quantization,
+    same md5-derived planes, same buckets, same pair set — the property
+    that makes the stage oracle-able in any engine."""
+    import numpy as np
+
+    from open_bus_siri_etl_spark.operators.similarity import (
+        lsh_candidate_pairs,
+        lsh_quantized_planes,
+    )
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .orderBy("vec_id")
+        .limit(80)
+    )
+    got = {
+        (r.vec_a, r.vec_b): r.n_tables
+        for r in lsh_candidate_pairs(emb, n_planes=6, n_tables=3).collect()
+    }
+
+    pdf = emb.toPandas()
+    ids = pdf["vec_id"].to_numpy()
+    v = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    qv = np.floor(v * 1000.0).astype(np.int64)
+    planes = lsh_quantized_planes(n_planes=6, n_tables=3, dim=v.shape[1])
+    expected: dict[tuple[int, int], int] = {}
+    for t in range(3):
+        w = np.array([planes[(t, p)] for p in range(6)], dtype=np.int64)  # (P, dim)
+        dots = qv @ w.T  # (n, P) exact int64
+        buckets = ((dots > 0) @ (1 << np.arange(6))).astype(int)
+        for bucket in np.unique(buckets):
+            members = np.sort(ids[buckets == bucket])
+            for i in range(len(members)):
+                for j in range(i + 1, len(members)):
+                    key = (members[i], members[j])
+                    expected[key] = expected.get(key, 0) + 1
+    assert got == expected
+    assert all(1 <= n <= 3 for n in got.values())
+
+
+def test_lsh_candidate_pairs_no_cartesian(spark):
+    from open_bus_siri_etl_spark.operators.similarity import lsh_candidate_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    plan = lsh_candidate_pairs(emb)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
