@@ -21,6 +21,7 @@ from typing import Iterator
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
@@ -95,3 +96,155 @@ def merge_histograms(*hists: DataFrame) -> DataFrame:
 
     u = reduce(lambda a, b: a.unionAll(b), hists)
     return u.groupBy("bin").agg(F.sum("c").alias("c"))
+
+
+# -- production sketch APIs (no self-audit columns) -------------------------
+#
+# The catalog entries that oracle these sketches carry an exact-comparison
+# column (true_distinct / true_count) so DuckDB can verify the estimate —
+# but computing the exact answer alongside the sketch defeats its purpose at
+# 100 TB.  These functions are the production entry points: sketch only.
+# The catalog entries delegate here and join the audit column on top, so the
+# oracle contract and the library path share one implementation.
+
+
+def _md5_bigint(col, start: int, length: int):
+    """Top ``length`` hex chars of md5 as BIGINT — the deterministic hash
+    family every sketch here uses (reproducible in any engine with md5)."""
+    return F.conv(
+        F.substring(F.md5(col.cast("string")), start, length), 16, 10
+    ).cast("bigint")
+
+
+def hll_estimate(
+    df: DataFrame, key_col: str, group_cols: list[str] | None = None
+) -> DataFrame:
+    """HyperLogLog distinct-count estimate, p=8 (256 registers), optionally
+    per group.  Output: group_cols + (n_filled, est_distinct) — NO exact
+    audit column (see module note above).
+
+    Scale shape: groupBy(bucket).max() — map-side partial max, then a
+    256-row (x |groups|) shuffle; registers merge across shards by
+    element-wise max.  52-bit md5 hash; rho via exact integer string math
+    (45 - length(bin(w))); register sum adds multiples of 2^-45 bounded in
+    magnitude so the double is order-independent.
+    """
+    g = list(group_cols or [])
+    hv = _md5_bigint(F.col(key_col), 1, 13)
+    br = df.select(*g, hv.alias("hv")).select(
+        *g,
+        (F.col("hv") % 256).alias("bucket"),
+        F.when(F.expr("hv div 256") == 0, F.lit(45))
+        .otherwise(F.lit(45) - F.length(F.bin(F.expr("hv div 256"))))
+        .cast("int")
+        .alias("rho"),
+    )
+    regs = br.groupBy(*g, "bucket").agg(F.max("rho").alias("m_j"))
+    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(256.0))
+    s = regs.groupBy(*g).agg(
+        F.count(F.lit(1)).alias("v_filled"),
+        (F.sum(F.pow(F.lit(2.0), -F.col("m_j"))) + (256 - F.count(F.lit(1)))).alias(
+            "sum_pow"
+        ),
+    )
+    raw = alpha * F.lit(65536.0) / F.col("sum_pow")
+    return s.select(
+        *g,
+        F.col("v_filled").cast("bigint").alias("n_filled"),
+        F.round(raw, 6).alias("raw_est"),
+        F.when(
+            (raw <= 640.0) & (F.col("v_filled") < 256),
+            F.round(F.lit(256.0) * F.log(F.lit(256.0) / (256 - F.col("v_filled"))), 6),
+        )
+        .otherwise(F.round(raw, 6))
+        .alias("est_distinct"),
+    )
+
+
+def countmin_estimates(
+    df: DataFrame, key_col: str, depth: int = 4, width: int = 64
+) -> DataFrame:
+    """(key, est_count) from a depth x width count-min sketch with
+    md5-derived hash rows.  The counters are depth*width cells of
+    map-side-combinable state — kilobytes across the shuffle regardless of
+    input size — then a broadcast lookup; est >= true (one-sided error)."""
+    spark = df.sparkSession
+    hashed = df.select(key_col).crossJoin(
+        spark.range(depth).select(F.col("id").cast("int").alias("d"))
+    ).select(
+        key_col,
+        "d",
+        F.pmod(
+            _md5_bigint(
+                F.concat_ws("-", F.col("d").cast("string"), F.col(key_col)), 1, 8
+            ),
+            F.lit(width),
+        ).alias("b"),
+    )
+    counters = hashed.groupBy("d", "b").agg(F.count(F.lit(1)).alias("c"))
+    keys = hashed.distinct()
+    return (
+        keys.join(F.broadcast(counters), ["d", "b"])
+        .groupBy(key_col)
+        .agg(F.min("c").alias("est_count"))
+    )
+
+
+def kmv_estimate(df: DataFrame, key_col: str, k: int = 64) -> DataFrame:
+    """KMV (k-minimum-values) distinct estimate: keep the k smallest 60-bit
+    md5 hashes (TakeOrdered — k values per partition, merged on the
+    driver), |D| ~= (k-1) * 2^60 / h_(k).  Mergeable: union the KMV sets,
+    take the k smallest.  Output: one row (k, kth_min_hash, est_distinct).
+    """
+    h = df.select(_md5_bigint(F.col(key_col), 1, 15).alias("hv")).distinct()
+    kmin = h.orderBy("hv").limit(k)
+    return kmin.agg(
+        F.lit(k).cast("int").alias("k"),
+        F.max("hv").alias("kth_min_hash"),
+        F.round(
+            F.lit(float((k - 1) * (1 << 60))) / F.max("hv").cast("double"), 6
+        ).alias("est_distinct"),
+    )
+
+
+def bloom_prune(
+    build: DataFrame, probe: DataFrame, key_col: str, n_bits: int = 1024,
+    depth: int = 3,
+) -> DataFrame:
+    """Probe-side keys surviving a hand-built Bloom filter of the build
+    side's keys (depth md5-derived positions into n_bits): the ~n_bits/8
+    BYTE bitset broadcasts to every probe task and drops most non-matching
+    rows BEFORE any shuffle.  One-sided: every build key survives; output
+    is the surviving probe keys (production shape — feed it to the join)."""
+    spark = build.sparkSession
+
+    def bits(df: DataFrame) -> DataFrame:
+        return (
+            df.crossJoin(spark.range(depth).select(F.col("id").cast("int").alias("d")))
+            .select(
+                key_col,
+                F.pmod(
+                    _md5_bigint(
+                        F.concat_ws("#", F.col("d").cast("string"), F.col(key_col)),
+                        1,
+                        8,
+                    ),
+                    F.lit(n_bits),
+                ).alias("bit"),
+            )
+            .distinct()
+        )
+
+    build_bits = bits(build.select(key_col).distinct()).select("bit").distinct()
+    probe_bits = bits(probe.select(key_col).distinct())
+    need = probe_bits.groupBy(key_col).agg(F.count(F.lit(1)).alias("n_bits"))
+    hit = (
+        probe_bits.join(F.broadcast(build_bits), "bit")
+        .groupBy(key_col)
+        .agg(F.count(F.lit(1)).alias("n_hit"))
+    )
+    return (
+        need.join(hit, key_col)
+        .filter(F.col("n_hit") == F.col("n_bits"))
+        .select(key_col)
+    )

@@ -2757,41 +2757,13 @@ def kmeans_cluster_purity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _countmin_est(spark: SparkSession, ev: DataFrame) -> DataFrame:
-    """(user_id, est_count) from a d=4 x w=64 count-min sketch whose hash
-    rows derive from md5 — both engines build the identical sketch, so the
-    estimate (min over rows) is deterministic and oracle-exact."""
-    D, W = 4, 64
-    hashed = ev.select("user_id").crossJoin(
-        spark.range(D).select(F.col("id").cast("int").alias("d"))
-    ).select(
-        "user_id",
-        "d",
-        F.pmod(
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat_ws(
-                            "-",
-                            F.col("d").cast("string"),
-                            F.col("user_id").cast("string"),
-                        )
-                    ),
-                    1,
-                    8,
-                ),
-                16,
-                10,
-            ).cast("bigint"),
-            F.lit(W),
-        ).alias("b"),
-    )
-    counters = hashed.groupBy("d", "b").agg(F.count(F.lit(1)).alias("c"))
-    keys = hashed.distinct()
-    return (
-        keys.join(F.broadcast(counters), ["d", "b"])
-        .groupBy("user_id")
-        .agg(F.min("c").alias("est_count"))
-    )
+    """(user_id, est_count) — delegates to the library sketch
+    (operators/sketches.py countmin_estimates, the production path with no
+    audit column); the catalog entries join the exact count on top for the
+    oracle contract."""
+    from ..operators.sketches import countmin_estimates
+
+    return countmin_estimates(ev, "user_id", depth=4, width=64)
 
 
 @register(
@@ -2971,22 +2943,14 @@ def countmin_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     "an exact oracle; true_distinct shown for the error ratio",
 )
 def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # library sketch (operators/sketches.kmv_estimate, no audit column) +
+    # the oracle's exact-comparison column — not the production path
+    from ..operators.sketches import kmv_estimate
+
     ev = t(spark, sf_dir, "events")
-    K = 64
-    h = ev.select(
-        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10)
-        .cast("bigint")
-        .alias("hv")
-    ).distinct()
-    kmin = h.orderBy("hv").limit(K)
     true_d = ev.select("user_id").distinct().count()  # scalar oracle column
-    return kmin.agg(
-        F.lit(K).cast("int").alias("k"),
-        F.max("hv").alias("kth_min_hash"),
-        F.round(
-            F.lit(float(63 * (1 << 60))) / F.max("hv").cast("double"), 6
-        ).alias("est_distinct"),
-        F.lit(true_d).cast("bigint").alias("true_distinct"),
+    return kmv_estimate(ev, "user_id", k=64).withColumn(
+        "true_distinct", F.lit(true_d).cast("bigint")
     )
 
 
@@ -3037,49 +3001,15 @@ def kmv_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     "n_pass >= n_true, gap = false positives",
 )
 def bloom_filter_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # library filter (operators/sketches.bloom_prune: surviving probe keys,
+    # the production shape) + the oracle's exact count comparison on top —
+    # n_probe/n_true are the AUDIT columns, not part of the sketch pass
+    from ..operators.sketches import bloom_prune
+
     ev = t(spark, sf_dir, "events")
-    D, M = 3, 1024
-
-    def bits(df: DataFrame) -> DataFrame:
-        return (
-            df.crossJoin(
-                spark.range(D).select(F.col("id").cast("int").alias("d"))
-            )
-            .select(
-                "user_id",
-                F.pmod(
-                    F.conv(
-                        F.substring(
-                            F.md5(
-                                F.concat_ws(
-                                    "#",
-                                    F.col("d").cast("string"),
-                                    F.col("user_id").cast("string"),
-                                )
-                            ),
-                            1,
-                            8,
-                        ),
-                        16,
-                        10,
-                    ).cast("bigint"),
-                    F.lit(M),
-                ).alias("bit"),
-            )
-            .distinct()
-        )
-
     build = ev.filter(F.col("event_type") == "error").select("user_id").distinct()
     probe = ev.select("user_id").distinct()
-    build_bits = bits(build).select("bit").distinct()
-    probe_bits = bits(probe)
-    need = probe_bits.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_bits"))
-    hit = (
-        probe_bits.join(F.broadcast(build_bits), "bit")
-        .groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("n_hit"))
-    )
-    passed = need.join(hit, "user_id").filter(F.col("n_hit") == F.col("n_bits"))
+    passed = bloom_prune(build, probe, "user_id", n_bits=1024, depth=3)
     # one lazy plan, zero driver-side actions: three 1-row scalar aggregates
     # cross-joined (broadcast nested loop over single rows) — the driver's
     # collect runs it as a single Spark job instead of 3 eager .count()s
@@ -5196,36 +5126,18 @@ def tpch_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "Bloom / Misra-Gries / HLL)",
 )
 def hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # library sketch (no audit column) + the oracle's exact-comparison
+    # column on top — the exact distinct() here is the ORACLE CONTRACT,
+    # not the production path; lift operators/sketches.hll_estimate at scale
+    from ..operators.sketches import hll_estimate
+
     ev = t(spark, sf_dir, "events")
-    hv = F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 13), 16, 10
-                ).cast("bigint")
-    br = ev.select(hv.alias("hv")).select(
-        (F.col("hv") % 256).alias("bucket"),
-        F.when(F.expr("hv div 256") == 0, F.lit(45))
-        .otherwise(F.lit(45) - F.length(F.bin(F.expr("hv div 256"))))
-        .cast("int")
-        .alias("rho"),
-    )
-    regs = br.groupBy("bucket").agg(F.max("rho").alias("m_j"))
-    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(256.0))
-    s = regs.agg(
-        F.count(F.lit(1)).alias("v_filled"),
-        (F.sum(F.pow(F.lit(2.0), -F.col("m_j"))) + (256 - F.count(F.lit(1)))).alias(
-            "sum_pow"
-        ),
-    )
-    raw = alpha * F.lit(65536.0) / F.col("sum_pow")
     true_d = ev.select("user_id").distinct().count()  # oracle comparison column
-    return s.select(
+    return hll_estimate(ev, "user_id").select(
         F.lit(256).cast("int").alias("m"),
-        F.col("v_filled").cast("bigint").alias("n_filled"),
-        F.round(raw, 6).alias("raw_est"),
-        F.when(
-            (raw <= 640.0) & (F.col("v_filled") < 256),
-            F.round(F.lit(256.0) * F.log(F.lit(256.0) / (256 - F.col("v_filled"))), 6),
-        )
-        .otherwise(F.round(raw, 6))
-        .alias("est_distinct"),
+        "n_filled",
+        "raw_est",
+        "est_distinct",
         F.lit(true_d).cast("bigint").alias("true_distinct"),
     )
 
@@ -5779,39 +5691,18 @@ def histogram_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     "count here is the oracle column, not part of the sketch pass)",
 )
 def hll_distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # library sketch (hll_estimate grouped, no audit column) + the oracle's
+    # per-group exact comparison joined on top — the countDistinct here is
+    # the ORACLE CONTRACT, not the production path
+    from ..operators.sketches import hll_estimate
+
     ev = t(spark, sf_dir, "events")
-    hv = F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 13), 16, 10
-                ).cast("bigint")
-    br = ev.select("event_type", hv.alias("hv")).select(
-        "event_type",
-        (F.col("hv") % 256).alias("bucket"),
-        F.when(F.expr("hv div 256") == 0, F.lit(45))
-        .otherwise(F.lit(45) - F.length(F.bin(F.expr("hv div 256"))))
-        .cast("int")
-        .alias("rho"),
-    )
-    regs = br.groupBy("event_type", "bucket").agg(F.max("rho").alias("m_j"))
-    alpha = F.lit(0.7213) / (F.lit(1.0) + F.lit(1.079) / F.lit(256.0))
-    s = regs.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("v_filled"),
-        (F.sum(F.pow(F.lit(2.0), -F.col("m_j"))) + (256 - F.count(F.lit(1)))).alias(
-            "sum_pow"
-        ),
-    )
-    raw = alpha * F.lit(65536.0) / F.col("sum_pow")
+    s = hll_estimate(ev, "user_id", group_cols=["event_type"])
     ex = ev.groupBy("event_type").agg(
         F.countDistinct("user_id").cast("bigint").alias("true_distinct")
     )
     return s.join(ex, "event_type").select(
-        "event_type",
-        F.col("v_filled").cast("bigint").alias("n_filled"),
-        F.when(
-            (raw <= 640.0) & (F.col("v_filled") < 256),
-            F.round(F.lit(256.0) * F.log(F.lit(256.0) / (256 - F.col("v_filled"))), 6),
-        )
-        .otherwise(F.round(raw, 6))
-        .alias("est_distinct"),
-        "true_distinct",
+        "event_type", "n_filled", "est_distinct", "true_distinct"
     )
 
 

@@ -59,16 +59,27 @@ _log_seq_last = 0
 def _next_log_seq() -> int:
     """Monotonic per-process sequence (ns wall clock, bumped on ties).
 
-    Cross-process ordering is wall-clock — the same semantics as the
-    reference's ``last updated wins`` row updates; the heartbeat-takeover
-    guard (control.py) is what arbitrates truly concurrent loaders, not the
-    seq.
+    Cross-process ordering is Lamport-style: before its first append to a
+    log table, a writer reads the log's ``max(log_seq)`` and raises this
+    floor to it (``Warehouse._sync_log_seq``), so a new write always lands
+    AFTER everything already observed — even when a skewed-clock peer has
+    stamped rows from the future.  Within that ordering, last-writer-wins
+    matches the reference's row-update semantics; the heartbeat-takeover
+    guard (control.py) is what arbitrates truly concurrent loaders, not
+    the seq.
     """
     global _log_seq_last
     with _log_seq_lock:
         s = max(_log_seq_last + 1, time.time_ns())
         _log_seq_last = s
         return s
+
+
+def _bump_log_seq_floor(seen: int) -> None:
+    """Raise the process's log_seq floor to an observed remote maximum."""
+    global _log_seq_last
+    with _log_seq_lock:
+        _log_seq_last = max(_log_seq_last, seen)
 
 
 class TableFS:
@@ -128,6 +139,23 @@ class Warehouse:
         self.spark = spark
         self.path = path
         self.fs = fs or TableFS()
+        self._log_seq_synced: set[str] = set()
+
+    def _sync_log_seq(self, name: str) -> None:
+        """Lamport read-back: before this warehouse's first append to a log
+        table, raise the process log_seq floor to the log's max(log_seq) so
+        our writes order after rows stamped by skewed-clock peers.  One
+        tiny-table max() scan per (warehouse, table) per process."""
+        if name in self._log_seq_synced:
+            return
+        self._log_seq_synced.add(name)
+        if not self.exists(name):
+            return
+        df = self.spark.read.parquet(self.table_path(name))
+        if _LOG_SEQ_COL in df.columns:
+            row = df.agg(F.max(_LOG_SEQ_COL).alias("m")).first()
+            if row is not None and row["m"] is not None:
+                _bump_log_seq_floor(int(row["m"]))
 
     def table_path(self, name: str) -> str:
         return os.path.join(self.path, name)
@@ -403,6 +431,7 @@ class Warehouse:
         MERGE keyed on ``key_cols``.
         """
         if name in LOG_TABLES:
+            self._sync_log_seq(name)
             self.append(name, rows.withColumn(_LOG_SEQ_COL, F.lit(_next_log_seq())))
             return
         existing = self.read(name, schemas.ALL_TABLES.get(name))
@@ -415,6 +444,7 @@ class Warehouse:
 
     def overwrite(self, name: str, df: DataFrame) -> None:
         if name in LOG_TABLES:
+            self._sync_log_seq(name)
             df = df.withColumn(_LOG_SEQ_COL, F.lit(_next_log_seq()))
         df.localCheckpoint(eager=True).write.mode("overwrite").parquet(
             self.table_path(name)

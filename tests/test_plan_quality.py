@@ -460,3 +460,25 @@ def test_neardup_survivors_no_single_partition(spark):
     plan = explain_str(REGISTRY["neardup_survivors"].fn(spark, SF))
     assert "SinglePartition" not in plan
     assert "NestedLoop" not in plan
+
+
+def test_library_sketches_have_no_exact_distinct(spark):
+    """The production sketch APIs (operators/sketches.py) must NOT carry
+    the catalog entries' exact self-audit columns: no Expand (Spark's
+    distinct-aggregate rewrite) and no countDistinct anywhere in the plan —
+    the audit belongs to the oracle contract, not the library path."""
+    from open_bus_siri_etl_spark.operators.sketches import (
+        hll_estimate,
+        kmv_estimate,
+    )
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    for df in [hll_estimate(ev, "user_id"),
+               hll_estimate(ev, "user_id", group_cols=["event_type"])]:
+        plan = explain_str(df)
+        assert "Expand" not in plan  # no distinct-aggregate expansion
+        assert "count(distinct" not in plan.lower()
+        assert "partial_max" in plan  # mergeable registers, map-side combined
+        assert set(df.columns) & {"true_distinct", "true_count"} == set()
+
+    assert "true_distinct" not in kmv_estimate(ev, "user_id").columns

@@ -1,24 +1,34 @@
-"""The SQL surface: the catalog's portable-ANSI oracle strings must run
-UNCHANGED through spark.sql and produce row-identical results to the
-DataFrame plans — same query text, same answers, two engines."""
+"""The SQL conformance suite: EVERY catalog oracle string must run through
+spark.sql — transpiled only for documented dialect constructs — and produce
+row-identical results to the DataFrame plan.  Same query text (modulo the
+mechanical dialect rewrites in plans/sqlapi.py), same answers, two engines:
+the strongest form of the "a reference user can switch" claim.
+
+The allowlist below is the COUNTED set of entries whose oracle SQL uses a
+DuckDB structural feature with no Spark equivalent; each is asserted to
+genuinely fail so the list cannot rot.
+"""
 
 import pytest
 
 from open_bus_siri_etl_spark.plans.catalog import REGISTRY
-from open_bus_siri_etl_spark.plans.sqlapi import register_views, sql
+from open_bus_siri_etl_spark.plans.sqlapi import register_views, sql, transpile
 
 SF = "/root/testdata/sf0.001"
 
-# oracle strings known to be in the ANSI subset both engines parse
-# (no ::casts, no //, no DuckDB list functions)
-PORTABLE = [
-    "flagship_snowflake",
-    "top_orders",
-    "tpch_q6_forecast_revenue",
-    "tpch_q12_shipmode_priority",
-    "month_over_month_revenue",
-    "event_transition_matrix",
-]
+# Documented dialect gaps (structural, not function-level — everything
+# function-level is transpiled): entry -> reason it cannot run on Spark.
+NONPORTABLE = {
+    "asof_join_prior_view": "DuckDB ASOF JOIN has no Spark SQL syntax "
+    "(the operator exists as operators/temporal.py asof_join)",
+    "neardup_components": "UNION (distinct) inside a recursive CTE; Spark "
+    "4.x recursive CTEs support UNION ALL only",
+    "neardup_survivors": "UNION (distinct) inside a recursive CTE",
+    "embedding_neardup_dedup": "UNION (distinct) inside a recursive CTE",
+}
+
+ORACLES = sorted(n for n, q in REGISTRY.items() if q.sql is not None)
+PORTABLE = [n for n in ORACLES if n not in NONPORTABLE]
 
 
 def rows(df):
@@ -27,16 +37,39 @@ def rows(df):
     )
 
 
+@pytest.fixture(scope="module")
+def views(spark):
+    register_views(spark, SF)
+    return spark
+
+
 @pytest.mark.parametrize("name", PORTABLE)
-def test_oracle_sql_runs_on_spark(spark, name):
+def test_oracle_sql_conforms_on_spark(views, name):
     q = REGISTRY[name]
-    via_sql = sql(spark, SF, q.sql)
-    via_df = q.fn(spark, SF)
+    via_sql = views.sql(transpile(q.sql))
+    via_df = q.fn(views, SF)
     assert sorted(via_sql.columns) == sorted(via_df.columns)
     assert rows(via_sql) == rows(via_df)
+
+
+@pytest.mark.parametrize("name", sorted(NONPORTABLE))
+def test_allowlisted_entries_genuinely_fail(views, name):
+    """If a dialect gap closes (Spark gains the feature or the transpiler
+    learns it), this fails and the entry must move to the conformance set."""
+    with pytest.raises(Exception):
+        views.sql(transpile(REGISTRY[name].sql)).collect()
+
+
+def test_allowlist_is_small():
+    assert len(NONPORTABLE) <= 6, "dialect allowlist must stay enumerable"
 
 
 def test_register_views_exposes_all_tables(spark):
     register_views(spark, SF)
     for t in ["lineitem", "events", "documents"]:
         assert spark.sql(f"SELECT count(*) AS n FROM {t}").collect()[0].n > 0
+
+
+def test_sql_helper_runs(spark):
+    out = sql(spark, SF, "SELECT count(*) AS n FROM documents")
+    assert out.collect()[0].n > 0

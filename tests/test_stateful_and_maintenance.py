@@ -946,3 +946,35 @@ def test_write_training_shards_null_key_lands_in_a_shard(spark, tmp_path):
     # the null-keyed row is reachable through read_shard
     null_shard = back.filter("key IS NULL").select("shard").collect()[0][0]
     assert read_shard(spark, out, null_shard).filter("key IS NULL").count() == 1
+
+
+def test_log_seq_lamport_floor_beats_skewed_clock(spark, warehouse):
+    """A peer with a fast clock stamps a future log_seq; a fresh writer must
+    read the log's max(log_seq) on first append and order AFTER it (Lamport
+    floor), or its legitimate newer write would silently lose
+    last-writer-wins."""
+    import time as _time
+
+    from pyspark.sql import functions as F
+
+    from open_bus_siri_etl_spark import control
+    from open_bus_siri_etl_spark.sources.tables import Warehouse
+
+    sid = "2024/01/01/00/05"
+    control.register_pending(warehouse, [sid])
+
+    # simulate the skewed-clock peer: rewrite the stored log rows with a
+    # log_seq one hour in the future
+    future = _time.time_ns() + 3_600 * 10**9
+    path = warehouse.table_path("siri_snapshot")
+    skewed = spark.read.parquet(path).withColumn("log_seq", F.lit(future))
+    skewed.localCheckpoint(eager=True).write.mode("overwrite").parquet(path)
+
+    # a FRESH warehouse (new writer session) updates the same snapshot
+    wh2 = Warehouse(spark, warehouse.path)
+    control.start_loading(wh2, sid)
+
+    raw = spark.read.parquet(path)
+    assert raw.agg(F.max("log_seq")).first()[0] > future
+    rows = wh2.read("siri_snapshot").filter(F.col("snapshot_id") == sid).collect()
+    assert len(rows) == 1 and rows[0]["etl_status"] == control.ETL_LOADING
