@@ -557,3 +557,63 @@ def repeated_ngram_spans(
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+def attach_components(
+    ids: DataFrame, pairs: DataFrame, id_col: str
+) -> DataFrame:
+    """(id, component) for EVERY id — connected_components over the pair
+    list, singletons coalesced to themselves.  The shared closure step of
+    every near-dup clustering entry (text n-gram, embedding cosine):
+    extracting it keeps twin catalog entries from re-deriving the pipeline
+    and drifting apart."""
+    comp = connected_components(pairs).withColumnRenamed("node", id_col)
+    return (
+        ids.select(id_col)
+        .join(comp, id_col, "left")
+        .select(id_col, F.coalesce("component", id_col).alias("component"))
+    )
+
+
+def neardup_membership(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """(doc_id, component) for every document: ngram_jaccard_pairs ->
+    connected components -> singleton closure — the shared prefix of the
+    neardup_components and neardup_survivors catalog entries."""
+    pairs = ngram_jaccard_pairs(docs, threshold=threshold).select("doc_a", "doc_b")
+    return attach_components(docs, pairs, "doc_id")
+
+
+def neardup_survivor_rows(
+    docs: DataFrame, threshold: float = 0.5, size_col: str = "n_chars"
+) -> DataFrame:
+    """One surviving document per near-dup cluster under keep-the-longest
+    (max size_col, ties to min doc_id): per-component max + equi-rejoin on
+    (component, size), both map-side-combinable aggregates — never a
+    global sort.  Output: (component, kept_doc_id, kept_n_chars,
+    n_members)."""
+    mem = neardup_membership(docs, threshold).join(
+        docs.select("doc_id", size_col), "doc_id"
+    )
+    best = (
+        mem.groupBy("component")
+        .agg(
+            F.max(size_col).alias("max_chars"),
+            F.count(F.lit(1)).alias("n_members"),
+        )
+        .withColumnRenamed("component", "b_component")
+    )
+    return (
+        mem.join(
+            best,
+            (F.col("component") == F.col("b_component"))
+            & (F.col(size_col) == F.col("max_chars")),
+        )
+        .groupBy("component", "max_chars", "n_members")
+        .agg(F.min("doc_id").alias("kept_doc_id"))
+        .select(
+            "component",
+            "kept_doc_id",
+            F.col("max_chars").alias("kept_n_chars"),
+            "n_members",
+        )
+    )

@@ -2299,15 +2299,11 @@ def hopping_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "row a training-prep pipeline keeps",
 )
 def neardup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import connected_components, ngram_jaccard_pairs
+    # delegates to the shared membership pipeline (operators/dedup.py) so
+    # this entry and neardup_survivors cannot drift apart
+    from ..operators.dedup import neardup_membership
 
-    docs = t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
-    comp = connected_components(pairs).withColumnRenamed("node", "doc_id")
-    return docs.select("doc_id").join(comp, "doc_id", "left").select(
-        "doc_id",
-        F.coalesce("component", "doc_id").alias("component"),
-    )
+    return neardup_membership(t(spark, sf_dir, "documents"), threshold=0.5)
 
 
 @register(
@@ -3198,7 +3194,7 @@ def sequence_packing_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     "such value exists in the synthetic embeddings",
 )
 def embedding_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import connected_components
+    from ..operators.dedup import attach_components
     from ..operators.similarity import cosine_near_pairs_auto
 
     emb = t(spark, sf_dir, "embeddings")
@@ -3209,12 +3205,8 @@ def embedding_neardup_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = cosine_near_pairs_auto(emb, threshold=0.4).select(
         F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
     )
-    comp = connected_components(pairs).withColumnRenamed("node", "vec_id")
-    return (
-        emb.select("vec_id")
-        .join(comp, "vec_id", "left")
-        .select("vec_id", F.coalesce("component", "vec_id").alias("component"))
-        .withColumn("is_kept", F.col("vec_id") == F.col("component"))
+    return attach_components(emb, pairs, "vec_id").withColumn(
+        "is_kept", F.col("vec_id") == F.col("component")
     )
 
 
@@ -5527,43 +5519,12 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "argmax from already-verified parts",
 )
 def neardup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import connected_components, ngram_jaccard_pairs
+    # delegates to the shared membership + argmax pipeline
+    # (operators/dedup.py neardup_survivor_rows) — same prefix as
+    # neardup_components by construction
+    from ..operators.dedup import neardup_survivor_rows
 
-    docs = t(spark, sf_dir, "documents")
-    pairs = ngram_jaccard_pairs(docs, threshold=0.5).select("doc_a", "doc_b")
-    comp = connected_components(pairs).withColumnRenamed("node", "doc_id")
-    mem = (
-        docs.select("doc_id", "n_chars")
-        .join(comp, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce("component", "doc_id").alias("component"),
-            "n_chars",
-        )
-    )
-    best = (
-        mem.groupBy("component")
-        .agg(
-            F.max("n_chars").alias("max_chars"),
-            F.count(F.lit(1)).alias("n_members"),
-        )
-        .withColumnRenamed("component", "b_component")
-    )
-    return (
-        mem.join(
-            best,
-            (F.col("component") == F.col("b_component"))
-            & (F.col("n_chars") == F.col("max_chars")),
-        )
-        .groupBy("component", "max_chars", "n_members")
-        .agg(F.min("doc_id").alias("kept_doc_id"))
-        .select(
-            "component",
-            "kept_doc_id",
-            F.col("max_chars").alias("kept_n_chars"),
-            "n_members",
-        )
-    )
+    return neardup_survivor_rows(t(spark, sf_dir, "documents"), threshold=0.5)
 
 
 @register(
