@@ -660,3 +660,107 @@ def lsh_candidate_pairs(
         .groupBy("vec_a", "vec_b")
         .agg(F.count(F.lit(1)).alias("n_tables"))
     )
+
+
+def semantic_dedup_pairs(
+    corpus: DataFrame,
+    n_centroids: int = 8,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, public):
+    coarse-cluster the corpus, then search for near-duplicate pairs only
+    WITHIN each cluster — the candidate restriction that makes
+    embedding-level dedup tractable at corpus scale.
+
+    Deterministic spec (shared with ivf_topk so the oracle can replicate
+    it): centroids = the ``n_centroids`` lowest-id vectors; assignment =
+    max-cosine centroid (ties -> smaller centroid id).  Pairs are scored
+    with the exact 6dp round-before-threshold cosine contract of
+    cosine_near_pairs.
+
+    Scale shape: centroid set broadcast (assignment is map-only); the pair
+    search is an equi-join on ``cluster`` — expected work sum_c |c|^2
+    instead of N^2, tuned by n_centroids; never a cross join over the
+    corpus.  Output: (cluster, vec_a, vec_b, cosine).
+    """
+    cents = F.broadcast(
+        corpus.orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec"))
+    )
+    scored = (
+        corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
+        .crossJoin(cents)
+        .withColumn(
+            "cent_cos",
+            _dot(F.col("_vec"), F.col("cent_vec"), dim)
+            / (_norm(F.col("_vec"), dim) * _norm(F.col("cent_vec"), dim)),
+        )
+    )
+    w = Window.partitionBy("_id").orderBy(F.desc("cent_cos"), "cent_id")
+    assigned = (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select(
+            F.col("_id"),
+            F.col("_vec"),
+            _norm(F.col("_vec"), dim).alias("_nrm"),
+            F.col("cent_id").alias("cluster"),
+        )
+    )
+    a = assigned.select(
+        F.col("_id").alias("vec_a"),
+        F.col("_vec").alias("a_vec"),
+        F.col("_nrm").alias("a_nrm"),
+        "cluster",
+    )
+    b = assigned.select(
+        F.col("_id").alias("vec_b"),
+        F.col("_vec").alias("b_vec"),
+        F.col("_nrm").alias("b_nrm"),
+        "cluster",
+    )
+    return (
+        a.join(b, "cluster")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("a_vec"), F.col("b_vec"), dim)
+                / (F.col("a_nrm") * F.col("b_nrm")),
+                6,
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("cluster", "vec_a", "vec_b", "cosine")
+    )
+
+
+def ann_recall(
+    exact_topk: DataFrame, approx_topk: DataFrame, k: int
+) -> DataFrame:
+    """Per-query recall@k of an approximate neighbor list against the
+    exact one — the evaluation operator every ANN deployment needs next to
+    the index itself.  Both inputs use the (query_id, neighbor_id, rank)
+    contract of cosine_topk/ivf_topk/lsh_ann_topk; both are deterministic
+    here, so the metric itself carries an exact oracle.  One semi-join +
+    per-query count: no shuffle wider than the k-row-per-query lists."""
+    hits = (
+        approx_topk.join(exact_topk, ["query_id", "neighbor_id"], "left_semi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    qs = exact_topk.select("query_id").distinct()
+    return (
+        qs.join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hits", F.lit(0)).cast("bigint").alias("n_hits"),
+            F.round(
+                F.coalesce("n_hits", F.lit(0)).cast("double") / float(k), 6
+            ).alias("recall"),
+        )
+    )

@@ -5717,3 +5717,297 @@ def embedding_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(
         t(spark, sf_dir, "embeddings"), n_planes=8, n_tables=4
     )
+
+
+_IVF_QUANTIZER_CTE = """
+    f AS (
+        SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+    ),
+    n AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM f GROUP BY vec_id),
+    cent AS (SELECT vec_id AS cent_id FROM embeddings ORDER BY vec_id LIMIT 8),
+    vc AS (
+        SELECT a.vec_id, c.cent_id,
+               sum(a.v * b.v) / (na.nrm * nb.nrm) AS cos
+        FROM f a
+        JOIN cent c ON true
+        JOIN f b ON b.vec_id = c.cent_id AND b.i = a.i
+        JOIN n na ON na.vec_id = a.vec_id
+        JOIN n nb ON nb.vec_id = c.cent_id
+        GROUP BY a.vec_id, c.cent_id, na.nrm, nb.nrm
+    ),
+    assigned AS (
+        SELECT vec_id, cent_id AS cluster FROM (
+            SELECT vec_id, cent_id, row_number() OVER (
+                PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS r
+            FROM vc) WHERE r = 1
+    )
+"""
+
+
+@register(
+    "ann_recall_eval",
+    f"""
+    WITH {_IVF_QUANTIZER_CTE},
+    probed AS (
+        SELECT vec_id AS query_id, cent_id AS cluster FROM (
+            SELECT vec_id, cent_id, row_number() OVER (
+                PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS r
+            FROM vc WHERE vec_id BETWEEN 8 AND 15) WHERE r <= 2
+    ),
+    d AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id, sum(q.v * c.v) AS dot
+        FROM probed p
+        JOIN assigned a ON a.cluster = p.cluster AND a.vec_id <> p.query_id
+        JOIN f q ON q.vec_id = p.query_id
+        JOIN f c ON c.vec_id = a.vec_id AND c.i = q.i
+        GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT query_id, neighbor_id, dot / (nq.nrm * nc.nrm) AS cosine
+        FROM d JOIN n nq ON query_id = nq.vec_id
+               JOIN n nc ON neighbor_id = nc.vec_id
+    ),
+    approx AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM s) WHERE rank <= 5
+    ),
+    dx AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, sum(q.v * c.v) AS dot
+        FROM f q JOIN f c ON q.i = c.i AND q.vec_id <> c.vec_id
+        WHERE q.vec_id BETWEEN 8 AND 15
+        GROUP BY 1, 2
+    ),
+    sx AS (
+        SELECT query_id, neighbor_id, dot / (nq.nrm * nc.nrm) AS cosine
+        FROM dx JOIN n nq ON query_id = nq.vec_id
+                JOIN n nc ON neighbor_id = nc.vec_id
+    ),
+    exact AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM sx) WHERE rank <= 5
+    ),
+    hits AS (
+        SELECT a.query_id, count(*) AS n_hits
+        FROM approx a JOIN exact e
+          ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+        GROUP BY 1
+    )
+    SELECT q.query_id, CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+           round(CAST(coalesce(n_hits, 0) AS DOUBLE) / 5.0, 6) AS recall
+    FROM (SELECT DISTINCT query_id FROM exact) q LEFT JOIN hits USING (query_id)
+    """,
+    note="ANN EVALUATION operator: per-query recall@5 of the IVF index "
+    "(embedding_ivf_ann's deterministic quantizer, n_probe=2) against the "
+    "exact brute-force top-5 on the same query set — the measurement every "
+    "ANN deployment needs next to the index.  Both neighbor lists are "
+    "deterministic, so the metric itself is oracle-exact; computed as one "
+    "semi-join + per-query count, nothing wider than the k-row lists "
+    "crosses a shuffle",
+)
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ann_recall, cosine_topk, ivf_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id").between(8, 15))
+    exact = cosine_topk(emb, qs, k=5)
+    approx = ivf_topk(emb, qs, k=5, n_centroids=8, n_probe=2)
+    return ann_recall(exact, approx, k=5)
+
+
+@register(
+    "semantic_dedup_pairs",
+    f"""
+    WITH {_IVF_QUANTIZER_CTE},
+    p AS (
+        SELECT a.cluster, a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM assigned a
+        JOIN assigned b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+    ),
+    d2 AS (
+        SELECT p.cluster, p.vec_a, p.vec_b, sum(x.v * y.v) AS dot
+        FROM p JOIN f x ON x.vec_id = p.vec_a
+               JOIN f y ON y.vec_id = p.vec_b AND y.i = x.i
+        GROUP BY 1, 2, 3
+    )
+    SELECT cluster, vec_a, vec_b, cosine FROM (
+        SELECT cluster, vec_a, vec_b,
+               round(dot / (na.nrm * nb.nrm), 6) AS cosine
+        FROM d2 JOIN n na ON vec_a = na.vec_id JOIN n nb ON vec_b = nb.vec_id
+    ) WHERE cosine >= 0.4
+    """,
+    note="SemDeDup-style semantic dedup (Abbas et al. 2023): coarse-cluster "
+    "with the deterministic IVF quantizer (8 lowest-id centroids, "
+    "argmax-cosine assignment), then near-dup pairs only WITHIN a cluster "
+    "— candidate work drops from N^2 to sum_c |c|^2 and the pair search is "
+    "an equi-join on cluster, partition-prunable when the corpus is "
+    "bucketed by cluster; shares the 6dp round-before-threshold cosine "
+    "contract with embedding_cosine_pairs",
+)
+def semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import semantic_dedup_pairs as sd
+
+    return sd(t(spark, sf_dir, "embeddings"), n_centroids=8, threshold=0.4)
+
+
+@register(
+    "domain_mixture_weights",
+    """
+    WITH s AS (
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source
+    )
+    SELECT source, n_docs, n_tokens,
+           round(pow(CAST(n_tokens AS DOUBLE), 0.7) /
+                 (SELECT sum(pow(CAST(n_tokens AS DOUBLE), 0.7)) FROM s),
+                 6) AS weight
+    FROM s
+    """,
+    note="training-mixture weighting: per-source token counts -> sampling "
+    "weight proportional to tokens^0.7 (the standard temperature-scaled "
+    "domain mixing rule, tau=0.7), normalized over sources.  One map-side "
+    "combinable aggregate over the corpus; the normalization sum runs over "
+    "the |sources|-row aggregate only (global window on ~20 rows, never "
+    "raw data).  Feed the weights straight into mixture_sample",
+)
+def domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split(F.col("text"), " "))).cast("bigint").alias("n_tokens"),
+    )
+    w_raw = F.pow(F.col("n_tokens").cast("double"), F.lit(0.7))
+    # global window over the tiny per-source aggregate (|sources| rows),
+    # NOT over raw documents — same pattern as month_over_month_revenue
+    tot = Window.partitionBy()
+    return s.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.round(w_raw / F.sum(w_raw).over(tot), 6).alias("weight"),
+    )
+
+
+@register(
+    "funnel_conversion",
+    """
+    WITH u AS (
+        SELECT user_id,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+               min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+               min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_purchase
+        FROM events GROUP BY user_id
+    ),
+    stages AS (
+        SELECT CAST(1 AS INT) AS stage_ord, 'view' AS stage,
+               count(*) FILTER (t_view IS NOT NULL) AS n_users
+        FROM u
+        UNION ALL
+        SELECT 2, 'view>click',
+               count(*) FILTER (t_view IS NOT NULL AND t_click >= t_view)
+        FROM u
+        UNION ALL
+        SELECT 3, 'view>click>purchase',
+               count(*) FILTER (t_view IS NOT NULL AND t_click >= t_view
+                                AND t_purchase >= t_click)
+        FROM u
+    )
+    SELECT stage_ord, stage, n_users FROM stages
+    """,
+    note="ordered conversion funnel (view -> click -> purchase): first "
+    "event time per (user, stage) via one conditional MIN aggregate — a "
+    "single map-side-combinable pass over events, no per-stage self-joins "
+    "— then the ordering predicate counts users whose stage times are "
+    "monotone.  The 3-row output never shuffles raw events twice; the "
+    "standard product-analytics shape next to cohort_retention and "
+    "event_transition_matrix",
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    reached1 = F.col("t_view").isNotNull()
+    reached2 = reached1 & (F.col("t_click") >= F.col("t_view"))
+    reached3 = reached2 & (F.col("t_purchase") >= F.col("t_click"))
+    return u.agg(
+        F.count(F.when(reached1, 1)).alias("n1"),
+        F.count(F.when(reached2, 1)).alias("n2"),
+        F.count(F.when(reached3, 1)).alias("n3"),
+    ).selectExpr(
+        "stack(3, 1, 'view', n1, 2, 'view>click', n2, "
+        "3, 'view>click>purchase', n3) AS (stage_ord, stage, n_users)"
+    ).select(
+        F.col("stage_ord").cast("int").alias("stage_ord"),
+        "stage",
+        F.col("n_users").cast("bigint").alias("n_users"),
+    )
+
+
+@register(
+    "vocab_coverage",
+    """
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        FROM documents
+    ),
+    cnt AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+    vocab AS (SELECT w FROM cnt ORDER BY c DESC, w LIMIT 64),
+    per AS (
+        SELECT t.doc_id, count(*) AS n_tokens,
+               CAST(sum(CASE WHEN v.w IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_in_vocab
+        FROM tok t LEFT JOIN vocab v USING (w)
+        GROUP BY t.doc_id
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens, n_in_vocab,
+           round(CAST(n_in_vocab AS DOUBLE) / n_tokens, 6) AS coverage
+    FROM per
+    """,
+    note="tokenizer-vocabulary coverage: corpus top-64 unigrams (ties "
+    "broken lexicographically -> deterministic vocab) as the fixed vocab, "
+    "per-document in-vocab token fraction = 1 - OOV rate, the standard "
+    "pre-tokenization diagnostic.  The vocab is a TakeOrdered over the "
+    "unigram counts (map-side combined) and BROADCASTS to the coverage "
+    "join — per-doc work is map-only against a 64-entry hash set",
+)
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(F.split(F.lower(F.col("text")), " ")).alias("w")
+    )
+    vocab = (
+        tok.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "w")
+        .limit(64)
+        .select("w", F.lit(True).alias("_in"))
+    )
+    per = (
+        tok.join(F.broadcast(vocab), "w", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum(F.when(F.col("_in"), 1).otherwise(0)).cast("bigint").alias(
+                "n_in_vocab"
+            ),
+        )
+    )
+    return per.select(
+        "doc_id",
+        "n_tokens",
+        "n_in_vocab",
+        F.round(
+            F.col("n_in_vocab").cast("double") / F.col("n_tokens"), 6
+        ).alias("coverage"),
+    )

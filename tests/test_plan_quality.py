@@ -482,3 +482,27 @@ def test_library_sketches_have_no_exact_distinct(spark):
         assert set(df.columns) & {"true_distinct", "true_count"} == set()
 
     assert "true_distinct" not in kmv_estimate(ev, "user_id").columns
+
+
+def test_semantic_dedup_pairs_no_corpus_cartesian(spark):
+    """SemDeDup's pair search must be an equi-join on cluster (sum |c|^2
+    work), and the only cross join in the plan is the broadcast centroid
+    assignment — never corpus x corpus."""
+    plan = explain_str(REGISTRY["semantic_dedup_pairs"].fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan  # tiny centroid set only
+
+
+def test_vocab_coverage_broadcasts_vocab(spark):
+    """The 64-term vocab must broadcast to the coverage join — per-doc work
+    is map-only against a hash set, no token shuffle for the join."""
+    plan = explain_str(REGISTRY["vocab_coverage"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrdered" in plan  # vocab = top-64, never a global sort
+
+
+def test_funnel_conversion_single_event_pass(spark):
+    """The funnel reads events ONCE (conditional-min aggregate), not once
+    per stage."""
+    plan = explain_str(REGISTRY["funnel_conversion"].fn(spark, SF))
+    assert plan.count("events.parquet") == 1

@@ -767,3 +767,46 @@ def test_lsh_candidate_pairs_no_cartesian(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     plan = lsh_candidate_pairs(emb)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_ann_recall_exact_vs_itself_is_one(spark):
+    """Closed form: recall of the exact list against itself is 1.0 for
+    every query; and the IVF list's recall is within [0, 1]."""
+    from open_bus_siri_etl_spark.operators.similarity import (
+        ann_recall,
+        cosine_topk,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id").between(8, 15))
+    exact = cosine_topk(emb, qs, k=5)
+    self_recall = ann_recall(exact, exact, k=5).collect()
+    assert len(self_recall) == 8
+    assert all(r.recall == 1.0 and r.n_hits == 5 for r in self_recall)
+
+    approx = ivf_topk(emb, qs, k=5, n_centroids=8, n_probe=2)
+    rows = ann_recall(exact, approx, k=5).collect()
+    assert len(rows) == 8
+    assert all(0.0 <= r.recall <= 1.0 for r in rows)
+
+
+def test_semantic_dedup_pairs_within_cluster_only(spark):
+    """Every reported pair must be co-clustered, and each pair's cosine
+    must match the global near-pair list (the cluster restriction changes
+    RECALL, never the score)."""
+    from open_bus_siri_etl_spark.operators.similarity import (
+        cosine_near_pairs,
+        semantic_dedup_pairs,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    sem = semantic_dedup_pairs(emb, n_centroids=8, threshold=0.4).collect()
+    full = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in cosine_near_pairs(emb, threshold=0.4).collect()
+    }
+    assert sem, "synthetic embeddings contain near pairs"
+    for r in sem:
+        assert (r.vec_a, r.vec_b) in full  # subset of the exact pair list
+        assert r.cosine == full[(r.vec_a, r.vec_b)]
