@@ -6011,3 +6011,190 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_in_vocab").cast("double") / F.col("n_tokens"), 6
         ).alias("coverage"),
     )
+
+
+@register(
+    "crossmodal_dup_flags",
+    f"""
+    WITH {_POSTINGS_CTE},
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        FROM post a JOIN post b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    tpairs AS (
+        SELECT doc_a, doc_b
+        FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+                   JOIN sizes sb ON doc_b = sb.doc_id
+        WHERE i * 1.0 / (sa.n + sb.n - i) >= 0.5
+    ),
+    ef AS (
+        SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+    ),
+    en AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM ef GROUP BY vec_id),
+    ed AS (
+        SELECT a.vec_id AS doc_a, b.vec_id AS doc_b, sum(a.v * b.v) AS dot
+        FROM ef a JOIN ef b ON a.i = b.i AND a.vec_id < b.vec_id
+        GROUP BY 1, 2
+    ),
+    epairs AS (
+        SELECT doc_a, doc_b FROM (
+            SELECT doc_a, doc_b, round(dot / (na.nrm * nb.nrm), 6) AS cosine
+            FROM ed JOIN en na ON doc_a = na.vec_id JOIN en nb ON doc_b = nb.vec_id
+        ) WHERE cosine >= 0.4
+    ),
+    tdup AS (SELECT doc_b AS doc_id FROM tpairs GROUP BY doc_b),
+    edup AS (SELECT doc_b AS doc_id FROM epairs GROUP BY doc_b)
+    SELECT d.doc_id,
+           t.doc_id IS NOT NULL AS text_dup,
+           e.doc_id IS NOT NULL AS embedding_dup,
+           t.doc_id IS NOT NULL OR e.doc_id IS NOT NULL AS is_dup
+    FROM documents d
+    LEFT JOIN tdup t USING (doc_id)
+    LEFT JOIN edup e USING (doc_id)
+    """,
+    note="CROSS-MODAL dedup verdict: a document is flagged when the n-gram "
+    "Jaccard pass (>= 0.5) OR the embedding-cosine pass (>= 0.4, 6dp "
+    "contract) marks it the higher-id member of a near-dup pair — the "
+    "union policy a production pipeline applies before training (lexical "
+    "catches templated text the embedding misses; the embedding catches "
+    "paraphrase the shingles miss).  Composes the two already-verified "
+    "pair generators (ngram_jaccard_pairs, cosine_near_pairs_auto) "
+    "through one left-join projection; doc_id == vec_id by testdata "
+    "construction",
+)
+def crossmodal_dup_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import ngram_jaccard_pairs
+    from ..operators.similarity import cosine_near_pairs_auto
+
+    docs = t(spark, sf_dir, "documents")
+    emb = t(spark, sf_dir, "embeddings")
+    tdup = (
+        ngram_jaccard_pairs(docs, threshold=0.5)
+        .groupBy("doc_b")
+        .agg(F.lit(True).alias("_t"))
+        .withColumnRenamed("doc_b", "doc_id")
+    )
+    edup = (
+        cosine_near_pairs_auto(emb, threshold=0.4)
+        .groupBy("vec_b")
+        .agg(F.lit(True).alias("_e"))
+        .withColumnRenamed("vec_b", "doc_id")
+    )
+    return (
+        docs.select("doc_id")
+        .join(tdup, "doc_id", "left")
+        .join(edup, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("_t", F.lit(False)).alias("text_dup"),
+            F.coalesce("_e", F.lit(False)).alias("embedding_dup"),
+            (F.coalesce("_t", F.lit(False)) | F.coalesce("_e", F.lit(False))).alias(
+                "is_dup"
+            ),
+        )
+    )
+
+
+@register(
+    "shard_skew_report",
+    """
+    WITH s AS (
+        SELECT doc_id, n_chars,
+               CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                         AS UBIGINT) % 16 AS BIGINT) AS shard
+        FROM documents
+    ),
+    per AS (
+        SELECT shard, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS n_chars
+        FROM s GROUP BY shard
+    )
+    SELECT shard, n_docs, n_chars,
+           round(CAST(n_docs AS DOUBLE) /
+                 ((SELECT sum(n_docs) FROM per) / 16.0), 6) AS doc_balance,
+           round(CAST(n_chars AS DOUBLE) /
+                 ((SELECT sum(n_chars) FROM per) / 16.0), 6) AS byte_balance
+    FROM per
+    """,
+    note="shard-skew report for the training-export layout (same "
+    "content-hash shard rule as shuffle_shards / sources/export.py): "
+    "per-shard doc and byte counts plus balance coefficients "
+    "(1.0 = perfectly even; the max over shards bounds the straggler "
+    "factor of a data-loader fleet).  One map-side-combinable aggregate; "
+    "the normalization runs over the 16-row shard aggregate only — the "
+    "operational check run after every export",
+)
+def shard_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    shard = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % 16
+    )
+    per = (
+        docs.select(shard.alias("shard"), "n_chars")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("n_chars"),
+        )
+    )
+    tot = Window.partitionBy()  # 16-row aggregate, never raw docs
+    return per.select(
+        "shard",
+        "n_docs",
+        "n_chars",
+        F.round(
+            F.col("n_docs").cast("double")
+            / (F.sum("n_docs").over(tot) / F.lit(16.0)),
+            6,
+        ).alias("doc_balance"),
+        F.round(
+            F.col("n_chars").cast("double")
+            / (F.sum("n_chars").over(tot) / F.lit(16.0)),
+            6,
+        ).alias("byte_balance"),
+    )
+
+
+@register(
+    "time_weighted_average",
+    """
+    WITH seg AS (
+        SELECT user_id, value,
+               CAST(epoch(lead(ts) OVER w) - epoch(ts) AS DOUBLE) AS dt
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_segments,
+           round(CAST(sum(value * dt) AS DOUBLE) / sum(dt), 6) AS twap
+    FROM seg WHERE dt IS NOT NULL AND dt > 0
+    GROUP BY user_id
+    """,
+    note="time-weighted average (TWAP): each observation holds its value "
+    "until the user's next event, weight = the holding interval in "
+    "seconds — the standard aggregate for irregularly-sampled series "
+    "(sensor readings, position reports, prices) where a plain AVG "
+    "over-weights bursts.  One keyed window (lead) then a "
+    "map-side-combinable sum-of-products; interval seconds are "
+    "epoch-micro-exact in both engines, round(,6) absorbs the final "
+    "division ulp",
+)
+def time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seg = ev.select(
+        "user_id",
+        "value",
+        (
+            (F.unix_micros(F.lead("ts").over(w)) - F.unix_micros("ts"))
+            / F.lit(1000000.0)
+        ).alias("dt"),
+    ).filter(F.col("dt").isNotNull() & (F.col("dt") > 0))
+    return seg.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+        F.round(F.sum(F.col("value") * F.col("dt")) / F.sum("dt"), 6).alias("twap"),
+    )
