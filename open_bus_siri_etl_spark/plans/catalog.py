@@ -6198,3 +6198,145 @@ def time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_segments"),
         F.round(F.sum(F.col("value") * F.col("dt")) / F.sum("dt"), 6).alias("twap"),
     )
+
+
+@register(
+    "train_test_split",
+    """
+    WITH h AS (
+        SELECT doc_id, source,
+               CAST(CAST(('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)),
+                                         1, 8)) AS UBIGINT) % 100 AS BIGINT) AS bucket
+        FROM documents
+    ),
+    tagged AS (
+        SELECT doc_id, source,
+               CASE WHEN bucket < 90 THEN 'train' ELSE 'test' END AS split
+        FROM h
+    )
+    SELECT source, split, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS min_doc_id
+    FROM tagged GROUP BY source, split
+    """,
+    note="deterministic train/test split: md5('split|'||id) % 100 < 90 -> "
+    "train — content-hashed, so the assignment is reproducible across "
+    "runs, clusters and engines with NO stored split table and NO RNG "
+    "state, and a re-ingested duplicate always lands on the same side "
+    "(the leakage guarantee).  Map-only tag + one combinable per-source "
+    "audit aggregate; the salt prefix decorrelates this hash from every "
+    "other md5(doc_id) use (shards, shuffles)",
+)
+def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split|"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    tagged = docs.select(
+        "doc_id",
+        "source",
+        F.when(bucket < 90, "train").otherwise("test").alias("split"),
+    )
+    return tagged.groupBy("source", "split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.min("doc_id").cast("bigint").alias("min_doc_id"),
+    )
+
+
+@register(
+    "pq_codes",
+    """
+    WITH f AS (
+        SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+    ),
+    sub AS (
+        SELECT vec_id, (i - 1) // 16 AS m, i, v FROM f
+    ),
+    cent AS (
+        SELECT s.vec_id AS cent_id, s.m, s.i, s.v
+        FROM sub s WHERE s.vec_id < 8
+    ),
+    d AS (
+        SELECT s.vec_id, s.m, c.cent_id,
+               round(sum((s.v - c.v) * (s.v - c.v)), 6) AS d2
+        FROM sub s JOIN cent c ON c.m = s.m AND c.i = s.i
+        GROUP BY 1, 2, 3
+    ),
+    codes AS (
+        SELECT vec_id, m, cent_id AS code, d2 FROM (
+            SELECT vec_id, m, cent_id, d2, row_number() OVER (
+                PARTITION BY vec_id, m ORDER BY d2, cent_id) AS r
+            FROM d) WHERE r = 1
+    )
+    SELECT vec_id,
+           CAST(max(CASE WHEN m = 0 THEN code END) AS BIGINT) AS code0,
+           CAST(max(CASE WHEN m = 1 THEN code END) AS BIGINT) AS code1,
+           CAST(max(CASE WHEN m = 2 THEN code END) AS BIGINT) AS code2,
+           CAST(max(CASE WHEN m = 3 THEN code END) AS BIGINT) AS code3,
+           round(sum(d2), 6) AS recon_d2
+    FROM codes GROUP BY vec_id
+    """,
+    note="product quantization (the IVF-PQ storage path for billion-vector "
+    "ANN): 64 dims split into 4 subspaces of 16, per-subspace codebook = "
+    "the 8 lowest-id vectors' subvectors (deterministic spec, same as the "
+    "IVF quantizer), code = argmin subspace L2 (ties -> smaller id) — "
+    "4 bytes + norm per vector instead of 256, a 64x compression with "
+    "recon_d2 the quantization-error audit.  The codebook is "
+    "4x8x16 doubles broadcast; assignment is one scan and the only "
+    "shuffle is per-(vec, subspace) distance partial-sums; round(,6) on "
+    "each subspace distance keeps argmin ties engine-identical",
+)
+def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = t(spark, sf_dir, "embeddings")
+    M, SUB = 4, 16  # 4 subspaces x 16 dims
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+    pairs = emb.crossJoin(F.broadcast(cents))
+    sub_d2 = [
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.slice(F.col("embedding"), m * SUB + 1, SUB),
+                    F.slice(F.col("cent_vec"), m * SUB + 1, SUB),
+                    lambda x, y: (x.cast("double") - y.cast("double"))
+                    * (x.cast("double") - y.cast("double")),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias(f"d2_{m}")
+        for m in range(M)
+    ]
+    scored = pairs.select("vec_id", "cent_id", *sub_d2)
+    outs = []
+    for m in range(M):
+        w = Window.partitionBy("vec_id").orderBy(F.col(f"d2_{m}"), F.col("cent_id"))
+        outs.append(
+            scored.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") == 1)
+            .select(
+                "vec_id",
+                F.col("cent_id").alias(f"code{m}"),
+                F.col(f"d2_{m}").alias(f"_d{m}"),
+            )
+        )
+    joined = outs[0]
+    for m in range(1, M):
+        joined = joined.join(outs[m], "vec_id")
+    return joined.select(
+        "vec_id",
+        *[F.col(f"code{m}").cast("bigint").alias(f"code{m}") for m in range(M)],
+        F.round(sum(F.col(f"_d{m}") for m in range(M)), 6).alias("recon_d2"),
+    )

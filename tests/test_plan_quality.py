@@ -506,3 +506,11 @@ def test_funnel_conversion_single_event_pass(spark):
     per stage."""
     plan = explain_str(REGISTRY["funnel_conversion"].fn(spark, SF))
     assert plan.count("events.parquet") == 1
+
+
+def test_pq_codes_broadcasts_codebook(spark):
+    """PQ assignment must broadcast the tiny codebook (the only cross join
+    in the plan) — the corpus never cartesians with itself."""
+    plan = explain_str(REGISTRY["pq_codes"].fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
