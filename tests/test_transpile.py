@@ -1,0 +1,82 @@
+"""Unit tests for the DuckDB->Spark dialect transpiler (plans/sqlapi.py):
+string-level guards for each rewrite rule, so a rule regression is caught
+without running either engine.  The end-to-end row-identity proof lives in
+test_sqlapi.py; these pin the mechanics."""
+
+from open_bus_siri_etl_spark.plans.sqlapi import transpile
+
+
+def test_literals_are_never_rewritten():
+    sql = "SELECT regexp_extract_all(text, '[a-z]+ // (not) [code]')"
+    out = transpile(sql)
+    assert "'[a-z]+ // (not) [code]'" in out  # literal body untouched
+    assert out.startswith("SELECT regexp_extract_all(text,")
+    assert out.rstrip().endswith(", 0)")  # DuckDB default group 0 appended
+
+
+def test_backslashes_doubled_in_literals():
+    assert r"'\\+1-555'" in transpile(r"SELECT regexp_matches(x, '\+1-555')")
+
+
+def test_floor_div_and_types():
+    out = transpile("SELECT a // 2, CAST(x AS UBIGINT), y::VARCHAR FROM t")
+    assert " div " in out and "//" not in out
+    assert "UBIGINT" not in out and "BIGINT" in out
+    assert "::STRING" in out and "VARCHAR" not in out
+
+
+def test_unnest_subscripts_to_posexplode():
+    out = transpile(
+        "WITH f AS (SELECT vec_id, unnest(embedding)::DOUBLE AS v,\n"
+        "generate_subscripts(embedding, 1) AS i FROM embeddings) SELECT 1"
+    )
+    assert "LATERAL VIEW posexplode(embedding)" in out
+    assert "generate_subscripts" not in out and "unnest" not in out
+    assert "(_up0 + 1) AS i" in out
+
+
+def test_lambda_index_shift_is_one_based():
+    out = transpile("SELECT list_transform(l, (x, i) -> x || l[i + 1]) FROM t")
+    assert "(i + 1) + 1" in out.replace("element_at(l, ", "")
+    # accumulator lambdas (second var not 'i') are untouched
+    out2 = transpile("SELECT aggregate(l, 0, (acc, b) -> acc + b) FROM t")
+    assert "(b + 1)" not in out2
+
+
+def test_hex_casts_both_syntaxes():
+    o1 = transpile("SELECT ('0x' || substr(md5(x), 1, 8))::BIGINT FROM t")
+    assert "conv(substr(md5(x), 1, 8), 16, 10)" in o1
+    o2 = transpile("SELECT CAST(('0x' || substr(md5(x), 1, 8)) AS UBIGINT) FROM t")
+    assert "conv(" in o2 and "0x" not in o2
+
+
+def test_generate_series_guard_and_tvf():
+    # 3-arg integer series guards the empty range (sequence would raise)
+    out = transpile("SELECT list_transform(generate_series(1, n, 2), x -> x)")
+    assert "CASE WHEN (n) >= (1)" in out
+    # timestamp+interval series stays unguarded (always ascending here)
+    out2 = transpile(
+        "SELECT 1 FROM generate_series(TIMESTAMP '2024-01-01', "
+        "TIMESTAMP '2024-01-02', INTERVAL 1 MINUTE) t(gs)"
+    )
+    assert "FROM explode(sequence(" in out2
+    assert "CASE WHEN" not in out2
+
+
+def test_decimal_literals_become_double():
+    out = transpile("SELECT x * 1.0 / y, round(z, 6), 0.5 FROM t")
+    assert "1.0D" in out and "0.5D" in out
+    assert "round(z, 6)" in out  # integer args untouched
+
+
+def test_strftime_format_mapping():
+    out = transpile("SELECT strftime(ts, '%Y/%m/%d/%H/%M') FROM t")
+    assert "date_format(ts, 'yyyy/MM/dd/HH/mm')" in out
+
+
+def test_filter_and_ignore_nulls_placement():
+    out = transpile(
+        "SELECT count(*) FILTER (x IS NULL), last_value(v IGNORE NULLS) OVER ()"
+    )
+    assert "FILTER (WHERE x IS NULL)" in out
+    assert "last_value(v) IGNORE NULLS" in out

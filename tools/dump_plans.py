@@ -104,6 +104,18 @@ SHOWCASE = {
     " the bigram key); top-50 is TakeOrderedAndProject",
     "cohort_retention": "cohort derivation and rejoin share the user_id"
     " shuffle key; count-distinct expands to a two-level aggregate",
+    "embedding_lsh_candidates": "integer-quantized LSH bucketing fused into"
+    " one scan; candidates from an equi-join on (tbl, bucket), no cartesian",
+    "semantic_dedup_pairs": "centroid assignment against the broadcast"
+    " codebook; pair search is an equi-join on cluster, never corpus x corpus",
+    "ann_recall_eval": "two deterministic neighbor lists joined per query;"
+    " nothing wider than the k-row lists crosses a shuffle",
+    "vocab_coverage": "top-64 vocab via TakeOrdered, broadcast to the"
+    " coverage join; per-doc work map-only",
+    "funnel_conversion": "one conditional-min pass over events (single scan),"
+    " 3-row stacked output",
+    "pq_codes": "subspace distances against the broadcast codebook; per-"
+    "subspace argmin windows keyed by vec_id, no cartesian",
     "neardup_survivors": "argmax per dup-cluster: per-component max +"
     " equi-rejoin, both map-side combinable; no window over raw docs",
 }
