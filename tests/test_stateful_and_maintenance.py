@@ -978,3 +978,49 @@ def test_log_seq_lamport_floor_beats_skewed_clock(spark, warehouse):
     assert raw.agg(F.max("log_seq")).first()[0] > future
     rows = wh2.read("siri_snapshot").filter(F.col("snapshot_id") == sid).collect()
     assert len(rows) == 1 and rows[0]["etl_status"] == control.ETL_LOADING
+
+
+def test_streaming_heavy_hitters_bounded_state(spark, tmp_path):
+    """Misra-Gries summaries in streaming state: the hot key's counter
+    accumulates ACROSS micro-batches, every emitted count is a valid lower
+    bound, and state never exceeds n_partitions x capacity entries."""
+    from open_bus_siri_etl_spark.streaming.topk import heavy_hitters_stream
+
+    src = tmp_path / "hh_src"
+    src.mkdir()
+    # two micro-batches; key 7 is hot in both (60 + 60 of 100 rows each)
+    for b in range(2):
+        rows = [(7,)] * 60 + [(1000 * (b + 1) + i,) for i in range(40)]
+        spark.createDataFrame(rows, "user_id long").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src / f"b{b}"))
+    stream = (
+        spark.readStream.schema("user_id long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    out = heavy_hitters_stream(stream, "user_id", n_partitions=4, capacity=8)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("hh_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM hh_out").collect()
+    assert rows
+    # the hot key must survive every batch's summary; its final lower bound
+    # reflects BOTH batches (state carried across micro-batches) and is a
+    # valid lower bound of the true count 120
+    hot = [r.lower_count for r in rows if r.key == 7]
+    assert hot, "hot key evicted from a Misra-Gries summary"
+    assert max(hot) > 60, "state did not accumulate across micro-batches"
+    assert max(hot) <= 120
+    # bounded state: no per-batch emission exceeds capacity per partition
+    import collections
+
+    per = collections.Counter()
+    for r in rows:
+        per[r.partition] += 1
+    assert all(v <= 2 * 8 for v in per.values())  # 2 batches x capacity cap
