@@ -35,16 +35,27 @@ def with_shard(df: DataFrame, key: str, n_shards: int) -> DataFrame:
     return df.withColumn("_h", h).withColumn("shard", shard)
 
 
+SHARD_FORMATS = ("parquet", "orc", "json")
+
+
 def write_training_shards(
     df: DataFrame,
     out_dir: str,
     key: str,
     n_shards: int = 16,
     max_records_per_file: int | None = None,
+    file_format: str = "parquet",
 ) -> None:
-    """Materialize ``df`` as ``out_dir/shard=K/`` parquet, one file per
+    """Materialize ``df`` as ``out_dir/shard=K/`` files, one file per
     shard (unless ``max_records_per_file`` splits it), rows pre-shuffled
-    by content hash within each shard."""
+    by content hash within each shard.
+
+    ``file_format``: parquet (default), orc, or json(l) — all built-in
+    Spark sinks, so a loader fleet that wants ORC stripes or line-JSON
+    shards gets them from the same single-exchange plan.
+    """
+    if file_format not in SHARD_FORMATS:
+        raise ValueError(f"file_format must be one of {SHARD_FORMATS}")
     sharded = (
         with_shard(df, key, n_shards)
         .repartition(n_shards, F.col("shard"))
@@ -54,9 +65,13 @@ def write_training_shards(
     writer = sharded.write.mode("overwrite").partitionBy("shard")
     if max_records_per_file:
         writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
-    writer.parquet(out_dir)
+    writer.format(file_format).save(out_dir)
 
 
-def read_shard(spark, out_dir: str, shard: int) -> DataFrame:
+def read_shard(spark, out_dir: str, shard: int, file_format: str = "parquet") -> DataFrame:
     """Read one shard (partition-pruned scan — only that directory)."""
-    return spark.read.parquet(out_dir).filter(F.col("shard") == shard)
+    reader = spark.read.format(file_format)
+    if file_format == "json":
+        # line-JSON carries no schema; infer from the full layout once
+        reader = reader.option("inferSchema", "true")
+    return reader.load(out_dir).filter(F.col("shard") == shard)

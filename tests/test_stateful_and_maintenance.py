@@ -1024,3 +1024,36 @@ def test_streaming_heavy_hitters_bounded_state(spark, tmp_path):
     for r in rows:
         per[r.partition] += 1
     assert all(v <= 2 * 8 for v in per.values())  # 2 batches x capacity cap
+
+
+def test_write_training_shards_orc_and_json_roundtrip(spark, tmp_path):
+    """The shard writer supports ORC and line-JSON sinks with the same
+    deterministic shard mapping as parquet."""
+    import pytest as _pytest
+
+    from open_bus_siri_etl_spark.sources.export import (
+        read_shard,
+        write_training_shards,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "source", "n_chars"
+    )
+    ref = str(tmp_path / "pq")
+    write_training_shards(docs, ref, key="doc_id", n_shards=4)
+    want = {
+        r.doc_id: r.shard
+        for r in spark.read.parquet(ref).select("doc_id", "shard").collect()
+    }
+    for fmt in ("orc", "json"):
+        out = str(tmp_path / fmt)
+        write_training_shards(docs, out, key="doc_id", n_shards=4, file_format=fmt)
+        back = spark.read.format(fmt).load(out)
+        got = {r.doc_id: r.shard for r in back.select("doc_id", "shard").collect()}
+        assert got == want, fmt  # same content-hash mapping in every format
+        one = read_shard(spark, out, 2, file_format=fmt)
+        assert one.count() == sum(1 for s in want.values() if s == 2)
+
+    with _pytest.raises(ValueError):
+        write_training_shards(docs, str(tmp_path / "bad"), key="doc_id",
+                              file_format="avro")
