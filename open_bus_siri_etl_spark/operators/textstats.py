@@ -473,3 +473,48 @@ def length_band_filter(
         (F.col("_rn") * 100 > F.col("_n") * low_pct)
         & (F.col("_rn") * 100 <= F.col("_n") * high_pct)
     ).drop("_rn", "_n")
+
+
+def filter_stack_report(df: DataFrame, lang: str = "en") -> DataFrame:
+    """The assembled pre-training FILTER STACK: language gate -> Gopher
+    rule filter -> repetition gate, each verdict exposed per document plus
+    the final keep and the FIRST failing stage (the reporting shape a
+    curation run needs — per-reason drop counts fall out of one groupBy).
+
+    Composes the already-verified single-pass operators
+    (gopher_quality_flags, with_repetition_stats) through doc_id joins —
+    each stage is map-only, so the stack costs two hash joins on doc_id
+    over per-doc verdict rows, never a second pass over text.
+    """
+    gq = gopher_quality_flags(df).select(
+        "doc_id", F.col("passes").alias("_gopher")
+    )
+    rep = with_repetition_stats(df).select(
+        "doc_id", (F.col("dup_bigram_frac") < 0.3).alias("_rep")
+    )
+    out = (
+        df.select("doc_id", "lang")
+        .join(gq, "doc_id", "left")
+        .join(rep, "doc_id", "left")
+        .select(
+            "doc_id",
+            (F.col("lang") == lang).alias("lang_keep"),
+            # docs with zero word tokens have no gopher row -> fail
+            F.coalesce("_gopher", F.lit(False)).alias("gopher_keep"),
+            F.coalesce("_rep", F.lit(False)).alias("repetition_keep"),
+        )
+    )
+    return out.select(
+        "doc_id",
+        "lang_keep",
+        "gopher_keep",
+        "repetition_keep",
+        (F.col("lang_keep") & F.col("gopher_keep") & F.col("repetition_keep")).alias(
+            "keep"
+        ),
+        F.when(~F.col("lang_keep"), "lang")
+        .when(~F.col("gopher_keep"), "gopher")
+        .when(~F.col("repetition_keep"), "repetition")
+        .otherwise("none")
+        .alias("drop_reason"),
+    )

@@ -6340,3 +6340,66 @@ def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[F.col(f"code{m}").cast("bigint").alias(f"code{m}") for m in range(M)],
         F.round(sum(F.col(f"_d{m}") for m in range(M)), 6).alias("recon_d2"),
     )
+
+
+@register(
+    "filter_stack_report",
+    """
+    WITH tok AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        FROM documents
+    ), g AS (
+        SELECT doc_id,
+               (CAST(len(toks) AS BIGINT) BETWEEN 20 AND 100000
+                AND CAST(list_sum(list_transform(toks, x -> length(x)))
+                         AS DOUBLE) / len(toks) BETWEEN 3.0 AND 10.0
+                AND CAST(len(list_filter(toks, x -> x IN ('the', 'a')))
+                         AS DOUBLE) / len(toks) >= 0.01
+                AND CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                    >= 0.2) AS gopher_keep
+        FROM tok WHERE len(toks) > 0
+    ), b AS (
+        SELECT doc_id, string_split(text, ' ') AS stoks,
+               len(string_split(text, ' ')) AS n FROM documents
+    ), r AS (
+        SELECT doc_id,
+               CASE WHEN n >= 2 THEN
+                    list_transform(generate_series(1, n - 1),
+                                   i -> stoks[i] || ' ' || stoks[i + 1])
+               ELSE CAST([] AS VARCHAR[]) END AS bigrams
+        FROM b
+    ), rep AS (
+        SELECT doc_id,
+               (CASE WHEN len(bigrams) > 0 THEN
+                    (len(bigrams) - len(list_distinct(bigrams))) * 1.0
+                        / len(bigrams)
+                ELSE 0.0 END) < 0.3 AS repetition_keep
+        FROM r
+    ), flags AS (
+        SELECT d.doc_id,
+               d.lang = 'en' AS lang_keep,
+               coalesce(g.gopher_keep, FALSE) AS gopher_keep,
+               coalesce(rep.repetition_keep, FALSE) AS repetition_keep
+        FROM documents d
+        LEFT JOIN g USING (doc_id)
+        LEFT JOIN rep USING (doc_id)
+    )
+    SELECT doc_id, lang_keep, gopher_keep, repetition_keep,
+           lang_keep AND gopher_keep AND repetition_keep AS keep,
+           CASE WHEN NOT lang_keep THEN 'lang'
+                WHEN NOT gopher_keep THEN 'gopher'
+                WHEN NOT repetition_keep THEN 'repetition'
+                ELSE 'none' END AS drop_reason
+    FROM flags
+    """,
+    note="the ASSEMBLED curation filter stack (language gate -> Gopher "
+    "rules -> repetition gate) with per-document verdicts, the final keep, "
+    "and the first failing stage — per-reason drop counts are one groupBy "
+    "away, the report every curation run publishes.  Composes the verified "
+    "single-pass operators via doc_id joins over per-doc verdict rows; "
+    "text is read once per stage expression, never shuffled",
+)
+def filter_stack_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textstats import filter_stack_report as fsr
+
+    return fsr(t(spark, sf_dir, "documents"), lang="en")
