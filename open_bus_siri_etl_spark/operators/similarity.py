@@ -764,3 +764,143 @@ def ann_recall(
             ).alias("recall"),
         )
     )
+
+
+def pq_codes_df(
+    corpus: DataFrame,
+    n_sub: int = 4,
+    sub_dim: int = 16,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization codes: dims split into ``n_sub`` subspaces of
+    ``sub_dim``; per-subspace codebook = the ``n_centroids`` lowest-id
+    vectors' subvectors (the same deterministic spec as the IVF
+    quantizer); code = argmin subspace L2, ties to the smaller centroid
+    id.  6dp rounding on each subspace distance keeps argmin ties
+    engine-identical, which is what lets PQ carry an exact oracle.
+
+    Output: (vec_id, code0..code{n_sub-1}, recon_d2).  Scale shape: the
+    codebook (n_sub x n_centroids x sub_dim doubles) broadcasts;
+    assignment is one scan of the corpus; per-subspace argmin windows are
+    keyed by vec_id.
+    """
+    cents = corpus.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
+    )
+    pairs = corpus.crossJoin(F.broadcast(cents))
+    sub_d2 = [
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.slice(F.col(vec_col), m * sub_dim + 1, sub_dim),
+                    F.slice(F.col("cent_vec"), m * sub_dim + 1, sub_dim),
+                    lambda x, y: (x.cast("double") - y.cast("double"))
+                    * (x.cast("double") - y.cast("double")),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias(f"d2_{m}")
+        for m in range(n_sub)
+    ]
+    scored = pairs.select(F.col(id_col), F.col("cent_id"), *sub_d2)
+    outs = []
+    for m in range(n_sub):
+        w = Window.partitionBy(id_col).orderBy(F.col(f"d2_{m}"), F.col("cent_id"))
+        outs.append(
+            scored.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") == 1)
+            .select(
+                id_col,
+                F.col("cent_id").alias(f"code{m}"),
+                F.col(f"d2_{m}").alias(f"_d{m}"),
+            )
+        )
+    joined = outs[0]
+    for m in range(1, n_sub):
+        joined = joined.join(outs[m], id_col)
+    return joined.select(
+        id_col,
+        *[F.col(f"code{m}").cast("bigint").alias(f"code{m}") for m in range(n_sub)],
+        F.round(sum(F.col(f"_d{m}") for m in range(n_sub)), 6).alias("recon_d2"),
+    )
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_sub: int = 4,
+    sub_dim: int = 16,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-k — the billion-vector serving
+    pattern: the corpus is stored as PQ CODES only (n_sub bytes/vector);
+    a query precomputes its distance to every codebook centroid per
+    subspace (a |queries| x n_sub x n_centroids table, tiny -> broadcast)
+    and each candidate's approximate distance is n_sub table LOOKUPS, no
+    float vector math per pair.  Deterministic end to end (6dp-rounded
+    table entries, ties to smaller neighbor id), so the approximate index
+    itself carries an exact oracle.
+
+    Output: (query_id, neighbor_id, rank, adc_d2) — rank 1..k by
+    approximate distance asc; self-matches excluded.
+    """
+    codes = pq_codes_df(corpus, n_sub, sub_dim, n_centroids, id_col, vec_col)
+    cents = corpus.filter(F.col(id_col) < n_centroids).select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
+    )
+    qd = [
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.slice(F.col("q_vec"), m * sub_dim + 1, sub_dim),
+                    F.slice(F.col("cent_vec"), m * sub_dim + 1, sub_dim),
+                    lambda x, y: (x.cast("double") - y.cast("double"))
+                    * (x.cast("double") - y.cast("double")),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias(f"qd_{m}")
+        for m in range(n_sub)
+    ]
+    dtab = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+        .crossJoin(F.broadcast(cents))
+        .select("query_id", "cent_id", *qd)
+    )
+    # melt codes to (vec_id, m, code) and the table to (query_id, m, code, d)
+    code_long = codes.selectExpr(
+        id_col,
+        "stack({}, {}) AS (m, code)".format(
+            n_sub, ", ".join(f"{m}, code{m}" for m in range(n_sub))
+        ),
+    )
+    dtab_long = dtab.selectExpr(
+        "query_id",
+        "cent_id AS code",
+        "stack({}, {}) AS (m, d)".format(
+            n_sub, ", ".join(f"{m}, qd_{m}" for m in range(n_sub))
+        ),
+    )
+    adc = (
+        code_long.join(F.broadcast(dtab_long), ["m", "code"])
+        .filter(F.col(id_col) != F.col("query_id"))
+        .groupBy("query_id", id_col)
+        .agg(F.round(F.sum("d"), 6).alias("adc_d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_d2", id_col)
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", F.col(id_col).alias("neighbor_id"), "rank", "adc_d2"
+        )
+    )

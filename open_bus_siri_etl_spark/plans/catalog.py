@@ -6297,48 +6297,12 @@ def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     "each subspace distance keeps argmin ties engine-identical",
 )
 def pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = t(spark, sf_dir, "embeddings")
-    M, SUB = 4, 16  # 4 subspaces x 16 dims
-    cents = emb.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
-    )
-    pairs = emb.crossJoin(F.broadcast(cents))
-    sub_d2 = [
-        F.round(
-            F.aggregate(
-                F.zip_with(
-                    F.slice(F.col("embedding"), m * SUB + 1, SUB),
-                    F.slice(F.col("cent_vec"), m * SUB + 1, SUB),
-                    lambda x, y: (x.cast("double") - y.cast("double"))
-                    * (x.cast("double") - y.cast("double")),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-            6,
-        ).alias(f"d2_{m}")
-        for m in range(M)
-    ]
-    scored = pairs.select("vec_id", "cent_id", *sub_d2)
-    outs = []
-    for m in range(M):
-        w = Window.partitionBy("vec_id").orderBy(F.col(f"d2_{m}"), F.col("cent_id"))
-        outs.append(
-            scored.withColumn("_r", F.row_number().over(w))
-            .filter(F.col("_r") == 1)
-            .select(
-                "vec_id",
-                F.col("cent_id").alias(f"code{m}"),
-                F.col(f"d2_{m}").alias(f"_d{m}"),
-            )
-        )
-    joined = outs[0]
-    for m in range(1, M):
-        joined = joined.join(outs[m], "vec_id")
-    return joined.select(
-        "vec_id",
-        *[F.col(f"code{m}").cast("bigint").alias(f"code{m}") for m in range(M)],
-        F.round(sum(F.col(f"_d{m}") for m in range(M)), 6).alias("recon_d2"),
+    # delegates to the library quantizer (operators/similarity.pq_codes_df)
+    # shared with the pq_adc_topk serving path
+    from ..operators.similarity import pq_codes_df
+
+    return pq_codes_df(
+        t(spark, sf_dir, "embeddings"), n_sub=4, sub_dim=16, n_centroids=8
     )
 
 
@@ -6403,3 +6367,66 @@ def filter_stack_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.textstats import filter_stack_report as fsr
 
     return fsr(t(spark, sf_dir, "documents"), lang="en")
+
+
+@register(
+    "pq_adc_topk",
+    """
+    WITH f AS (
+        SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+    ),
+    sub AS (SELECT vec_id, (i - 1) // 16 AS m, i, v FROM f),
+    cent AS (
+        SELECT s.vec_id AS cent_id, s.m, s.i, s.v
+        FROM sub s WHERE s.vec_id < 8
+    ),
+    d AS (
+        SELECT s.vec_id, s.m, c.cent_id,
+               round(sum((s.v - c.v) * (s.v - c.v)), 6) AS d2
+        FROM sub s JOIN cent c ON c.m = s.m AND c.i = s.i
+        GROUP BY 1, 2, 3
+    ),
+    codes AS (
+        SELECT vec_id, m, cent_id AS code FROM (
+            SELECT vec_id, m, cent_id, row_number() OVER (
+                PARTITION BY vec_id, m ORDER BY d2, cent_id) AS r
+            FROM d) WHERE r = 1
+    ),
+    qtab AS (
+        SELECT vec_id AS query_id, m, cent_id AS code, d2 AS dist
+        FROM d WHERE vec_id BETWEEN 8 AND 15
+    ),
+    adc AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id, round(sum(q.dist), 6) AS adc_d2
+        FROM codes c JOIN qtab q ON q.m = c.m AND q.code = c.code
+        WHERE c.vec_id <> q.query_id
+        GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, rank, adc_d2 FROM (
+        SELECT query_id, neighbor_id, adc_d2, row_number() OVER (
+            PARTITION BY query_id ORDER BY adc_d2, neighbor_id) AS rank
+        FROM adc) WHERE rank <= 5
+    """,
+    note="PQ asymmetric-distance (ADC) top-k — the billion-vector serving "
+    "pattern: the corpus lives as 4-byte PQ codes, a query precomputes its "
+    "subspace-to-centroid distance table (|queries| x 4 x 8, tiny -> "
+    "broadcast), and each candidate's approximate distance is 4 table "
+    "LOOKUPS — no per-pair float vector math anywhere.  6dp-rounded table "
+    "entries + smaller-id tie-breaks make the approximate index "
+    "deterministic, so it carries an exact oracle like the rest of the "
+    "ANN family; composes the pq_codes_df quantizer shared with pq_codes",
+)
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import pq_adc_topk as adc
+
+    emb = t(spark, sf_dir, "embeddings")
+    return adc(
+        emb,
+        emb.filter(F.col("vec_id").between(8, 15)),
+        k=5,
+        n_sub=4,
+        sub_dim=16,
+        n_centroids=8,
+    )
