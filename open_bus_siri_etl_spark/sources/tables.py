@@ -164,14 +164,32 @@ class Warehouse:
         return self.fs.isdir(self.table_path(name))
 
     def read(self, name: str, schema: T.StructType | None = None) -> DataFrame:
-        """Read a table; empty DataFrame with the declared schema if absent."""
+        """Read a table; empty DataFrame with the declared schema if absent.
+
+        Schema evolution: when the declared schema is known it is passed to
+        the reader, so files written BEFORE a column was added simply yield
+        NULL for it — no ``mergeSchema`` footer scan (which reads every
+        file's metadata: prohibitive on a 100 TB fact table), no rewrite of
+        history.  Files carrying extra columns are projected away by the
+        normalization select.
+        """
         schema = schema or schemas.ALL_TABLES.get(name)
         if not self.exists(name):
             if schema is None:
                 raise ValueError(f"unknown table {name!r} and no schema given")
             return self.spark.createDataFrame([], schema)
-        df = self.spark.read.parquet(self.table_path(name))
         log_keys = LOG_TABLES.get(name)
+        if schema is not None:
+            read_schema = schema
+            if log_keys:
+                # the log-resolution column rides outside the declared schema
+                read_schema = T.StructType(
+                    list(schema.fields)
+                    + [T.StructField(_LOG_SEQ_COL, T.LongType())]
+                )
+            df = self.spark.read.schema(read_schema).parquet(self.table_path(name))
+        else:
+            df = self.spark.read.parquet(self.table_path(name))
         if log_keys and _LOG_SEQ_COL in df.columns:
             df = self._resolve_log(df, log_keys).drop(_LOG_SEQ_COL)
         if schema is not None:

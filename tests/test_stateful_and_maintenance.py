@@ -1057,3 +1057,26 @@ def test_write_training_shards_orc_and_json_roundtrip(spark, tmp_path):
     with _pytest.raises(ValueError):
         write_training_shards(docs, str(tmp_path / "bad"), key="doc_id",
                               file_format="avro")
+
+
+def test_schema_evolution_old_files_yield_null(spark, warehouse):
+    """Adding a column to a declared schema must NOT require rewriting
+    history: files written before the column exists read back as NULL for
+    it (declared-schema read, no mergeSchema footer scan), and files with
+    extra columns are projected away."""
+    from pyspark.sql import types as T
+
+    v1 = T.StructType(
+        [T.StructField("k", T.LongType()), T.StructField("a", T.StringType())]
+    )
+    v2 = T.StructType(
+        list(v1.fields) + [T.StructField("b", T.DoubleType())]
+    )
+    warehouse.append("evolve_t", spark.createDataFrame([(1, "x")], v1))
+    warehouse.append("evolve_t", spark.createDataFrame([(2, "y", 3.5)], v2))
+
+    out = {r.k: (r.a, r.b) for r in warehouse.read("evolve_t", v2).collect()}
+    assert out == {1: ("x", None), 2: ("y", 3.5)}
+    # reading with the OLD schema projects the new column away
+    old = {r.k: r.a for r in warehouse.read("evolve_t", v1).collect()}
+    assert old == {1: "x", 2: "y"}
