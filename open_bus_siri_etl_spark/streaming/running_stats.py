@@ -1,0 +1,96 @@
+"""Running per-key statistics on Spark 4's transformWithStateInPandas —
+the successor API to applyInPandasWithState (typed state handles, timers,
+composable state variables).  The engine carries one operator on each API:
+the sessionizer (stateful.py) on the classic GroupState form, this running
+aggregator on the new StatefulProcessor form, so either integration style
+has a worked example.
+
+Semantics: per key, maintain (count, sum, min, max) of ``value`` across
+micro-batches and emit the UPDATED stats row for every key seen in the
+batch — the streaming-metrics shape (per-device counters, per-user spend)
+where downstream wants current totals, not deltas.  State is one fixed-size
+row per key.
+
+Runtime requirement: the transformWithState protocol speaks protobuf to
+its state server, so ``google.protobuf`` must be importable by the Python
+workers (any standard Spark 4 deployment ships it; this dev container
+does not — ``transform_with_state_available()`` gates the tests).  The
+operator additionally requires the RocksDB state store provider.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.stateful_processor import (
+    StatefulProcessor,
+    StatefulProcessorHandle,
+)
+
+OUT_SCHEMA = "user_id bigint, n bigint, total double, vmin double, vmax double"
+_STATE_SCHEMA = "n bigint, total double, vmin double, vmax double"
+
+
+def running_stats_stream(events: DataFrame, key_col: str = "user_id") -> DataFrame:
+    """(key_col, value) stream → per-batch updated running stats per key.
+
+    The processor class is defined inside this function on purpose:
+    cloudpickle then serializes it BY VALUE, so Spark's state-schema
+    driver worker (a separate Python process that does not import this
+    package) can unpickle it — a module-level class is pickled by
+    reference and crashes that worker.
+    """
+
+    class RunningStatsProcessor(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._agg = handle.getValueState("agg", _STATE_SCHEMA)
+
+        def handleInputRows(
+            self, key, rows: Iterator[pd.DataFrame], timerValues
+        ) -> Iterator[pd.DataFrame]:
+            n, total, vmin, vmax = (
+                self._agg.get() if self._agg.exists() else (0, 0.0, None, None)
+            )
+            for pdf in rows:
+                vals = pdf["value"].astype("float64")
+                if not len(vals):
+                    continue
+                n += int(len(vals))
+                total += float(vals.sum())
+                bmin, bmax = float(vals.min()), float(vals.max())
+                vmin = bmin if vmin is None else min(vmin, bmin)
+                vmax = bmax if vmax is None else max(vmax, bmax)
+            self._agg.update((n, total, vmin, vmax))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n": [n],
+                    "total": [total],
+                    "vmin": [vmin],
+                    "vmax": [vmax],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy(key_col).transformWithStateInPandas(
+        statefulProcessor=RunningStatsProcessor(),
+        outputStructType=OUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+
+
+def transform_with_state_available() -> bool:
+    """True when the runtime can execute transformWithStateInPandas
+    (protobuf present for the state-server protocol)."""
+    try:
+        import importlib
+
+        importlib.import_module("google.protobuf.descriptor")
+        return True
+    except Exception:
+        return False

@@ -1080,3 +1080,58 @@ def test_schema_evolution_old_files_yield_null(spark, warehouse):
     # reading with the OLD schema projects the new column away
     old = {r.k: r.a for r in warehouse.read("evolve_t", v1).collect()}
     assert old == {1: "x", 2: "y"}
+
+
+def test_transform_with_state_running_stats(spark, tmp_path):
+    """The transformWithStateInPandas operator (Spark 4 StatefulProcessor
+    API): per-key running stats accumulate across micro-batches and each
+    batch emits the UPDATED totals.  Skipped where the runtime lacks
+    protobuf (the TWS state-server protocol dependency; present on any
+    standard Spark 4 deployment, absent in this container)."""
+    import pytest as _pytest
+
+    from open_bus_siri_etl_spark.streaming.running_stats import (
+        running_stats_stream,
+        transform_with_state_available,
+    )
+
+    if not transform_with_state_available():
+        _pytest.skip("google.protobuf unavailable: transformWithState "
+                     "cannot reach its state server in this container")
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+
+    src = tmp_path / "rs_src"
+    src.mkdir()
+    b1 = [(1, 10.0), (1, 20.0), (2, 5.0)]
+    b2 = [(1, 30.0), (2, -1.0)]
+    for name, rows in (("b1", b1), ("b2", b2)):
+        spark.createDataFrame(rows, "user_id long, value double").coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(src / name))
+    stream = (
+        spark.readStream.schema("user_id long, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    out = running_stats_stream(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("rs_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM rs_out").collect()
+    # final (largest-n) row per user carries the cross-batch totals
+    final = {}
+    for r in rows:
+        if r.user_id not in final or r.n > final[r.user_id].n:
+            final[r.user_id] = r
+    f1, f2 = final[1], final[2]
+    assert (f1.n, f1.total, f1.vmin, f1.vmax) == (3, 60.0, 10.0, 30.0)
+    assert (f2.n, f2.total, f2.vmin, f2.vmax) == (2, 4.0, -1.0, 5.0)
