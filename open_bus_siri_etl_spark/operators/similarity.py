@@ -615,6 +615,15 @@ def lsh_candidate_pairs(
     (tbl, bucket) — expected pair work O(N² · T / 2^P), tuned by raising
     n_planes; never a cross join.
     """
+    # zip_with against a wrong-width plane array yields NULL folds, every
+    # vector lands in bucket 0, and the "pruning" join silently degenerates
+    # to all-pairs — fail loudly on a dim mismatch instead
+    probe = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+    if probe is not None and int(probe["d"]) != dim:
+        raise ValueError(
+            f"lsh_candidate_pairs: dim={dim} but {vec_col} has "
+            f"{int(probe['d'])} elements"
+        )
     planes = lsh_quantized_planes(n_planes, n_tables, dim)
     qv = F.transform(
         F.col(vec_col),
@@ -786,8 +795,10 @@ def pq_codes_df(
     assignment is one scan of the corpus; per-subspace argmin windows are
     keyed by vec_id.
     """
-    cents = corpus.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
+    cents = (
+        corpus.orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec"))
     )
     pairs = corpus.crossJoin(F.broadcast(cents))
     sub_d2 = [
@@ -852,8 +863,10 @@ def pq_adc_topk(
     approximate distance asc; self-matches excluded.
     """
     codes = pq_codes_df(corpus, n_sub, sub_dim, n_centroids, id_col, vec_col)
-    cents = corpus.filter(F.col(id_col) < n_centroids).select(
-        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
+    cents = (
+        corpus.orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec"))
     )
     qd = [
         F.round(

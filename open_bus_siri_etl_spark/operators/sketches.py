@@ -198,12 +198,20 @@ def kmv_estimate(df: DataFrame, key_col: str, k: int = 64) -> DataFrame:
     """
     h = df.select(_md5_bigint(F.col(key_col), 1, 15).alias("hv")).distinct()
     kmin = h.orderBy("hv").limit(k)
+    n_ret = F.count(F.lit(1))
     return kmin.agg(
         F.lit(k).cast("int").alias("k"),
         F.max("hv").alias("kth_min_hash"),
-        F.round(
-            F.lit(float((k - 1) * (1 << 60))) / F.max("hv").cast("double"), 6
-        ).alias("est_distinct"),
+        # fewer than k distinct hashes retained -> the sketch HOLDS the
+        # whole set, so the exact size is the estimate (the standard KMV
+        # small-set rule; the ratio formula would wildly overshoot)
+        F.when(n_ret < k, n_ret.cast("double"))
+        .otherwise(
+            F.round(
+                F.lit(float((k - 1) * (1 << 60))) / F.max("hv").cast("double"), 6
+            )
+        )
+        .alias("est_distinct"),
     )
 
 

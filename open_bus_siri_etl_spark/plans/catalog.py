@@ -2919,19 +2919,23 @@ def countmin_topk_users(spark: SparkSession, sf_dir: str) -> DataFrame:
                              AS UBIGINT) AS hv
         FROM events
     ),
-    kmin AS (SELECT hv FROM h ORDER BY hv LIMIT 64)
+    kmin AS (SELECT hv FROM h ORDER BY hv LIMIT 64),
+    s AS (SELECT count(*) AS n_ret, max(hv) AS kth FROM kmin)
     SELECT 64 AS k,
-           CAST(max(hv) AS BIGINT) AS kth_min_hash,
-           round(72634054790231359488.0 / CAST(max(hv) AS DOUBLE), 6)
-               AS est_distinct,
+           CAST(kth AS BIGINT) AS kth_min_hash,
+           CASE WHEN n_ret < 64 THEN CAST(n_ret AS DOUBLE)
+                ELSE round(72634054790231359488.0 / CAST(kth AS DOUBLE), 6)
+           END AS est_distinct,
            (SELECT CAST(count(DISTINCT user_id) AS BIGINT) FROM events)
                AS true_distinct
-    FROM kmin
+    FROM s
     """,
     note="KMV (k-minimum-values) distinct-count sketch, k=64: hash every "
     "key to a 60-bit md5 fraction, keep the k smallest hashes (TakeOrdered "
     "— k doubles per partition, merged on the driver), estimate "
-    "|D| ~= (k-1)/frac(h_(k)) = (k-1)*2^60/h_(k).  The sketch is "
+    "|D| ~= (k-1)/frac(h_(k)) = (k-1)*2^60/h_(k); when fewer than k "
+    "hashes are retained the sketch holds the whole set, so the exact "
+    "size IS the estimate (the standard small-set rule).  The sketch is "
     "mergeable (union of KMV sets -> take k smallest), which is how "
     "distinct counts compose across 100 TB of shards without a "
     "count-distinct shuffle.  md5 hashing makes the sketch — and hence "

@@ -320,8 +320,21 @@ def _rewrite_balanced_calls(sql: str, lits: list[str]) -> str:
     )
     # xor(a, b) -> infix ^
     sql = _rewrite_call(sql, "xor", lambda a: f"(({a[0]}) ^ ({a[1]}))")
-    # DuckDB range(a, b) is end-EXCLUSIVE; sequence is inclusive
-    sql = _rewrite_call(sql, "range", lambda a: f"sequence({a[0]}, ({a[1]}) - 1)")
+    # DuckDB range(a, b) is end-EXCLUSIVE and returns [] on an empty span;
+    # Spark's sequence is inclusive and WALKS BACKWARDS when end < start,
+    # so guard the empty range like the 3-arg generate_series above
+    sql = _rewrite_call(
+        sql,
+        "range",
+        lambda a: (
+            f"(CASE WHEN ({a[1]}) - 1 >= ({a[0]})"
+            f" THEN sequence({a[0]}, ({a[1]}) - 1)"
+            # INT empty branch: the CASE coerces to the THEN branch's wider
+            # type; ARRAY<BIGINT> here would force int sequences to bigint
+            # and break element_at's INT index requirement
+            " ELSE CAST(array() AS ARRAY<INT>) END)"
+        ),
+    )
     # DuckDB regexp_extract_all defaults to group 0; Spark defaults to 1
     sql = _rewrite_call(
         sql,
@@ -471,8 +484,9 @@ def _rewrite_lateral_tvf(sql: str) -> str:
     comma-unnest) -> ``FROM t LATERAL VIEW explode(X) u AS i`` so the
     generator may reference t's columns."""
     pat = re.compile(r",\s*explode\(")
+    i = 0
     while True:
-        m = pat.search(sql)
+        m = pat.search(sql, i)
         if not m:
             return sql
         depth, j = 1, m.end()
@@ -484,12 +498,16 @@ def _rewrite_lateral_tvf(sql: str) -> str:
             j += 1
         alias = re.match(r"\s+AS\s+(\w+)\((\w+)\)", sql[j:], re.IGNORECASE)
         if not alias:
-            return sql
+            # not a comma-joined generator SOURCE (e.g. a select-list
+            # explode after a comma) — skip this occurrence, keep scanning
+            i = j
+            continue
         rep = (
             f" LATERAL VIEW explode({sql[m.end() : j - 1]})"
             f" {alias.group(1)} AS {alias.group(2)}"
         )
         sql = sql[: m.start()] + rep + sql[j + alias.end() :]
+        i = m.start() + len(rep)
 
 
 def transpile(sql: str) -> str:

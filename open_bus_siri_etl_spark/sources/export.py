@@ -69,9 +69,12 @@ def write_training_shards(
 
 
 def read_shard(spark, out_dir: str, shard: int, file_format: str = "parquet") -> DataFrame:
-    """Read one shard (partition-pruned scan — only that directory)."""
-    reader = spark.read.format(file_format)
-    if file_format == "json":
-        # line-JSON carries no schema; infer from the full layout once
-        reader = reader.option("inferSchema", "true")
-    return reader.load(out_dir).filter(F.col("shard") == shard)
+    """Read one shard (partition-pruned scan — only that directory).
+
+    The JSON source infers its schema by sampling the layout (one pass per
+    read); loaders on a hot path should pass the known schema via
+    ``spark.read.schema(...)`` themselves or prefer parquet/orc shards.
+    """
+    return spark.read.format(file_format).load(out_dir).filter(
+        F.col("shard") == shard
+    )

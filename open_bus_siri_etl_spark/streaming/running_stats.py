@@ -29,12 +29,18 @@ from pyspark.sql.streaming.stateful_processor import (
     StatefulProcessorHandle,
 )
 
-OUT_SCHEMA = "user_id bigint, n bigint, total double, vmin double, vmax double"
 _STATE_SCHEMA = "n bigint, total double, vmin double, vmax double"
 
 
-def running_stats_stream(events: DataFrame, key_col: str = "user_id") -> DataFrame:
-    """(key_col, value) stream → per-batch updated running stats per key.
+def out_schema(key_col: str) -> str:
+    return f"{key_col} bigint, n bigint, total double, vmin double, vmax double"
+
+
+def running_stats_stream(
+    events: DataFrame, key_col: str = "user_id", value_col: str = "value"
+) -> DataFrame:
+    """(key_col, value_col) stream → per-batch updated running stats per
+    key; the output key column carries ``key_col``'s name.
 
     The processor class is defined inside this function on purpose:
     cloudpickle then serializes it BY VALUE, so Spark's state-schema
@@ -54,7 +60,7 @@ def running_stats_stream(events: DataFrame, key_col: str = "user_id") -> DataFra
                 self._agg.get() if self._agg.exists() else (0, 0.0, None, None)
             )
             for pdf in rows:
-                vals = pdf["value"].astype("float64")
+                vals = pdf[value_col].astype("float64")
                 if not len(vals):
                     continue
                 n += int(len(vals))
@@ -65,7 +71,7 @@ def running_stats_stream(events: DataFrame, key_col: str = "user_id") -> DataFra
             self._agg.update((n, total, vmin, vmax))
             yield pd.DataFrame(
                 {
-                    "user_id": [key[0]],
+                    key_col: [key[0]],
                     "n": [n],
                     "total": [total],
                     "vmin": [vmin],
@@ -78,7 +84,7 @@ def running_stats_stream(events: DataFrame, key_col: str = "user_id") -> DataFra
 
     return events.groupBy(key_col).transformWithStateInPandas(
         statefulProcessor=RunningStatsProcessor(),
-        outputStructType=OUT_SCHEMA,
+        outputStructType=out_schema(key_col),
         outputMode="Update",
         timeMode="None",
     )

@@ -810,3 +810,26 @@ def test_semantic_dedup_pairs_within_cluster_only(spark):
     for r in sem:
         assert (r.vec_a, r.vec_b) in full  # subset of the exact pair list
         assert r.cosine == full[(r.vec_a, r.vec_b)]
+
+
+def test_kmv_small_set_returns_exact_size(spark):
+    """Standard KMV small-set rule: fewer than k retained hashes means
+    the sketch holds the WHOLE set, so the exact size is the estimate
+    (the ratio formula would overshoot wildly)."""
+    from open_bus_siri_etl_spark.operators.sketches import kmv_estimate
+
+    df = spark.createDataFrame([(i % 5,) for i in range(50)], "user_id long")
+    row = kmv_estimate(df, "user_id", k=64).collect()[0]
+    assert row.est_distinct == 5.0
+
+
+def test_lsh_candidate_pairs_rejects_dim_mismatch(spark):
+    """A wrong dim must raise, not silently bucket everything to 0 and
+    degenerate the pruning join to all-pairs."""
+    import pytest as _pytest
+
+    from open_bus_siri_etl_spark.operators.similarity import lsh_candidate_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    with _pytest.raises(ValueError, match="dim"):
+        lsh_candidate_pairs(emb, dim=128)

@@ -35,13 +35,8 @@ SUITE = (
 WARMUP_SF_DIR = "/root/testdata/sf0.001"
 
 
-def parse_sf(sf_dir: str) -> float:
-    """Best-effort scale factor from a .../sfN.NN dir name; -1.0 when the
-    path carries no parseable suffix."""
-    try:
-        return float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
-    except ValueError:
-        return -1.0
+# single definition lives in bench.py (repo root, already on sys.path)
+from bench import parse_sf  # noqa: E402
 
 
 def main() -> None:
