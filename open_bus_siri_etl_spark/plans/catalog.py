@@ -6434,3 +6434,80 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         sub_dim=16,
         n_centroids=8,
     )
+
+
+@register(
+    "linear_interpolate_value",
+    """
+    WITH base AS (
+        SELECT event_id, user_id, ts,
+               CASE WHEN event_type = 'view' THEN NULL ELSE value END AS v
+        FROM events
+    ),
+    ctx AS (
+        SELECT event_id, user_id, ts, v,
+               last_value(v IGNORE NULLS) OVER wb AS pv,
+               last_value(CASE WHEN v IS NOT NULL THEN epoch(ts) END
+                          IGNORE NULLS) OVER wb AS pt,
+               first_value(v IGNORE NULLS) OVER wf AS nv,
+               first_value(CASE WHEN v IS NOT NULL THEN epoch(ts) END
+                           IGNORE NULLS) OVER wf AS nt
+        FROM base
+        WINDOW wb AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               wf AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_id, user_id, ts,
+           round(CASE
+               WHEN v IS NOT NULL THEN v
+               WHEN pv IS NOT NULL AND nv IS NOT NULL AND nt > pt
+                   THEN pv + (nv - pv) * ((epoch(ts) - pt) / (nt - pt))
+               WHEN pv IS NOT NULL THEN pv
+               ELSE nv
+           END, 6) AS interp_value
+    FROM ctx
+    """,
+    note="gap imputation by LINEAR INTERPOLATION (the step up from "
+    "forward_fill_value): a reading-less 'view' event takes the "
+    "time-weighted blend of its neighbors' values, prev + (next - prev) * "
+    "elapsed-fraction; edges degrade to carry-forward/backward.  Two "
+    "frames over ONE hash exchange on user_id (running last + reversed "
+    "running first, both streaming passes with scalar state); interval "
+    "math is epoch-micro-exact, round(,6) absorbs the blend's final "
+    "division ulp",
+)
+def linear_interpolate_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    v = F.when(F.col("event_type") == "view", F.lit(None)).otherwise(F.col("value"))
+    ep = F.unix_micros(F.col("ts")) / F.lit(1000000.0)
+    order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wb = order.rowsBetween(Window.unboundedPreceding, -1)
+    wf = order.rowsBetween(1, Window.unboundedFollowing)
+    vt = F.when(v.isNotNull(), ep)
+    ctx = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        v.alias("v"),
+        F.last(v, ignorenulls=True).over(wb).alias("pv"),
+        F.last(vt, ignorenulls=True).over(wb).alias("pt"),
+        F.first(v, ignorenulls=True).over(wf).alias("nv"),
+        F.first(vt, ignorenulls=True).over(wf).alias("nt"),
+    )
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(
+            F.col("pv").isNotNull()
+            & F.col("nv").isNotNull()
+            & (F.col("nt") > F.col("pt")),
+            F.col("pv")
+            + (F.col("nv") - F.col("pv"))
+            * ((ep - F.col("pt")) / (F.col("nt") - F.col("pt"))),
+        )
+        .when(F.col("pv").isNotNull(), F.col("pv"))
+        .otherwise(F.col("nv"))
+    )
+    return ctx.select(
+        "event_id", "user_id", "ts", F.round(interp, 6).alias("interp_value")
+    )

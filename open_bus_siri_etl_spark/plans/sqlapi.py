@@ -320,6 +320,21 @@ def _rewrite_balanced_calls(sql: str, lits: list[str]) -> str:
     )
     # xor(a, b) -> infix ^
     sql = _rewrite_call(sql, "xor", lambda a: f"(({a[0]}) ^ ({a[1]}))")
+
+    # in-call IGNORE NULLS over ARBITRARY expressions (the regex rule in
+    # _MASKED_RULES only covers bare identifiers):
+    # f(<expr> IGNORE NULLS) -> f(<expr>) IGNORE NULLS
+    def ignore_nulls(fname: str):
+        def build(a: list[str]) -> str | None:
+            m = re.fullmatch(r"(?s)(.*?)\s+IGNORE\s+NULLS", a[0].strip())
+            if len(a) != 1 or not m:
+                return None
+            return f"{fname}({m.group(1)}) IGNORE NULLS"
+
+        return build
+
+    for fname in ("last_value", "first_value", "last", "first"):
+        sql = _rewrite_call(sql, fname, ignore_nulls(fname))
     # DuckDB range(a, b) is end-EXCLUSIVE and returns [] on an empty span;
     # Spark's sequence is inclusive and WALKS BACKWARDS when end < start,
     # so guard the empty range like the 3-arg generate_series above

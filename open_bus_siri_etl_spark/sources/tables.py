@@ -437,6 +437,45 @@ class Warehouse:
             .drop("_rn")
         )
 
+    def read_as_of(self, name: str, as_of_seq: int,
+                   schema: T.StructType | None = None) -> DataFrame:
+        """Time travel on a log-structured table: the latest row per key
+        considering only appends with ``log_seq <= as_of_seq`` — i.e. the
+        table exactly as a reader at that sequence saw it.
+
+        The append-only log IS the version history (the same property
+        Delta/Iceberg expose as snapshot reads), so time travel costs one
+        extra pushed-down filter; ``compact()`` collapses history, after
+        which only post-compaction sequences remain addressable — run it on
+        a retention cadence, exactly like VACUUM.
+        """
+        log_keys = LOG_TABLES.get(name)
+        if not log_keys:
+            raise ValueError(f"{name!r} is not a log-structured table")
+        schema = schema or schemas.ALL_TABLES.get(name)
+        if not self.exists(name):
+            return self.spark.createDataFrame([], schema)
+        df = self.spark.read.parquet(self.table_path(name))
+        df = df.filter(F.col(_LOG_SEQ_COL) <= int(as_of_seq))
+        df = self._resolve_log(df, log_keys).drop(_LOG_SEQ_COL)
+        if schema is not None:
+            df = df.select(
+                *[F.col(f.name).cast(f.dataType).alias(f.name) for f in schema.fields]
+            )
+        return df
+
+    def log_versions(self, name: str) -> DataFrame:
+        """The addressable history of a log table: distinct ``log_seq``
+        values (ascending) — feed one to ``read_as_of``."""
+        if name not in LOG_TABLES:
+            raise ValueError(f"{name!r} is not a log-structured table")
+        return (
+            self.spark.read.parquet(self.table_path(name))
+            .select(F.col(_LOG_SEQ_COL).alias("log_seq"))
+            .distinct()
+            .orderBy("log_seq")
+        )
+
     def upsert_rows(self, name: str, rows: DataFrame, key_cols: list[str]) -> None:
         """Replace rows matching ``key_cols``, keep the rest.
 

@@ -1135,3 +1135,32 @@ def test_transform_with_state_running_stats(spark, tmp_path):
     f1, f2 = final[1], final[2]
     assert (f1.n, f1.total, f1.vmin, f1.vmax) == (3, 60.0, 10.0, 30.0)
     assert (f2.n, f2.total, f2.vmin, f2.vmax) == (2, 4.0, -1.0, 5.0)
+
+
+def test_log_table_time_travel(spark, warehouse):
+    """read_as_of reconstructs a log table exactly as a reader at that
+    log_seq saw it — the append-only log IS the version history."""
+    import pytest as _pytest
+
+    from open_bus_siri_etl_spark import control
+
+    sid = "2024/01/01/00/10"
+    control.register_pending(warehouse, [sid])
+    v1 = [r.log_seq for r in warehouse.log_versions("siri_snapshot").collect()]
+    control.start_loading(warehouse, sid)
+    control.mark_loaded(warehouse, sid, {"num_successful": 3, "num_failed": 0})
+    versions = [r.log_seq for r in warehouse.log_versions("siri_snapshot").collect()]
+    assert len(versions) >= 3 and versions == sorted(versions)
+
+    def status_at(seq):
+        rows = warehouse.read_as_of("siri_snapshot", seq).filter(
+            F.col("snapshot_id") == sid
+        ).collect()
+        return rows[0]["etl_status"] if rows else None
+
+    assert status_at(v1[-1]) == control.ETL_PENDING
+    assert status_at(versions[-1]) == control.ETL_LOADED
+    assert status_at(versions[0] - 1) is None  # before the first append
+
+    with _pytest.raises(ValueError):
+        warehouse.read_as_of("siri_vehicle_location", 1)
