@@ -80,3 +80,18 @@ def test_filter_and_ignore_nulls_placement():
     )
     assert "FILTER (WHERE x IS NULL)" in out
     assert "last_value(v) IGNORE NULLS" in out
+
+
+def test_ignore_nulls_on_arbitrary_expressions():
+    out = transpile(
+        "SELECT last_value(CASE WHEN v IS NOT NULL THEN epoch(ts) END"
+        " IGNORE NULLS) OVER w FROM t WINDOW w AS (ORDER BY ts)"
+    )
+    assert "END) IGNORE NULLS OVER w" in out
+    assert "IGNORE NULLS)" not in out
+
+
+def test_range_empty_guard_keeps_int_element_type():
+    out = transpile("SELECT list_transform(range(1, n), i -> xs[i])")
+    assert "CASE WHEN (n) - 1 >= (1)" in out
+    assert "ARRAY<INT>" in out  # BIGINT here would break element_at's index
