@@ -6511,3 +6511,79 @@ def linear_interpolate_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ctx.select(
         "event_id", "user_id", "ts", F.round(interp, 6).alias("interp_value")
     )
+
+
+@register(
+    "paragraph_dedup",
+    """
+    WITH para AS (
+        SELECT doc_id, trim(p) AS para FROM (
+            SELECT doc_id, unnest(string_split(text, '. ')) AS p
+            FROM documents)
+        WHERE trim(p) <> ''
+    ),
+    freq AS (
+        SELECT md5(para) AS ph, count(*) AS n_occurrences,
+               count(DISTINCT doc_id) AS n_docs, min(doc_id) AS first_doc
+        FROM para GROUP BY md5(para)
+    ),
+    flagged AS (
+        SELECT p.doc_id,
+               count(*) AS n_paras,
+               CAST(sum(CASE WHEN f.n_docs > 1 AND p.doc_id <> f.first_doc
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_paras
+        FROM para p JOIN freq f ON md5(p.para) = f.ph
+        GROUP BY p.doc_id
+    )
+    SELECT doc_id, CAST(n_paras AS BIGINT) AS n_paras, n_dup_paras,
+           round(CAST(n_dup_paras AS DOUBLE) / n_paras, 6) AS dup_para_frac
+    FROM flagged
+    """,
+    note="PARAGRAPH-level dedup (the RefinedWeb/CCNet boilerplate-removal "
+    "granularity): sentences/paragraphs split on '. ', hashed, and a "
+    "paragraph repeated across documents counts as duplicated everywhere "
+    "except its first (min doc_id) occurrence — per-doc dup fraction is "
+    "the removal signal.  One explode + two hash aggregates; the "
+    "paragraph-frequency side is md5-keyed and map-side combinable, and "
+    "at 100 TB the freq table is pruned to n_docs > 1 before the rejoin "
+    "(here kept whole so every doc reports its fraction)",
+)
+def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    para = (
+        docs.select(
+            "doc_id",
+            F.posexplode(F.split(F.col("text"), r"\. ")).alias("_i", "_p"),
+        )
+        .select("doc_id", F.trim(F.col("_p")).alias("para"))
+        .filter(F.col("para") != "")
+    )
+    freq = para.groupBy(F.md5("para").alias("ph")).agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.min("doc_id").alias("first_doc"),
+    )
+    flagged = (
+        para.withColumn("ph", F.md5("para"))
+        .join(freq, "ph")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_paras"),
+            F.sum(
+                F.when(
+                    (F.col("n_docs") > 1) & (F.col("doc_id") != F.col("first_doc")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_dup_paras"),
+        )
+    )
+    return flagged.select(
+        "doc_id",
+        "n_paras",
+        "n_dup_paras",
+        F.round(
+            F.col("n_dup_paras").cast("double") / F.col("n_paras"), 6
+        ).alias("dup_para_frac"),
+    )

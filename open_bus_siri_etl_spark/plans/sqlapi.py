@@ -321,6 +321,22 @@ def _rewrite_balanced_calls(sql: str, lits: list[str]) -> str:
     # xor(a, b) -> infix ^
     sql = _rewrite_call(sql, "xor", lambda a: f"(({a[0]}) ^ ({a[1]}))")
 
+    # string_split's separator is LITERAL in DuckDB but a REGEX in Spark's
+    # split — escape regex metacharacters in the literal ('. ' would
+    # otherwise mean any-char-then-space); plain separators fall through
+    # to the rename rule in _MASKED_RULES
+    def split_lit(a: list[str]) -> str | None:
+        lit = lit_of(a[1]) if len(a) == 2 else None
+        if lit is None:
+            return None
+        sep = lit[1:-1]
+        esc = re.escape(sep)
+        if esc == sep:
+            return None
+        return f"split({a[0]}, {new_lit(esc)})"
+
+    sql = _rewrite_call(sql, "string_split", split_lit)
+
     # in-call IGNORE NULLS over ARBITRARY expressions (the regex rule in
     # _MASKED_RULES only covers bare identifiers):
     # f(<expr> IGNORE NULLS) -> f(<expr>) IGNORE NULLS
