@@ -116,6 +116,15 @@ SHOWCASE = {
     " 3-row stacked output",
     "pq_codes": "subspace distances against the broadcast codebook; per-"
     "subspace argmin windows keyed by vec_id, no cartesian",
+    "pq_adc_topk": "corpus as PQ codes joined to the broadcast per-query"
+    " distance table; approximate distance is table lookups, no per-pair"
+    " vector math",
+    "paragraph_dedup": "paragraph explode + md5-keyed frequency aggregate,"
+    " map-side combined; rejoin on the hash",
+    "linear_interpolate_value": "two frames over ONE user_id exchange"
+    " (running last + reversed running first), streaming scalar state",
+    "time_weighted_average": "keyed lead() window then map-side-combinable"
+    " sum-of-products — one exchange total",
     "neardup_survivors": "argmax per dup-cluster: per-component max +"
     " equi-rejoin, both map-side combinable; no window over raw docs",
 }
