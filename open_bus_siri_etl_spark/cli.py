@@ -114,6 +114,19 @@ def main(argv: list[str] | None = None) -> int:
     tp.add_argument("--min-tokens", type=int, default=20)
     tp.add_argument("--max-tokens", type=int, default=80)
 
+    ex = sub.add_parser(
+        "export-training-shards",
+        help="beyond-reference: materialize a parquet table as N "
+        "content-hash-sharded, pre-shuffled training shard files",
+    )
+    ex.add_argument("input_parquet")
+    ex.add_argument("output_dir")
+    ex.add_argument("--key", default="doc_id")
+    ex.add_argument("--n-shards", type=int, default=16)
+    ex.add_argument("--format", default="parquet",
+                    choices=["parquet", "orc", "json"])
+    ex.add_argument("--max-records-per-file", type=int, default=None)
+
     args = p.parse_args(argv)
 
     # download verbs need no SparkSession — handle before _ctx() so they
@@ -131,6 +144,25 @@ def main(argv: list[str] | None = None) -> int:
             return 0 if path else 1
         landed = download_latest_snapshots(landing, url_template, minutes=args.minutes)
         print(json.dumps({"landed": len(landed), "snapshot_ids": landed}))
+        return 0
+
+    if args.cmd == "export-training-shards":
+        from .session import get_spark
+        from .sources.export import write_training_shards
+
+        spark = get_spark(app_name="siri-etl-export")
+        df = spark.read.parquet(args.input_parquet)
+        write_training_shards(
+            df,
+            args.output_dir,
+            key=args.key,
+            n_shards=args.n_shards,
+            max_records_per_file=args.max_records_per_file,
+            file_format=args.format,
+        )
+        n = spark.read.format(args.format).load(args.output_dir).count()
+        print(json.dumps({"rows": n, "n_shards": args.n_shards,
+                          "format": args.format, "output_dir": args.output_dir}))
         return 0
 
     # query verbs need a session but no warehouse/landing context

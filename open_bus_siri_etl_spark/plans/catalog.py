@@ -6587,3 +6587,123 @@ def paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_dup_paras").cast("double") / F.col("n_paras"), 6
         ).alias("dup_para_frac"),
     )
+
+
+@register(
+    "histogram_median_by_type",
+    """
+    WITH b AS (
+        SELECT event_type,
+               CAST(least(floor(value / 4.0), 127) AS BIGINT) AS bin,
+               count(*) AS c
+        FROM events GROUP BY event_type, bin
+    ), cum AS (
+        SELECT event_type, bin, c,
+               sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+               sum(c) OVER (PARTITION BY event_type) AS n
+        FROM b
+    ), hit AS (
+        SELECT event_type, min(bin) AS bin
+        FROM cum WHERE cum >= ceil(0.5 * n)
+        GROUP BY event_type
+    )
+    SELECT h.event_type,
+           round(h.bin * 4.0
+                 + 4.0 * (ceil(0.5 * c2.n) - c2.cum + c2.c) / c2.c,
+                 6) AS est_median,
+           CAST(c2.n AS BIGINT) AS n
+    FROM hit h JOIN cum c2
+      ON h.event_type = c2.event_type AND h.bin = c2.bin
+    """,
+    note="the histogram quantile sketch as a PER-GROUP aggregate — median "
+    "per event type from 128 mergeable equi-width bins, the realistic "
+    "reporting shape (histogram_quantile_sketch is the global form): "
+    "bins keyed by (group, bin) stay map-side combinable, the cumulative "
+    "window runs over the |groups| x 128 aggregate only (never raw "
+    "rows), and per-group sketches still merge across shards by "
+    "element-wise add.  Power-of-two bin width keeps the binning "
+    "division IEEE-exact in both engines",
+)
+def histogram_median_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    b = ev.groupBy(
+        "event_type",
+        F.least(F.floor(F.col("value") / 4.0), F.lit(127)).cast("bigint").alias("bin"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    wcum = Window.partitionBy("event_type").orderBy("bin")
+    wall = Window.partitionBy("event_type")
+    cum = b.select(
+        "event_type",
+        "bin",
+        "c",
+        F.sum("c").over(wcum).alias("cum"),
+        F.sum("c").over(wall).alias("n"),
+    )
+    target = F.ceil(0.5 * F.col("n"))
+    hit = (
+        cum.filter(F.col("cum") >= target)
+        .groupBy("event_type")
+        .agg(F.min("bin").alias("bin"))
+    )
+    return hit.join(cum, ["event_type", "bin"]).select(
+        "event_type",
+        F.round(
+            F.col("bin") * 4.0
+            + 4.0 * (F.ceil(0.5 * F.col("n")) - F.col("cum") + F.col("c"))
+            / F.col("c"),
+            6,
+        ).alias("est_median"),
+        F.col("n").cast("bigint").alias("n"),
+    )
+
+
+@register(
+    "curriculum_buckets",
+    """
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
+        FROM documents
+    ), freq AS (
+        SELECT term, count(*) AS tf FROM tok GROUP BY term
+    ), tot AS (
+        SELECT CAST(sum(tf) AS DOUBLE) AS total FROM freq
+    ), s AS (
+        SELECT t.doc_id, count(*) AS n_toks,
+               CAST(sum(CAST(round(ln(f.tf / total) * 1000000.0, 0) AS BIGINT))
+                    AS BIGINT) AS lp
+        FROM tok t JOIN freq f USING (term), tot
+        GROUP BY t.doc_id
+    ), scored AS (
+        SELECT d.doc_id, d.source,
+               round(CAST(lp AS DOUBLE) / n_toks, 6) AS avg_surprisal
+        FROM documents d JOIN s USING (doc_id)
+    )
+    SELECT doc_id, source, avg_surprisal,
+           CAST(ntile(4) OVER (PARTITION BY source
+                               ORDER BY avg_surprisal, doc_id) AS INT)
+               AS bucket
+    FROM scored
+    """,
+    note="CURRICULUM bucketing: documents quartiled per source by mean "
+    "unigram surprisal (bucket 1 = rarest-token / hardest text), the "
+    "data-ordering step of curriculum training and the slicing key for "
+    "difficulty-stratified eval sets.  Composes the integer-exact "
+    "surprisal score (unigram_surprisal); the ntile window is keyed by "
+    "source, so partitions rank in parallel and no global sort exists; "
+    "the per-doc average is one IEEE division, round(,6)-stable",
+)
+def curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textstats import unigram_surprisal
+
+    docs = t(spark, sf_dir, "documents")
+    s = unigram_surprisal(docs)
+    scored = docs.select("doc_id", "source").join(s, "doc_id").select(
+        "doc_id",
+        "source",
+        F.round(
+            F.col("lp_micro_sum").cast("double") / F.col("n_toks"), 6
+        ).alias("avg_surprisal"),
+    )
+    w = Window.partitionBy("source").orderBy("avg_surprisal", "doc_id")
+    return scored.withColumn("bucket", F.ntile(4).over(w).cast("int"))

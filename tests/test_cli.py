@@ -135,3 +135,22 @@ def test_cli_run_query_and_sql(spark, capsys):
     assert rc == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["n"] > 0
+
+
+def test_cli_export_training_shards(tmp_path):
+    from open_bus_siri_etl_spark.cli import main
+
+    out = str(tmp_path / "shards")
+    rc = main(
+        [
+            "export-training-shards",
+            "/root/testdata/sf0.001/documents.parquet",
+            out,
+            "--n-shards",
+            "4",
+        ]
+    )
+    assert rc == 0 or rc is None
+    import glob
+
+    assert len(glob.glob(f"{out}/shard=*/*.parquet")) == 4
