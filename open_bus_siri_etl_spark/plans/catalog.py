@@ -6707,3 +6707,152 @@ def curriculum_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("source").orderBy("avg_surprisal", "doc_id")
     return scored.withColumn("bucket", F.ntile(4).over(w).cast("int"))
+
+
+@register(
+    "sessionized_funnel",
+    """
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch(ts) - epoch(lag(ts) OVER w) > 30 * 60
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT user_id, ts, event_type,
+               CAST(sum(is_new) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS session_id
+        FROM flagged
+    ), per AS (
+        SELECT user_id, session_id,
+               min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+               min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+               min(CASE WHEN event_type = 'purchase' THEN ts END)
+                   AS t_purchase
+        FROM sess GROUP BY user_id, session_id
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(count(*) FILTER (t_view IS NOT NULL) AS BIGINT)
+               AS n_view,
+           CAST(count(*) FILTER (t_view IS NOT NULL AND t_click >= t_view)
+                AS BIGINT) AS n_view_click,
+           CAST(count(*) FILTER (t_view IS NOT NULL AND t_click >= t_view
+                                 AND t_purchase >= t_click)
+                AS BIGINT) AS n_full_funnel
+    FROM per
+    """,
+    note="funnel WITHIN sessions — the strict product-analytics form "
+    "(funnel_conversion measures lifetime ordering; this requires the "
+    "view -> click -> purchase progression inside one 30-minute-gap "
+    "session): composes gap_sessionization's keyed running-sum "
+    "session ids with the conditional-min funnel, all on ONE user_id "
+    "exchange — the windows and the per-session aggregate share the "
+    "same partitioning, so Catalyst reuses the shuffle",
+)
+def sessionized_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    is_new = F.when(
+        F.lag("ts").over(w).isNull() | (gap > 30 * 60 * 1000000), 1
+    ).otherwise(0)
+    wrun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.sum(is_new).over(wrun).cast("bigint").alias("session_id"),
+    )
+    per = sess.groupBy("user_id", "session_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "t_purchase"
+        ),
+    )
+    r1 = F.col("t_view").isNotNull()
+    r2 = r1 & (F.col("t_click") >= F.col("t_view"))
+    r3 = r2 & (F.col("t_purchase") >= F.col("t_click"))
+    return per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.count(F.when(r1, 1)).cast("bigint").alias("n_view"),
+        F.count(F.when(r2, 1)).cast("bigint").alias("n_view_click"),
+        F.count(F.when(r3, 1)).cast("bigint").alias("n_full_funnel"),
+    )
+
+
+@register(
+    "zscore_outliers",
+    """
+    WITH s AS (
+        SELECT event_type,
+               count(*) AS n,
+               CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sv,
+               CAST(sum(CAST(value * value AS DECIMAL(28,6))) AS DOUBLE)
+                   AS svv
+        FROM events GROUP BY event_type
+    ), stats AS (
+        SELECT event_type, n,
+               sv / n AS mean,
+               sqrt((svv - sv * sv / n) / (n - 1)) AS std
+        FROM s WHERE n > 1
+    )
+    SELECT e.event_type,
+           CAST(st.n AS BIGINT) AS n,
+           round(st.mean, 6) AS mean_value,
+           round(st.std, 6) AS std_value,
+           CAST(count(*) FILTER (abs(e.value - st.mean) > 3 * st.std)
+                AS BIGINT) AS n_outliers
+    FROM events e JOIN stats st USING (event_type)
+    GROUP BY e.event_type, st.n, st.mean, st.std
+    """,
+    note="z-score outlier screening per group (the data-quality gate run "
+    "before training on numeric features): mean/std from EXACT decimal "
+    "sums of value and value^2 (the per-element product is one IEEE "
+    "multiply, deterministic; decimal accumulation removes "
+    "summation-order drift, then one double division/sqrt is "
+    "engine-identical), broadcast back over one more scan to count "
+    "|z| > 3 rows.  Two passes total, both map-side combinable — the "
+    "textbook sum/sumsq single-shuffle variance",
+)
+def zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = t(spark, sf_dir, "events")
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sv"),
+        F.sum((F.col("value") * F.col("value")).cast("decimal(28,6)"))
+        .cast("double")
+        .alias("svv"),
+    )
+    stats = s.filter(F.col("n") > 1).select(
+        "event_type",
+        "n",
+        (F.col("sv") / F.col("n")).alias("mean"),
+        F.sqrt(
+            (F.col("svv") - F.col("sv") * F.col("sv") / F.col("n"))
+            / (F.col("n") - 1)
+        ).alias("std"),
+    )
+    return (
+        ev.join(F.broadcast(stats), "event_type")
+        .groupBy("event_type", "n", "mean", "std")
+        .agg(
+            F.count(
+                F.when(
+                    F.abs(F.col("value") - F.col("mean")) > 3 * F.col("std"), 1
+                )
+            )
+            .cast("bigint")
+            .alias("n_outliers")
+        )
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n"),
+            F.round("mean", 6).alias("mean_value"),
+            F.round("std", 6).alias("std_value"),
+            "n_outliers",
+        )
+    )
