@@ -6856,3 +6856,57 @@ def zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_outliers",
         )
     )
+
+
+@register(
+    "table_stats_report",
+    """
+    SELECT 'lineitem' AS table_name, CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(l_orderkey) AS BIGINT) AS min_key,
+           CAST(max(l_orderkey) AS BIGINT) AS max_key
+    FROM lineitem
+    UNION ALL
+    SELECT 'orders', count(*), min(o_orderkey), max(o_orderkey) FROM orders
+    UNION ALL
+    SELECT 'customer', count(*), min(c_custkey), max(c_custkey) FROM customer
+    UNION ALL
+    SELECT 'supplier', count(*), min(s_suppkey), max(s_suppkey) FROM supplier
+    UNION ALL
+    SELECT 'part', count(*), min(p_partkey), max(p_partkey) FROM part
+    UNION ALL
+    SELECT 'events', count(*), min(event_id), max(event_id) FROM events
+    UNION ALL
+    SELECT 'documents', count(*), min(doc_id), max(doc_id) FROM documents
+    UNION ALL
+    SELECT 'embeddings', count(*), min(vec_id), max(vec_id) FROM embeddings
+    """,
+    note="the post-ingest AUDIT query every warehouse runs after a load: "
+    "per-table row counts and primary-key ranges in one statement — eight "
+    "scan+agg legs unioned, each a metadata-cheap count plus min/max that "
+    "parquet column statistics answer without reading data pages; the "
+    "operational twin of the validation diff (validate.py)",
+)
+def table_stats_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    keys = [
+        ("lineitem", "l_orderkey"),
+        ("orders", "o_orderkey"),
+        ("customer", "c_custkey"),
+        ("supplier", "s_suppkey"),
+        ("part", "p_partkey"),
+        ("events", "event_id"),
+        ("documents", "doc_id"),
+        ("embeddings", "vec_id"),
+    ]
+    parts = [
+        t(spark, sf_dir, name).agg(
+            F.lit(name).alias("table_name"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min(key).cast("bigint").alias("min_key"),
+            F.max(key).cast("bigint").alias("max_key"),
+        )
+        for name, key in keys
+    ]
+    out = parts[0]
+    for p_df in parts[1:]:
+        out = out.unionAll(p_df)
+    return out
