@@ -5812,7 +5812,11 @@ _IVF_QUANTIZER_CTE = """
     "ANN deployment needs next to the index.  Both neighbor lists are "
     "deterministic, so the metric itself is oracle-exact; computed as one "
     "semi-join + per-query count, nothing wider than the k-row lists "
-    "crosses a shuffle",
+    "crosses a shuffle.  Boundary assumption (shared with "
+    "embedding_ivf_ann): the quantizer's argmax-cosine assignment "
+    "compares unrounded doubles — a centroid cosine tied at the ulp "
+    "level could flip assignment; no such tie exists in the synthetic "
+    "embeddings",
 )
 def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import ann_recall, cosine_topk, ivf_topk
@@ -5851,7 +5855,10 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     "— candidate work drops from N^2 to sum_c |c|^2 and the pair search is "
     "an equi-join on cluster, partition-prunable when the corpus is "
     "bucketed by cluster; shares the 6dp round-before-threshold cosine "
-    "contract with embedding_cosine_pairs",
+    "contract with embedding_cosine_pairs.  Boundary assumption (shared "
+    "with embedding_ivf_ann): cluster assignment compares unrounded "
+    "centroid cosines — an ulp-level tie could flip it; none exists in "
+    "the synthetic embeddings",
 )
 def semantic_dedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.similarity import semantic_dedup_pairs as sd
