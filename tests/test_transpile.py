@@ -95,3 +95,28 @@ def test_range_empty_guard_keeps_int_element_type():
     out = transpile("SELECT list_transform(range(1, n), i -> xs[i])")
     assert "CASE WHEN (n) - 1 >= (1)" in out
     assert "ARRAY<INT>" in out  # BIGINT here would break element_at's index
+
+
+def test_mask_unmask_roundtrip_property():
+    """Literal masking must be lossless for any SQL-ish text, including
+    adjacent quotes and '' escapes — every symbol rule depends on it."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from open_bus_siri_etl_spark.plans.sqlapi import _mask_literals, _unmask
+
+    sqlish = st.text(
+        alphabet=st.sampled_from(list("abc'() ,.*/\\%[]|=<>-_0123456789\n")),
+        max_size=80,
+    )
+
+    @settings(max_examples=300, deadline=None)
+    @given(sqlish)
+    def check(s):
+        masked, lits = _mask_literals(s)
+        assert _unmask(masked, lits) == s
+        # no quote may survive outside a placeholder unless unbalanced
+        if s.count("'") % 2 == 0:
+            assert "'" not in masked
+
+    check()
