@@ -6917,3 +6917,92 @@ def table_stats_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p_df in parts[1:]:
         out = out.unionAll(p_df)
     return out
+
+
+@register(
+    "source_quality_summary",
+    """
+    WITH tok AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS toks
+        FROM documents
+    ), g AS (
+        SELECT doc_id,
+               (CAST(len(toks) AS BIGINT) BETWEEN 20 AND 100000
+                AND CAST(list_sum(list_transform(toks, x -> length(x)))
+                         AS DOUBLE) / len(toks) BETWEEN 3.0 AND 10.0
+                AND CAST(len(list_filter(toks, x -> x IN ('the', 'a')))
+                         AS DOUBLE) / len(toks) >= 0.01
+                AND CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+                    >= 0.2) AS gopher_keep
+        FROM tok WHERE len(toks) > 0
+    ), b AS (
+        SELECT doc_id, string_split(text, ' ') AS stoks,
+               len(string_split(text, ' ')) AS n FROM documents
+    ), r AS (
+        SELECT doc_id,
+               CASE WHEN n >= 2 THEN
+                    list_transform(generate_series(1, n - 1),
+                                   i -> stoks[i] || ' ' || stoks[i + 1])
+               ELSE CAST([] AS VARCHAR[]) END AS bigrams
+        FROM b
+    ), rep AS (
+        SELECT doc_id,
+               (CASE WHEN len(bigrams) > 0 THEN
+                    (len(bigrams) - len(list_distinct(bigrams))) * 1.0
+                        / len(bigrams)
+                ELSE 0.0 END) < 0.3 AS repetition_keep
+        FROM r
+    ), flags AS (
+        SELECT d.doc_id, d.source,
+               d.lang = 'en' AND coalesce(g.gopher_keep, FALSE)
+                   AND coalesce(rep.repetition_keep, FALSE) AS keep,
+               CASE WHEN NOT (d.lang = 'en') THEN 'lang'
+                    WHEN NOT coalesce(g.gopher_keep, FALSE) THEN 'gopher'
+                    WHEN NOT coalesce(rep.repetition_keep, FALSE)
+                        THEN 'repetition'
+                    ELSE 'none' END AS drop_reason
+        FROM documents d
+        LEFT JOIN g USING (doc_id)
+        LEFT JOIN rep USING (doc_id)
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (keep) AS BIGINT) AS n_keep,
+           round(CAST(count(*) FILTER (keep) AS DOUBLE) / count(*), 6)
+               AS keep_rate,
+           CAST(count(*) FILTER (drop_reason = 'lang') AS BIGINT)
+               AS n_drop_lang,
+           CAST(count(*) FILTER (drop_reason = 'gopher') AS BIGINT)
+               AS n_drop_gopher,
+           CAST(count(*) FILTER (drop_reason = 'repetition') AS BIGINT)
+               AS n_drop_repetition
+    FROM flags GROUP BY source
+    """,
+    note="the curation DASHBOARD row: per-source keep rate and drop-reason "
+    "breakdown from the assembled filter stack (filter_stack_report "
+    "collapsed over source) — the number a data lead actually watches "
+    "per crawl/dump.  One combinable aggregate over the per-doc verdict "
+    "rows; a source whose keep_rate craters flags an upstream format "
+    "change before it poisons a mixture",
+)
+def source_quality_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textstats import filter_stack_report as fsr
+
+    docs = t(spark, sf_dir, "documents")
+    flags = fsr(docs, lang="en").join(docs.select("doc_id", "source"), "doc_id")
+    return flags.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.count(F.when(F.col("keep"), 1)).cast("bigint").alias("n_keep"),
+        F.round(
+            F.count(F.when(F.col("keep"), 1)).cast("double") / F.count(F.lit(1)), 6
+        ).alias("keep_rate"),
+        F.count(F.when(F.col("drop_reason") == "lang", 1))
+        .cast("bigint")
+        .alias("n_drop_lang"),
+        F.count(F.when(F.col("drop_reason") == "gopher", 1))
+        .cast("bigint")
+        .alias("n_drop_gopher"),
+        F.count(F.when(F.col("drop_reason") == "repetition", 1))
+        .cast("bigint")
+        .alias("n_drop_repetition"),
+    )
