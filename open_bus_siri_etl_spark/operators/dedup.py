@@ -617,3 +617,82 @@ def neardup_survivor_rows(
             "n_members",
         )
     )
+
+
+def minhash_jaccard_estimates(
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    perms: int = MINHASH_PERMS,
+    bands: int = MINHASH_BANDS,
+) -> DataFrame:
+    """The ESTIMATOR side of MinHash, with its error made visible: for every
+    LSH-banded candidate pair, the signature-agreement estimate
+    Pr[sig_a == sig_b] = (matching permutations)/perms — the unbiased
+    Jaccard estimator MinHash exists for — next to the exact shingle
+    Jaccard.  (minhash_lsh_dedup uses signatures only to BAND; this entry
+    evidences the estimator's accuracy contract on the same md5 family.)
+
+    Output: (doc_a, doc_b, n_matching_perms, est_jaccard, jaccard).
+    Scale shape: candidates from the band-key equi-join; the estimate join
+    touches |candidates| x perms signature rows, the exact verify the
+    candidates' postings — nothing all-pairs.
+    """
+    post = shingle_postings(df, text_col, n).localCheckpoint(eager=True)
+    sigs = minhash_signatures(post, perms).localCheckpoint(eager=True)
+    keys = lsh_band_keys(sigs, bands, perms)
+    a, b = keys.alias("a"), keys.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sa = sigs.select(F.col("doc_id").alias("doc_a"), "seed", F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("doc_id").alias("doc_b"), "seed", F.col("sig").alias("sig_b"))
+    est = (
+        candidates.join(sa, "doc_a")
+        .join(sb, ["doc_b", "seed"])
+        .groupBy("doc_a", "doc_b")
+        .agg(
+            F.count(F.when(F.col("sig_a") == F.col("sig_b"), 1))
+            .cast("bigint")
+            .alias("n_matching_perms")
+        )
+        .withColumn(
+            "est_jaccard",
+            F.round(F.col("n_matching_perms").cast("double") / perms, 6),
+        )
+    )
+    sizes = post.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    pa = post.select(F.col("doc_id").alias("doc_a"), "shingle")
+    pb = post.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        candidates.join(pa, "doc_a")
+        .join(pb, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    za = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
+    zb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b"))
+    exact = (
+        inter.join(za, "doc_a")
+        .join(zb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_common")
+                * 1.0
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+    return est.join(exact, ["doc_a", "doc_b"]).select(
+        "doc_a", "doc_b", "n_matching_perms", "est_jaccard", "jaccard"
+    )

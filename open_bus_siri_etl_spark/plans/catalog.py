@@ -7006,3 +7006,60 @@ def source_quality_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_drop_repetition"),
     )
+
+
+@register(
+    "minhash_jaccard_estimates",
+    f"""
+    WITH {_POSTINGS_CTE},
+    sigs AS (
+        SELECT doc_id, seed, min(md5(seed || '|' || shingle)) AS sig
+        FROM post CROSS JOIN generate_series(0, 63) t(seed)
+        GROUP BY doc_id, seed
+    ),
+    bands AS (
+        SELECT doc_id, seed // 8 AS band,
+               md5(string_agg(sig, ',' ORDER BY seed)) AS band_key
+        FROM sigs GROUP BY doc_id, seed // 8
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    est AS (
+        SELECT c.doc_a, c.doc_b,
+               CAST(count(*) FILTER (sa.sig = sb.sig) AS BIGINT)
+                   AS n_matching_perms
+        FROM cand c
+        JOIN sigs sa ON sa.doc_id = c.doc_a
+        JOIN sigs sb ON sb.doc_id = c.doc_b AND sb.seed = sa.seed
+        GROUP BY c.doc_a, c.doc_b
+    ),
+    inter AS (
+        SELECT doc_a, doc_b, count(*) AS i
+        FROM cand
+        JOIN post pa ON pa.doc_id = doc_a
+        JOIN post pb ON pb.doc_id = doc_b AND pb.shingle = pa.shingle
+        GROUP BY doc_a, doc_b
+    )
+    SELECT e.doc_a, e.doc_b, e.n_matching_perms,
+           round(CAST(e.n_matching_perms AS DOUBLE) / 64.0, 6) AS est_jaccard,
+           round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+    FROM est e
+    JOIN inter USING (doc_a, doc_b)
+    JOIN sizes sa ON e.doc_a = sa.doc_id
+    JOIN sizes sb ON e.doc_b = sb.doc_id
+    """,
+    note="the ESTIMATOR side of MinHash with its error made visible: per "
+    "banded candidate pair, signature agreement (matching perms / 64) — "
+    "the unbiased Jaccard estimator — next to the exact shingle Jaccard; "
+    "minhash_lsh_dedup uses signatures only to band, this entry evidences "
+    "the accuracy contract of the same md5 permutation family.  Estimate "
+    "join touches |candidates| x 64 signature rows, exact verify only the "
+    "candidates' postings — nothing all-pairs",
+)
+def minhash_jaccard_estimates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import minhash_jaccard_estimates
+
+    return minhash_jaccard_estimates(t(spark, sf_dir, "documents"))
