@@ -7063,3 +7063,46 @@ def minhash_jaccard_estimates_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import minhash_jaccard_estimates
 
     return minhash_jaccard_estimates(t(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_rate_by_source",
+    """
+    WITH h AS (
+        SELECT source, md5(text) AS content_hash, doc_id FROM documents
+    ),
+    firsts AS (
+        SELECT content_hash, min(doc_id) AS first_doc FROM h
+        GROUP BY content_hash
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) FILTER (h.doc_id <> f.first_doc) AS BIGINT)
+               AS n_exact_dups,
+           round(CAST(count(*) FILTER (h.doc_id <> f.first_doc) AS DOUBLE)
+                 / count(*), 6) AS dup_rate
+    FROM h JOIN firsts f USING (content_hash)
+    GROUP BY source
+    """,
+    note="exact-dup rate per source — the ingest-dashboard companion to "
+    "source_quality_summary (a source whose dup_rate spikes is "
+    "re-crawling itself): content-hash firsts via one map-side-combinable "
+    "aggregate, rejoin on the hash, per-source rollup; duplicates are "
+    "charged to the source of the LATER copy (first occurrence keeps)",
+)
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    h = docs.select("source", F.md5("text").alias("content_hash"), "doc_id")
+    firsts = h.groupBy("content_hash").agg(F.min("doc_id").alias("first_doc"))
+    dup = F.col("doc_id") != F.col("first_doc")
+    return (
+        h.join(firsts, "content_hash")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.count(F.when(dup, 1)).cast("bigint").alias("n_exact_dups"),
+            F.round(
+                F.count(F.when(dup, 1)).cast("double") / F.count(F.lit(1)), 6
+            ).alias("dup_rate"),
+        )
+    )
