@@ -7106,3 +7106,46 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_rate"),
         )
     )
+
+
+@register(
+    "shipping_latency_stats",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_lineitems,
+           CAST(min(date_diff('day', CAST(o_orderdate AS DATE),
+                              CAST(l_shipdate AS DATE))) AS BIGINT)
+               AS min_days,
+           CAST(max(date_diff('day', CAST(o_orderdate AS DATE),
+                              CAST(l_shipdate AS DATE))) AS BIGINT)
+               AS max_days,
+           round(CAST(sum(date_diff('day', CAST(o_orderdate AS DATE),
+                                    CAST(l_shipdate AS DATE))) AS DOUBLE)
+                 / count(*), 6) AS avg_days
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+    note="order-to-ship latency distribution by priority — the fulfillment "
+    "SLA report: integer day differences sum exactly (no float drift), "
+    "one shuffle pair on orderkey then a 5-group combinable rollup; at "
+    "scale the join is the classic co-partition candidate (bucket both "
+    "tables by orderkey and the exchange disappears)",
+)
+def shipping_latency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = t(spark, sf_dir, "lineitem")
+    orders = t(spark, sf_dir, "orders")
+    days = F.datediff(
+        F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+    ).cast("bigint")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lineitems"),
+            F.min(days).cast("bigint").alias("min_days"),
+            F.max(days).cast("bigint").alias("max_days"),
+            F.round(F.sum(days).cast("double") / F.count(F.lit(1)), 6).alias(
+                "avg_days"
+            ),
+        )
+    )
