@@ -584,44 +584,31 @@ def lsh_quantized_planes(
     }
 
 
-def lsh_candidate_pairs(
-    corpus: DataFrame,
-    n_planes: int = 8,
-    n_tables: int = 4,
-    quant: int = 1000,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    dim: int = EMBEDDING_DIM,
+def _quantized_bucket_frame(
+    df: DataFrame,
+    id_out: str,
+    n_planes: int,
+    n_tables: int,
+    quant: int,
+    id_col: str,
+    vec_col: str,
+    dim: int,
 ) -> DataFrame:
-    """Deterministic LSH candidate generation — the bucketing stage of
-    ANN/near-dup split out as an exactly-verifiable operator.
-
-    Two determinism moves make bucket assignment bit-identical across
-    engines (no float sign flips at the decision boundary):
-    - vectors quantize to int64 via floor(v * quant) — floor of a double
-      product is IEEE-identical everywhere (cast alone differs: Spark
-      truncates, DuckDB rounds);
-    - hyperplane weights are md5-derived integers (lsh_quantized_planes),
-      so the signed projection is an exact integer sum, order-independent.
-
-    Output: (vec_a, vec_b, n_tables) — every unordered pair bucketed
-    together by at least one of the ``n_tables`` tables, with the collision
-    count.  The ANN tail (exact cosine re-rank of candidates) remains
-    approximate relative to full top-k; THIS stage is exact by
-    construction, which is the part worth a value-level contract.
-
-    Scale shape: one scan computes all T×P projections per row (native
-    fold expressions, no Python); candidates come from an equi-join on
-    (tbl, bucket) — expected pair work O(N² · T / 2^P), tuned by raising
-    n_planes; never a cross join.
+    """(id, vec) → (id_out, tbl, bucket) with bit-exact cross-engine bucket
+    assignment: vectors quantize to int64 via floor(v * quant) (floor of a
+    double product is IEEE-identical everywhere; cast alone differs — Spark
+    truncates, DuckDB rounds) and hyperplane weights are the md5-derived
+    integers of lsh_quantized_planes, so each signed projection is an exact
+    order-independent integer sum.  Shared by lsh_candidate_pairs and
+    lsh_ann_topk_exact so the two can never drift.
     """
     # zip_with against a wrong-width plane array yields NULL folds, every
     # vector lands in bucket 0, and the "pruning" join silently degenerates
     # to all-pairs — fail loudly on a dim mismatch instead
-    probe = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+    probe = df.select(F.size(F.col(vec_col)).alias("d")).first()
     if probe is not None and int(probe["d"]) != dim:
         raise ValueError(
-            f"lsh_candidate_pairs: dim={dim} but {vec_col} has "
+            f"quantized LSH bucketing: dim={dim} but {vec_col} has "
             f"{int(probe['d'])} elements"
         )
     planes = lsh_quantized_planes(n_planes, n_tables, dim)
@@ -656,10 +643,46 @@ def lsh_candidate_pairs(
             ]
         )
     )
-    buckets = (
-        corpus.select(F.col(id_col).alias("_id"), qv.alias("_qv"))
-        .select("_id", tb.alias("tb"))
-        .select("_id", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+    return (
+        df.select(F.col(id_col).alias(id_out), qv.alias("_qv"))
+        .select(id_out, tb.alias("tb"))
+        .select(id_out, F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+    )
+
+
+def lsh_candidate_pairs(
+    corpus: DataFrame,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    quant: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = EMBEDDING_DIM,
+) -> DataFrame:
+    """Deterministic LSH candidate generation — the bucketing stage of
+    ANN/near-dup split out as an exactly-verifiable operator.
+
+    Two determinism moves make bucket assignment bit-identical across
+    engines (no float sign flips at the decision boundary):
+    - vectors quantize to int64 via floor(v * quant) — floor of a double
+      product is IEEE-identical everywhere (cast alone differs: Spark
+      truncates, DuckDB rounds);
+    - hyperplane weights are md5-derived integers (lsh_quantized_planes),
+      so the signed projection is an exact integer sum, order-independent.
+
+    Output: (vec_a, vec_b, n_tables) — every unordered pair bucketed
+    together by at least one of the ``n_tables`` tables, with the collision
+    count.  The ANN tail (exact cosine re-rank of candidates) remains
+    approximate relative to full top-k; THIS stage is exact by
+    construction, which is the part worth a value-level contract.
+
+    Scale shape: one scan computes all T×P projections per row (native
+    fold expressions, no Python); candidates come from an equi-join on
+    (tbl, bucket) — expected pair work O(N² · T / 2^P), tuned by raising
+    n_planes; never a cross join.
+    """
+    buckets = _quantized_bucket_frame(
+        corpus, "_id", n_planes, n_tables, quant, id_col, vec_col, dim
     )
     a = buckets.select(F.col("_id").alias("vec_a"), "tbl", "bucket")
     b = buckets.select(F.col("_id").alias("vec_b"), "tbl", "bucket")
@@ -668,6 +691,79 @@ def lsh_candidate_pairs(
         .filter(F.col("vec_a") < F.col("vec_b"))
         .groupBy("vec_a", "vec_b")
         .agg(F.count(F.lit(1)).alias("n_tables"))
+    )
+
+
+def lsh_ann_topk_exact(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    quant: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = EMBEDDING_DIM,
+) -> DataFrame:
+    """LSH ANN with a value-level cross-engine contract end to end: the
+    deterministic integer-plane bucketing of lsh_candidate_pairs feeds an
+    exact cosine re-rank of the candidate union.
+
+    The result is still *approximate nearest neighbors* (a true neighbor
+    sharing no bucket with its query is missed — that is the LSH trade),
+    but it is a deterministic function of the data: bucket assignment is an
+    exact integer computation (md5-derived plane weights, floor-quantized
+    vectors — see _quantized_bucket_frame), and the re-rank orders by
+    cosine DESC with neighbor_id tie-break, so any engine reproduces the
+    same top-k.  This closes the oracle gap the seeded-Gaussian variant
+    (lsh_ann_topk) cannot: numpy float planes have no cross-engine twin.
+
+    Scale shape: one scan per side computes all T×P projections as native
+    fold expressions; candidates come from an equi-join on (tbl, bucket)
+    with the (small) query side broadcast; vectors re-attach by id equi-join
+    (no vector payload rides through the bucket explode); the final top-k is
+    a per-query window.  Expected candidate work O(N·Q·T / 2^P) — never a
+    cross join.
+
+    Output schema matches cosine_topk: (query_id, neighbor_id, rank).
+    """
+    cb = _quantized_bucket_frame(
+        corpus, "neighbor_id", n_planes, n_tables, quant, id_col, vec_col, dim
+    )
+    qb = _quantized_bucket_frame(
+        queries, "query_id", n_planes, n_tables, quant, id_col, vec_col, dim
+    )
+    cand = (
+        cb.join(F.broadcast(qb), ["tbl", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        # a pair found by several tables must score once
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        _norm(F.col(vec_col)).alias("q_nrm"),
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        _norm(F.col(vec_col)).alias("c_nrm"),
+    )
+    sim = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .withColumn(
+            "cosine",
+            _dot(F.col("q_vec"), F.col("c_vec"))
+            / (F.col("q_nrm") * F.col("c_nrm")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
     )
 
 

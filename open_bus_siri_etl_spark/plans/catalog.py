@@ -1839,23 +1839,79 @@ def embedding_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_lsh_ann",
-    None,  # hyperplane constants live in numpy; ANN result is approximate by design
-    note="multi-table LSH ANN (16 tables x 4 hyperplane signs, Arrow-matmul "
-    "bucketing): per-table equi-join on bucket replaces the cross join, "
-    "union of candidates exact-re-ranked — recall@10 ~0.9 vs exact on the "
-    "synthetic embeddings (floor asserted in tests/test_training_ops.py); "
-    "rows-only check",
+    """
+    WITH f AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+               unnest(embedding)::DOUBLE AS v
+        FROM embeddings
+    ),
+    q AS (SELECT vec_id, i, CAST(floor(v * 1000.0) AS BIGINT) AS qv FROM f),
+    planes AS (
+        SELECT t.t, p.p, i.i,
+               (('0x' || substr(md5(t.t::VARCHAR || '_' || p.p::VARCHAR
+                                || '_' || i.i::VARCHAR), 1, 8))::BIGINT
+                % 1001) - 500 AS qw
+        FROM generate_series(0, 7) t(t)
+        CROSS JOIN generate_series(0, 3) p(p)
+        CROSS JOIN generate_series(0, 63) i(i)
+    ),
+    dots AS (
+        SELECT q.vec_id, pl.t, pl.p, sum(q.qv * pl.qw) AS dot_q
+        FROM q JOIN planes pl ON q.i = pl.i
+        GROUP BY 1, 2, 3
+    ),
+    buckets AS (
+        SELECT vec_id, t,
+               CAST(sum(CASE WHEN dot_q > 0 THEN 1 << p ELSE 0 END)
+                    AS INTEGER) AS bucket
+        FROM dots GROUP BY vec_id, t
+    ),
+    cand AS (
+        SELECT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+        FROM buckets qb
+        JOIN buckets cb ON qb.t = cb.t AND qb.bucket = cb.bucket
+                       AND cb.vec_id <> qb.vec_id
+        WHERE qb.vec_id < 8
+        GROUP BY 1, 2
+    ),
+    n AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM f GROUP BY vec_id),
+    d AS (
+        SELECT c.query_id, c.neighbor_id, sum(a.v * b.v) AS dot
+        FROM cand c
+        JOIN f a ON a.vec_id = c.query_id
+        JOIN f b ON b.vec_id = c.neighbor_id AND b.i = a.i
+        GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT query_id, neighbor_id, dot / (nq.nrm * nc.nrm) AS cosine
+        FROM d JOIN n nq ON query_id = nq.vec_id
+               JOIN n nc ON neighbor_id = nc.vec_id
+    )
+    SELECT query_id, neighbor_id, rank FROM (
+        SELECT query_id, neighbor_id, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM s) WHERE rank <= 5
+    """,
+    note="LSH ANN with a value-level contract END TO END (closes the last "
+    "rows-only entry): bucketing = the md5-integer-plane family proven in "
+    "embedding_lsh_candidates (floor-quantized vectors, exact integer "
+    "projections — bit-identical buckets in any engine), 8 tables x 4 "
+    "plane signs, candidates from a (tbl,bucket) equi-join with the query "
+    "side broadcast, then exact cosine re-rank of the deduplicated union "
+    "(ties -> neighbor_id).  Still ANN — a neighbor sharing no bucket is "
+    "missed — but deterministically so, hence oracle-exact; the "
+    "seeded-Gaussian variant (lsh_ann_topk) keeps its recall-floor tests",
 )
 def embedding_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.similarity import lsh_ann_topk
+    from ..operators.similarity import lsh_ann_topk_exact
 
     emb = t(spark, sf_dir, "embeddings")
-    return lsh_ann_topk(
+    return lsh_ann_topk_exact(
         emb,
         emb.filter(F.col("vec_id") < 8),
         k=5,
         n_planes=4,
-        n_tables=16,
+        n_tables=8,
     )
 
 
