@@ -75,14 +75,16 @@ def main() -> None:
     # and is the standard way to report microbench-scale timings.
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
     timings: dict[str, float] = {}
+    per_repeat: dict[str, list[float]] = {}
     for name in names:
         q = REGISTRY[name]
-        best = float("inf")
+        runs = []
         for _ in range(repeats):
             t0 = time.time()
             q.fn(spark, sf_dir).count()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            runs.append(round(time.time() - t0, 3))
+        per_repeat[name] = runs
+        timings[name] = min(runs)
 
     total = round(sum(timings.values()), 3)
     out = {
@@ -92,9 +94,12 @@ def main() -> None:
         "queries": timings,
         "sf": sf,
         # methodology must be visible in the artifact: per-query value is the
-        # min over `repeats` runs (round-3+ change; round-1/2 were single-run)
+        # min over `repeats` runs (round-3+ change; round-1/2 were single-run);
+        # the full per-repeat arrays distinguish noise (wide spread, stable
+        # min) from a genuine regression (shifted min) — round-5 verdict ask
         "repeats": repeats,
         "timing": "min_of_repeats",
+        "per_repeat_sec": per_repeat,
     }
 
     # Regression guard: compare against the committed standing baseline

@@ -306,13 +306,33 @@ def simhash_chunks(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def simhash_near_pairs(df: DataFrame, text_col: str = "text", max_hamming: int = 8) -> DataFrame:
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    max_hamming: int = SIMHASH_CHUNKS - 1,
+    allow_partial_recall: bool = False,
+) -> DataFrame:
     """Pairs within Hamming distance ≤ max_hamming of their 64-bit SimHash.
 
-    Banding: by pigeonhole, distance ≤ 12 ⇒ at least one of the 4 chunks is
-    within 3 bits; here candidates = pairs agreeing on ≥1 full chunk (sound
-    for tight thresholds on near-dup corpora), then exact Hamming verifies.
+    Banding completeness (pigeonhole): candidates = pairs agreeing on ≥1 of
+    the SIMHASH_CHUNKS chunks, so a pair at distance d is GUARANTEED found
+    only when d < SIMHASH_CHUNKS (d ≤ 3 for the 4×16-bit split) — with ≥
+    SIMHASH_CHUNKS differing bits, one per chunk is possible and the pair
+    shares no chunk.  ``max_hamming`` beyond that bound silently loses
+    recall (a d=8 pair with 2 flipped bits per chunk is never a candidate),
+    so it is rejected unless the caller opts in with
+    ``allow_partial_recall=True`` (sensible on near-dup corpora where
+    differing bits cluster, but it is a heuristic there, not a guarantee).
+    Exact Hamming always verifies candidates — precision is never affected.
     """
+    if max_hamming >= SIMHASH_CHUNKS and not allow_partial_recall:
+        raise ValueError(
+            f"simhash_near_pairs: max_hamming={max_hamming} exceeds the "
+            f"pigeonhole completeness bound of {SIMHASH_CHUNKS}-chunk "
+            f"banding (guaranteed recall only for distance < "
+            f"{SIMHASH_CHUNKS}); pass allow_partial_recall=True to accept "
+            "heuristic recall above it"
+        )
     sh = simhash_chunks(df, text_col).localCheckpoint(eager=False)
     cands = None
     for c in range(SIMHASH_CHUNKS):

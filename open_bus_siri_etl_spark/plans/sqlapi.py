@@ -541,17 +541,75 @@ def _rewrite_lateral_tvf(sql: str) -> str:
         i = m.start() + len(rep)
 
 
+def _rewrite_asof_join(sql: str) -> str:
+    """DuckDB ``ASOF [LEFT] JOIN r a ON l.k = r.k AND l.ts >= r.ts`` has no
+    Spark SQL syntax; rewrite by interval-izing the right side — each right
+    row owns [ts, next_ts_per_key), so an ordinary join matches every left
+    row to AT MOST ONE right row, the latest prior (exactly ASOF):
+
+        [LEFT] JOIN (SELECT *, lead(ts) OVER (PARTITION BY k ORDER BY ts)
+                     AS __asof_next FROM r) a
+        ON l.k = a.k AND l.ts >= a.ts
+           AND (l.ts < a.__asof_next OR a.__asof_next IS NULL)
+
+    Right-side ts ties stay single-match (a tied row's lead() equals its own
+    ts, so its interval is empty — only the window-last tied row matches,
+    mirroring DuckDB's pick-one behavior).  Spark plans this as a range join
+    (BroadcastNestedLoop) — fine for the conformance suite's row-identity
+    check; the production operator is operators/temporal.asof_join (one
+    shuffle, linear carry-forward state).
+    """
+    pat = re.compile(
+        r"ASOF\s+(LEFT\s+)?JOIN\s+"
+        r"(\((?:[^()]|\([^()]*\))*\)|\w+)"  # right side: subquery or table
+        r"\s+(\w+)\s+ON\s+"
+        r"(\w+)\.(\w+)\s*=\s*(\w+)\.(\w+)\s+AND\s+"
+        r"(\w+)\.(\w+)\s*>=\s*(\w+)\.(\w+)",
+        re.IGNORECASE,
+    )
+
+    def rewrite(m: re.Match) -> str:
+        left_kw = m.group(1) or ""
+        rexpr, alias = m.group(2), m.group(3)
+        eq_l, eq_lc, eq_r, eq_rc = m.group(4), m.group(5), m.group(6), m.group(7)
+        ts_l, ts_lc, ts_r, ts_rc = m.group(8), m.group(9), m.group(10), m.group(11)
+        # orient the conditions: which side of each predicate is the right
+        # alias (the ASOF probe side must be >= the right build side)
+        if eq_r == alias:
+            r_key = eq_rc
+        elif eq_l == alias:
+            r_key = eq_lc
+        else:
+            return m.group(0)  # unrecognized shape — leave for the allowlist
+        if ts_r != alias:
+            return m.group(0)
+        r_ts = ts_rc
+        body = rexpr if rexpr.startswith("(") else f"(SELECT * FROM {rexpr})"
+        return (
+            f"{left_kw}JOIN (SELECT *, lead({r_ts}) OVER "
+            f"(PARTITION BY {r_key} ORDER BY {r_ts}) AS __asof_next "
+            f"FROM {body} __asof_r) {alias} "
+            f"ON {eq_l}.{eq_lc} = {eq_r}.{eq_rc} "
+            f"AND {ts_l}.{ts_lc} >= {ts_r}.{ts_rc} "
+            f"AND ({ts_l}.{ts_lc} < {alias}.__asof_next "
+            f"OR {alias}.__asof_next IS NULL)"
+        )
+
+    return pat.sub(rewrite, sql)
+
+
 def transpile(sql: str) -> str:
     """Rewrite a catalog DuckDB oracle string into Spark SQL.
 
     Covers exactly the dialect constructs the catalog uses (documented per
     rule above); anything outside that surface passes through unchanged.
-    Structural features with no Spark equivalent (DuckDB PIVOT/UNPIVOT
-    statement forms, ASOF JOIN) are NOT handled — those entries are the
-    conformance suite's counted allowlist.
+    Structural features with no Spark equivalent (UNION-distinct recursive
+    CTEs) are NOT handled — those entries are the conformance suite's
+    counted allowlist.
     """
     sql = _rewrite_unnest_subscripts(sql)
     masked, lits = _mask_literals(sql)
+    masked = _rewrite_asof_join(masked)
     # standalone unnest in a SELECT list -> explode (single generator)
     masked = re.sub(r"\bunnest\(", "explode(", masked)
     masked = _shift_lambda_index(masked)

@@ -19,10 +19,13 @@ SF = "/root/testdata/sf0.001"
 # Documented dialect gaps (structural, not function-level — everything
 # function-level is transpiled): entry -> reason it cannot run on Spark.
 NONPORTABLE = {
-    "asof_join_prior_view": "DuckDB ASOF JOIN has no Spark SQL syntax "
-    "(the operator exists as operators/temporal.py asof_join)",
-    "neardup_components": "UNION (distinct) inside a recursive CTE; Spark "
-    "4.x recursive CTEs support UNION ALL only",
+    # Spark 4.x recursive CTEs support UNION ALL only; UNION (distinct) is
+    # load-bearing here — it dedups the frontier against ALL accumulated
+    # rows, which is what terminates the min-label fixed point.  A UNION ALL
+    # rewrite never reaches an empty step (the fixed point re-emits itself
+    # forever), so no mechanical transpile exists.  The operator itself runs
+    # on Spark as operators/dedup.connected_components (pointer-jumping).
+    "neardup_components": "UNION (distinct) inside a recursive CTE",
     "neardup_survivors": "UNION (distinct) inside a recursive CTE",
     "embedding_neardup_dedup": "UNION (distinct) inside a recursive CTE",
 }
@@ -61,7 +64,7 @@ def test_allowlisted_entries_genuinely_fail(views, name):
 
 
 def test_allowlist_is_small():
-    assert len(NONPORTABLE) <= 6, "dialect allowlist must stay enumerable"
+    assert len(NONPORTABLE) <= 3, "dialect allowlist must stay enumerable"
 
 
 def test_register_views_exposes_all_tables(spark):

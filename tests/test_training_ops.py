@@ -58,10 +58,34 @@ def test_minhash_lsh(spark, docs):
 
 
 def test_simhash(spark, docs):
-    pairs = {(r["doc_a"], r["doc_b"]): r["hamming"] for r in simhash_near_pairs(docs, max_hamming=10).collect()}
+    pairs = {
+        (r["doc_a"], r["doc_b"]): r["hamming"]
+        for r in simhash_near_pairs(
+            docs, max_hamming=10, allow_partial_recall=True
+        ).collect()
+    }
     assert pairs[(1, 4)] == 0  # identical → distance 0
     assert (1, 2) in pairs  # near dup within radius
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_simhash_rejects_unsound_radius(spark, docs):
+    """max_hamming ≥ SIMHASH_CHUNKS breaks the pigeonhole completeness
+    guarantee of chunk banding (a pair with one differing bit per chunk
+    shares no chunk) — the library must refuse it rather than silently
+    lose recall, unless the caller opts in."""
+    import pytest
+
+    from open_bus_siri_etl_spark.operators.dedup import SIMHASH_CHUNKS
+
+    with pytest.raises(ValueError, match="pigeonhole"):
+        simhash_near_pairs(docs, max_hamming=SIMHASH_CHUNKS)
+    # the sound default and the explicit opt-in both construct a plan
+    assert simhash_near_pairs(docs) is not None
+    assert (
+        simhash_near_pairs(docs, max_hamming=8, allow_partial_recall=True)
+        is not None
+    )
 
 
 def test_cosine_topk(spark):

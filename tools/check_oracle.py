@@ -70,6 +70,19 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
     return problems
 
 
+# Entries whose result is ONE row by construction — a global aggregate over
+# the full table (min/max/counts/estimators folded to a single summary row).
+# These carry real value-level evidence despite the row count; everything
+# else at ≤1 rows is reported TRIVIAL (threshold/date constants should be
+# tuned so the entry is non-trivial at every SF).
+TRIVIAL_OK = {
+    "global_minmax",
+    "kmv_distinct_users",
+    "corpus_stats",
+    "tpch_q6_forecast_revenue",
+}
+
+
 def main() -> int:
     from open_bus_siri_etl_spark.plans.catalog import REGISTRY
     from open_bus_siri_etl_spark.session import get_spark
@@ -82,7 +95,7 @@ def main() -> int:
             f"CREATE VIEW {tbl} AS SELECT * FROM read_parquet('{SF_DIR}/{tbl}.parquet')"
         )
 
-    n_pass = n_fail = n_weak = 0
+    n_pass = n_fail = n_weak = n_trivial = 0
     for name, q in REGISTRY.items():
         if only and name not in only:
             continue
@@ -109,11 +122,32 @@ def main() -> int:
             print(f"FAIL  {name}: rows={len(spark_pdf)} [{time.time()-t0:.1f}s]")
             for p in problems:
                 print(f"      - {p}")
+        elif len(spark_pdf) <= 1:
+            # A 0/1-row match proves almost nothing (an empty result matches
+            # an empty result for ANY wrong query) — report it separately so
+            # a threshold that zeroes out at one SF can't hide as green.
+            # Single-row entries that are non-trivial by construction
+            # (global aggregates over the whole table) are allowlisted.
+            if name in TRIVIAL_OK:
+                n_pass += 1
+                print(
+                    f"ok    {name}: rows={len(spark_pdf)} (1-row global agg) "
+                    f"[{time.time()-t0:.1f}s]"
+                )
+            else:
+                n_trivial += 1
+                print(
+                    f"TRIVIAL {name}: rows={len(spark_pdf)} — match carries no "
+                    f"value-level evidence at this SF [{time.time()-t0:.1f}s]"
+                )
         else:
             n_pass += 1
             print(f"ok    {name}: rows={len(spark_pdf)} [{time.time()-t0:.1f}s]")
-    print(f"\n{n_pass} ok, {n_weak} weak (rows-only), {n_fail} FAIL")
-    return 1 if n_fail else 0
+    print(
+        f"\n{n_pass} ok, {n_weak} weak (rows-only), {n_trivial} TRIVIAL, "
+        f"{n_fail} FAIL"
+    )
+    return 1 if (n_fail or n_trivial) else 0
 
 
 if __name__ == "__main__":
