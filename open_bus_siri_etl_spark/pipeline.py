@@ -100,25 +100,47 @@ def run_core(
     # dims: four anti-join appends; novelty attributed back to the earliest
     # contributing snapshot so bulk runs keep per-snapshot num_added_* parity
     novelty = get_or_create_objects(wh, keyed)
-    added: dict[str, dict[str, int]] = {}
     attribution = {
         "siri_route": "siri_route_id",
         "siri_stop": "siri_stop_id",
         "siri_ride": "siri_ride_id",
         "siri_ride_stop": "siri_ride_stop_id",
     }
-    for table, key_col in attribution.items():
-        nov = novelty[table]
-        per_snap = (
-            keyed.groupBy(F.col(key_col).alias("id"))
-            .agg(F.min("snapshot_id").alias("snapshot_id"))
-            .join(nov.select("id"), "id", "left_semi")
-            .groupBy("snapshot_id")
-            .count()
-            .collect()
-        )
-        added[table] = {r["snapshot_id"]: r["count"] for r in per_snap}
-        _beat()
+    # ONE action for all per-snapshot counters (4 dim novelty attributions +
+    # ok + bad): union the six snapshot-id-sized branches under a `kind` tag
+    # and collect once.  Six sequential collects cost six job launches per
+    # ingest batch — pure driver latency that compounds at 1-day backfill
+    # scale (1,440 snapshots); the branches all read the already-checkpointed
+    # `keyed`/`invalid`, so folding them changes job count, not results.
+    counter_frames = [
+        keyed.groupBy(F.col(key_col).alias("id"))
+        .agg(F.min("snapshot_id").alias("snapshot_id"))
+        .join(novelty[table].select("id"), "id", "left_semi")
+        .groupBy("snapshot_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit(table).alias("kind"), "snapshot_id", "n")
+        for table, key_col in attribution.items()
+    ]
+    counter_frames.append(
+        keyed.groupBy("snapshot_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("_ok").alias("kind"), "snapshot_id", "n")
+    )
+    counter_frames.append(
+        invalid.groupBy("snapshot_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("_bad").alias("kind"), "snapshot_id", "n")
+    )
+    unioned = counter_frames[0]
+    for frame in counter_frames[1:]:
+        unioned = unioned.unionByName(frame)
+    counters: dict[str, dict[str, int]] = {
+        t: {} for t in list(attribution) + ["_ok", "_bad"]
+    }
+    for r in unioned.collect():
+        counters[r["kind"]][r["snapshot_id"]] = r["n"]
+    added = {table: counters[table] for table in attribution}
+    _beat()
 
     # facts: idempotent per-snapshot replace
     facts = build_facts(keyed)
@@ -135,14 +157,7 @@ def run_core(
         out = keep.unionByName(invalid).localCheckpoint(eager=True)
         wh.overwrite(_DEAD_LETTER_TABLE, out)
 
-    ok = {
-        r["snapshot_id"]: r["count"]
-        for r in keyed.groupBy("snapshot_id").count().collect()
-    }
-    bad = {
-        r["snapshot_id"]: r["count"]
-        for r in invalid.groupBy("snapshot_id").count().collect()
-    }
+    ok, bad = counters["_ok"], counters["_bad"]
     stats = {}
     for sid in snapshot_ids:
         stats[sid] = {
