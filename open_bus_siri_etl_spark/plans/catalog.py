@@ -529,15 +529,19 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "try_cast_dead_letter",
     """
-    SELECT is_valid, count(*) AS n
+    SELECT event_type, is_valid, count(*) AS n
     FROM (
-        SELECT CASE WHEN TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)
+        SELECT event_type,
+               CASE WHEN TRY_CAST(json_extract_string(props, '$.k') AS INTEGER)
                          IS NOT NULL
                     AND value IS NOT NULL THEN true ELSE false END AS is_valid
         FROM events
-    ) GROUP BY is_valid
+    ) GROUP BY event_type, is_valid
     """,
-    note="P7 try-cast validity split: the valid/dead-letter branch counts",
+    note="P7 try-cast validity split, routed per event_type (the synthetic "
+    "props all parse, so a bare valid/invalid grain is one row — grouping "
+    "by type keeps the entry non-trivial at every SF while exercising the "
+    "same try-cast branch counts)",
 )
 def try_cast_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
     valid = (
@@ -546,8 +550,8 @@ def try_cast_dead_letter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         t(spark, sf_dir, "events")
-        .select(valid.alias("is_valid"))
-        .groupBy("is_valid")
+        .select("event_type", valid.alias("is_valid"))
+        .groupBy("event_type", "is_valid")
         .agg(F.count(F.lit(1)).alias("n"))
     )
 
@@ -3907,7 +3911,7 @@ def fuzzy_join_dist1_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
     JOIN nation   ON s_nationkey = n_nationkey
     JOIN region   ON n_regionkey = r_regionkey
-    WHERE r_name = 'ASIA'
+    WHERE r_name = 'EUROPE'
       AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
       AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
     GROUP BY n_name
@@ -3938,7 +3942,7 @@ def tpch_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
-        .filter(F.col("r_name") == "ASIA")
+        .filter(F.col("r_name") == "EUROPE")
         .groupBy("n_name")
         .agg(F.sum(rev).cast("double").alias("revenue"))
     )
@@ -4126,8 +4130,8 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN customer ON c_custkey = o_custkey
         JOIN nation n1 ON s_nationkey = n1.n_nationkey
         JOIN nation n2 ON c_nationkey = n2.n_nationkey
-        WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-            OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        WHERE ((n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_12')
+            OR (n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_10'))
           AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
           AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
     ) shipping
@@ -4160,8 +4164,8 @@ def tpch_q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n1), supp.s_nationkey == F.col("n1_key"))
         .join(F.broadcast(n2), cust.c_nationkey == F.col("n2_key"))
         .filter(
-            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
-            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+            ((F.col("supp_nation") == "NATION_10") & (F.col("cust_nation") == "NATION_12"))
+            | ((F.col("supp_nation") == "NATION_12") & (F.col("cust_nation") == "NATION_10"))
         )
     )
     return (
@@ -4424,13 +4428,14 @@ def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
       AND NOT EXISTS (
           SELECT 1 FROM orders
           WHERE o_custkey = c_custkey
-            AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00'
+            AND o_orderdate >= TIMESTAMP '2000-06-01 00:00:00'
       )
     GROUP BY c_nationkey
     """,
     note="TPC-H Q22 (global sales opportunity; phone-prefix country filter "
     "replaced by nationkey IN-list, and 'never ordered' tightened to 'no "
-    "order since 1999' — the synthetic orders cover every customer): the "
+    "order since mid-2000' — the synthetic orders cover every customer; "
+    "cutoff tuned so the nation grain is non-trivial at every SF): the "
     "scalar above-average-balance threshold is a one-row broadcast cross "
     "join (stays in-plan, no driver collect), the dormancy test is a LEFT "
     "ANTI join against the date-pruned orders scan",
@@ -4450,7 +4455,7 @@ def tpch_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     recent = t(spark, sf_dir, "orders").filter(
-        F.col("o_orderdate") >= "1999-01-01"
+        F.col("o_orderdate") >= "2000-06-01"
     ).select("o_custkey")
     return (
         sel.crossJoin(F.broadcast(avg_bal))
@@ -5028,7 +5033,7 @@ def tpch_q16_supplier_relationship(spark: SparkSession, sf_dir: str) -> DataFram
     SELECT s_suppkey, s_name FROM supplier
     JOIN nation ON s_nationkey = n_nationkey
     JOIN region ON n_regionkey = r_regionkey
-    WHERE r_name = 'ASIA'
+    WHERE r_name = 'EUROPE'
       AND s_suppkey IN (
           SELECT l_suppkey FROM qty JOIN part ON p_partkey = l_partkey
           WHERE p_name LIKE '%red%' AND CAST(total_qty AS DOUBLE) > 40.0)
@@ -5059,7 +5064,7 @@ def tpch_q20_promotion_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sup = t(spark, sf_dir, "supplier")
     na = t(spark, sf_dir, "nation")
-    re = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    re = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     return (
         sup.join(F.broadcast(na), sup.s_nationkey == na.n_nationkey)
         .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)

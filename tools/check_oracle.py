@@ -76,10 +76,22 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
 # else at ≤1 rows is reported TRIVIAL (threshold/date constants should be
 # tuned so the entry is non-trivial at every SF).
 TRIVIAL_OK = {
+    # one global scalar / summary row over the full table
     "global_minmax",
     "kmv_distinct_users",
+    "hll_distinct_users",
     "corpus_stats",
+    "triangle_count",
+    "key_set_diff",            # two set-difference counts in one row
+    "bloom_filter_probe",      # probe/pass/true/fp counts in one row
+    "funnel_view_click_error", # stage counts as columns
+    "sessionized_funnel",      # session/funnel counts as columns
+    # single-scalar by TPC-H spec
     "tpch_q6_forecast_revenue",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q19_disjunctive_revenue",
+    "small_lot_revenue",       # q17-shaped scalar
+    "tpch_q15_top_supplier",   # argmax — one row unless revenue ties
 }
 
 
