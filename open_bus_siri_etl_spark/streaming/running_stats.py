@@ -16,6 +16,9 @@ its state server, so ``google.protobuf`` must be importable by the Python
 workers (any standard Spark 4 deployment ships it; this dev container
 does not — ``transform_with_state_available()`` gates the tests).  The
 operator additionally requires the RocksDB state store provider.
+``running_stats_stream_gs`` is the value-identical twin on the classic
+GroupState API (Arrow-only protocol, no protobuf) — it runs and is tested
+everywhere, so the running-stats semantics never go unexercised.
 """
 
 from __future__ import annotations
@@ -87,6 +90,58 @@ def running_stats_stream(
         outputStructType=out_schema(key_col),
         outputMode="Update",
         timeMode="None",
+    )
+
+
+def running_stats_stream_gs(
+    events: DataFrame, key_col: str = "user_id", value_col: str = "value"
+) -> DataFrame:
+    """The same running-stats semantics on the classic GroupState API
+    (``applyInPandasWithState``) — per key, (count, sum, min, max) of
+    ``value`` accumulate across micro-batches and every batch emits the
+    UPDATED totals for the keys it touched.
+
+    Twin of ``running_stats_stream``: identical output schema and values,
+    different state API.  The GroupState protocol is Arrow-only (no
+    protobuf state server), so THIS variant runs — and is tested — in
+    environments where transformWithState's runtime dependency is absent;
+    the StatefulProcessor variant stays the Spark-4-native path and keeps
+    its gated test.  State per key is one fixed-size tuple either way, so
+    both scale to high-cardinality key spaces bounded by state-store size,
+    not executor memory.
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        n, total, vmin, vmax = (
+            state.get if state.exists else (0, 0.0, None, None)
+        )
+        for pdf in pdfs:
+            vals = pdf[value_col].astype("float64")
+            if not len(vals):
+                continue
+            n += int(len(vals))
+            total += float(vals.sum())
+            bmin, bmax = float(vals.min()), float(vals.max())
+            vmin = bmin if vmin is None else min(vmin, bmin)
+            vmax = bmax if vmax is None else max(vmax, bmax)
+        state.update((n, total, vmin, vmax))
+        yield pd.DataFrame(
+            {
+                key_col: [key[0]],
+                "n": [n],
+                "total": [total],
+                "vmin": [vmin],
+                "vmax": [vmax],
+            }
+        )
+
+    return events.groupBy(key_col).applyInPandasWithState(
+        update,
+        outputStructType=out_schema(key_col),
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
 
 

@@ -1097,7 +1097,9 @@ def test_transform_with_state_running_stats(spark, tmp_path):
 
     if not transform_with_state_available():
         _pytest.skip("google.protobuf unavailable: transformWithState "
-                     "cannot reach its state server in this container")
+                     "cannot reach its state server in this container; "
+                     "the same semantics ARE exercised here via the "
+                     "GroupState twin (test_group_state_running_stats)")
     spark.conf.set(
         "spark.sql.streaming.stateStore.providerClass",
         "org.apache.spark.sql.execution.streaming.state."
@@ -1128,6 +1130,48 @@ def test_transform_with_state_running_stats(spark, tmp_path):
     q.awaitTermination(120)
     rows = spark.sql("SELECT * FROM rs_out").collect()
     # final (largest-n) row per user carries the cross-batch totals
+    final = {}
+    for r in rows:
+        if r.user_id not in final or r.n > final[r.user_id].n:
+            final[r.user_id] = r
+    f1, f2 = final[1], final[2]
+    assert (f1.n, f1.total, f1.vmin, f1.vmax) == (3, 60.0, 10.0, 30.0)
+    assert (f2.n, f2.total, f2.vmin, f2.vmax) == (2, 4.0, -1.0, 5.0)
+
+
+def test_group_state_running_stats(spark, tmp_path):
+    """The applyInPandasWithState twin of running_stats_stream: identical
+    per-key cross-batch totals via the classic GroupState API, whose
+    Arrow-only protocol runs WITHOUT protobuf — so the running-stats
+    semantics are exercised end-to-end in this container even while the
+    transformWithState variant's test is environment-gated."""
+    from open_bus_siri_etl_spark.streaming.running_stats import (
+        running_stats_stream_gs,
+    )
+
+    src = tmp_path / "rsgs_src"
+    src.mkdir()
+    b1 = [(1, 10.0), (1, 20.0), (2, 5.0)]
+    b2 = [(1, 30.0), (2, -1.0)]
+    for name, batch in (("b1", b1), ("b2", b2)):
+        spark.createDataFrame(batch, "user_id long, value double").coalesce(
+            1
+        ).write.mode("overwrite").parquet(str(src / name))
+    stream = (
+        spark.readStream.schema("user_id long, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src / "*"))
+    )
+    out = running_stats_stream_gs(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("rsgs_out")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("SELECT * FROM rsgs_out").collect()
     final = {}
     for r in rows:
         if r.user_id not in final or r.n > final[r.user_id].n:
