@@ -85,6 +85,11 @@ REGISTRY: dict[str, Query] = {}
 
 def register(name: str, sql: str | None, note: str = ""):
     def deco(fn):
+        # a duplicate name would silently REPLACE the earlier entry in
+        # place — inside the driver's first-50 graded window that swaps a
+        # reference-parity query for whatever was appended last; fail loud
+        if name in REGISTRY:
+            raise ValueError(f"catalog entry {name!r} registered twice")
         REGISTRY[name] = Query(fn=fn, sql=sql, note=note)
         return fn
 
@@ -7365,7 +7370,7 @@ def asof_tolerance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "stratified_sample",
+    "stratified_rate_sample",
     """
     SELECT doc_id, source, keep_permille
     FROM (
@@ -7385,7 +7390,7 @@ def asof_tolerance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     "under re-partitioning.  Map-only (no shuffle); at 100 TB this is "
     "the only sampling shape that re-executes identically after retries",
 )
-def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def stratified_rate_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     keep = (
         F.lit(100)

@@ -106,6 +106,9 @@ SHOWCASE = {
     " shuffle key; count-distinct expands to a two-level aggregate",
     "embedding_lsh_candidates": "integer-quantized LSH bucketing fused into"
     " one scan; candidates from an equi-join on (tbl, bucket), no cartesian",
+    "embedding_lsh_ann": "full ANN pipeline UDF-free: quantized bucketing"
+    " per side, (tbl, bucket) equi-join with the query side broadcast,"
+    " vectors re-attached by id, per-query top-k window — no cartesian",
     "semantic_dedup_pairs": "centroid assignment against the broadcast"
     " codebook; pair search is an equi-join on cluster, never corpus x corpus",
     "ann_recall_eval": "two deterministic neighbor lists joined per query;"
