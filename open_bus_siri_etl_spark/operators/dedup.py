@@ -50,6 +50,35 @@ def exact_dedup_groups(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+def windowed_dedup(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    min_gap_sec: int = 3600,
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """Time-windowed dedup: keep a row only when its key has been quiet for
+    ``min_gap_sec`` — the first row of each burst, alert-grouping /
+    log-suppression semantics (a repeat inside the window extends it).
+
+    One lag() per key partition: a row survives iff it has no predecessor
+    or the gap to the immediately previous SAME-KEY row exceeds the
+    window.  Deterministic (ties ordered by ``tiebreak``), one shuffle on
+    the key, O(1) state per row — the batch analog of the watermarked
+    streaming dedup in streaming/dedup.py, which bounds the same semantics
+    by (watermark x arrival rate) instead of a window function.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*key_cols).orderBy(ts_col, tiebreak)
+    gap = F.col(ts_col).cast("long") - F.col("_prev_ts").cast("long")
+    return (
+        df.withColumn("_prev_ts", F.lag(F.col(ts_col)).over(w))
+        .filter(F.col("_prev_ts").isNull() | (gap > min_gap_sec))
+        .drop("_prev_ts")
+    )
+
+
 # ---------------------------------------------------------------------------
 # shingling + n-gram Jaccard
 # ---------------------------------------------------------------------------

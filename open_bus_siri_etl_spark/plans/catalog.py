@@ -7435,3 +7435,31 @@ def quality_quantile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         F.round(F.percent_rank().over(w), 6).alias("pct"),
     )
+
+
+@register(
+    "windowed_event_dedup",
+    """
+    SELECT event_id, user_id, event_type, ts FROM (
+        SELECT event_id, user_id, event_type, ts,
+               lag(ts) OVER (PARTITION BY user_id, event_type
+                             ORDER BY ts, event_id) AS prev_ts
+        FROM events
+    ) WHERE prev_ts IS NULL
+       OR CAST(floor(epoch(ts)) - floor(epoch(prev_ts)) AS BIGINT) > 3600
+    """,
+    note="time-windowed dedup (alert-grouping / log-suppression): keep a "
+    "row only when its (user, type) key has been quiet for an hour — a "
+    "repeat inside the window extends the suppression.  One lag() per key "
+    "partition (high-cardinality, never global), O(1) state per row; the "
+    "batch twin of the watermarked streaming dedup whose state plateau is "
+    "measured in BENCH_STREAMING.json",
+)
+def windowed_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import windowed_dedup
+
+    return windowed_dedup(
+        t(spark, sf_dir, "events"),
+        key_cols=["user_id", "event_type"],
+        min_gap_sec=3600,
+    ).select("event_id", "user_id", "event_type", "ts")

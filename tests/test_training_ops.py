@@ -857,3 +857,36 @@ def test_lsh_candidate_pairs_rejects_dim_mismatch(spark):
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     with _pytest.raises(ValueError, match="dim"):
         lsh_candidate_pairs(emb, dim=128)
+
+
+def test_windowed_dedup_closed_form(spark):
+    """Burst semantics: a repeat INSIDE the window extends the suppression
+    (t=0 keep, t=30m drop, t=70m drop — only 40m after the last event),
+    while a quiet gap over the window re-admits the key."""
+    import datetime
+
+    from open_bus_siri_etl_spark.operators.dedup import windowed_dedup
+
+    base = datetime.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(minutes):
+        return base + datetime.timedelta(minutes=minutes)
+
+    rows = [
+        (1, 7, "click", ts(0)),     # keep: first of key
+        (2, 7, "click", ts(30)),    # drop: 30m < 60m
+        (3, 7, "click", ts(70)),    # drop: 40m since event 2
+        (4, 7, "click", ts(140)),   # keep: 70m quiet since event 3
+        (5, 7, "view", ts(1)),      # keep: different key
+        (6, 8, "click", ts(2)),     # keep: different key
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    kept = sorted(
+        r.event_id
+        for r in windowed_dedup(
+            df, key_cols=["user_id", "event_type"], min_gap_sec=3600
+        ).collect()
+    )
+    assert kept == [1, 4, 5, 6]
