@@ -7463,3 +7463,54 @@ def windowed_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         key_cols=["user_id", "event_type"],
         min_gap_sec=3600,
     ).select("event_id", "user_id", "event_type", "ts")
+
+
+@register(
+    "join_key_skew_report",
+    """
+    WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+         tot AS (SELECT CAST(sum(n) AS DOUBLE) AS total,
+                        count(*) AS n_keys FROM c)
+    SELECT CAST(rank AS INTEGER) AS rank, user_id,
+           CAST(n AS BIGINT) AS n_rows,
+           round(n / total, 6) AS frac,
+           CAST(n_keys AS BIGINT) AS n_distinct_keys
+    FROM (SELECT user_id, n,
+                 row_number() OVER (ORDER BY n DESC, user_id) AS rank
+          FROM c), tot
+    WHERE rank <= 5
+    """,
+    note="join-key skew diagnostic — the measurement that DECIDES salting "
+    "(BENCH_SKEW.json shows salted joins win 2.18x only when a key is "
+    "hot; this report is how a pipeline finds out): per-key counts are "
+    "one map-combinable agg, the global total a 1-row broadcast, top-5 "
+    "via TakeOrdered — no global sort, no second scan.  At 100 TB this "
+    "runs as a cheap pre-flight on the join column and its frac column "
+    "feeds the salt-or-not branch directly",
+)
+def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    tot = c.agg(
+        F.sum("n").cast("double").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct_keys"),
+    )
+    # TakeOrderedAndProject FIRST (no global-sort exchange), then rank the
+    # 5-row survivor frame — the window's single partition holds k rows,
+    # never the key space
+    top5 = c.orderBy(F.desc("n"), "user_id").limit(5)
+    w = Window.orderBy(F.desc("n"), "user_id")
+    return (
+        top5.withColumn("rank", F.row_number().over(w).cast("int"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "rank",
+            "user_id",
+            F.col("n").cast("bigint").alias("n_rows"),
+            F.round(F.col("n") / F.col("total"), 6).alias("frac"),
+            "n_distinct_keys",
+        )
+    )
