@@ -604,17 +604,24 @@ def _quantized_bucket_frame(
     """
     # zip_with against a wrong-width plane array yields NULL folds, every
     # vector lands in bucket 0, and the "pruning" join silently degenerates
-    # to all-pairs — fail loudly on a dim mismatch instead
-    probe = df.select(F.size(F.col(vec_col)).alias("d")).first()
-    if probe is not None and int(probe["d"]) != dim:
-        raise ValueError(
-            f"quantized LSH bucketing: dim={dim} but {vec_col} has "
-            f"{int(probe['d'])} elements"
-        )
+    # to all-pairs — fail loudly on a dim mismatch instead.  The guard is
+    # IN-PLAN (a per-row branch fused into the quantization expression),
+    # not an eager .first() probe: plan construction launches zero jobs,
+    # and a mismatch anywhere in the data — not just the sampled row —
+    # fails the task with the message below
     planes = lsh_quantized_planes(n_planes, n_tables, dim)
-    qv = F.transform(
+    quantize = F.transform(
         F.col(vec_col),
         lambda x: F.floor(x.cast("double") * F.lit(float(quant))).cast("long"),
+    )
+    qv = F.when(F.size(F.col(vec_col)) == dim, quantize).otherwise(
+        F.raise_error(
+            F.format_string(
+                f"quantized LSH bucketing: dim={dim} but {vec_col} has "
+                "%d elements",
+                F.size(F.col(vec_col)),
+            )
+        )
     )
 
     def dot_q(t: int, p: int) -> Column:

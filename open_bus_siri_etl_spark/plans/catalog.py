@@ -1846,10 +1846,13 @@ def embedding_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "embedding_lsh_ann",
-    """
-    WITH f AS (
+# The exact-LSH ANN pipeline as a shared CTE chain (8 tables x 4 md5-integer
+# plane signs, floor-quantized vectors, queries vec_id < 8, exact cosine of
+# the candidate union in `s`).  Shared between embedding_lsh_ann and
+# lsh_ann_recall_eval the same way the Python side shares
+# _quantized_bucket_frame — retuning one twin cannot silently de-couple the
+# recall eval from the index it claims to measure.
+_LSH_ANN_CTE = """f AS (
         SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
                unnest(embedding)::DOUBLE AS v
         FROM embeddings
@@ -1895,7 +1898,13 @@ def embedding_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT query_id, neighbor_id, dot / (nq.nrm * nc.nrm) AS cosine
         FROM d JOIN n nq ON query_id = nq.vec_id
                JOIN n nc ON neighbor_id = nc.vec_id
-    )
+    )"""
+
+
+@register(
+    "embedding_lsh_ann",
+    f"""
+    WITH {_LSH_ANN_CTE}
     SELECT query_id, neighbor_id, rank FROM (
         SELECT query_id, neighbor_id, row_number() OVER (
             PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
@@ -7219,54 +7228,8 @@ def shipping_latency_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "lsh_ann_recall_eval",
-    """
-    WITH f AS (
-        SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
-               unnest(embedding)::DOUBLE AS v
-        FROM embeddings
-    ),
-    q AS (SELECT vec_id, i, CAST(floor(v * 1000.0) AS BIGINT) AS qv FROM f),
-    planes AS (
-        SELECT t.t, p.p, i.i,
-               (('0x' || substr(md5(t.t::VARCHAR || '_' || p.p::VARCHAR
-                                || '_' || i.i::VARCHAR), 1, 8))::BIGINT
-                % 1001) - 500 AS qw
-        FROM generate_series(0, 7) t(t)
-        CROSS JOIN generate_series(0, 3) p(p)
-        CROSS JOIN generate_series(0, 63) i(i)
-    ),
-    dots AS (
-        SELECT q.vec_id, pl.t, pl.p, sum(q.qv * pl.qw) AS dot_q
-        FROM q JOIN planes pl ON q.i = pl.i
-        GROUP BY 1, 2, 3
-    ),
-    buckets AS (
-        SELECT vec_id, t,
-               CAST(sum(CASE WHEN dot_q > 0 THEN 1 << p ELSE 0 END)
-                    AS INTEGER) AS bucket
-        FROM dots GROUP BY vec_id, t
-    ),
-    cand AS (
-        SELECT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
-        FROM buckets qb
-        JOIN buckets cb ON qb.t = cb.t AND qb.bucket = cb.bucket
-                       AND cb.vec_id <> qb.vec_id
-        WHERE qb.vec_id < 8
-        GROUP BY 1, 2
-    ),
-    n AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM f GROUP BY vec_id),
-    d AS (
-        SELECT c.query_id, c.neighbor_id, sum(a.v * b.v) AS dot
-        FROM cand c
-        JOIN f a ON a.vec_id = c.query_id
-        JOIN f b ON b.vec_id = c.neighbor_id AND b.i = a.i
-        GROUP BY 1, 2
-    ),
-    s AS (
-        SELECT query_id, neighbor_id, dot / (nq.nrm * nc.nrm) AS cosine
-        FROM d JOIN n nq ON query_id = nq.vec_id
-               JOIN n nc ON neighbor_id = nc.vec_id
-    ),
+    f"""
+    WITH {_LSH_ANN_CTE},
     approx AS (
         SELECT query_id, neighbor_id FROM (
             SELECT query_id, neighbor_id, row_number() OVER (

@@ -554,10 +554,14 @@ def _rewrite_asof_join(sql: str) -> str:
 
     Right-side ts ties stay single-match (a tied row's lead() equals its own
     ts, so its interval is empty — only the window-last tied row matches,
-    mirroring DuckDB's pick-one behavior).  Spark plans this as a range join
-    (BroadcastNestedLoop) — fine for the conformance suite's row-identity
-    check; the production operator is operators/temporal.asof_join (one
-    shuffle, linear carry-forward state).
+    mirroring DuckDB's pick-one behavior).  WHICH tied row wins is
+    engine-unspecified in DuckDB ASOF too, but Spark's window order among
+    ties must at least be run-to-run deterministic: when the right side
+    exposes an ``event_id`` column the rewrite appends it to the window
+    ORDER BY, pinning the pick (the catalog's two ASOF oracles both do).
+    Spark plans this as a range join (BroadcastNestedLoop) — fine for the
+    conformance suite's row-identity check; the production operator is
+    operators/temporal.asof_join (one shuffle, linear carry-forward state).
     """
     pat = re.compile(
         r"ASOF\s+(LEFT\s+)?JOIN\s+"
@@ -585,9 +589,10 @@ def _rewrite_asof_join(sql: str) -> str:
             return m.group(0)
         r_ts = ts_rc
         body = rexpr if rexpr.startswith("(") else f"(SELECT * FROM {rexpr})"
+        order = f"{r_ts}, event_id" if re.search(r"\bevent_id\b", rexpr) else r_ts
         return (
             f"{left_kw}JOIN (SELECT *, lead({r_ts}) OVER "
-            f"(PARTITION BY {r_key} ORDER BY {r_ts}) AS __asof_next "
+            f"(PARTITION BY {r_key} ORDER BY {order}) AS __asof_next "
             f"FROM {body} __asof_r) {alias} "
             f"ON {eq_l}.{eq_lc} = {eq_r}.{eq_rc} "
             f"AND {ts_l}.{ts_lc} >= {ts_r}.{ts_rc} "

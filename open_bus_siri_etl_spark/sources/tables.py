@@ -562,6 +562,16 @@ class Warehouse:
 
     # -- maintenance: small-file compaction ---------------------------------
 
+    def n_files(self, name: str) -> int:
+        """Count a table's data files (flat + one partition level) — the
+        single definition of "file count" shared by compact()'s return
+        value and the ingest benchmarks, so the two can't drift."""
+        path = self.table_path(name)
+        return len(
+            self.fs.glob(os.path.join(path, "*.parquet"))
+            + self.fs.glob(os.path.join(path, "*", "*.parquet"))
+        )
+
     def compact(self, name: str, target_files: int = 1) -> int:
         """Rewrite a table into ``target_files`` files per partition.
 
@@ -591,7 +601,4 @@ class Warehouse:
             # compaction must not trade file count for row-group skipping
             df = df.sortWithinPartitions("snapshot_date", "recorded_at_time")
         self._staged_rewrite(name, df, partition_by)
-        return len(
-            self.fs.glob(os.path.join(path, "*.parquet"))
-            + self.fs.glob(os.path.join(path, "*", "*.parquet"))
-        )
+        return self.n_files(name)

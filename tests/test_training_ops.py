@@ -849,14 +849,17 @@ def test_kmv_small_set_returns_exact_size(spark):
 
 def test_lsh_candidate_pairs_rejects_dim_mismatch(spark):
     """A wrong dim must raise, not silently bucket everything to 0 and
-    degenerate the pruning join to all-pairs."""
+    degenerate the pruning join to all-pairs.  The guard is IN-PLAN (a
+    raise_error branch fused into the quantization expression — plan
+    construction launches no jobs), so the failure surfaces on the first
+    action rather than at build time."""
     import pytest as _pytest
 
     from open_bus_siri_etl_spark.operators.similarity import lsh_candidate_pairs
 
     emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
-    with _pytest.raises(ValueError, match="dim"):
-        lsh_candidate_pairs(emb, dim=128)
+    with _pytest.raises(Exception, match="quantized LSH bucketing"):
+        lsh_candidate_pairs(emb, dim=128).count()
 
 
 def test_windowed_dedup_closed_form(spark):

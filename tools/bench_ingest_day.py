@@ -38,13 +38,7 @@ TABLES = [
 
 
 def _n_files(wh, name: str) -> int:
-    import os
-
-    path = wh.table_path(name)
-    return len(
-        wh.fs.glob(os.path.join(path, "*.parquet"))
-        + wh.fs.glob(os.path.join(path, "*", "*.parquet"))
-    )
+    return wh.n_files(name)
 
 
 def _flagship(wh):
