@@ -6,8 +6,13 @@ Two paths (beyond-reference, BASELINE.json north star):
   one pass over the corpus per query batch with no shuffle until the final
   per-query top-k (TakeOrdered-style window over rank).
 - LSH-bucketed ANN: random-hyperplane signatures bucket the corpus; queries
-  probe only their bucket.  Hyperplanes are seeded numpy (deterministic),
-  shipped as literal arrays → the whole plan stays native (no UDF).
+  probe only their bucket.  Two plane families: md5-derived INTEGER planes
+  over floor-quantized vectors (lsh_quantized_planes /
+  lsh_ann_topk_exact — bucket assignment is an exact integer computation,
+  bit-identical in any engine, so the whole ANN pipeline carries a
+  value-level oracle) and seeded-numpy Gaussian floats (lsh_ann_topk —
+  for float-plane workloads, recall-floor tested).  Either way the plan
+  stays native (no UDF) until the optional Arrow matmul path.
 
 Dot products are in-JVM column expressions — no explode, no Python.  When
 the vector width is known (``dim``), the sum is unrolled so whole-stage
