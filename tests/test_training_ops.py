@@ -893,3 +893,63 @@ def test_windowed_dedup_closed_form(spark):
         ).collect()
     )
     assert kept == [1, 4, 5, 6]
+
+
+def test_windowed_dedup_property_matches_python_fold(spark):
+    """Property: on ANY event multiset, windowed_dedup keeps exactly the
+    rows a sequential per-key fold keeps (first of each burst, repeats
+    extend the window).  One Spark round-trip over many generated cases —
+    hypothesis drives the CASE LIST, Spark runs once per example set."""
+    import datetime
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from open_bus_siri_etl_spark.operators.dedup import windowed_dedup
+
+    base = datetime.datetime(2024, 1, 1)
+    gap = 600  # seconds
+
+    events = st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2),      # user
+            st.sampled_from(["a", "b"]),                # type
+            st.integers(min_value=0, max_value=3600),   # offset sec
+        ),
+        min_size=1,
+        max_size=12,
+        unique=True,
+    )
+
+    @settings(
+        max_examples=20,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(events)
+    def check(evs):
+        rows = [
+            (i, u, t, base + datetime.timedelta(seconds=off))
+            for i, (u, t, off) in enumerate(evs)
+        ]
+        df = spark.createDataFrame(
+            rows, "event_id long, user_id long, event_type string, ts timestamp"
+        )
+        got = sorted(
+            r.event_id
+            for r in windowed_dedup(
+                df, key_cols=["user_id", "event_type"], min_gap_sec=gap
+            ).collect()
+        )
+        # reference fold: per key in (ts, event_id) order, keep iff gap to
+        # the IMMEDIATELY PREVIOUS same-key event exceeds the window
+        want = []
+        bykey = {}
+        for i, u, t, ts in sorted(rows, key=lambda r: (r[3], r[0])):
+            prev = bykey.get((u, t))
+            if prev is None or (ts - prev).total_seconds() > gap:
+                want.append(i)
+            bykey[(u, t)] = ts
+        assert got == sorted(want)
+
+    check()
