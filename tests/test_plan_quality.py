@@ -514,3 +514,29 @@ def test_pq_codes_broadcasts_codebook(spark):
     plan = explain_str(REGISTRY["pq_codes"].fn(spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_join_key_skew_report_no_global_sort(spark):
+    """Top-k must be TakeOrderedAndProject; the rank window runs on the
+    5-row survivor frame, so no key-space-wide single-partition exchange."""
+    plan = explain_str(REGISTRY["join_key_skew_report"].fn(spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange SinglePartition" not in plan
+
+
+def test_windowed_event_dedup_partitions_by_key(spark):
+    """The suppression window must partition by the dedup key — never a
+    constant/global window."""
+    plan = explain_str(REGISTRY["windowed_event_dedup"].fn(spark, SF))
+    assert "Exchange SinglePartition" not in plan
+    assert "lag(" in plan
+
+
+def test_embedding_lsh_ann_native_and_bucketed(spark):
+    """The exact-LSH ANN pipeline must stay JVM-native (no Python eval, no
+    Arrow map) and candidate generation must be an equi-join — never a
+    cartesian/nested-loop."""
+    plan = explain_str(REGISTRY["embedding_lsh_ann"].fn(spark, SF))
+    for bad in ("MapInPandas", "BatchEvalPython", "ArrowEvalPython",
+                "CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert bad not in plan, bad
