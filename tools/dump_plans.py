@@ -109,6 +109,11 @@ SHOWCASE = {
     "embedding_lsh_ann": "full ANN pipeline UDF-free: quantized bucketing"
     " per side, (tbl, bucket) equi-join with the query side broadcast,"
     " vectors re-attached by id, per-query top-k window — no cartesian",
+    "join_key_skew_report": "hot-key diagnostic: map-combinable per-key agg,"
+    " top-5 via TakeOrderedAndProject, 1-row total broadcast — no global"
+    " sort, no single-partition exchange",
+    "windowed_event_dedup": "suppression window partitioned by the dedup key"
+    " (high-cardinality lag), filter fused after — one shuffle total",
     "semantic_dedup_pairs": "centroid assignment against the broadcast"
     " codebook; pair search is an equi-join on cluster, never corpus x corpus",
     "ann_recall_eval": "two deterministic neighbor lists joined per query;"
