@@ -145,6 +145,50 @@ def cosine_near_pairs(
     )
 
 
+def cosine_delta_pairs(
+    corpus: DataFrame,
+    delta: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Incremental embedding near-dup: near-pairs INVOLVING the delta only
+    — the per-ingest shape (minhash_delta_dedup's embedding twin).
+
+    On each ingest the new batch must be checked against the indexed corpus
+    and against itself, never corpus x corpus again: work is
+    O(|delta| x N + |delta|²), not O(N²).  The (small) delta broadcasts; the
+    corpus streams through ONE scan.  Output matches cosine_near_pairs —
+    (vec_a, vec_b, cosine), vec_a < vec_b, 6dp-rounded — so the same SQL
+    contract verifies both, and delta x delta pairs appear exactly once.
+    """
+    def side(df: DataFrame, role: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(f"vec_{role}"),
+            F.col(vec_col).alias(f"{role}_vec"),
+            _norm(F.col(vec_col), dim).alias(f"{role}_nrm"),
+        )
+
+    both = side(corpus, "a").crossJoin(F.broadcast(side(delta, "b"))).unionByName(
+        side(delta, "a").crossJoin(F.broadcast(side(delta, "b")))
+    )
+    return (
+        both.filter(F.col("vec_a") < F.col("vec_b"))
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("a_vec"), F.col("b_vec"), dim)
+                / (F.col("a_nrm") * F.col("b_nrm")),
+                6,
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "cosine")
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -7477,3 +7477,104 @@ def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_distinct_keys",
         )
     )
+
+
+@register(
+    "embedding_delta_pairs",
+    """
+    WITH f AS (
+        SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+    ),
+    n AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM f GROUP BY vec_id),
+    d AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, sum(a.v * b.v) AS dot
+        FROM f a JOIN f b ON a.i = b.i AND a.vec_id < b.vec_id
+        WHERE b.vec_id >= 450
+        GROUP BY 1, 2
+    )
+    SELECT vec_a, vec_b, cosine FROM (
+        SELECT vec_a, vec_b, round(dot / (na.nrm * nb.nrm), 6) AS cosine
+        FROM d JOIN n na ON vec_a = na.vec_id JOIN n nb ON vec_b = nb.vec_id
+    ) WHERE cosine >= 0.4
+    """,
+    note="INCREMENTAL embedding near-dup — minhash_delta_dedup's embedding "
+    "twin: on each ingest only pairs involving the new batch are scored "
+    "(delta broadcast, corpus streams through ONE scan; O(|delta|·N + "
+    "|delta|²) work, never corpus x corpus again).  Same (vec_a, vec_b, "
+    "6dp cosine) contract as embedding_cosine_pairs, so the full-corpus "
+    "baseline and the per-ingest path verify against the same SQL shape — "
+    "the 100 TB property is that re-indexing cost is proportional to the "
+    "ingest, not the corpus",
+)
+def embedding_delta_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine_delta_pairs
+
+    emb = t(spark, sf_dir, "embeddings")
+    return cosine_delta_pairs(
+        emb.filter(F.col("vec_id") < 450),
+        emb.filter(F.col("vec_id") >= 450),
+        threshold=0.4,
+    )
+
+
+@register(
+    "rfm_segmentation",
+    """
+    WITH rfm AS (
+        SELECT c_custkey, c_nationkey,
+               max(o_orderdate) AS last_order,
+               count(*) AS frequency,
+               CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS monetary
+        FROM customer JOIN orders ON c_custkey = o_custkey
+        GROUP BY c_custkey, c_nationkey
+    )
+    SELECT c_custkey, c_nationkey,
+           CAST(ntile(4) OVER (PARTITION BY c_nationkey
+                               ORDER BY last_order, c_custkey) AS INTEGER)
+               AS r_quartile,
+           CAST(ntile(4) OVER (PARTITION BY c_nationkey
+                               ORDER BY frequency, c_custkey) AS INTEGER)
+               AS f_quartile,
+           CAST(ntile(4) OVER (PARTITION BY c_nationkey
+                               ORDER BY monetary, c_custkey) AS INTEGER)
+               AS m_quartile
+    FROM rfm
+    """,
+    note="RFM segmentation (recency/frequency/monetary quartiles) — the "
+    "classic customer-scoring rollup: one join shuffle to the customer "
+    "grain, then ntile windows PARTITIONED BY NATION (per-cohort quartiles "
+    "— better practice than global ones AND never a single-partition "
+    "window; both engines' ntile cast to INT, monetary from exact decimal "
+    "sums, c_custkey tie-breaks make every quartile boundary "
+    "deterministic)",
+)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = t(spark, sf_dir, "customer")
+    orders = t(spark, sf_dir, "orders")
+    rfm = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .groupBy("c_custkey", "c_nationkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(dec("o_totalprice")).cast("double").alias("monetary"),
+        )
+    )
+
+    def q(col: str):
+        return (
+            F.ntile(4)
+            .over(Window.partitionBy("c_nationkey").orderBy(col, "c_custkey"))
+            .cast("int")
+        )
+
+    return rfm.select(
+        "c_custkey",
+        "c_nationkey",
+        q("last_order").alias("r_quartile"),
+        q("frequency").alias("f_quartile"),
+        q("monetary").alias("m_quartile"),
+    )
