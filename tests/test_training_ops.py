@@ -953,3 +953,32 @@ def test_windowed_dedup_property_matches_python_fold(spark):
         assert got == sorted(want)
 
     check()
+
+
+def test_cosine_delta_pairs_composes_to_full_scan(spark):
+    """Incremental invariant: old-corpus pairs + delta-involving pairs ==
+    the full-corpus pair set — i.e. per-ingest scoring misses nothing and
+    double-counts nothing."""
+    from open_bus_siri_etl_spark.operators.similarity import (
+        cosine_delta_pairs,
+        cosine_near_pairs,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    corpus = emb.filter("vec_id < 450")
+    delta = emb.filter("vec_id >= 450")
+
+    full = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in cosine_near_pairs(emb, threshold=0.4).collect()
+    }
+    old = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in cosine_near_pairs(corpus, threshold=0.4).collect()
+    }
+    inc = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in cosine_delta_pairs(corpus, delta, threshold=0.4).collect()
+    }
+    assert not (old.keys() & inc.keys())  # disjoint by construction
+    assert {**old, **inc} == full
