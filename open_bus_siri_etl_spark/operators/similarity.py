@@ -161,7 +161,13 @@ def cosine_delta_pairs(
     O(|delta| x N + |delta|²), not O(N²).  The (small) delta broadcasts; the
     corpus streams through ONE scan.  Output matches cosine_near_pairs —
     (vec_a, vec_b, cosine), vec_a < vec_b, 6dp-rounded — so the same SQL
-    contract verifies both, and delta x delta pairs appear exactly once.
+    contract verifies both.
+
+    PRECONDITION: ``corpus`` and ``delta`` id sets must be disjoint (the
+    definition of a delta ingest) — an id in both would score its pair once
+    per arm.  Ids need NOT be ordered across the sets: the corpus x delta
+    arm emits (least, greatest), so an older backfilled id landing in the
+    delta still pairs with every newer corpus id.
     """
     def side(df: DataFrame, role: str) -> DataFrame:
         return df.select(
@@ -170,11 +176,31 @@ def cosine_delta_pairs(
             _norm(F.col(vec_col), dim).alias(f"{role}_nrm"),
         )
 
-    both = side(corpus, "a").crossJoin(F.broadcast(side(delta, "b"))).unionByName(
-        side(delta, "a").crossJoin(F.broadcast(side(delta, "b")))
+    # corpus x delta: keep every cross pair (id inequality only), normalize
+    # the id orientation with least/greatest — filtering vec_a < vec_b here
+    # would silently DROP pairs whose corpus id exceeds the delta id
+    cross = (
+        side(corpus, "a")
+        .crossJoin(F.broadcast(side(delta, "b")))
+        .filter(F.col("vec_a") != F.col("vec_b"))
+        .select(
+            F.least("vec_a", "vec_b").alias("vec_a"),
+            F.greatest("vec_a", "vec_b").alias("vec_b"),
+            F.col("a_vec"),
+            F.col("b_vec"),
+            F.col("a_nrm"),
+            F.col("b_nrm"),
+        )
+    )
+    # delta x delta: the usual upper triangle
+    within = (
+        side(delta, "a")
+        .crossJoin(F.broadcast(side(delta, "b")))
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", "a_vec", "b_vec", "a_nrm", "b_nrm")
     )
     return (
-        both.filter(F.col("vec_a") < F.col("vec_b"))
+        cross.unionByName(within)
         .withColumn(
             "cosine",
             F.round(
@@ -185,7 +211,6 @@ def cosine_delta_pairs(
         )
         .filter(F.col("cosine") >= threshold)
         .select("vec_a", "vec_b", "cosine")
-        .dropDuplicates(["vec_a", "vec_b"])
     )
 
 

@@ -7606,13 +7606,14 @@ _LANGID_PRED_SQL = REGISTRY["language_id"].sql
     "the ~|langs|² cell grid — nothing wide",
 )
 def language_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.textstats import with_language_id
+    # predicted_lang is a pure column expression (the same helper
+    # with_language_id projects), so the confusion matrix is ONE scan +
+    # one groupBy — no self-join back to documents
+    from ..operators.textstats import predicted_language
 
-    docs = t(spark, sf_dir, "documents")
-    pred = with_language_id(docs).select("doc_id", "predicted_lang")
     cells = (
-        docs.select("doc_id", "lang")
-        .join(pred, "doc_id")
+        t(spark, sf_dir, "documents")
+        .select("lang", predicted_language("text").alias("predicted_lang"))
         .groupBy("lang", "predicted_lang")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     )

@@ -982,3 +982,36 @@ def test_cosine_delta_pairs_composes_to_full_scan(spark):
     }
     assert not (old.keys() & inc.keys())  # disjoint by construction
     assert {**old, **inc} == full
+
+
+def test_cosine_delta_pairs_interleaved_ids(spark):
+    """The delta need not carry the highest ids (backfill ingest): a corpus
+    id greater than a delta id must still pair, oriented (least, greatest).
+    Regression for the vec_a<vec_b filter that silently dropped these."""
+    from open_bus_siri_etl_spark.operators.similarity import (
+        cosine_delta_pairs,
+        cosine_near_pairs,
+    )
+
+    rows = [
+        (10, [1.0, 0.0, 0.0]),
+        (500, [0.99, 0.01, 0.0]),   # corpus id ABOVE the delta id
+        (100, [0.98, 0.02, 0.0]),   # delta (backfilled, mid-range id)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    corpus = df.filter("vec_id != 100")
+    delta = df.filter("vec_id = 100")
+    full = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in cosine_near_pairs(df, threshold=0.9).collect()
+    }
+    old = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in cosine_near_pairs(corpus, threshold=0.9).collect()
+    }
+    inc = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in cosine_delta_pairs(corpus, delta, threshold=0.9).collect()
+    }
+    assert (100, 500) in inc  # the previously-dropped orientation
+    assert {**old, **inc} == full
