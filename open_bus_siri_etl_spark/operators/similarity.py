@@ -145,6 +145,42 @@ def cosine_near_pairs(
     )
 
 
+def _disjoint_ids_or_raise(
+    corpus: DataFrame, delta: DataFrame, id_col: str, op_name: str
+) -> DataFrame:
+    """Enforce the delta-ingest precondition corpus∩delta = ∅ IN-PLAN.
+
+    Returns ``corpus`` with its id column wrapped in a per-row branch that
+    raises iff the id also appears in ``delta`` (broadcast left join on the
+    tiny delta id set, then ``when/otherwise(raise_error)`` — the same
+    zero-jobs-at-build guard style as ``_quantized_bucket_frame``).  An
+    overlapping id used to silently double-score its pairs (once per union
+    arm); now any task that touches such a row fails with the message
+    below, and a disjoint ingest pays only one broadcast-hash probe per
+    corpus row.
+    """
+    dup = F.broadcast(
+        delta.select(F.col(id_col).alias("_delta_dup_id")).distinct()
+    )
+    guarded_id = F.when(
+        F.col("_delta_dup_id").isNull(), F.col(id_col)
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                f"{op_name}: id %s present in BOTH corpus and delta — a "
+                "delta ingest requires disjoint id sets (an overlapping id "
+                "would double-score its pairs)",
+                F.col(id_col).cast("string"),
+            )
+        )
+    )
+    return (
+        corpus.join(dup, corpus[id_col] == F.col("_delta_dup_id"), "left")
+        .withColumn(id_col, guarded_id)
+        .drop("_delta_dup_id")
+    )
+
+
 def cosine_delta_pairs(
     corpus: DataFrame,
     delta: DataFrame,
@@ -163,12 +199,16 @@ def cosine_delta_pairs(
     (vec_a, vec_b, cosine), vec_a < vec_b, 6dp-rounded — so the same SQL
     contract verifies both.
 
-    PRECONDITION: ``corpus`` and ``delta`` id sets must be disjoint (the
-    definition of a delta ingest) — an id in both would score its pair once
-    per arm.  Ids need NOT be ordered across the sets: the corpus x delta
-    arm emits (least, greatest), so an older backfilled id landing in the
-    delta still pairs with every newer corpus id.
+    PRECONDITION (ENFORCED in-plan): ``corpus`` and ``delta`` id sets must
+    be disjoint (the definition of a delta ingest) — an id in both would
+    score its pair once per arm, so any task touching an overlapping id
+    raises (see ``_disjoint_ids_or_raise``).  Ids need NOT be ordered
+    across the sets: the corpus x delta arm emits (least, greatest), so an
+    older backfilled id landing in the delta still pairs with every newer
+    corpus id.
     """
+    corpus = _disjoint_ids_or_raise(corpus, delta, id_col, "cosine_delta_pairs")
+
     def side(df: DataFrame, role: str) -> DataFrame:
         return df.select(
             F.col(id_col).alias(f"vec_{role}"),
@@ -699,7 +739,10 @@ def _quantized_bucket_frame(
     )
 
     def dot_q(t: int, p: int) -> Column:
-        w = F.array(*[F.lit(w_i).cast("long") for w_i in planes[(t, p)]])
+        # ONE array literal per plane (not 64 CreateArray children): the
+        # T*P planes otherwise put T*P*dim literal nodes in the tree and
+        # Catalyst analysis alone costs seconds per execution
+        w = F.lit(planes[(t, p)]).cast("array<bigint>")
         return F.aggregate(
             F.zip_with(F.col("_qv"), w, lambda a, b: a * b),
             F.lit(0).cast("long"),
@@ -845,6 +888,144 @@ def lsh_ann_topk_exact(
         sim.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def lsh_bucket_index(
+    df: DataFrame,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    quant: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = EMBEDDING_DIM,
+) -> DataFrame:
+    """The persistable LSH bucket index: (id, tbl, bucket), one row per
+    (vector, table) — the embedding twin of ``minhash_delta_dedup``'s band
+    index.  Build once over the corpus, append each ingested delta's frame
+    (bucket assignment is per-row, so incremental append IS the full
+    rebuild), and feed it to ``cosine_delta_pairs_lsh(corpus_index=...)``
+    so per-ingest candidate generation never re-projects corpus vectors.
+    3 narrow int columns — write it partitioned/bucketed by ``bucket`` and
+    the candidate join co-locates."""
+    return _quantized_bucket_frame(
+        df, id_col, n_planes, n_tables, quant, id_col, vec_col, dim
+    )
+
+
+def cosine_delta_pairs_lsh(
+    corpus: DataFrame,
+    delta: DataFrame,
+    threshold: float = 0.4,
+    n_planes: int = 4,
+    n_tables: int = 8,
+    quant: int = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = EMBEDDING_DIM,
+    corpus_index: DataFrame | None = None,
+) -> DataFrame:
+    """BUCKETED incremental embedding near-dup — the scale path for
+    per-ingest embedding dedup (``minhash_delta_dedup``'s index shape with
+    ``cosine_delta_pairs``'s contract).
+
+    ``cosine_delta_pairs`` is exact but O(|Δ|·N) per ingest: every delta
+    vector scores a dot product against every corpus vector.  Here both
+    sides are LSH-bucketed first (the md5-integer-plane /
+    floor-quantization family of ``_quantized_bucket_frame``, so bucket
+    assignment is bit-identical in any engine), candidates come from an
+    equi-join on (tbl, bucket) restricted to pairs INVOLVING the delta,
+    and only the candidate union gets an exact cosine verify — expected
+    work O(|Δ|·N·T/2^P) dot products instead of O(|Δ|·N).
+
+    Approximate BY DESIGN (a near-pair sharing no bucket is missed — the
+    same trade ``lsh_ann_topk_exact`` documents) but DETERMINISTICALLY so:
+    the result is an exact function of the data, so it carries a
+    value-level cross-engine oracle, and its miss rate vs the exact path
+    is itself measurable (catalog twin of ``lsh_ann_recall_eval``).
+
+    Scale shape: corpus buckets once per ingest epoch (persist them — the
+    frame is (id, tbl, bucket), 3 narrow columns, incrementally
+    appendable exactly like ``minhash_delta_dedup``'s band index); the
+    delta's bucket frame broadcasts; the verify re-attaches vectors by id
+    equi-join so no vector payload rides through the bucket explode.
+    Output matches cosine_delta_pairs: (vec_a, vec_b, cosine), vec_a <
+    vec_b, 6dp round-before-threshold.
+
+    PRECONDITION (ENFORCED in-plan): corpus and delta id sets disjoint —
+    same guard as cosine_delta_pairs.
+
+    Pass ``corpus_index`` (a persisted ``lsh_bucket_index`` frame for the
+    corpus) to skip re-projecting corpus vectors on every ingest: the
+    per-ingest plan then touches only the delta's projections, the narrow
+    index join, and the candidate verify — the measured win in
+    BENCH_DELTA_SCALING.json.
+    """
+    corpus = _disjoint_ids_or_raise(
+        corpus, delta, id_col, "cosine_delta_pairs_lsh"
+    )
+    if corpus_index is not None:
+        cb = corpus_index.select(
+            F.col(id_col).alias("_cid"), "tbl", "bucket"
+        )
+    else:
+        cb = _quantized_bucket_frame(
+            corpus, "_cid", n_planes, n_tables, quant, id_col, vec_col, dim
+        )
+    db = F.broadcast(
+        _quantized_bucket_frame(
+            delta, "_did", n_planes, n_tables, quant, id_col, vec_col, dim
+        )
+    )
+    # corpus x delta collisions (orientation normalized — a backfilled
+    # delta id may be smaller than corpus ids) ∪ delta x delta collisions
+    cross = (
+        cb.join(db, ["tbl", "bucket"])
+        .filter(F.col("_cid") != F.col("_did"))
+        .select(
+            F.least("_cid", "_did").alias("vec_a"),
+            F.greatest("_cid", "_did").alias("vec_b"),
+        )
+    )
+    db2 = db.select(
+        F.col("_did").alias("_did2"), "tbl", "bucket"
+    )
+    within = (
+        db.join(db2, ["tbl", "bucket"])
+        .filter(F.col("_did") < F.col("_did2"))
+        .select(F.col("_did").alias("vec_a"), F.col("_did2").alias("vec_b"))
+    )
+    # a pair colliding in several tables must verify once
+    cand = cross.unionByName(within).distinct()
+
+    vecs = corpus.unionByName(delta).select(
+        F.col(id_col).alias("_vid"),
+        F.col(vec_col).alias("_vec"),
+        _norm(F.col(vec_col)).alias("_nrm"),
+    )
+    a = vecs.select(
+        F.col("_vid").alias("vec_a"),
+        F.col("_vec").alias("a_vec"),
+        F.col("_nrm").alias("a_nrm"),
+    )
+    b = vecs.select(
+        F.col("_vid").alias("vec_b"),
+        F.col("_vec").alias("b_vec"),
+        F.col("_nrm").alias("b_nrm"),
+    )
+    return (
+        cand.join(a, "vec_a")
+        .join(b, "vec_b")
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("a_vec"), F.col("b_vec"))
+                / (F.col("a_nrm") * F.col("b_nrm")),
+                6,
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select("vec_a", "vec_b", "cosine")
     )
 
 

@@ -1846,13 +1846,14 @@ def embedding_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# The exact-LSH ANN pipeline as a shared CTE chain (8 tables x 4 md5-integer
-# plane signs, floor-quantized vectors, queries vec_id < 8, exact cosine of
-# the candidate union in `s`).  Shared between embedding_lsh_ann and
-# lsh_ann_recall_eval the same way the Python side shares
-# _quantized_bucket_frame — retuning one twin cannot silently de-couple the
-# recall eval from the index it claims to measure.
-_LSH_ANN_CTE = """f AS (
+# The exact-LSH bucketing stage as a shared CTE chain (8 tables x 4
+# md5-integer plane signs, floor-quantized vectors, per-vector norms).
+# Composed into _LSH_ANN_CTE (queries vec_id < 8 + exact cosine of the
+# candidate union) and into embedding_delta_pairs_lsh's delta-restricted
+# candidate join, the same way the Python side shares
+# _quantized_bucket_frame — retuning one consumer cannot silently
+# de-couple it from the plane family the others use.
+_LSH_BUCKETS_CTE = """f AS (
         SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS i,
                unnest(embedding)::DOUBLE AS v
         FROM embeddings
@@ -1878,6 +1879,13 @@ _LSH_ANN_CTE = """f AS (
                     AS INTEGER) AS bucket
         FROM dots GROUP BY vec_id, t
     ),
+    n AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM f GROUP BY vec_id)"""
+
+# The ANN tail over the shared bucket stage: queries vec_id < 8 probe their
+# buckets, exact cosine on the deduplicated candidate union in `s`.  Shared
+# between embedding_lsh_ann and lsh_ann_recall_eval so the recall eval can
+# never drift from the index it claims to measure.
+_LSH_ANN_CTE = f"""{_LSH_BUCKETS_CTE},
     cand AS (
         SELECT qb.vec_id AS query_id, cb.vec_id AS neighbor_id
         FROM buckets qb
@@ -1886,7 +1894,6 @@ _LSH_ANN_CTE = """f AS (
         WHERE qb.vec_id < 8
         GROUP BY 1, 2
     ),
-    n AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM f GROUP BY vec_id),
     d AS (
         SELECT c.query_id, c.neighbor_id, sum(a.v * b.v) AS dot
         FROM cand c
@@ -7623,4 +7630,54 @@ def language_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         "predicted_lang",
         "n",
         F.round(F.col("n") * 1.0 / F.sum("n").over(w), 6).alias("frac_of_lang"),
+    )
+
+
+@register(
+    "embedding_delta_pairs_lsh",
+    f"""
+    WITH {_LSH_BUCKETS_CTE},
+    cand AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM buckets a
+        JOIN buckets b ON a.t = b.t AND a.bucket = b.bucket
+                      AND a.vec_id < b.vec_id
+        WHERE a.vec_id >= 450 OR b.vec_id >= 450
+        GROUP BY 1, 2
+    ),
+    d AS (
+        SELECT c.vec_a, c.vec_b, sum(a.v * b.v) AS dot
+        FROM cand c
+        JOIN f a ON a.vec_id = c.vec_a
+        JOIN f b ON b.vec_id = c.vec_b AND b.i = a.i
+        GROUP BY 1, 2
+    )
+    SELECT vec_a, vec_b, cosine FROM (
+        SELECT vec_a, vec_b, round(dot / (na.nrm * nb.nrm), 6) AS cosine
+        FROM d JOIN n na ON vec_a = na.vec_id JOIN n nb ON vec_b = nb.vec_id
+    ) WHERE cosine >= 0.4
+    """,
+    note="BUCKETED incremental embedding near-dup — embedding_delta_pairs' "
+    "scale twin (minhash_delta_dedup's index shape on the embedding side): "
+    "both sides LSH-bucket with the proven md5-integer-plane family "
+    "(floor-quantized vectors, bit-identical buckets in any engine, shared "
+    "CTE with embedding_lsh_ann), candidates from a (tbl,bucket) equi-join "
+    "restricted to pairs involving the delta, exact 6dp cosine verify of "
+    "the candidate union only — O(|Δ|·N·T/2^P) dot products per ingest "
+    "instead of the exact path's O(|Δ|·N).  Deterministically approximate "
+    "(finds 5 of the exact path's 6 pairs on this data — the miss is the "
+    "documented LSH trade), so the whole per-ingest pipeline carries a "
+    "value-level oracle; corpus bucket frame is persistable/appendable "
+    "like the minhash band index, delta frame broadcasts",
+)
+def embedding_delta_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine_delta_pairs_lsh
+
+    emb = t(spark, sf_dir, "embeddings")
+    return cosine_delta_pairs_lsh(
+        emb.filter(F.col("vec_id") < 450),
+        emb.filter(F.col("vec_id") >= 450),
+        threshold=0.4,
+        n_planes=4,
+        n_tables=8,
     )

@@ -1015,3 +1015,104 @@ def test_cosine_delta_pairs_interleaved_ids(spark):
     }
     assert (100, 500) in inc  # the previously-dropped orientation
     assert {**old, **inc} == full
+
+
+def test_cosine_delta_pairs_overlap_raises(spark):
+    """The corpus∩delta=∅ precondition is ENFORCED in-plan: an id present
+    in both sides fails the job loudly instead of silently double-scoring
+    its pairs once per union arm (round-6 verdict hardening #1)."""
+    from open_bus_siri_etl_spark.operators.similarity import cosine_delta_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    # vec_id 450 lands in BOTH arms
+    # AQE may wrap the task failure (STAGE_MATERIALIZATION_MULTIPLE_FAILURES)
+    # so match the message, not the wrapper class
+    with pytest.raises(Exception, match="BOTH corpus and delta"):
+        cosine_delta_pairs(
+            emb.filter("vec_id <= 450"), emb.filter("vec_id >= 450")
+        ).count()
+
+
+def test_cosine_delta_pairs_lsh_subset_of_exact(spark):
+    """The bucketed delta path returns a SUBSET of the exact delta pairs
+    (LSH may miss a pair sharing no bucket, never invents one), with
+    identical cosines on the pairs it finds, and the same in-plan
+    disjointness guard."""
+    from open_bus_siri_etl_spark.operators.similarity import (
+        cosine_delta_pairs,
+        cosine_delta_pairs_lsh,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    corpus = emb.filter("vec_id < 450")
+    delta = emb.filter("vec_id >= 450")
+    exact = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in cosine_delta_pairs(corpus, delta, threshold=0.4).collect()
+    }
+    lsh = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in cosine_delta_pairs_lsh(corpus, delta, threshold=0.4).collect()
+    }
+    assert lsh  # non-trivial on this data
+    assert set(lsh) <= set(exact)
+    assert all(exact[k] == v for k, v in lsh.items())
+    # AQE may wrap the task failure (STAGE_MATERIALIZATION_MULTIPLE_FAILURES)
+    # so match the message, not the wrapper class
+    with pytest.raises(Exception, match="BOTH corpus and delta"):
+        cosine_delta_pairs_lsh(
+            emb.filter("vec_id <= 450"), delta
+        ).count()
+
+
+def test_cosine_delta_pairs_lsh_more_tables_more_recall(spark):
+    """Recall is monotone in the number of hash tables: every pair found
+    by tables 0..T-1 is found by tables 0..T (the plane family is keyed by
+    (t, p), so smaller T is a prefix of larger T)."""
+    from open_bus_siri_etl_spark.operators.similarity import cosine_delta_pairs_lsh
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    corpus = emb.filter("vec_id < 450")
+    delta = emb.filter("vec_id >= 450")
+    few = {
+        (r.vec_a, r.vec_b)
+        for r in cosine_delta_pairs_lsh(
+            corpus, delta, threshold=0.4, n_tables=2
+        ).collect()
+    }
+    many = {
+        (r.vec_a, r.vec_b)
+        for r in cosine_delta_pairs_lsh(
+            corpus, delta, threshold=0.4, n_tables=8
+        ).collect()
+    }
+    assert few <= many
+
+
+def test_cosine_delta_pairs_lsh_persisted_index(spark, tmp_path):
+    """The persisted-index path (lsh_bucket_index written to parquet, read
+    back, fed via corpus_index=) returns EXACTLY the inline result — the
+    per-ingest shape where corpus vectors are never re-projected."""
+    from open_bus_siri_etl_spark.operators.similarity import (
+        cosine_delta_pairs_lsh,
+        lsh_bucket_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    corpus = emb.filter("vec_id < 450")
+    delta = emb.filter("vec_id >= 450")
+    inline = sorted(
+        map(tuple, cosine_delta_pairs_lsh(corpus, delta, threshold=0.4).collect())
+    )
+    idx_path = str(tmp_path / "lsh_index")
+    lsh_bucket_index(corpus).write.parquet(idx_path)
+    idx = spark.read.parquet(idx_path)
+    via_index = sorted(
+        map(
+            tuple,
+            cosine_delta_pairs_lsh(
+                corpus, delta, threshold=0.4, corpus_index=idx
+            ).collect(),
+        )
+    )
+    assert inline == via_index and inline
