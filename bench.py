@@ -74,19 +74,32 @@ def main() -> None:
     # page cache, scheduler jitter); the minimum is the steady-state latency
     # and is the standard way to report microbench-scale timings.
     repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
+    # the two historically noisy entries get extra repeats so their min is
+    # anchored even under background load (round-6/7 verdict directive)
+    extra_repeat_names = {"kmeans_clusters_k32", "heavy_hitters_mg"}
+    extra_repeats = max(repeats, 5)
+    load_before = os.getloadavg()
     timings: dict[str, float] = {}
     per_repeat: dict[str, list[float]] = {}
+    spread: dict[str, float] = {}
     for name in names:
         q = REGISTRY[name]
         runs = []
-        for _ in range(repeats):
+        for _ in range(extra_repeats if name in extra_repeat_names else repeats):
             t0 = time.time()
             q.fn(spark, sf_dir).count()
             runs.append(round(time.time() - t0, 3))
         per_repeat[name] = runs
         timings[name] = min(runs)
+        spread[name] = round((max(runs) - min(runs)) / max(min(runs), 1e-9), 3)
+    load_after = os.getloadavg()
 
     total = round(sum(timings.values()), 3)
+    # a busy box inflates every timing: flag the artifact itself when the
+    # 1-min loadavg (beyond this bench's own ~32 worker threads' share,
+    # which dominates load_after) was already high BEFORE the bench ran —
+    # consumers must discount regressions carrying load_flag=true
+    load_flag = load_before[0] > 4.0
     out = {
         "metric": "catalog_headline_total",
         "value": total,
@@ -98,8 +111,15 @@ def main() -> None:
         # the full per-repeat arrays distinguish noise (wide spread, stable
         # min) from a genuine regression (shifted min) — round-5 verdict ask
         "repeats": repeats,
+        "extra_repeats": {n: extra_repeats for n in extra_repeat_names if n in timings},
         "timing": "min_of_repeats",
         "per_repeat_sec": per_repeat,
+        # (max-min)/min per query: >~0.15 means the box was noisy during
+        # that query's window and its min is the only trustworthy number
+        "spread": spread,
+        "loadavg_before": [round(x, 2) for x in load_before],
+        "loadavg_after": [round(x, 2) for x in load_after],
+        "load_flag": load_flag,
     }
 
     # Regression guard: compare against the committed standing baseline

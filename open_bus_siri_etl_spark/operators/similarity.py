@@ -145,6 +145,28 @@ def cosine_near_pairs(
     )
 
 
+def _non_null_ids(
+    df: DataFrame, id_col: str, op_name: str, side: str
+) -> DataFrame:
+    """Raise IN-PLAN if ``id_col`` is NULL anywhere: a NULL id never
+    matches an equality join, so it would silently escape both the
+    disjointness guard and the downstream verify joins — quiet pair loss
+    instead of an error.  Per-row branch fused into the projection, zero
+    jobs at plan build (the repo's standard guard style)."""
+    return df.withColumn(
+        id_col,
+        F.when(F.col(id_col).isNotNull(), F.col(id_col)).otherwise(
+            F.raise_error(
+                F.lit(
+                    f"{op_name}: NULL {id_col} in {side} — NULL ids escape "
+                    "equality joins, so their pairs would be silently "
+                    "dropped rather than scored"
+                )
+            )
+        ),
+    )
+
+
 def _disjoint_ids_or_raise(
     corpus: DataFrame, delta: DataFrame, id_col: str, op_name: str
 ) -> DataFrame:
@@ -158,26 +180,33 @@ def _disjoint_ids_or_raise(
     arm); now any task that touches such a row fails with the message
     below, and a disjoint ingest pays only one broadcast-hash probe per
     corpus row.
+
+    The probe joins null-safely (``eqNullSafe``) and flags the match with
+    a marker column rather than the joined id itself, so a NULL id
+    appearing on both sides is caught too (callers additionally reject
+    NULL ids outright via ``_non_null_ids``).
     """
     dup = F.broadcast(
-        delta.select(F.col(id_col).alias("_delta_dup_id")).distinct()
+        delta.select(F.col(id_col).alias("_delta_dup_id"))
+        .distinct()
+        .withColumn("_delta_dup_hit", F.lit(True))
     )
     guarded_id = F.when(
-        F.col("_delta_dup_id").isNull(), F.col(id_col)
+        F.col("_delta_dup_hit").isNull(), F.col(id_col)
     ).otherwise(
         F.raise_error(
             F.format_string(
                 f"{op_name}: id %s present in BOTH corpus and delta — a "
                 "delta ingest requires disjoint id sets (an overlapping id "
                 "would double-score its pairs)",
-                F.col(id_col).cast("string"),
+                F.coalesce(F.col(id_col).cast("string"), F.lit("NULL")),
             )
         )
     )
     return (
-        corpus.join(dup, corpus[id_col] == F.col("_delta_dup_id"), "left")
+        corpus.join(dup, corpus[id_col].eqNullSafe(F.col("_delta_dup_id")), "left")
         .withColumn(id_col, guarded_id)
-        .drop("_delta_dup_id")
+        .drop("_delta_dup_id", "_delta_dup_hit")
     )
 
 
@@ -207,6 +236,8 @@ def cosine_delta_pairs(
     older backfilled id landing in the delta still pairs with every newer
     corpus id.
     """
+    corpus = _non_null_ids(corpus, id_col, "cosine_delta_pairs", "corpus")
+    delta = _non_null_ids(delta, id_col, "cosine_delta_pairs", "delta")
     corpus = _disjoint_ids_or_raise(corpus, delta, id_col, "cosine_delta_pairs")
 
     def side(df: DataFrame, role: str) -> DataFrame:
@@ -707,6 +738,7 @@ def _quantized_bucket_frame(
     id_col: str,
     vec_col: str,
     dim: int,
+    with_norm: bool = False,
 ) -> DataFrame:
     """(id, vec) → (id_out, tbl, bucket) with bit-exact cross-engine bucket
     assignment: vectors quantize to int64 via floor(v * quant) (floor of a
@@ -715,6 +747,12 @@ def _quantized_bucket_frame(
     integers of lsh_quantized_planes, so each signed projection is an exact
     order-independent integer sum.  Shared by lsh_candidate_pairs and
     lsh_ann_topk_exact so the two can never drift.
+
+    ``with_norm=True`` appends the vector's L2 norm (``nrm``), computed in
+    the same projection as the quantization — one scan yields both the
+    bucket assignment and the verify-side norm, which is what lets
+    ``lsh_bucket_index`` serve as the COMPLETE per-ingest corpus metadata
+    (the delta path never re-projects corpus vectors for norms).
     """
     # zip_with against a wrong-width plane array yields NULL folds, every
     # vector lands in bucket 0, and the "pruning" join silently degenerates
@@ -767,10 +805,20 @@ def _quantized_bucket_frame(
             ]
         )
     )
+    base_cols = [F.col(id_col).alias(id_out), qv.alias("_qv")]
+    carry = []
+    if with_norm:
+        base_cols.append(_norm(F.col(vec_col)).alias("nrm"))
+        carry = ["nrm"]
     return (
-        df.select(F.col(id_col).alias(id_out), qv.alias("_qv"))
-        .select(id_out, tb.alias("tb"))
-        .select(id_out, F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+        df.select(*base_cols)
+        .select(id_out, *carry, tb.alias("tb"))
+        .select(
+            id_out,
+            F.col("tb.tbl").alias("tbl"),
+            F.col("tb.bucket").alias("bucket"),
+            *carry,
+        )
     )
 
 
@@ -891,6 +939,16 @@ def lsh_ann_topk_exact(
     )
 
 
+def _lsh_params_tag(n_planes: int, n_tables: int, quant: int, dim: int) -> str:
+    """The build-parameter fingerprint persisted with every
+    ``lsh_bucket_index`` row.  An index built under one (planes, tables,
+    quant, dim) family produces a DIFFERENT bucket space than another —
+    probing it with mismatched call parameters silently collapses recall
+    — so the delta path checks this tag in-plan and fails loudly on any
+    mismatch (round-7 advisory)."""
+    return f"P{n_planes}T{n_tables}Q{quant}D{dim}"
+
+
 def lsh_bucket_index(
     df: DataFrame,
     n_planes: int = 4,
@@ -900,17 +958,34 @@ def lsh_bucket_index(
     vec_col: str = "embedding",
     dim: int = EMBEDDING_DIM,
 ) -> DataFrame:
-    """The persistable LSH bucket index: (id, tbl, bucket), one row per
-    (vector, table) — the embedding twin of ``minhash_delta_dedup``'s band
-    index.  Build once over the corpus, append each ingested delta's frame
-    (bucket assignment is per-row, so incremental append IS the full
-    rebuild), and feed it to ``cosine_delta_pairs_lsh(corpus_index=...)``
-    so per-ingest candidate generation never re-projects corpus vectors.
-    3 narrow int columns — write it partitioned/bucketed by ``bucket`` and
-    the candidate join co-locates."""
+    """The persistable LSH bucket index: (id, tbl, bucket, nrm, params),
+    one row per (vector, table) — the embedding twin of
+    ``minhash_delta_dedup``'s band index.  Build once over the corpus,
+    append each ingested delta's frame (bucket assignment and norm are
+    per-row, so incremental append IS the full rebuild), and feed it to
+    ``cosine_delta_pairs_lsh(corpus_index=...)`` so per-ingest candidate
+    generation never re-projects corpus vectors.
+
+    The round-8 format carries two verify-side fields beyond the bucket
+    assignment:
+
+    - ``nrm`` — the vector's L2 norm, computed in the SAME projection as
+      the quantization, so the delta path's cosine verify needs corpus
+      VECTORS only for the candidate id set (dot products) and corpus
+      norms never again;
+    - ``params`` — the build-parameter tag (``_lsh_params_tag``); the
+      delta path raises in-plan if it doesn't match the call's parameters
+      (a mismatched family yields a different bucket space — silent recall
+      collapse otherwise).
+
+    Still narrow (two ints, a double, a constant string that
+    dictionary-encodes to nothing in parquet); write it
+    partitioned/bucketed by ``bucket`` and the candidate join co-locates.
+    """
     return _quantized_bucket_frame(
-        df, id_col, n_planes, n_tables, quant, id_col, vec_col, dim
-    )
+        df, id_col, n_planes, n_tables, quant, id_col, vec_col, dim,
+        with_norm=True,
+    ).withColumn("params", F.lit(_lsh_params_tag(n_planes, n_tables, quant, dim)))
 
 
 def cosine_delta_pairs_lsh(
@@ -945,7 +1020,7 @@ def cosine_delta_pairs_lsh(
     is itself measurable (catalog twin of ``lsh_ann_recall_eval``).
 
     Scale shape: corpus buckets once per ingest epoch (persist them — the
-    frame is (id, tbl, bucket), 3 narrow columns, incrementally
+    frame is (id, tbl, bucket, nrm, params), narrow and incrementally
     appendable exactly like ``minhash_delta_dedup``'s band index); the
     delta's bucket frame broadcasts; the verify re-attaches vectors by id
     equi-join so no vector payload rides through the bucket explode.
@@ -956,77 +1031,158 @@ def cosine_delta_pairs_lsh(
     same guard as cosine_delta_pairs.
 
     Pass ``corpus_index`` (a persisted ``lsh_bucket_index`` frame for the
-    corpus) to skip re-projecting corpus vectors on every ingest: the
-    per-ingest plan then touches only the delta's projections, the narrow
-    index join, and the candidate verify — the measured win in
-    BENCH_DELTA_SCALING.json.
+    corpus) and the per-ingest plan touches the corpus in exactly TWO
+    narrow ways — plan-asserted in tests/test_plan_quality.py:
+
+    - the index scan (ints + a stored norm; this is also where the
+      disjointness guard probes, so the corpus VECTOR frame is never
+      scanned for guarding), and
+    - ONE pass over the corpus vector frame that is a broadcast left-semi
+      probe against the candidate id set: vectors and norms are never
+      projected for non-candidates, so the O(N) residual is a hash probe
+      per row, not per-row float math.  (With the corpus table partitioned
+      or bucketed by id range in production, even that scan
+      partition-prunes to the candidate buckets.)
+
+    The index's ``params`` tag is checked in-plan against this call's
+    (n_planes, n_tables, quant, dim) — a mismatched family would silently
+    produce a different bucket space — and an index id with no vector in
+    ``corpus`` (stale/superset index) fails the verify join loudly instead
+    of silently dropping its pairs.
     """
-    corpus = _disjoint_ids_or_raise(
-        corpus, delta, id_col, "cosine_delta_pairs_lsh"
-    )
+    op = "cosine_delta_pairs_lsh"
+    corpus = _non_null_ids(corpus, id_col, op, "corpus")
+    delta = _non_null_ids(delta, id_col, op, "delta")
     if corpus_index is not None:
-        cb = corpus_index.select(
-            F.col(id_col).alias("_cid"), "tbl", "bucket"
+        if "params" not in corpus_index.columns or "nrm" not in corpus_index.columns:
+            raise ValueError(
+                f"{op}: corpus_index lacks the nrm/params columns — rebuild "
+                "it with lsh_bucket_index (format: id, tbl, bucket, nrm, "
+                "params)"
+            )
+        expected = _lsh_params_tag(n_planes, n_tables, quant, dim)
+        # the disjointness guard probes the INDEX ids — the narrow frame
+        # this path scans anyway — never the corpus vector frame
+        idx = _disjoint_ids_or_raise(corpus_index, delta, id_col, op)
+        cb = idx.select(
+            F.when(F.col("params") == expected, F.col(id_col))
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(f"{op}: corpus_index was built with params "),
+                        F.col("params"),
+                        F.lit(f" but this call expects {expected} — a "
+                              "mismatched plane family silently collapses "
+                              "recall, rebuild the index"),
+                    )
+                )
+            )
+            .alias("_cid"),
+            "tbl",
+            "bucket",
+            F.col("nrm").alias("_c_nrm"),
         )
     else:
+        corpus = _disjoint_ids_or_raise(corpus, delta, id_col, op)
         cb = _quantized_bucket_frame(
-            corpus, "_cid", n_planes, n_tables, quant, id_col, vec_col, dim
-        )
+            corpus, "_cid", n_planes, n_tables, quant, id_col, vec_col, dim,
+            with_norm=True,
+        ).withColumnRenamed("nrm", "_c_nrm")
     db = F.broadcast(
         _quantized_bucket_frame(
             delta, "_did", n_planes, n_tables, quant, id_col, vec_col, dim
         )
     )
-    # corpus x delta collisions (orientation normalized — a backfilled
-    # delta id may be smaller than corpus ids) ∪ delta x delta collisions
-    cross = (
+    # corpus x delta collisions; a pair colliding in several tables must
+    # verify once, and _c_nrm is functionally dependent on _cid so the
+    # distinct key is still the pair
+    cross_cand = (
         cb.join(db, ["tbl", "bucket"])
         .filter(F.col("_cid") != F.col("_did"))
-        .select(
-            F.least("_cid", "_did").alias("vec_a"),
-            F.greatest("_cid", "_did").alias("vec_b"),
-        )
+        .select("_cid", "_did", "_c_nrm")
+        .distinct()
     )
-    db2 = db.select(
-        F.col("_did").alias("_did2"), "tbl", "bucket"
-    )
-    within = (
+    # delta x delta collisions (within-batch dups)
+    db2 = db.select(F.col("_did").alias("_did2"), "tbl", "bucket")
+    within_cand = (
         db.join(db2, ["tbl", "bucket"])
         .filter(F.col("_did") < F.col("_did2"))
-        .select(F.col("_did").alias("vec_a"), F.col("_did2").alias("vec_b"))
+        .select("_did", "_did2")
+        .distinct()
     )
-    # a pair colliding in several tables must verify once
-    cand = cross.unionByName(within).distinct()
 
-    vecs = corpus.unionByName(delta).select(
-        F.col(id_col).alias("_vid"),
-        F.col(vec_col).alias("_vec"),
-        _norm(F.col(vec_col)).alias("_nrm"),
+    d_vecs = F.broadcast(
+        delta.select(
+            F.col(id_col).alias("_did"),
+            F.col(vec_col).alias("_d_vec"),
+            _norm(F.col(vec_col)).alias("_d_nrm"),
+        )
     )
-    a = vecs.select(
-        F.col("_vid").alias("vec_a"),
-        F.col("_vec").alias("a_vec"),
-        F.col("_nrm").alias("a_nrm"),
+    # the ONLY corpus-vector touch: broadcast-semi-probe to the candidate
+    # id set, then project vectors for candidates alone
+    cand_ids = cross_cand.select(F.col("_cid").alias(id_col)).distinct()
+    c_vecs = corpus.join(F.broadcast(cand_ids), id_col, "left_semi").select(
+        F.col(id_col).alias("_cid"), F.col(vec_col).alias("_c_vec")
     )
-    b = vecs.select(
-        F.col("_vid").alias("vec_b"),
-        F.col("_vec").alias("b_vec"),
-        F.col("_nrm").alias("b_nrm"),
+    # left join + in-plan guard: an index id with no corpus vector is a
+    # stale/superset index — fail loudly, never silently drop its pairs
+    orphan_guarded_vec = F.when(
+        F.col("_c_vec").isNotNull(), F.col("_c_vec")
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                f"{op}: corpus_index id %s has no vector in the corpus "
+                "frame — the index is stale or covers a superset; rebuild "
+                "or pass the matching corpus",
+                F.col("_cid").cast("string"),
+            )
+        )
     )
-    return (
-        cand.join(a, "vec_a")
-        .join(b, "vec_b")
+    cross_scored = (
+        cross_cand.join(c_vecs, "_cid", "left")
+        .withColumn("_c_vec", orphan_guarded_vec)
+        .join(d_vecs, "_did")
         .withColumn(
             "cosine",
             F.round(
-                _dot(F.col("a_vec"), F.col("b_vec"))
-                / (F.col("a_nrm") * F.col("b_nrm")),
+                _dot(F.col("_c_vec"), F.col("_d_vec"))
+                / (F.col("_c_nrm") * F.col("_d_nrm")),
                 6,
             ),
         )
         .filter(F.col("cosine") >= threshold)
-        .select("vec_a", "vec_b", "cosine")
+        # orientation normalized at output — a backfilled delta id may be
+        # smaller than corpus ids
+        .select(
+            F.least("_cid", "_did").alias("vec_a"),
+            F.greatest("_cid", "_did").alias("vec_b"),
+            "cosine",
+        )
     )
+    d2_vecs = d_vecs.select(
+        F.col("_did").alias("_did2"),
+        F.col("_d_vec").alias("_d_vec2"),
+        F.col("_d_nrm").alias("_d_nrm2"),
+    )
+    within_scored = (
+        within_cand.join(d_vecs, "_did")
+        .join(d2_vecs, "_did2")
+        .withColumn(
+            "cosine",
+            F.round(
+                _dot(F.col("_d_vec"), F.col("_d_vec2"))
+                / (F.col("_d_nrm") * F.col("_d_nrm2")),
+                6,
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .select(
+            F.col("_did").alias("vec_a"),
+            F.col("_did2").alias("vec_b"),
+            "cosine",
+        )
+    )
+    return cross_scored.unionByName(within_scored)
 
 
 def semantic_dedup_pairs(

@@ -33,6 +33,7 @@ def asof_join(
     ts_col: str = "ts",
     right_cols: list[str] | None = None,
     suffix: str = "_asof",
+    tolerance_sec: int | None = None,
 ) -> DataFrame:
     """Left as-of join: every ``left`` row gains the most recent ``right``
     row (same ``on`` key, right.ts <= left.ts), or NULLs if none precedes.
@@ -40,11 +41,24 @@ def asof_join(
     Ties on ts: the right row sorts before the left probe row (matching
     DuckDB/pandas ``>=`` as-of semantics).  Right-side payload columns are
     renamed with ``suffix``.
+
+    ``tolerance_sec`` (pandas ``merge_asof(tolerance=)`` / kdb ``wj``
+    semantics): when set, a carried match older than the window —
+    ``left.ts - right.ts > tolerance_sec`` in whole seconds — yields NULLs
+    instead, exactly as if no right row preceded.  The staleness cutoff is
+    a post-carry column expression, so the scale shape is unchanged: one
+    shuffle on the key, one sort, linear carry-forward state — never a
+    nested-loop join.
     """
     right_cols = right_cols or [c for c in right.columns if c not in (on, ts_col)]
+    # the carried right-side ts is needed to evaluate the tolerance window
+    carry_ts = "__asof_rts"
     l_tag = left.withColumn("_side", F.lit(1))
     r_tag = right.select(
-        on, ts_col, *[F.col(c).alias(c + suffix) for c in right_cols]
+        on,
+        ts_col,
+        *[F.col(c).alias(c + suffix) for c in right_cols],
+        F.col(ts_col).alias(carry_ts),
     ).withColumn("_side", F.lit(0))
     unioned = l_tag.unionByName(r_tag, allowMissingColumns=True)
 
@@ -61,13 +75,23 @@ def asof_join(
             F.last(c + suffix, ignorenulls=True).over(w).alias(c + suffix + "_c")
             for c in right_cols
         ],
+        F.last(carry_ts, ignorenulls=True).over(w).alias(carry_ts + "_c"),
     )
+    if tolerance_sec is None:
+        fresh = F.lit(True)
+    else:
+        fresh = (
+            F.col(ts_col).cast("long") - F.col(carry_ts + "_c").cast("long")
+        ) <= int(tolerance_sec)
     return (
         carried.filter(F.col("_side") == 1)
-        .drop("_side", *[c + suffix for c in right_cols])
+        .drop("_side", carry_ts, *[c + suffix for c in right_cols])
         .select(
             *left.columns,
-            *[F.col(c + suffix + "_c").alias(c + suffix) for c in right_cols],
+            *[
+                F.when(fresh, F.col(c + suffix + "_c")).alias(c + suffix)
+                for c in right_cols
+            ],
         )
     )
 

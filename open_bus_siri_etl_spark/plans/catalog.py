@@ -7309,10 +7309,12 @@ def lsh_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     note="as-of join WITH TOLERANCE (pandas merge_asof tolerance= / kdb wj "
     "semantics): each click takes its latest prior view only when it is at "
     "most 30 minutes old, else NULL — attribution windows, sensor "
-    "staleness cutoffs.  Same UNION + single-sort carry-forward plan as "
-    "asof_join_prior_view (one shuffle on user_id, linear state, never a "
-    "nested-loop join); the tolerance is a post-join column expression, "
-    "so the scale shape is unchanged",
+    "staleness cutoffs.  Delegates to the production operator's "
+    "tolerance_sec= parameter (operators/temporal.py:asof_join — round-8 "
+    "promotion from the catalog layer).  Same UNION + single-sort "
+    "carry-forward plan as asof_join_prior_view (one shuffle on user_id, "
+    "linear state, never a nested-loop join); the tolerance is a "
+    "post-carry column expression, so the scale shape is unchanged",
 )
 def asof_tolerance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.temporal import asof_join
@@ -7327,15 +7329,22 @@ def asof_tolerance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("v_event"),
         F.col("ts").alias("v_ts"),
     )
-    joined = asof_join(clicks, views, on="user_id", right_cols=["v_event", "v_ts"])
+    joined = asof_join(
+        clicks,
+        views,
+        on="user_id",
+        right_cols=["v_event", "v_ts"],
+        tolerance_sec=1800,
+    )
+    # the operator already nulled stale matches; age is derived from the
+    # (possibly nulled) carried view ts
     age = F.col("ts").cast("long") - F.col("v_ts_asof").cast("long")
-    within = age <= 1800
     return joined.select(
         "event_id",
         "user_id",
         "ts",
-        F.when(within, F.col("v_event_asof")).alias("view_event_id"),
-        F.when(within, age.cast("bigint")).alias("age_sec"),
+        F.col("v_event_asof").alias("view_event_id"),
+        age.cast("bigint").alias("age_sec"),
     )
 
 
@@ -7680,4 +7689,76 @@ def embedding_delta_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.4,
         n_planes=4,
         n_tables=8,
+    )
+
+
+# Compose the delta-recall oracle FROM the two registered delta entries
+# (the _LANGID_PRED_SQL / _LSH_ANN_CTE reuse discipline): the eval can
+# never drift from the exact path or the LSH path it compares.
+_DELTA_EXACT_SQL = REGISTRY["embedding_delta_pairs"].sql
+_DELTA_LSH_SQL = REGISTRY["embedding_delta_pairs_lsh"].sql
+
+
+@register(
+    "delta_pairs_recall_eval",
+    f"""
+    WITH exact_pairs AS ({_DELTA_EXACT_SQL}),
+    lsh_pairs AS ({_DELTA_LSH_SQL}),
+    e AS (
+        SELECT delta_id, count(*) AS n_exact FROM (
+            SELECT vec_a AS delta_id FROM exact_pairs WHERE vec_a >= 450
+            UNION ALL
+            SELECT vec_b AS delta_id FROM exact_pairs WHERE vec_b >= 450
+        ) GROUP BY delta_id
+    ),
+    fnd AS (
+        SELECT delta_id, count(*) AS n_found FROM (
+            SELECT vec_a AS delta_id FROM lsh_pairs WHERE vec_a >= 450
+            UNION ALL
+            SELECT vec_b AS delta_id FROM lsh_pairs WHERE vec_b >= 450
+        ) GROUP BY delta_id
+    )
+    SELECT e.delta_id AS delta_id,
+           CAST(e.n_exact AS BIGINT) AS n_exact,
+           CAST(coalesce(fnd.n_found, 0) AS BIGINT) AS n_found,
+           round(coalesce(fnd.n_found, 0) * 1.0 / e.n_exact, 6) AS recall
+    FROM e LEFT JOIN fnd ON e.delta_id = fnd.delta_id
+    """,
+    note="per-delta-vector recall of the bucketed delta path "
+    "(embedding_delta_pairs_lsh) against the exact one "
+    "(embedding_delta_pairs) — the lsh_ann_recall_eval twin for the "
+    "incremental near-dup family, closing the round-7 ask that the LSH "
+    "miss rate be a MEASURED, oracle-exact quantity rather than a note.  "
+    "Both inputs are deterministic, so the metric itself carries a "
+    "value-level oracle; the SQL is composed from the two registered "
+    "entries' oracle strings, so the eval cannot drift from either path.  "
+    "Work = the two delta plans plus a groupBy on their (small) pair "
+    "outputs — nothing wider than the pair lists",
+)
+def delta_pairs_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import cosine_delta_pairs, cosine_delta_pairs_lsh
+
+    emb = t(spark, sf_dir, "embeddings")
+    corpus = emb.filter(F.col("vec_id") < 450)
+    delta = emb.filter(F.col("vec_id") >= 450)
+    exact = cosine_delta_pairs(corpus, delta, threshold=0.4)
+    lsh = cosine_delta_pairs_lsh(corpus, delta, threshold=0.4, n_planes=4, n_tables=8)
+
+    def per_delta(pairs: DataFrame, cname: str) -> DataFrame:
+        return (
+            pairs.select(F.explode(F.array("vec_a", "vec_b")).alias("delta_id"))
+            .filter(F.col("delta_id") >= 450)
+            .groupBy("delta_id")
+            .agg(F.count(F.lit(1)).cast("bigint").alias(cname))
+        )
+
+    e = per_delta(exact, "n_exact")
+    fnd = per_delta(lsh, "n_found")
+    return e.join(fnd, "delta_id", "left").select(
+        "delta_id",
+        "n_exact",
+        F.coalesce("n_found", F.lit(0)).cast("bigint").alias("n_found"),
+        F.round(
+            F.coalesce("n_found", F.lit(0)) * 1.0 / F.col("n_exact"), 6
+        ).alias("recall"),
     )

@@ -540,3 +540,35 @@ def test_embedding_lsh_ann_native_and_bucketed(spark):
     for bad in ("MapInPandas", "BatchEvalPython", "ArrowEvalPython",
                 "CartesianProduct", "BroadcastNestedLoopJoin"):
         assert bad not in plan, bad
+
+
+def test_delta_lsh_index_path_never_projects_corpus_norms(spark, tmp_path):
+    """Directive: the persisted-index delta path's per-ingest cost claim
+    must match the physical plan.  With a PERSISTED corpus_index (the
+    production shape — the index parquet carries the stored norms), the
+    corpus VECTOR frame is touched exactly once — a broadcast left-semi
+    probe against the candidate id set — and the only SQRT expressions in
+    the plan are the delta side's three (d_vecs in the cross verify,
+    d_vecs + d2_vecs in the within verify).  The inline path necessarily
+    computes corpus norms too, so its plan carries strictly more."""
+    from open_bus_siri_etl_spark.operators.similarity import (
+        cosine_delta_pairs_lsh,
+        lsh_bucket_index,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    corpus = emb.filter("vec_id < 450")
+    delta = emb.filter("vec_id >= 450")
+    idx_path = str(tmp_path / "idx")
+    lsh_bucket_index(corpus).write.parquet(idx_path)
+    idx = spark.read.parquet(idx_path)
+    with_idx = explain_str(
+        cosine_delta_pairs_lsh(corpus, delta, threshold=0.4, corpus_index=idx)
+    )
+    inline = explain_str(cosine_delta_pairs_lsh(corpus, delta, threshold=0.4))
+    # corpus vectors reached through a broadcast semi probe, never a shuffle
+    assert "LeftSemi" in with_idx and "BroadcastHashJoin" in with_idx
+    # norms: delta-side only (3 sqrt folds) when the index supplies corpus
+    # norms; the inline twin adds the corpus-side norm on top
+    assert with_idx.count("SQRT") == 3
+    assert inline.count("SQRT") > 3

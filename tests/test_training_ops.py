@@ -1116,3 +1116,117 @@ def test_cosine_delta_pairs_lsh_persisted_index(spark, tmp_path):
         )
     )
     assert inline == via_index and inline
+
+
+def test_delta_lsh_index_params_mismatch_raises(spark):
+    """An index built under one (planes, tables, quant, dim) family probed
+    with different call parameters would silently produce a different
+    bucket space (recall collapse, no error) — the persisted ``params``
+    tag is checked IN-PLAN and fails the job loudly instead (round-7
+    advisory)."""
+    from open_bus_siri_etl_spark.operators.similarity import (
+        cosine_delta_pairs_lsh,
+        lsh_bucket_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    corpus = emb.filter("vec_id < 450")
+    delta = emb.filter("vec_id >= 450")
+    idx = lsh_bucket_index(corpus, n_planes=4, n_tables=8)
+    with pytest.raises(Exception, match="built with params"):
+        cosine_delta_pairs_lsh(
+            corpus, delta, threshold=0.4, n_planes=6, corpus_index=idx
+        ).count()
+    # pre-round-8 index format (no nrm/params) is rejected at plan build
+    with pytest.raises(ValueError, match="rebuild"):
+        cosine_delta_pairs_lsh(
+            corpus, delta, corpus_index=idx.drop("params")
+        )
+
+
+def test_delta_lsh_orphan_index_id_raises(spark):
+    """An index id with no vector in the passed corpus frame
+    (stale/superset index) used to be silently dropped by the inner verify
+    join; now the verify is a guarded left join that fails the job
+    (round-7 advisory)."""
+    from open_bus_siri_etl_spark.operators.similarity import (
+        cosine_delta_pairs_lsh,
+        lsh_bucket_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    delta = emb.filter("vec_id >= 450")
+    idx = lsh_bucket_index(emb.filter("vec_id < 450"))
+    with pytest.raises(Exception, match="no vector in the corpus frame"):
+        cosine_delta_pairs_lsh(
+            emb.filter("vec_id < 300"), delta, threshold=0.4, corpus_index=idx
+        ).count()
+
+
+def test_delta_pairs_null_id_raises(spark):
+    """A NULL id never matches an equality join, so it would escape the
+    disjointness guard AND the verify joins — quiet pair loss.  Both delta
+    operators reject NULL ids in-plan on either side (round-7 advisory)."""
+    from open_bus_siri_etl_spark.operators.similarity import (
+        cosine_delta_pairs,
+        cosine_delta_pairs_lsh,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    corpus = emb.filter("vec_id < 450")
+    delta = emb.filter("vec_id >= 450")
+    nulled = corpus.selectExpr(
+        "CASE WHEN vec_id = 10 THEN NULL ELSE vec_id END AS vec_id", "embedding"
+    )
+    for fn in (cosine_delta_pairs, cosine_delta_pairs_lsh):
+        with pytest.raises(Exception, match="NULL vec_id in corpus"):
+            fn(nulled, delta, threshold=0.4).count()
+    null_delta = delta.selectExpr(
+        "CASE WHEN vec_id = 460 THEN NULL ELSE vec_id END AS vec_id", "embedding"
+    )
+    with pytest.raises(Exception, match="NULL vec_id in delta"):
+        cosine_delta_pairs_lsh(corpus, null_delta, threshold=0.4).count()
+
+
+def test_asof_join_tolerance_param(spark):
+    """tolerance_sec= on the production operator (round-8 promotion from
+    the catalog layer): a carried match older than the window yields NULLs
+    exactly as if no right row preceded; ties (age 0) and in-window
+    matches are unaffected."""
+    import datetime
+
+    from open_bus_siri_etl_spark.operators.temporal import asof_join
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t0 + datetime.timedelta(minutes=m)
+
+    left = spark.createDataFrame(
+        [(1, 100, ts(10)), (2, 100, ts(5)), (3, 100, ts(60)), (4, 200, ts(10))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(50, 100, ts(5)), (51, 100, ts(8))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    out = {
+        r["event_id"]: r["event_id_asof"]
+        for r in asof_join(
+            left, right, on="user_id", right_cols=["event_id"],
+            tolerance_sec=600,
+        ).collect()
+    }
+    assert out[1] == 51  # 2 min old, within 10-min window
+    assert out[2] == 50  # tie on ts, age 0
+    assert out[3] is None  # latest prior is 52 min old — outside the window
+    assert out[4] is None  # key has no right rows at all
+    # the boundary is inclusive: age == tolerance_sec still matches
+    edge = {
+        r["event_id"]: r["event_id_asof"]
+        for r in asof_join(
+            left, right, on="user_id", right_cols=["event_id"],
+            tolerance_sec=(60 - 8) * 60,
+        ).collect()
+    }
+    assert edge[3] == 51
