@@ -233,3 +233,116 @@ def sample_frames(
             )
 
     return media.mapInPandas(frame_batches, schema=FRAMES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Real container codecs (round-8): BMP and WAV parse with stdlib struct —
+# actual bytes decoded to actual media metadata, inside the same Arrow
+# mapInPandas plumbing as the stubbed feature path.  Formats beyond these
+# two keep the loud-fail NotImplementedError contract (PIL/ffmpeg are not
+# in this container); swapping a real codec library in changes only the
+# decoder table below.
+
+MEDIA_META_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+    ]
+)
+
+
+def decode_bmp(blob: bytes) -> dict:
+    """Windows BMP header decode (BITMAPFILEHEADER + BITMAPINFOHEADER) —
+    14-byte file header ('BM', file size, pixel offset) then a >=40-byte
+    info header carrying int32 width / height at offsets 18 / 22.  A
+    top-down BMP stores height negative; the magnitude is the pixel
+    height either way."""
+    import struct
+
+    if len(blob) < 26 or blob[:2] != b"BM":
+        raise ValueError("not a BMP container")
+    width, height = struct.unpack_from("<ii", blob, 18)
+    return {"kind": "bmp", "width": width, "height": abs(height)}
+
+
+def decode_wav(blob: bytes) -> dict:
+    """RIFF/WAVE decode: walk the (chunk_id, chunk_size) list from byte 12,
+    read channels / sample rate / bits-per-sample from 'fmt ' and the
+    payload length from 'data'.  n_samples = data bytes / frame size;
+    duration derives from the sample rate (floor-ms, exact integer math)."""
+    import struct
+
+    if len(blob) < 36 or blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a WAV container")
+    pos, fmt, data_size = 12, None, None
+    while pos + 8 <= len(blob):
+        cid, csize = blob[pos : pos + 4], struct.unpack_from("<I", blob, pos + 4)[0]
+        if cid == b"fmt ":
+            _, n_channels, sample_rate, _, _, bits = struct.unpack_from(
+                "<HHIIHH", blob, pos + 8
+            )
+            fmt = (n_channels, sample_rate, bits)
+        elif cid == b"data":
+            data_size = csize
+        pos += 8 + csize + (csize & 1)  # chunks are word-aligned
+    if fmt is None or data_size is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    n_channels, sample_rate, bits = fmt
+    frame = n_channels * (bits // 8)
+    n_samples = data_size // frame if frame else 0
+    return {
+        "kind": "wav",
+        "n_channels": n_channels,
+        "sample_rate": sample_rate,
+        "n_samples": n_samples,
+        "duration_ms": (n_samples * 1000) // sample_rate if sample_rate else 0,
+    }
+
+
+def _decode_meta(blob: bytes) -> dict:
+    if blob[:2] == b"BM":
+        return decode_bmp(blob)
+    if blob[:4] == b"RIFF":
+        return decode_wav(blob)
+    raise NotImplementedError(
+        "no codec for this container in this environment (BMP and WAV "
+        "decode natively; PIL/ffmpeg formats need a real codec library)"
+    )
+
+
+def extract_media_meta(media: DataFrame) -> DataFrame:
+    """Typed media metadata via real header decode — the production twin
+    of ``extract_features``'s stub: same MEDIA_SCHEMA in, Arrow batches
+    through mapInPandas, one metadata row per blob out.  Partition-local
+    (no shuffle); unknown containers fail the task loudly rather than
+    emitting fake rows."""
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, blob in zip(pdf["media_id"], pdf["content"]):
+                meta = _decode_meta(bytes(blob))
+                rows.append(
+                    {
+                        "media_id": mid,
+                        "kind": meta["kind"],
+                        "width": meta.get("width"),
+                        "height": meta.get("height"),
+                        "n_channels": meta.get("n_channels"),
+                        "sample_rate": meta.get("sample_rate"),
+                        "n_samples": meta.get("n_samples"),
+                        "duration_ms": meta.get("duration_ms"),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[f.name for f in MEDIA_META_SCHEMA.fields],
+            )
+
+    return media.mapInPandas(decode_batches, schema=MEDIA_META_SCHEMA)

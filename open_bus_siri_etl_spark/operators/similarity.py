@@ -776,34 +776,50 @@ def _quantized_bucket_frame(
         )
     )
 
-    def dot_q(t: int, p: int) -> Column:
-        # ONE array literal per plane (not 64 CreateArray children): the
-        # T*P planes otherwise put T*P*dim literal nodes in the tree and
-        # Catalyst analysis alone costs seconds per execution
-        w = F.lit(planes[(t, p)]).cast("array<bigint>")
-        return F.aggregate(
-            F.zip_with(F.col("_qv"), w, lambda a, b: a * b),
-            F.lit(0).cast("long"),
+    # ALL T*P planes as ONE nested array literal, and all T buckets as ONE
+    # transform/aggregate expression over it: the plan size is CONSTANT in
+    # (n_planes, n_tables).  The per-plane variant (one fold expression per
+    # (t, p)) put T*P lambda trees in the plan and Catalyst ANALYSIS alone
+    # grew to tens of seconds at the scale constants (P=12, T=32) — plan
+    # build cost is per-ingest cost in the delta path, so it matters as
+    # much as execution.  Bucket values are bit-identical to the unrolled
+    # form: same left-to-right integer folds, bit weight 2^p via an exact
+    # small-power double.
+    # literal via SQL text, not F.lit: py4j converts a nested Python list
+    # element-by-element (~7 s for the 10k ints at P=10/T=16), while
+    # parsing the equivalent array(...) expression costs milliseconds —
+    # and per-ingest PLAN BUILD time is per-ingest cost in the delta path
+    planes_lit = F.expr(
+        "array("
+        + ",".join(
+            "array("
+            + ",".join(
+                "array(" + ",".join(f"{v}L" for v in planes[(t, p)]) + ")"
+                for p in range(n_planes)
+            )
+            + ")"
+            for t in range(n_tables)
+        )
+        + ")"
+    )
+    buckets_arr = F.transform(
+        planes_lit,
+        lambda tp: F.aggregate(
+            F.transform(
+                tp,
+                lambda w, p: F.when(
+                    F.aggregate(
+                        F.zip_with(F.col("_qv"), w, lambda a, b: a * b),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: acc + x,
+                    )
+                    > 0,
+                    F.pow(F.lit(2.0), p).cast("int"),
+                ).otherwise(F.lit(0)),
+            ),
+            F.lit(0),
             lambda acc, x: acc + x,
-        )
-
-    def bucket(t: int) -> Column:
-        bits = [
-            F.when(dot_q(t, p) > 0, F.lit(1 << p)).otherwise(F.lit(0))
-            for p in range(n_planes)
-        ]
-        out = bits[0]
-        for b in bits[1:]:
-            out = out + b
-        return out.cast("int")
-
-    tb = F.explode(
-        F.array(
-            *[
-                F.struct(F.lit(t).alias("tbl"), bucket(t).alias("bucket"))
-                for t in range(n_tables)
-            ]
-        )
+        ).cast("int"),
     )
     base_cols = [F.col(id_col).alias(id_out), qv.alias("_qv")]
     carry = []
@@ -812,11 +828,15 @@ def _quantized_bucket_frame(
         carry = ["nrm"]
     return (
         df.select(*base_cols)
-        .select(id_out, *carry, tb.alias("tb"))
         .select(
             id_out,
-            F.col("tb.tbl").alias("tbl"),
-            F.col("tb.bucket").alias("bucket"),
+            *carry,
+            F.posexplode(buckets_arr).alias("tbl", "bucket"),
+        )
+        .select(
+            id_out,
+            F.col("tbl").cast("int").alias("tbl"),
+            F.col("bucket"),
             *carry,
         )
     )

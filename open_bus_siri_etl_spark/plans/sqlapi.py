@@ -573,6 +573,17 @@ def _rewrite_asof_join(sql: str) -> str:
     )
 
     def rewrite(m: re.Match) -> str:
+        # REFUSE a trailing ON conjunct (ASOF ... ON eq AND ineq AND extra):
+        # interval-izing the right side is only equivalent to DuckDB ASOF
+        # when the equality key is the WHOLE partition — an extra predicate
+        # filters rows AFTER interval construction here but BEFORE match
+        # selection in DuckDB (a right row failing the extra predicate
+        # still closes its predecessor's interval in the rewrite, dropping
+        # matches DuckDB keeps).  Unrewritten ASOF fails Spark's parser, so
+        # such an entry lands in the conformance suite's counted allowlist
+        # instead of silently returning different rows.
+        if re.match(r"\s*AND\b", m.string[m.end():], re.IGNORECASE):
+            return m.group(0)
         left_kw = m.group(1) or ""
         rexpr, alias = m.group(2), m.group(3)
         eq_l, eq_lc, eq_r, eq_rc = m.group(4), m.group(5), m.group(6), m.group(7)

@@ -572,3 +572,79 @@ def test_delta_lsh_index_path_never_projects_corpus_norms(spark, tmp_path):
     # norms; the inline twin adds the corpus-side norm on top
     assert with_idx.count("SQRT") == 3
     assert inline.count("SQRT") > 3
+
+
+FULL_REGISTRY_ORDER = [
+    "flagship_snowflake", "pricing_summary", "dim_upsert_novelty",
+    "discovery_anti_join", "dedup_first_wins", "duplicate_key_detection",
+    "event_counters", "latest_per_key", "global_minmax",
+    "top_orders", "gap_sessionization", "chunked_batches",
+    "missing_minutes", "snapshot_id_format", "json_props_extract",
+    "try_cast_dead_letter", "validation_field_diff", "key_set_diff",
+    "rollup_revenue", "cube_orders", "grouping_sets_activity",
+    "merge_upsert", "median_disc_value", "running_revenue",
+    "moving_avg_value", "revenue_deciles", "revenue_deciles_distributed",
+    "large_orders", "small_lot_revenue", "revenue_rank_distribution",
+    "data_quality_checks", "unpivot_user_activity", "cube_orders_grouping_id",
+    "session_window_agg", "set_ops_users", "value_quantiles_disc",
+    "stratified_sample", "pivot_user_activity", "funnel_view_click_error",
+    "distinct_users_per_type", "asof_join_prior_view", "range_join_error_windows",
+    "tumbling_window_agg", "salted_skew_join", "salted_two_stage_agg",
+    "exact_dedup", "ngram_jaccard_dedup", "minhash_lsh_dedup",
+    "simhash_near_pairs", "embedding_cosine_topk", "embedding_cosine_pairs",
+    "embedding_cosine_pairs_blocked", "embedding_cosine_pairs_tiled", "embedding_ivf_ann",
+    "embedding_lsh_ann", "text_quality", "language_id",
+    "doc_fingerprint", "training_prep_pipeline", "multimodal_features",
+    "multimodal_resize", "multimodal_frame_sample", "broadcast_enrichment",
+    "late_shipment_priority", "top_customers_per_nation", "forward_fill_value",
+    "hopping_window_agg", "neardup_components", "value_histogram",
+    "event_value_correlation", "weighted_sample", "ngram_top_terms",
+    "value_outliers", "tfidf_top_term", "rolling_active_users",
+    "kmeans_clusters", "trailing_hour_sum", "value_quantiles_cont",
+    "kmeans_cluster_purity", "countmin_user_counts", "order_count_distribution",
+    "heavy_hitters_mg", "countmin_topk_users", "kmv_distinct_users",
+    "bloom_filter_probe", "kmeans_clusters_k32", "sequence_packing",
+    "sequence_packing_greedy", "embedding_neardup_dedup", "embedding_cosine_pairs_auto",
+    "training_prep_packed", "doc_repetition_stats", "shuffle_shards",
+    "contamination_check", "minhash_delta_dedup", "mixture_sample",
+    "tpch_q3_shipping_priority", "tpch_q10_returned_items", "tpch_q18_large_customers",
+    "bm25_rank", "inverted_index_stats", "pii_scrub",
+    "fuzzy_join_dist1", "tpch_q5_local_supplier", "unigram_surprisal",
+    "doc_chunk_overlap", "corpus_stats", "tpch_q6_forecast_revenue",
+    "tpch_q7_volume_shipping", "tpch_q8_market_share", "tpch_q14_promo_revenue",
+    "tpch_q17_small_quantity_revenue", "tpch_q19_disjunctive_revenue", "tpch_q22_dormant_customers",
+    "gopher_quality_filter", "prefix_dup_groups", "length_band_filter",
+    "tpch_q13_customer_distribution", "tpch_q15_top_supplier", "repeated_ngram_spans",
+    "embedding_quantize_int8", "source_vocab_overlap", "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_profit", "tpch_q11_important_stock", "tpch_q12_shipmode_priority",
+    "tpch_q16_supplier_relationship", "tpch_q20_promotion_suppliers", "tpch_q21_waiting_suppliers",
+    "hll_distinct_users", "triangle_count", "pagerank_error_graph",
+    "zorder_layout_tiles", "cohort_retention", "month_over_month_revenue",
+    "event_transition_matrix", "bpe_pair_counts", "neardup_survivors",
+    "histogram_quantile_sketch", "hll_distinct_users_per_type", "embedding_lsh_candidates",
+    "ann_recall_eval", "semantic_dedup_pairs", "domain_mixture_weights",
+    "funnel_conversion", "vocab_coverage", "crossmodal_dup_flags",
+    "shard_skew_report", "time_weighted_average", "train_test_split",
+    "pq_codes", "filter_stack_report", "pq_adc_topk",
+    "linear_interpolate_value", "paragraph_dedup", "histogram_median_by_type",
+    "curriculum_buckets", "sessionized_funnel", "zscore_outliers",
+    "table_stats_report", "source_quality_summary", "minhash_jaccard_estimates",
+    "dedup_rate_by_source", "shipping_latency_stats", "lsh_ann_recall_eval",
+    "asof_tolerance_join", "stratified_rate_sample", "quality_quantile_normalize",
+    "windowed_event_dedup", "join_key_skew_report", "embedding_delta_pairs",
+    "rfm_segmentation", "language_id_confusion", "embedding_delta_pairs_lsh",
+    "delta_pairs_recall_eval",
+]
+
+
+def test_registry_full_order_is_frozen():
+    """Round-8 catalog split hardening: the complete registration order —
+    not just the graded window — is pinned, so a misplaced import in
+    plans/catalog.py (or an entry moved between part modules) is caught
+    by name instead of by judge re-derivation.  If this fails because you
+    APPENDED a new entry at the end of catalog_ann_curation, append its
+    name here; any other diff means the order moved — fix the code, not
+    this list."""
+    from open_bus_siri_etl_spark.plans.catalog import REGISTRY
+
+    assert list(REGISTRY) == FULL_REGISTRY_ORDER

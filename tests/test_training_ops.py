@@ -1230,3 +1230,76 @@ def test_asof_join_tolerance_param(spark):
         ).collect()
     }
     assert edge[3] == 51
+
+
+def _tiny_bmp(width: int, height: int) -> bytes:
+    """Minimal well-formed 24-bit BMP: 14-byte file header + 40-byte
+    BITMAPINFOHEADER + padded pixel rows."""
+    import struct
+
+    row = (width * 3 + 3) & ~3
+    pixels = b"\x00" * (row * abs(height))
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(pixels), 2835, 2835, 0, 0
+    )
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(pixels), 0, 0, 14 + 40)
+    return header + info + pixels
+
+
+def _tiny_wav(sample_rate: int, n_samples: int, n_channels: int = 1) -> bytes:
+    """Minimal PCM16 WAV: RIFF header + fmt + data chunks."""
+    import struct
+
+    data = b"\x00" * (n_samples * n_channels * 2)
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_channels, sample_rate,
+        sample_rate * n_channels * 2, n_channels * 2, 16,
+    )
+    return (
+        struct.pack("<4sI4s", b"RIFF", 36 + len(data), b"WAVE")
+        + struct.pack("<4sI", b"fmt ", len(fmt)) + fmt
+        + struct.pack("<4sI", b"data", len(data)) + data
+    )
+
+
+def test_multimodal_real_codecs(spark):
+    """Round-8 directive: REAL bytes through the Arrow mapInPandas
+    plumbing — BMP width/height and WAV rate/duration decoded from actual
+    container headers (stdlib struct), unknown formats still loud-fail."""
+    from open_bus_siri_etl_spark.operators.multimodal import (
+        decode_bmp,
+        decode_wav,
+        extract_media_meta,
+    )
+
+    # pure-python decoders against constructed fixtures
+    assert decode_bmp(_tiny_bmp(17, 9)) == {"kind": "bmp", "width": 17, "height": 9}
+    assert decode_bmp(_tiny_bmp(4, -6))["height"] == 6  # top-down BMP
+    wav = decode_wav(_tiny_wav(8000, 12000, n_channels=2))
+    assert wav["sample_rate"] == 8000
+    assert wav["n_samples"] == 12000
+    assert wav["n_channels"] == 2
+    assert wav["duration_ms"] == 1500
+
+    # end-to-end through the Spark plumbing
+    rows = [
+        (1, _tiny_bmp(32, 8), {"format": "file/bmp", "n_bytes": 0}),
+        (2, _tiny_wav(16000, 16000), {"format": "file/wav", "n_bytes": 0}),
+    ]
+    from open_bus_siri_etl_spark.operators.multimodal import MEDIA_SCHEMA
+
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {r["media_id"]: r.asDict() for r in extract_media_meta(media).collect()}
+    assert out[1]["kind"] == "bmp" and out[1]["width"] == 32 and out[1]["height"] == 8
+    assert out[1]["sample_rate"] is None
+    assert out[2]["kind"] == "wav" and out[2]["sample_rate"] == 16000
+    assert out[2]["duration_ms"] == 1000 and out[2]["width"] is None
+
+    # unknown container: the task fails loudly (stub contract preserved)
+    import pytest as _pytest
+
+    bad = spark.createDataFrame(
+        [(3, b"\x89PNG\r\n", {"format": "file/png", "n_bytes": 6})], MEDIA_SCHEMA
+    )
+    with _pytest.raises(Exception, match="no codec"):
+        extract_media_meta(bad).collect()

@@ -120,3 +120,96 @@ def test_mask_unmask_roundtrip_property():
             assert "'" not in masked
 
     check()
+
+
+def test_asof_rewrite_refuses_trailing_conjunct():
+    """ASOF ... ON eq AND ineq AND extra must NOT be interval-ized: a
+    right row failing the extra predicate still closes its predecessor's
+    interval in the rewrite, but DuckDB filters BEFORE match selection —
+    the shapes diverge, so the rewrite refuses (unrewritten ASOF fails
+    Spark's parser and lands in the counted allowlist, never silently
+    returns different rows)."""
+    q = (
+        "SELECT * FROM l ASOF JOIN r a ON l.k = a.k AND l.ts >= a.ts "
+        "AND l.flag = a.flag"
+    )
+    assert "ASOF" in transpile(q)  # left for the allowlist
+    # leading extra conjunct: the eq-then-ineq adjacency never matches
+    q2 = (
+        "SELECT * FROM l ASOF JOIN r a ON l.flag = a.flag AND l.k = a.k "
+        "AND l.ts >= a.ts"
+    )
+    # the rewrite only fires on the exact two-predicate shape
+    assert ("ASOF" in transpile(q2)) or ("__asof_next" not in transpile(q2))
+
+
+def test_asof_rewrite_property_vs_duckdb(spark):
+    """Hypothesis-generated ASOF shapes (round-7 directive): table vs
+    subquery vs nested-paren-depth-2 subquery right sides, inner and LEFT,
+    random key/ts data — transpile-then-run on Spark must return exactly
+    DuckDB's rows.  Right-side (k, ts) pairs are generated unique because
+    DuckDB's tied-row pick is engine-unspecified (the catalog's ASOF
+    oracles pin ties via an event_id window order instead)."""
+    import duckdb
+    import pandas as pd
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    lrows = st.lists(
+        st.tuples(
+            st.integers(0, 3), st.integers(0, 40), st.integers(-5, 5)
+        ),
+        max_size=12,
+    )
+    rrows = st.lists(
+        st.tuples(
+            st.integers(0, 3), st.integers(0, 40), st.integers(-5, 5)
+        ),
+        max_size=12,
+        unique_by=lambda r: (r[0], r[1]),
+    )
+
+    RIGHT_SHAPES = {
+        "table": "asof_r",
+        "subq": "(SELECT k, ts, rv FROM asof_r WHERE rv >= -5)",
+        "subq2": "(SELECT k, ts, rv FROM (SELECT * FROM asof_r WHERE rv >= -5))",
+    }
+
+    @settings(
+        max_examples=12,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        lr=lrows,
+        rr=rrows,
+        shape=st.sampled_from(sorted(RIGHT_SHAPES)),
+        left_join=st.booleans(),
+    )
+    def check(lr, rr, shape, left_join):
+        lpdf = pd.DataFrame(lr, columns=["k", "ts", "lv"]).astype("int64")
+        rpdf = pd.DataFrame(rr, columns=["k", "ts", "rv"]).astype("int64")
+        q = (
+            "SELECT l.k AS k, l.ts AS lts, l.lv AS lv, "
+            "a.ts AS rts, a.rv AS rv "
+            f"FROM asof_l l ASOF {'LEFT ' if left_join else ''}JOIN "
+            f"{RIGHT_SHAPES[shape]} a ON l.k = a.k AND l.ts >= a.ts"
+        )
+        con = duckdb.connect()
+        con.register("asof_l", lpdf)
+        con.register("asof_r", rpdf)
+        want = sorted(map(tuple, con.execute(q).fetchall()))
+        con.close()
+
+        spark.createDataFrame(
+            lpdf, "k long, ts long, lv long"
+        ).createOrReplaceTempView("asof_l")
+        spark.createDataFrame(
+            rpdf, "k long, ts long, rv long"
+        ).createOrReplaceTempView("asof_r")
+        got = sorted(
+            tuple(r) for r in spark.sql(transpile(q)).collect()
+        )
+        assert got == want
+
+    check()

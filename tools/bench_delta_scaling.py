@@ -20,10 +20,10 @@ sit) no (planes, tables) choice prunes AND recalls (measured frontier in
 tools/explore_lsh_constants.py / BENCH_LSH_FRONTIER.json).  So the bench
 measures the real workload shape: deterministic near-duplicate twins of
 half the delta vectors are PLANTED in the corpus (sign-jittered, cosine
-~0.89), the threshold is 0.85, and the index uses P=12 planes x T=32
-tables — per-table collision ~2^-12 for unrelated pairs (candidate
-fraction ~1%), while a cosine-0.89 pair (bit-match prob ~0.85) collides
-in at least one of 32 tables w.p. ~0.99.  Exact path cost stays O(|Δ|·N)
+~0.89), the threshold is 0.85, and the index uses P=10 planes x T=16
+tables — per-table collision ~2^-10 for unrelated pairs (measured
+candidate fraction ~2%), while a cosine-0.89 pair (bit-match prob ~0.85)
+collides in at least one of 16 tables w.p. ~0.98.  Exact path cost stays O(|Δ|·N)
 regardless of threshold; the LSH path's dot-product work is ~100x
 smaller and its per-ingest seconds stay near-flat across a 64x corpus
 growth.
@@ -60,8 +60,8 @@ from open_bus_siri_etl_spark.session import get_spark  # noqa: E402
 ID_SPAN = 10_000_000
 PLANT_OFFSET = 5_000_000  # planted-twin id space, disjoint from every rotated copy
 THRESHOLD = 0.85
-N_PLANES = 12
-N_TABLES = 32
+N_PLANES = 10
+N_TABLES = 16
 
 
 def rotated_copies(base, n_copies: int):
@@ -109,7 +109,7 @@ def main() -> None:
         "vec_id", "embedding"
     )
     base = emb.filter(F.col("vec_id") < 1500)
-    delta = emb.filter(F.col("vec_id") >= 1500).cache()
+    delta = emb.filter(F.col("vec_id") >= 1500).repartition(32).cache()
     n_delta = delta.count()
     twins = planted_twins(delta)
 

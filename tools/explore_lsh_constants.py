@@ -64,7 +64,10 @@ def main() -> None:
         exact = cosine_delta_pairs(corpus, delta, threshold=threshold).cache()
         n_exact = exact.count()
         dist = exact.select(
-            F.expr("round(percentile(cosine, array(0.05,0.5,0.95)), 4)").alias("p")
+            F.expr(
+                "transform(percentile(cosine, array(0.05D,0.5D,0.95D)), "
+                "x -> round(x, 4))"
+            ).alias("p")
         ).collect()[0].p
         rows = []
         for P, T in COMBOS:
