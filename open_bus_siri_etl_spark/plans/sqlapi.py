@@ -104,15 +104,23 @@ def _rewrite_unnest_subscripts(sql: str) -> str:
             return sql
         x = m.group(1)
         up, uv = f"_up{k}", f"_uv{k}"
-        sql = re.sub(rf"generate_subscripts\({x},\s*1\)", f"({up} + 1)", sql)
-        sql = re.sub(rf"\bunnest\({x}\)", uv, sql)
-        # attach the lateral view to the first FROM after this block's SELECT
-        # (the catalog's paired idiom always lives in a simple CTE body whose
-        # FROM follows the select list)
+        # rewrite ONE select block at a time: substitutions are scoped to
+        # [enclosing SELECT, its FROM) so a query that embeds the idiom in
+        # SEVERAL CTE bodies (a composed oracle — e.g. two delta-pair
+        # entries' SQL reused as CTEs) gets one lateral view per block; a
+        # global sub here used to rename the second block's columns to the
+        # first block's aliases with no generator attached
+        sel = sql.rfind("SELECT", 0, m.start())
+        assert sel >= 0, "generate_subscripts outside any SELECT"
         fm = re.compile(r"\bFROM\s+(\w+)").search(sql, m.start())
         assert fm, "unnest/generate_subscripts block without a FROM"
+        block = sql[sel : fm.start()]
+        block = re.sub(rf"generate_subscripts\({x},\s*1\)", f"({up} + 1)", block)
+        block = re.sub(rf"\bunnest\({x}\)", uv, block)
         sql = (
-            sql[: fm.end()]
+            sql[:sel]
+            + block
+            + sql[fm.start() : fm.end()]
             + f" LATERAL VIEW posexplode({x}) _u{k} AS {up}, {uv}"
             + sql[fm.end() :]
         )
