@@ -503,9 +503,43 @@ def minhash_delta_dedup(
     Output: (doc_a, doc_b, jaccard), doc_a < doc_b, exactly the cross-set
     (history × delta) subset of the batch pipeline's pairs — asserted
     against the full-batch oracle.
+
+    Guards (round-8, mirroring cosine_delta_pairs_lsh): a passed
+    ``history_keys`` must carry the ``params`` tag build_minhash_index
+    persists, checked in-plan against this call's (n, perms, bands) — a
+    mismatched family probes a different band-key space and silently
+    collapses recall; and history∩delta doc_id disjointness (the
+    definition of a delta ingest — an overlapping id would emit a
+    doc_a == doc_b self-pair) is enforced in-plan on the index scan.
     """
+    from .similarity import _disjoint_ids_or_raise  # shared guard style
+
+    expected = _minhash_params_tag(n, perms, bands)
     if history_keys is None:
         history_keys = build_minhash_index(history, text_col, n, perms, bands)
+    elif "params" not in history_keys.columns:
+        raise ValueError(
+            "minhash_delta_dedup: history_keys lacks the params column — "
+            "rebuild it with build_minhash_index (format: doc_id, band, "
+            "band_key, params)"
+        )
+    history_keys = _disjoint_ids_or_raise(
+        history_keys, delta.select("doc_id"), "doc_id", "minhash_delta_dedup"
+    ).select(
+        F.when(F.col("params") == expected, F.col("doc_id"))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("minhash_delta_dedup: history_keys built with params "),
+                    F.col("params"),
+                    F.lit(f" but this call expects {expected} — rebuild the index"),
+                )
+            )
+        )
+        .alias("doc_id"),
+        "band",
+        "band_key",
+    )
     delta_post = shingle_postings(delta, text_col, n).localCheckpoint(eager=True)
     delta_keys = lsh_band_keys(minhash_signatures(delta_post, perms), bands, perms)
     h, d = history_keys.alias("h"), delta_keys.alias("d")
@@ -552,6 +586,14 @@ def minhash_delta_dedup(
     )
 
 
+def _minhash_params_tag(n: int, perms: int, bands: int) -> str:
+    """Build-parameter fingerprint persisted with every band-index row —
+    probed in-plan by minhash_delta_dedup so a mismatched (n, perms,
+    bands) family fails loudly instead of silently collapsing recall
+    (the text twin of lsh_bucket_index's params tag)."""
+    return f"N{n}P{perms}B{bands}"
+
+
 def build_minhash_index(
     df: DataFrame,
     text_col: str = "text",
@@ -559,14 +601,17 @@ def build_minhash_index(
     perms: int = MINHASH_PERMS,
     bands: int = MINHASH_BANDS,
 ) -> DataFrame:
-    """(doc_id, band, band_key) — the persistable LSH index of a corpus.
+    """(doc_id, band, band_key, params) — the persistable LSH index of a
+    corpus.
 
     Built once over the history, appended with each ingested batch's keys
     (the delta's keys are already computed during its dedup pass, so index
-    maintenance is free).  perms/bands must match at probe time."""
+    maintenance is free).  ``params`` records the build family; the probe
+    checks it in-plan, so perms/bands mismatches fail loudly (a constant
+    string column dictionary-encodes to nothing in parquet)."""
     return lsh_band_keys(
         minhash_signatures(shingle_postings(df, text_col, n), perms), bands, perms
-    )
+    ).withColumn("params", F.lit(_minhash_params_tag(n, perms, bands)))
 
 
 def repeated_ngram_spans(

@@ -1303,3 +1303,75 @@ def test_multimodal_real_codecs(spark):
     )
     with _pytest.raises(Exception, match="no codec"):
         extract_media_meta(bad).collect()
+
+
+def test_minhash_index_params_and_disjointness_guards(spark):
+    """Round-8 symmetry hardening: the TEXT band index gets the same
+    fail-loud contract as the embedding bucket index — a persisted index
+    probed with a different (n, perms, bands) family raises in-plan, a
+    pre-round-8 index without the params column is rejected at plan
+    build, and a doc_id in BOTH history and delta (which would emit a
+    doc_a == doc_b self-pair) fails the job."""
+    from pyspark.sql import functions as F
+
+    from open_bus_siri_etl_spark.operators.dedup import (
+        build_minhash_index,
+        minhash_delta_dedup,
+    )
+
+    corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    history = corpus.filter(F.col("doc_id") % 10 != 0)
+    delta = corpus.filter(F.col("doc_id") % 10 == 0)
+    idx = build_minhash_index(history)
+    assert "params" in idx.columns
+    with pytest.raises(Exception, match="built with params"):
+        minhash_delta_dedup(history, delta, history_keys=idx, bands=2).count()
+    with pytest.raises(ValueError, match="rebuild"):
+        minhash_delta_dedup(history, delta, history_keys=idx.drop("params"))
+    with pytest.raises(Exception, match="BOTH corpus and delta"):
+        minhash_delta_dedup(
+            corpus.filter(F.col("doc_id") % 10 != 3), delta, history_keys=None
+        ).count()
+
+
+def test_lsh_bucket_index_append_is_rebuild(spark):
+    """The embedding index's append-only claim, exercised across two
+    ingest epochs: (index over corpus) ∪ (index over delta1) must equal
+    the index rebuilt over corpus ∪ delta1 row-for-row, and probing the
+    appended index for delta2 gives exactly the rebuilt-index result."""
+    from pyspark.sql import functions as F
+
+    from open_bus_siri_etl_spark.operators.similarity import (
+        cosine_delta_pairs_lsh,
+        lsh_bucket_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    corpus = emb.filter("vec_id < 400")
+    delta1 = emb.filter("vec_id >= 400 AND vec_id < 450")
+    delta2 = emb.filter("vec_id >= 450")
+
+    appended = lsh_bucket_index(corpus).unionByName(lsh_bucket_index(delta1))
+    rebuilt = lsh_bucket_index(corpus.unionByName(delta1))
+    assert sorted(map(tuple, appended.collect())) == sorted(
+        map(tuple, rebuilt.collect())
+    )
+
+    corpus2 = corpus.unionByName(delta1)
+    via_appended = sorted(
+        map(
+            tuple,
+            cosine_delta_pairs_lsh(
+                corpus2, delta2, threshold=0.4, corpus_index=appended
+            ).collect(),
+        )
+    )
+    via_rebuilt = sorted(
+        map(
+            tuple,
+            cosine_delta_pairs_lsh(
+                corpus2, delta2, threshold=0.4, corpus_index=rebuilt
+            ).collect(),
+        )
+    )
+    assert via_appended == via_rebuilt and via_appended
