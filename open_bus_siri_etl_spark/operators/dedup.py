@@ -604,11 +604,14 @@ def build_minhash_index(
     """(doc_id, band, band_key, params) — the persistable LSH index of a
     corpus.
 
-    Built once over the history, appended with each ingested batch's keys
-    (the delta's keys are already computed during its dedup pass, so index
-    maintenance is free).  ``params`` records the build family; the probe
-    checks it in-plan, so perms/bands mismatches fail loudly (a constant
-    string column dictionary-encodes to nothing in parquet)."""
+    Built once over the history; per ingest, append
+    ``build_minhash_index(delta_batch)`` — re-deriving the delta's keys
+    costs the same shingle/sign pass its dedup probe already pays, i.e.
+    O(|delta|), never O(history) (append-is-rebuild asserted in
+    tests/test_training_ops.py).  ``params`` records the build family;
+    the probe checks it in-plan, so perms/bands mismatches fail loudly
+    (a constant string column dictionary-encodes to nothing in
+    parquet)."""
     return lsh_band_keys(
         minhash_signatures(shingle_postings(df, text_col, n), perms), bands, perms
     ).withColumn("params", F.lit(_minhash_params_tag(n, perms, bands)))

@@ -267,6 +267,17 @@ def decode_bmp(blob: bytes) -> dict:
 
     if len(blob) < 26 or blob[:2] != b"BM":
         raise ValueError("not a BMP container")
+    # the info-header SIZE field discriminates the header family: the
+    # int32 width/height layout below only holds for BITMAPINFOHEADER and
+    # its extensions (40/52/56/108/124); a 12-byte OS/2 BITMAPCOREHEADER
+    # stores int16 dimensions at different offsets and would silently
+    # misparse — loud-fail instead (the module contract)
+    (info_size,) = struct.unpack_from("<I", blob, 14)
+    if info_size not in (40, 52, 56, 108, 124):
+        raise NotImplementedError(
+            f"BMP info header size {info_size} (OS/2 core or unknown "
+            "variant) — only the BITMAPINFOHEADER family decodes here"
+        )
     width, height = struct.unpack_from("<ii", blob, 18)
     return {"kind": "bmp", "width": width, "height": abs(height)}
 
@@ -284,18 +295,29 @@ def decode_wav(blob: bytes) -> dict:
     while pos + 8 <= len(blob):
         cid, csize = blob[pos : pos + 4], struct.unpack_from("<I", blob, pos + 4)[0]
         if cid == b"fmt ":
-            _, n_channels, sample_rate, _, _, bits = struct.unpack_from(
+            audio_fmt, n_channels, sample_rate, _, _, bits = struct.unpack_from(
                 "<HHIIHH", blob, pos + 8
             )
-            fmt = (n_channels, sample_rate, bits)
+            fmt = (audio_fmt, n_channels, sample_rate, bits)
         elif cid == b"data":
             data_size = csize
         pos += 8 + csize + (csize & 1)  # chunks are word-aligned
     if fmt is None or data_size is None:
         raise ValueError("WAV missing fmt/data chunk")
-    n_channels, sample_rate, bits = fmt
+    audio_fmt, n_channels, sample_rate, bits = fmt
+    # n_samples = data_bytes / frame_size only holds for uncompressed
+    # whole-byte sample formats: PCM (1) and IEEE float (3).  Compressed
+    # formats (ADPCM etc.) or sub-byte bit depths would get a fabricated,
+    # plausible-looking duration — loud-fail instead (the module contract)
+    if audio_fmt not in (1, 3) or bits < 8 or bits % 8:
+        raise NotImplementedError(
+            f"WAV format tag {audio_fmt} / {bits}-bit samples — only "
+            "uncompressed PCM and IEEE-float decode here"
+        )
     frame = n_channels * (bits // 8)
-    n_samples = data_size // frame if frame else 0
+    if frame == 0:
+        raise ValueError("WAV fmt chunk declares zero channels")
+    n_samples = data_size // frame
     return {
         "kind": "wav",
         "n_channels": n_channels,

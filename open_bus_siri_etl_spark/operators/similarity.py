@@ -1003,7 +1003,10 @@ def lsh_bucket_index(
     partitioned/bucketed by ``bucket`` and the candidate join co-locates.
     """
     return _quantized_bucket_frame(
-        df, id_col, n_planes, n_tables, quant, id_col, vec_col, dim,
+        # a NULL id would be unfindable by every downstream equality join
+        # (quiet pair loss) — reject it at BUILD time, not probe time
+        _non_null_ids(df, id_col, "lsh_bucket_index", "input"),
+        id_col, n_planes, n_tables, quant, id_col, vec_col, dim,
         with_norm=True,
     ).withColumn("params", F.lit(_lsh_params_tag(n_planes, n_tables, quant, dim)))
 
@@ -1054,25 +1057,34 @@ def cosine_delta_pairs_lsh(
     corpus) and the per-ingest plan touches the corpus in exactly TWO
     narrow ways — plan-asserted in tests/test_plan_quality.py:
 
-    - the index scan (ints + a stored norm; this is also where the
-      disjointness guard probes, so the corpus VECTOR frame is never
-      scanned for guarding), and
+    - the index scan (ints + a stored norm), and
     - ONE pass over the corpus vector frame that is a broadcast left-semi
       probe against the candidate id set: vectors and norms are never
       projected for non-candidates, so the O(N) residual is a hash probe
-      per row, not per-row float math.  (With the corpus table partitioned
-      or bucketed by id range in production, even that scan
-      partition-prunes to the candidate buckets.)
+      per row — the delta-disjointness guard rides this same scan (one
+      more broadcast probe per row, no extra pass, no float math).  (With
+      the corpus table partitioned or bucketed by id range in production,
+      even that scan partition-prunes to the candidate buckets.)
 
-    The index's ``params`` tag is checked in-plan against this call's
-    (n_planes, n_tables, quant, dim) — a mismatched family would silently
-    produce a different bucket space — and an index id with no vector in
-    ``corpus`` (stale/superset index) fails the verify join loudly instead
-    of silently dropping its pairs.
+    Staleness is fail-loud in BOTH directions (round-8 review hardening):
+    the index's ``params`` tag is checked in-plan against this call's
+    (n_planes, n_tables, quant, dim); an index id with no vector in
+    ``corpus`` (superset index) fails the verify join; a corpus∩delta
+    overlap raises whether the overlapping id is in the index or only in
+    the (newer) corpus frame; NULL ids raise on every input including the
+    index; and a candidate whose LIVE vector no longer matches its stored
+    index norm (in-place update under an unrebuilt index — stale buckets)
+    raises instead of scoring a mixed-epoch cosine.
     """
     op = "cosine_delta_pairs_lsh"
     corpus = _non_null_ids(corpus, id_col, op, "corpus")
     delta = _non_null_ids(delta, id_col, op, "delta")
+    # delta-disjointness is enforced on the CORPUS frame in both paths —
+    # with an index, the probe rides the one semi-scan the verify pays
+    # anyway (a broadcast hash probe per row, no extra pass), and it
+    # catches the staleness direction the index probe cannot: a corpus
+    # row appended AFTER the index epoch whose id re-appears in the delta
+    corpus = _disjoint_ids_or_raise(corpus, delta, id_col, op)
     if corpus_index is not None:
         if "params" not in corpus_index.columns or "nrm" not in corpus_index.columns:
             raise ValueError(
@@ -1081,9 +1093,15 @@ def cosine_delta_pairs_lsh(
                 "params)"
             )
         expected = _lsh_params_tag(n_planes, n_tables, quant, dim)
-        # the disjointness guard probes the INDEX ids — the narrow frame
-        # this path scans anyway — never the corpus vector frame
-        idx = _disjoint_ids_or_raise(corpus_index, delta, id_col, op)
+        # the guard ALSO probes the index ids (narrow frame, scanned
+        # anyway): an id present in both the index and the delta raises
+        # even if the passed corpus frame is itself stale
+        idx = _disjoint_ids_or_raise(
+            _non_null_ids(corpus_index, id_col, op, "corpus_index"),
+            delta,
+            id_col,
+            op,
+        )
         cb = idx.select(
             F.when(F.col("params") == expected, F.col(id_col))
             .otherwise(
@@ -1158,9 +1176,30 @@ def cosine_delta_pairs_lsh(
             )
         )
     )
+    # staleness tripwire (candidate-set cost only): the stored index norm
+    # must EXACTLY equal the live vector's norm — both are the same
+    # left-to-right fold over the same doubles, so an in-place vector
+    # update under an unrebuilt index (same id, new values — which also
+    # invalidates the bucket assignment, not just the norm) trips this
+    # for any candidate whose vector changed, instead of silently scoring
+    # a mixed-epoch cosine.  An unchanged vector costs one 64-wide fold
+    # per CANDIDATE row — never a full-corpus norm scan.
+    live_nrm_checked = F.when(
+        _norm(F.col("_c_vec")) == F.col("_c_nrm"), F.col("_c_nrm")
+    ).otherwise(
+        F.raise_error(
+            F.format_string(
+                f"{op}: corpus vector %s changed since corpus_index was "
+                "built (stored norm differs from the live vector's) — the "
+                "index's bucket assignment is stale, rebuild it",
+                F.col("_cid").cast("string"),
+            )
+        )
+    )
     cross_scored = (
         cross_cand.join(c_vecs, "_cid", "left")
         .withColumn("_c_vec", orphan_guarded_vec)
+        .withColumn("_c_nrm", live_nrm_checked)
         .join(d_vecs, "_did")
         .withColumn(
             "cosine",

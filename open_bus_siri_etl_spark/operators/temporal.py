@@ -40,7 +40,10 @@ def asof_join(
 
     Ties on ts: the right row sorts before the left probe row (matching
     DuckDB/pandas ``>=`` as-of semantics).  Right-side payload columns are
-    renamed with ``suffix``.
+    renamed with ``suffix``.  Strict ROW semantics: the matched right
+    row's columns are taken together (a NULL payload in the latest prior
+    row stays NULL — it is not back-filled from an older row; that
+    per-column forward-fill is ``forward_fill``'s job, not as-of's).
 
     ``tolerance_sec`` (pandas ``merge_asof(tolerance=)`` / kdb ``wj``
     semantics): when set, a carried match older than the window —
@@ -51,45 +54,47 @@ def asof_join(
     nested-loop join.
     """
     right_cols = right_cols or [c for c in right.columns if c not in (on, ts_col)]
-    # the carried right-side ts is needed to evaluate the tolerance window
-    carry_ts = "__asof_rts"
     l_tag = left.withColumn("_side", F.lit(1))
     r_tag = right.select(
         on,
         ts_col,
-        *[F.col(c).alias(c + suffix) for c in right_cols],
-        F.col(ts_col).alias(carry_ts),
+        # the whole right ROW as one struct (its ts first — the tolerance
+        # window must be evaluated against the ts of the SAME row that
+        # supplied the payload; carrying columns independently would let a
+        # NULL in the newest row's payload surface an older, staler value
+        # while the freshness check used the newest ts)
+        F.struct(
+            F.col(ts_col).alias("_rts"),
+            *[F.col(c).alias(c + suffix) for c in right_cols],
+        ).alias("_rrow"),
     ).withColumn("_side", F.lit(0))
     unioned = l_tag.unionByName(r_tag, allowMissingColumns=True)
 
     # rows UNBOUNDED PRECEDING..CURRENT with right rows (_side=0) sorting
-    # first on ties ⇒ last() sees every right row at ts' <= ts
+    # first on ties ⇒ last() sees every right row at ts' <= ts; ONE carried
+    # struct = the latest prior right ROW with all its columns (strict
+    # row-asof semantics, matching DuckDB/pandas — a NULL payload in the
+    # latest row is carried as that row's NULL, not skipped)
     w = (
         Window.partitionBy(on)
         .orderBy(F.col(ts_col), F.col("_side"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.select(
-        "*",
-        *[
-            F.last(c + suffix, ignorenulls=True).over(w).alias(c + suffix + "_c")
-            for c in right_cols
-        ],
-        F.last(carry_ts, ignorenulls=True).over(w).alias(carry_ts + "_c"),
+        "*", F.last("_rrow", ignorenulls=True).over(w).alias("_rrow_c")
     )
     if tolerance_sec is None:
-        fresh = F.lit(True)
+        fresh = F.col("_rrow_c").isNotNull()
     else:
         fresh = (
-            F.col(ts_col).cast("long") - F.col(carry_ts + "_c").cast("long")
+            F.col(ts_col).cast("long") - F.col("_rrow_c._rts").cast("long")
         ) <= int(tolerance_sec)
     return (
         carried.filter(F.col("_side") == 1)
-        .drop("_side", carry_ts, *[c + suffix for c in right_cols])
         .select(
             *left.columns,
             *[
-                F.when(fresh, F.col(c + suffix + "_c")).alias(c + suffix)
+                F.when(fresh, F.col(f"_rrow_c.{c + suffix}")).alias(c + suffix)
                 for c in right_cols
             ],
         )

@@ -547,10 +547,13 @@ def test_delta_lsh_index_path_never_projects_corpus_norms(spark, tmp_path):
     must match the physical plan.  With a PERSISTED corpus_index (the
     production shape — the index parquet carries the stored norms), the
     corpus VECTOR frame is touched exactly once — a broadcast left-semi
-    probe against the candidate id set — and the only SQRT expressions in
-    the plan are the delta side's three (d_vecs in the cross verify,
-    d_vecs + d2_vecs in the within verify).  The inline path necessarily
-    computes corpus norms too, so its plan carries strictly more."""
+    probe against the candidate id set — and the plan carries exactly
+    FOUR SQRT folds: the delta side's three (d_vecs in the cross verify,
+    d_vecs + d2_vecs in the within verify) plus ONE candidate-pruned
+    corpus fold that exists only as the staleness tripwire (live norm
+    must exactly equal the stored index norm — its raise_error branch is
+    asserted present).  The inline path necessarily computes the
+    full-corpus norm on top, so its plan carries strictly more."""
     from open_bus_siri_etl_spark.operators.similarity import (
         cosine_delta_pairs_lsh,
         lsh_bucket_index,
@@ -568,10 +571,9 @@ def test_delta_lsh_index_path_never_projects_corpus_norms(spark, tmp_path):
     inline = explain_str(cosine_delta_pairs_lsh(corpus, delta, threshold=0.4))
     # corpus vectors reached through a broadcast semi probe, never a shuffle
     assert "LeftSemi" in with_idx and "BroadcastHashJoin" in with_idx
-    # norms: delta-side only (3 sqrt folds) when the index supplies corpus
-    # norms; the inline twin adds the corpus-side norm on top
-    assert with_idx.count("SQRT") == 3
-    assert inline.count("SQRT") > 3
+    assert with_idx.count("SQRT") == 4
+    assert "changed since corpus_index" in with_idx  # tripwire is in-plan
+    assert inline.count("SQRT") > 4
 
 
 FULL_REGISTRY_ORDER = [
@@ -648,3 +650,14 @@ def test_registry_full_order_is_frozen():
     from open_bus_siri_etl_spark.plans.catalog import REGISTRY
 
     assert list(REGISTRY) == FULL_REGISTRY_ORDER
+
+
+def test_asof_tolerance_same_plan_shape(spark):
+    """tolerance_sec= must not change the operator's scale shape: still
+    one shuffle on the key + one window (the carried right-ts and the
+    staleness branch are column expressions), never a nested-loop join."""
+    plan = explain_str(REGISTRY["asof_tolerance_join"].fn(spark, SF))
+    assert "NestedLoop" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" in plan
+    assert plan.count(") Exchange") == 1

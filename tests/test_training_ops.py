@@ -1375,3 +1375,153 @@ def test_lsh_bucket_index_append_is_rebuild(spark):
         )
     )
     assert via_appended == via_rebuilt and via_appended
+
+
+def test_delta_lsh_stale_corpus_detection(spark):
+    """Round-8 review hardening: staleness is fail-loud in BOTH
+    directions.  (a) a corpus row appended AFTER the index epoch whose id
+    re-appears in the delta raises even though the index doesn't know the
+    id; (b) an in-place vector update under an unrebuilt index (same ids,
+    new values — stale buckets AND stale norms) raises on the first
+    candidate instead of scoring a mixed-epoch cosine."""
+    from pyspark.sql import functions as F
+
+    from open_bus_siri_etl_spark.operators.similarity import (
+        cosine_delta_pairs_lsh,
+        lsh_bucket_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    corpus = emb.filter("vec_id < 450")
+    delta = emb.filter("vec_id >= 450")
+    idx = lsh_bucket_index(corpus)
+
+    # (a) corpus superset of index: id 460 appended to corpus after the
+    # index epoch, and today's delta re-ingests it
+    stale_corpus = corpus.unionByName(emb.filter("vec_id = 460"))
+    with pytest.raises(Exception, match="BOTH corpus and delta"):
+        cosine_delta_pairs_lsh(
+            stale_corpus, delta, threshold=0.4, corpus_index=idx
+        ).count()
+
+    # (b) vectors regenerated in place, index not rebuilt
+    updated = corpus.select(
+        "vec_id",
+        F.transform("embedding", lambda x: (x.cast("double") * 2.0).cast("float"))
+        .alias("embedding"),
+        "label",
+    )
+    with pytest.raises(Exception, match="changed since corpus_index"):
+        cosine_delta_pairs_lsh(
+            updated, delta, threshold=0.4, corpus_index=idx
+        ).count()
+
+    # (c) NULL id hidden in a persisted index raises at probe
+    nulled_idx = idx.selectExpr(
+        "CASE WHEN vec_id = 10 THEN NULL ELSE vec_id END AS vec_id",
+        "tbl", "bucket", "nrm", "params",
+    )
+    with pytest.raises(Exception, match="NULL vec_id in corpus_index"):
+        cosine_delta_pairs_lsh(
+            corpus, delta, threshold=0.4, corpus_index=nulled_idx
+        ).count()
+
+
+def test_asof_join_row_semantics_null_payload(spark):
+    """Strict ROW as-of semantics (round-8 review fix): the latest prior
+    right row is taken WHOLE — a NULL payload in that row stays NULL
+    rather than being back-filled from an older row, and the tolerance
+    window is evaluated against the ts of the SAME row that supplied the
+    payload."""
+    import datetime
+
+    from open_bus_siri_etl_spark.operators.temporal import asof_join
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ts(s):
+        return t0 + datetime.timedelta(seconds=s)
+
+    left = spark.createDataFrame(
+        [(1, 100, ts(110))], "event_id long, user_id long, ts timestamp"
+    )
+    right = spark.createDataFrame(
+        [(100, ts(0), 5), (100, ts(100), None)],
+        "user_id long, ts timestamp, v long",
+    )
+    # no tolerance: the latest prior row (ts=100) carries its NULL v
+    out = asof_join(left, right, on="user_id", right_cols=["v"]).collect()[0]
+    assert out["v_asof"] is None
+    # with tolerance 50: the carried row IS fresh (age 10) but its v is
+    # NULL — the old per-column carry emitted the 110s-stale v=5 here
+    out = asof_join(
+        left, right, on="user_id", right_cols=["v"], tolerance_sec=50
+    ).collect()[0]
+    assert out["v_asof"] is None
+
+
+def test_minhash_index_append_is_rebuild(spark):
+    """The text band index's append contract, exercised across two ingest
+    epochs (the twin of test_lsh_bucket_index_append_is_rebuild):
+    build(history) ∪ build(batch) == build(history ∪ batch) row-for-row,
+    and probing the appended index gives the rebuilt-index result."""
+    from pyspark.sql import functions as F
+
+    from open_bus_siri_etl_spark.operators.dedup import (
+        build_minhash_index,
+        minhash_delta_dedup,
+    )
+
+    corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    history = corpus.filter(F.col("doc_id") % 10 > 1)
+    batch1 = corpus.filter(F.col("doc_id") % 10 == 1)
+    batch2 = corpus.filter(F.col("doc_id") % 10 == 0)
+
+    appended = build_minhash_index(history).unionByName(build_minhash_index(batch1))
+    rebuilt = build_minhash_index(history.unionByName(batch1))
+    assert sorted(map(tuple, appended.collect())) == sorted(
+        map(tuple, rebuilt.collect())
+    )
+
+    h2 = history.unionByName(batch1)
+    via_appended = sorted(
+        map(
+            tuple,
+            minhash_delta_dedup(h2, batch2, history_keys=appended).collect(),
+        )
+    )
+    via_rebuilt = sorted(
+        map(
+            tuple,
+            minhash_delta_dedup(h2, batch2, history_keys=rebuilt).collect(),
+        )
+    )
+    assert via_appended == via_rebuilt and via_appended
+
+
+def test_multimodal_codecs_reject_unsupported_variants():
+    """The loud-fail contract covers plausible-but-unsupported container
+    VARIANTS, not just foreign magic bytes: OS/2 core-header BMPs and
+    compressed / sub-byte WAV formats raise instead of emitting
+    fabricated metadata."""
+    import struct
+
+    from open_bus_siri_etl_spark.operators.multimodal import decode_bmp, decode_wav
+
+    # OS/2 BITMAPCOREHEADER: 12-byte info header, int16 dimensions
+    core = struct.pack("<2sIHHI", b"BM", 26, 0, 0, 26) + struct.pack(
+        "<IHHHH", 12, 100, 50, 1, 24
+    )
+    with pytest.raises(NotImplementedError, match="info header size 12"):
+        decode_bmp(core)
+
+    # IMA-ADPCM WAV (format tag 17, 4-bit samples): n_samples from
+    # data_bytes/frame would be fabricated
+    fmt = struct.pack("<HHIIHH", 17, 1, 8000, 4000, 256, 4)
+    adpcm = (
+        struct.pack("<4sI4s", b"RIFF", 36 + 8, b"WAVE")
+        + struct.pack("<4sI", b"fmt ", len(fmt)) + fmt
+        + struct.pack("<4sI", b"data", 8) + b"\x00" * 8
+    )
+    with pytest.raises(NotImplementedError, match="format tag 17"):
+        decode_wav(adpcm)
