@@ -1040,7 +1040,15 @@ def cosine_delta_pairs_lsh(
     same trade ``lsh_ann_topk_exact`` documents) but DETERMINISTICALLY so:
     the result is an exact function of the data, so it carries a
     value-level cross-engine oracle, and its miss rate vs the exact path
-    is itself measurable (catalog twin of ``lsh_ann_recall_eval``).
+    is itself measurable (``delta_pairs_recall_eval`` in the catalog).
+
+    CHOOSING (n_planes, n_tables): sign-LSH recall is governed by the
+    pair angle — recall ≈ 1-(1-p^P)^T with p = 1-θ/π — so the right
+    constants depend on the similarity regime you prune for.  The
+    defaults (P=4, T=8) match the catalog oracle's low-threshold regime;
+    for real near-dup work (cosine ≥ ~0.85) use P=10/T=16, which measured
+    recall 0.976 at a ~2% candidate fraction — the committed frontier in
+    BENCH_LSH_FRONTIER.json maps the trade for 7 combos in both regimes.
 
     Scale shape: corpus buckets once per ingest epoch (persist them — the
     frame is (id, tbl, bucket, nrm, params), narrow and incrementally
