@@ -793,3 +793,160 @@ def minhash_jaccard_estimates(
     return est.join(exact, ["doc_a", "doc_b"]).select(
         "doc_a", "doc_b", "n_matching_perms", "est_jaccard", "jaccard"
     )
+
+
+def jaccard_delta_pairs(
+    history: DataFrame,
+    delta: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs INVOLVING a delta batch only — the
+    per-ingest pair generator for incremental near-dup clustering
+    (``ngram_jaccard_pairs``'s delta twin).
+
+    A pair's Jaccard depends only on its two documents' shingle sets, so
+    the full-corpus pair list decomposes exactly: pairs(history ∪ delta) =
+    pairs(history) ∪ THIS (history × delta posting join + delta × delta) —
+    which is what lets ``connected_components_delta`` fold an ingest into
+    an existing labeling with a value-level batch oracle.
+
+    Scale shape: the delta's postings broadcast (an ingest batch is small
+    by definition); history postings stream through the shingle equi-join
+    once — O(|history postings| probe + matches), never a history
+    self-join.  Output: (doc_a, doc_b, jaccard), doc_a < doc_b, the exact
+    cross+within subset of the batch pair list.
+
+    PRECONDITION (ENFORCED in-plan, same as every delta operator here):
+    history and delta doc_id sets disjoint; NULL ids raise.
+    """
+    from .similarity import _disjoint_ids_or_raise, _non_null_ids
+
+    op = "jaccard_delta_pairs"
+    history = _non_null_ids(history, "doc_id", op, "history")
+    delta = _non_null_ids(delta, "doc_id", op, "delta")
+    history = _disjoint_ids_or_raise(history, delta, "doc_id", op)
+    h_post = shingle_postings(history, text_col, n)
+    d_post = shingle_postings(delta, text_col, n).localCheckpoint(eager=True)
+    h_sizes = h_post.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    d_sizes = d_post.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+
+    def scored(inter: DataFrame, sa: DataFrame, sb: DataFrame) -> DataFrame:
+        return (
+            inter.join(sa.withColumnRenamed("doc_id", "_ida"), "_ida")
+            .join(sb.withColumnRenamed("doc_id", "_idb"), "_idb")
+            .withColumn(
+                "jaccard",
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select(
+                F.least("_ida", "_idb").alias("doc_a"),
+                F.greatest("_ida", "_idb").alias("doc_b"),
+                "jaccard",
+            )
+        )
+
+    cross_inter = (
+        h_post.join(
+            F.broadcast(d_post.select(F.col("doc_id").alias("_idb"), "shingle")),
+            "shingle",
+        )
+        .groupBy(F.col("doc_id").alias("_ida"), "_idb")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    cross = scored(
+        cross_inter,
+        h_sizes.select("doc_id", F.col("n_sh").alias("n_a")),
+        d_sizes.select("doc_id", F.col("n_sh").alias("n_b")),
+    )
+    within_inter = (
+        d_post.select(F.col("doc_id").alias("_ida"), "shingle")
+        .join(
+            d_post.select(F.col("doc_id").alias("_idb"), "shingle"),
+            "shingle",
+        )
+        .filter(F.col("_ida") < F.col("_idb"))
+        .groupBy("_ida", "_idb")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    within = scored(
+        within_inter,
+        d_sizes.select("doc_id", F.col("n_sh").alias("n_a")),
+        d_sizes.select("doc_id", F.col("n_sh").alias("n_b")),
+    )
+    return cross.unionByName(within)
+
+
+def connected_components_delta(
+    labels: DataFrame,
+    delta_ids: DataFrame,
+    delta_pairs: DataFrame,
+    id_col: str = "doc_id",
+    comp_col: str = "component",
+) -> DataFrame:
+    """Incremental connected components: fold one ingest's near-dup pairs
+    into an EXISTING labeling — the missing per-ingest stage of the delta
+    dedup family (pairs have delta twins; clustering used to recompute CC
+    over the full graph every ingest).
+
+    Contract-and-solve: every delta pair's endpoints are mapped through
+    the current labeling (a history doc contracts to its component label,
+    a delta doc to itself), min-label CC runs on that CONTRACTED graph —
+    whose size is O(|delta pairs| + touched components), independent of
+    the corpus — and history docs inherit their component's new label by
+    one equi-join.  Because existing labels are the min doc_id of their
+    component, the contracted min-label IS the global min over every
+    merged component, so the result equals the batch recomputation
+    row-for-row (the catalog oracle for ``neardup_components_delta`` is
+    literally the batch entry's SQL).
+
+    ``labels``: (id, component) for every history doc (singletons
+    included, as ``attach_components`` emits).  ``delta_ids``: the
+    ingested ids (one column, ``id_col``).  ``delta_pairs``:
+    (doc_a, doc_b) involving the delta — ``jaccard_delta_pairs`` or any
+    other delta pair generator of the same family as the batch labeling.
+
+    Output: (id, component) over history ∪ delta.  PRECONDITION
+    (ENFORCED in-plan): labels∩delta id sets disjoint; NULL ids raise.
+    """
+    from .similarity import _disjoint_ids_or_raise, _non_null_ids
+
+    op = "connected_components_delta"
+    labels = _non_null_ids(labels, id_col, op, "labels")
+    delta_ids = _non_null_ids(delta_ids.select(id_col), id_col, op, "delta_ids")
+    labels = _disjoint_ids_or_raise(labels, delta_ids, id_col, op)
+
+    lmap = F.broadcast(
+        labels.select(F.col(id_col).alias("_lid"), F.col(comp_col).alias("_lc"))
+    )
+    # contract endpoints: history doc -> its current label, delta doc ->
+    # itself.  The label map join is only needed for ids that appear in
+    # delta pairs — at most 2·|pairs| lookups
+    e = delta_pairs.select(F.col("doc_a").alias("_a"), F.col("doc_b").alias("_b"))
+    contracted = (
+        e.join(lmap.withColumnRenamed("_lid", "_a").withColumnRenamed("_lc", "_ca"), "_a", "left")
+        .join(lmap.withColumnRenamed("_lid", "_b").withColumnRenamed("_lc", "_cb"), "_b", "left")
+        .select(
+            F.coalesce("_ca", "_a").alias("doc_a"),
+            F.coalesce("_cb", "_b").alias("doc_b"),
+        )
+        .filter(F.col("doc_a") != F.col("doc_b"))
+    )
+    sub = connected_components(contracted)  # (node, component) — touched only
+    relabel = F.broadcast(
+        sub.select(F.col("node").alias("_old"), F.col("component").alias("_new"))
+    )
+    out_history = labels.join(
+        relabel, labels[comp_col] == F.col("_old"), "left"
+    ).select(
+        id_col, F.coalesce("_new", comp_col).alias(comp_col)
+    )
+    out_delta = delta_ids.join(
+        relabel, delta_ids[id_col] == F.col("_old"), "left"
+    ).select(
+        id_col, F.coalesce("_new", id_col).alias(comp_col)
+    )
+    return out_history.unionByName(out_delta)

@@ -2012,3 +2012,42 @@ def delta_pairs_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_found", F.lit(0)) * 1.0 / F.col("n_exact"), 6
         ).alias("recall"),
     )
+
+
+# The incremental entry's oracle IS the batch entry's SQL, verbatim: the
+# strongest contract an incremental operator can carry — fold-in must
+# equal full recomputation row-for-row.
+_NEARDUP_BATCH_SQL = REGISTRY["neardup_components"].sql
+
+
+@register(
+    "neardup_components_delta",
+    _NEARDUP_BATCH_SQL,
+    note="INCREMENTAL near-dup clustering — the missing per-ingest stage "
+    "of the delta dedup family (pairs already had delta twins; clustering "
+    "used to recompute components over the full graph every ingest): the "
+    "delta's exact-Jaccard pairs (jaccard_delta_pairs — delta postings "
+    "broadcast, history postings stream through ONE shingle equi-join) "
+    "are contracted through the EXISTING labeling (history doc -> its "
+    "component label, delta doc -> itself) and min-label CC runs on that "
+    "contracted graph, whose size is O(|delta pairs| + touched "
+    "components) — independent of the corpus; history docs inherit their "
+    "component's new label by one equi-join.  Existing labels are min "
+    "doc_ids, so the contracted min-label equals the global min over "
+    "every merged component and the fold-in equals batch recomputation "
+    "ROW-FOR-ROW — the oracle is literally the batch entry's SQL.  "
+    "Disjointness/NULL guards as in every delta operator",
+)
+def neardup_components_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import (
+        connected_components_delta,
+        jaccard_delta_pairs,
+        neardup_membership,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    history = docs.filter(F.col("doc_id") % 10 != 0)
+    delta = docs.filter(F.col("doc_id") % 10 == 0)
+    labels = neardup_membership(history, threshold=0.5)
+    dpairs = jaccard_delta_pairs(history, delta, threshold=0.5)
+    return connected_components_delta(labels, delta.select("doc_id"), dpairs)

@@ -636,6 +636,7 @@ FULL_REGISTRY_ORDER = [
     "windowed_event_dedup", "join_key_skew_report", "embedding_delta_pairs",
     "rfm_segmentation", "language_id_confusion", "embedding_delta_pairs_lsh",
     "delta_pairs_recall_eval",
+    "neardup_components_delta",
 ]
 
 

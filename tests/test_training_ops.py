@@ -1525,3 +1525,42 @@ def test_multimodal_codecs_reject_unsupported_variants():
     )
     with pytest.raises(NotImplementedError, match="format tag 17"):
         decode_wav(adpcm)
+
+
+def test_connected_components_delta_multi_epoch(spark):
+    """Incremental clustering folded over TWO successive ingests equals
+    batch recomputation over everything — labels from epoch k feed epoch
+    k+1, so this exercises the real steady-state (contract against an
+    already-incrementally-built labeling), not just one step.  Plus the
+    standard delta guards: a re-ingested id raises."""
+    from pyspark.sql import functions as F
+
+    from open_bus_siri_etl_spark.operators.dedup import (
+        connected_components_delta,
+        jaccard_delta_pairs,
+        neardup_membership,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    h0 = docs.filter(F.col("doc_id") % 10 > 1)
+    b1 = docs.filter(F.col("doc_id") % 10 == 1)
+    b2 = docs.filter(F.col("doc_id") % 10 == 0)
+
+    labels = neardup_membership(h0, threshold=0.5)
+    for hist, batch in ((h0, b1), (h0.unionByName(b1), b2)):
+        pairs = jaccard_delta_pairs(hist, batch, threshold=0.5)
+        labels = connected_components_delta(
+            labels, batch.select("doc_id"), pairs
+        ).localCheckpoint(eager=True)
+
+    batch_all = sorted(
+        map(tuple, neardup_membership(docs, threshold=0.5).collect())
+    )
+    assert sorted(map(tuple, labels.collect())) == batch_all
+
+    with pytest.raises(Exception, match="BOTH corpus and delta"):
+        connected_components_delta(
+            neardup_membership(h0, 0.5),
+            h0.select("doc_id").limit(5),
+            jaccard_delta_pairs(docs.filter("doc_id % 10 > 2"), b1),
+        ).count()
