@@ -1564,3 +1564,56 @@ def test_connected_components_delta_multi_epoch(spark):
             h0.select("doc_id").limit(5),
             jaccard_delta_pairs(docs.filter("doc_id % 10 > 2"), b1),
         ).count()
+
+
+def test_connected_components_delta_embedding_family(spark):
+    """connected_components_delta is pair-family-GENERIC: folding an
+    embedding ingest's exact cosine delta pairs into an existing
+    embedding-cluster labeling equals batch clustering over the full
+    embedding corpus (the same contract proven for the text family)."""
+    from pyspark.sql import functions as F
+
+    from open_bus_siri_etl_spark.operators.dedup import (
+        attach_components,
+        connected_components_delta,
+    )
+    from open_bus_siri_etl_spark.operators.similarity import (
+        cosine_delta_pairs,
+        cosine_near_pairs,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    corpus = emb.filter("vec_id < 450")
+    delta = emb.filter("vec_id >= 450")
+
+    labels = attach_components(
+        corpus,
+        cosine_near_pairs(corpus, threshold=0.4).select(
+            F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+        ),
+        "vec_id",
+    )
+    dpairs = cosine_delta_pairs(corpus, delta, threshold=0.4).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    inc = sorted(
+        map(
+            tuple,
+            connected_components_delta(
+                labels, delta.select("vec_id"), dpairs, id_col="vec_id"
+            ).collect(),
+        )
+    )
+    batch = sorted(
+        map(
+            tuple,
+            attach_components(
+                emb,
+                cosine_near_pairs(emb, threshold=0.4).select(
+                    F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+                ),
+                "vec_id",
+            ).collect(),
+        )
+    )
+    assert inc == batch and len(inc) == emb.count()
