@@ -795,12 +795,31 @@ def minhash_jaccard_estimates(
     )
 
 
+def build_shingle_index(
+    df: DataFrame, text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """(doc_id, shingle, params) — the persistable posting index of a
+    corpus, the third member of the delta-index family (MinHash band
+    index for banded text dedup, LSH bucket index for embeddings, this
+    for EXACT-Jaccard delta pairs).  Built once over the history,
+    appended with build_shingle_index(batch) per ingest; ``params``
+    records the shingle width and is checked in-plan at probe time."""
+    from .similarity import _non_null_ids
+
+    return shingle_postings(
+        _non_null_ids(df, "doc_id", "build_shingle_index", "input"),
+        text_col,
+        n,
+    ).withColumn("params", F.lit(f"N{n}"))
+
+
 def jaccard_delta_pairs(
-    history: DataFrame,
+    history: DataFrame | None,
     delta: DataFrame,
     text_col: str = "text",
     n: int = 3,
     threshold: float = 0.5,
+    history_postings: DataFrame | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs INVOLVING a delta batch only — the
     per-ingest pair generator for incremental near-dup clustering
@@ -815,8 +834,13 @@ def jaccard_delta_pairs(
     Scale shape: the delta's postings broadcast (an ingest batch is small
     by definition); history postings stream through the shingle equi-join
     once — O(|history postings| probe + matches), never a history
-    self-join.  Output: (doc_a, doc_b, jaccard), doc_a < doc_b, the exact
-    cross+within subset of the batch pair list.
+    self-join.  Pass ``history_postings`` (a persisted
+    ``build_shingle_index`` frame, appendable per ingest like the MinHash
+    band index) and the history is never re-SHINGLED either: the
+    per-ingest plan is the index scan plus candidate-sized work, with the
+    params/NULL/disjointness guards riding the scan in-plan.  Output:
+    (doc_a, doc_b, jaccard), doc_a < doc_b, the exact cross+within subset
+    of the batch pair list.
 
     PRECONDITION (ENFORCED in-plan, same as every delta operator here):
     history and delta doc_id sets disjoint; NULL ids raise.
@@ -824,10 +848,46 @@ def jaccard_delta_pairs(
     from .similarity import _disjoint_ids_or_raise, _non_null_ids
 
     op = "jaccard_delta_pairs"
-    history = _non_null_ids(history, "doc_id", op, "history")
     delta = _non_null_ids(delta, "doc_id", op, "delta")
-    history = _disjoint_ids_or_raise(history, delta, "doc_id", op)
-    h_post = shingle_postings(history, text_col, n)
+    if history_postings is not None:
+        # indexed path: the history is never re-shingled — the persisted
+        # posting index streams through the candidate equi-join once, and
+        # every guard (params, NULL ids, disjointness) rides that scan
+        if "params" not in history_postings.columns:
+            raise ValueError(
+                f"{op}: history_postings lacks the params column — rebuild "
+                "it with build_shingle_index (format: doc_id, shingle, "
+                "params)"
+            )
+        expected = f"N{n}"
+        guarded = _disjoint_ids_or_raise(
+            _non_null_ids(history_postings, "doc_id", op, "history_postings"),
+            delta,
+            "doc_id",
+            op,
+        )
+        h_post = guarded.select(
+            F.when(F.col("params") == expected, F.col("doc_id"))
+            .otherwise(
+                F.raise_error(
+                    F.concat(
+                        F.lit(f"{op}: history_postings built with params "),
+                        F.col("params"),
+                        F.lit(
+                            f" but this call expects {expected} — a "
+                            "different shingle width changes every Jaccard, "
+                            "rebuild the index"
+                        ),
+                    )
+                )
+            )
+            .alias("doc_id"),
+            "shingle",
+        )
+    else:
+        history = _non_null_ids(history, "doc_id", op, "history")
+        history = _disjoint_ids_or_raise(history, delta, "doc_id", op)
+        h_post = shingle_postings(history, text_col, n)
     d_post = shingle_postings(delta, text_col, n).localCheckpoint(eager=True)
     h_sizes = h_post.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     d_sizes = d_post.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))

@@ -1617,3 +1617,52 @@ def test_connected_components_delta_embedding_family(spark):
         )
     )
     assert inc == batch and len(inc) == emb.count()
+
+
+def test_jaccard_delta_pairs_persisted_posting_index(spark, tmp_path):
+    """The third delta index (exact-Jaccard posting index, round 8):
+    probing a PERSISTED build_shingle_index frame gives exactly the
+    inline result with the history never re-shingled, append-is-rebuild
+    holds, and the standard fail-loud guards fire (params mismatch,
+    pre-tag format, re-ingested id)."""
+    from pyspark.sql import functions as F
+
+    from open_bus_siri_etl_spark.operators.dedup import (
+        build_shingle_index,
+        jaccard_delta_pairs,
+    )
+
+    corpus = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    history = corpus.filter(F.col("doc_id") % 10 > 1)
+    batch1 = corpus.filter(F.col("doc_id") % 10 == 1)
+    delta = corpus.filter(F.col("doc_id") % 10 == 0)
+    h2 = history.unionByName(batch1)
+
+    idx_path = str(tmp_path / "postings")
+    # append workflow: history epoch + batch epoch
+    build_shingle_index(history).unionByName(
+        build_shingle_index(batch1)
+    ).write.parquet(idx_path)
+    idx = spark.read.parquet(idx_path)
+
+    inline = sorted(
+        map(tuple, jaccard_delta_pairs(h2, delta, threshold=0.5).collect())
+    )
+    via = sorted(
+        map(
+            tuple,
+            jaccard_delta_pairs(
+                None, delta, threshold=0.5, history_postings=idx
+            ).collect(),
+        )
+    )
+    assert inline == via and inline
+
+    with pytest.raises(Exception, match="built with params"):
+        jaccard_delta_pairs(None, delta, n=4, history_postings=idx).count()
+    with pytest.raises(ValueError, match="rebuild"):
+        jaccard_delta_pairs(None, delta, history_postings=idx.drop("params"))
+    with pytest.raises(Exception, match="BOTH corpus and delta"):
+        jaccard_delta_pairs(
+            None, batch1, history_postings=idx
+        ).count()
