@@ -2051,3 +2051,45 @@ def neardup_components_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels = neardup_membership(history, threshold=0.5)
     dpairs = jaccard_delta_pairs(history, delta, threshold=0.5)
     return connected_components_delta(labels, delta.select("doc_id"), dpairs)
+
+
+@register(
+    "jaccard_delta_pairs",
+    f"""
+    WITH {_POSTINGS_CTE},
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+        FROM post a JOIN post b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b, jaccard FROM (
+        SELECT doc_a, doc_b, i * 1.0 / (sa.n + sb.n - i) AS jaccard
+        FROM inter JOIN sizes sa ON doc_a = sa.doc_id
+                   JOIN sizes sb ON doc_b = sb.doc_id
+    ) WHERE jaccard >= 0.5 AND (doc_a % 10 = 0 OR doc_b % 10 = 0)
+    """,
+    note="the per-ingest EXACT-Jaccard pair generator registered in its "
+    "own right (ngram_jaccard_dedup's delta twin; the pair stage of "
+    "neardup_components_delta): delta postings broadcast against ONE "
+    "streaming pass of the history's persisted posting index "
+    "(build_shingle_index — never a history self-join, history never "
+    "re-shingled), within-delta pairs from the tiny broadcast self-join.  "
+    "Oracle = the batch pair list restricted to pairs touching the delta "
+    "— decomposition is exact because a pair's Jaccard depends only on "
+    "its two shingle sets.  Unlike the clustering fold-in, this oracle "
+    "is fully portable SQL (no recursion), so the entry is in the "
+    "conformance set, not the allowlist",
+)
+def jaccard_delta_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import build_shingle_index, jaccard_delta_pairs
+
+    docs = t(spark, sf_dir, "documents")
+    history = docs.filter(F.col("doc_id") % 10 != 0)
+    delta = docs.filter(F.col("doc_id") % 10 == 0)
+    # the production shape: probe the persisted posting index
+    return jaccard_delta_pairs(
+        None,
+        delta,
+        threshold=0.5,
+        history_postings=build_shingle_index(history),
+    )

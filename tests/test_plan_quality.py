@@ -637,6 +637,7 @@ FULL_REGISTRY_ORDER = [
     "rfm_segmentation", "language_id_confusion", "embedding_delta_pairs_lsh",
     "delta_pairs_recall_eval",
     "neardup_components_delta",
+    "jaccard_delta_pairs",
 ]
 
 
