@@ -940,6 +940,41 @@ def jaccard_delta_pairs(
     return cross.unionByName(within)
 
 
+def contract_delta_pairs(
+    labels: DataFrame,
+    delta_pairs: DataFrame,
+    id_col: str = "doc_id",
+    comp_col: str = "component",
+) -> DataFrame:
+    """Map delta-pair endpoints through the current labeling: a history doc
+    contracts to its component label, a delta doc to itself.  The label map
+    is only needed for ids that appear in delta pairs — at most 2·|pairs|
+    rows — so the full labeling must NEVER be broadcast (at 10^9 history
+    docs that is a >16 GB broadcast: OOM, not slow).  Shrink first:
+    broadcast the delta-sized endpoint id set, left-semi it against labels
+    (history STREAMS through one scan), and broadcast only the surviving
+    ≤2·|pairs| (id, component) rows.  Plan-asserted in
+    tests/test_plan_quality.py: every BroadcastExchange over the labels
+    source sits above that LeftSemi shrink."""
+    e = delta_pairs.select(F.col("doc_a").alias("_a"), F.col("doc_b").alias("_b"))
+    endpoints = (
+        e.select(F.explode(F.array("_a", "_b")).alias(id_col)).distinct()
+    )
+    lmap = F.broadcast(
+        labels.join(F.broadcast(endpoints), id_col, "left_semi")
+        .select(F.col(id_col).alias("_lid"), F.col(comp_col).alias("_lc"))
+    )
+    return (
+        e.join(lmap.withColumnRenamed("_lid", "_a").withColumnRenamed("_lc", "_ca"), "_a", "left")
+        .join(lmap.withColumnRenamed("_lid", "_b").withColumnRenamed("_lc", "_cb"), "_b", "left")
+        .select(
+            F.coalesce("_ca", "_a").alias("doc_a"),
+            F.coalesce("_cb", "_b").alias("doc_b"),
+        )
+        .filter(F.col("doc_a") != F.col("doc_b"))
+    )
+
+
 def connected_components_delta(
     labels: DataFrame,
     delta_ids: DataFrame,
@@ -979,22 +1014,7 @@ def connected_components_delta(
     delta_ids = _non_null_ids(delta_ids.select(id_col), id_col, op, "delta_ids")
     labels = _disjoint_ids_or_raise(labels, delta_ids, id_col, op)
 
-    lmap = F.broadcast(
-        labels.select(F.col(id_col).alias("_lid"), F.col(comp_col).alias("_lc"))
-    )
-    # contract endpoints: history doc -> its current label, delta doc ->
-    # itself.  The label map join is only needed for ids that appear in
-    # delta pairs — at most 2·|pairs| lookups
-    e = delta_pairs.select(F.col("doc_a").alias("_a"), F.col("doc_b").alias("_b"))
-    contracted = (
-        e.join(lmap.withColumnRenamed("_lid", "_a").withColumnRenamed("_lc", "_ca"), "_a", "left")
-        .join(lmap.withColumnRenamed("_lid", "_b").withColumnRenamed("_lc", "_cb"), "_b", "left")
-        .select(
-            F.coalesce("_ca", "_a").alias("doc_a"),
-            F.coalesce("_cb", "_b").alias("doc_b"),
-        )
-        .filter(F.col("doc_a") != F.col("doc_b"))
-    )
+    contracted = contract_delta_pairs(labels, delta_pairs, id_col, comp_col)
     sub = connected_components(contracted)  # (node, component) — touched only
     relabel = F.broadcast(
         sub.select(F.col("node").alias("_old"), F.col("component").alias("_new"))

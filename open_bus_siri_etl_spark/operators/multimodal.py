@@ -294,7 +294,21 @@ def decode_wav(blob: bytes) -> dict:
     pos, fmt, data_size = 12, None, None
     while pos + 8 <= len(blob):
         cid, csize = blob[pos : pos + 4], struct.unpack_from("<I", blob, pos + 4)[0]
+        # a declared chunk size that overruns the blob means truncation:
+        # computing n_samples/duration from the DECLARED size would emit a
+        # fabricated, plausible-looking value — exactly what the module's
+        # loud-fail contract forbids
+        if pos + 8 + csize > len(blob):
+            raise ValueError(
+                f"WAV truncated: chunk {cid!r} declares {csize} bytes but "
+                f"only {len(blob) - pos - 8} remain"
+            )
         if cid == b"fmt ":
+            if csize < 16:
+                raise ValueError(
+                    f"WAV fmt chunk is {csize} bytes — a PCM fmt chunk is "
+                    "at least 16"
+                )
             audio_fmt, n_channels, sample_rate, _, _, bits = struct.unpack_from(
                 "<HHIIHH", blob, pos + 8
             )

@@ -1129,7 +1129,8 @@ def cosine_delta_pairs_lsh(
             F.col("nrm").alias("_c_nrm"),
         )
     else:
-        corpus = _disjoint_ids_or_raise(corpus, delta, id_col, op)
+        # (disjointness already guarded unconditionally above — a second
+        # probe here would double the per-row broadcast hash probe cost)
         cb = _quantized_bucket_frame(
             corpus, "_cid", n_planes, n_tables, quant, id_col, vec_col, dim,
             with_norm=True,

@@ -86,9 +86,13 @@ def asof_join(
     if tolerance_sec is None:
         fresh = F.col("_rrow_c").isNotNull()
     else:
+        # native-precision difference (pandas merge_asof(tolerance=)
+        # semantics): comparing per-side floor-to-second truncations would
+        # let a match up to ~1 s staler than the window pass when
+        # timestamps carry sub-second parts
         fresh = (
-            F.col(ts_col).cast("long") - F.col("_rrow_c._rts").cast("long")
-        ) <= int(tolerance_sec)
+            F.unix_micros(F.col(ts_col)) - F.unix_micros(F.col("_rrow_c._rts"))
+        ) <= int(tolerance_sec) * 1_000_000
     return (
         carried.filter(F.col("_side") == 1)
         .select(

@@ -1,7 +1,9 @@
 """The query catalog — assembler module.
 
 Round-8 split: helpers live in ``catalog_base``, shared SQL fragments in
-``catalog_shared``, and the 175 entries in six registration-order-
+``catalog_shared``, and the registered entries (count pinned by
+``tests/test_plan_quality.py::test_registry_full_order_is_frozen``, never
+restated here) in six registration-order-
 contiguous domain modules imported below.  @register runs at import time,
 so THE IMPORT ORDER BELOW IS THE REGISTRATION ORDER and the registration
 order is load-bearing: the driver grades exactly the first 50 registered

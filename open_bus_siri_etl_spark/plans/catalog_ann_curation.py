@@ -1542,11 +1542,9 @@ def lsh_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     "asof_tolerance_join",
     """
     SELECT c.event_id, c.user_id, c.ts,
-           CASE WHEN CAST(floor(epoch(c.ts)) - floor(epoch(v.ts)) AS BIGINT)
-                     <= 1800
+           CASE WHEN epoch_us(c.ts) - epoch_us(v.ts) <= 1800 * 1000000
                 THEN v.event_id END AS view_event_id,
-           CASE WHEN CAST(floor(epoch(c.ts)) - floor(epoch(v.ts)) AS BIGINT)
-                     <= 1800
+           CASE WHEN epoch_us(c.ts) - epoch_us(v.ts) <= 1800 * 1000000
                 THEN CAST(floor(epoch(c.ts)) - floor(epoch(v.ts)) AS BIGINT)
                 END AS age_sec
     FROM (SELECT event_id, user_id, ts FROM events
@@ -1561,7 +1559,10 @@ def lsh_ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     "most 30 minutes old, else NULL — attribution windows, sensor "
     "staleness cutoffs.  Delegates to the production operator's "
     "tolerance_sec= parameter (operators/temporal.py:asof_join — round-8 "
-    "promotion from the catalog layer).  Same UNION + single-sort "
+    "promotion from the catalog layer; round-9: the staleness gate "
+    "compares at native MICROSECOND precision — epoch_us on both engines "
+    "— not per-side floor-to-second, so sub-second timestamps cannot "
+    "sneak ~1 s past the window).  Same UNION + single-sort "
     "carry-forward plan as asof_join_prior_view (one shuffle on user_id, "
     "linear state, never a nested-loop join); the tolerance is a "
     "post-carry column expression, so the scale shape is unchanged",

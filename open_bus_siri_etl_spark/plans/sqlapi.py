@@ -97,6 +97,50 @@ def _rewrite_unnest_subscripts(sql: str) -> str:
     columns: unnest(X) -> _uvK, generate_subscripts(X, 1) -> (_upK + 1)
     (posexplode is 0-based, generate_subscripts 1-based), and the block's
     FROM gains 'LATERAL VIEW posexplode(X) _uK AS _upK, _uvK'."""
+    def shadow() -> str:
+        # same-length copy with string-literal BODIES blanked so parens /
+        # SELECT / FROM inside literals can't skew the depth scans
+        # (positions map 1:1 back to ``sql``)
+        return re.sub(
+            r"'(?:[^']|'')*'",
+            lambda m: "'" + " " * (len(m.group(0)) - 2) + "'",
+            sql,
+        )
+
+    def enclosing_select(pos: int) -> int:
+        # the ENCLOSING select is the latest SELECT at the same paren depth
+        # as pos with no intervening close-paren below that depth — a plain
+        # rfind would land inside a scalar subquery sitting between the
+        # block's SELECT and the generator call, leaving earlier unnest(x)
+        # occurrences in the outer select list unrewritten
+        depth, last_sel = 0, {}
+        for t in re.finditer(r"[()]|\bSELECT\b", shadow()[:pos]):
+            tok = t.group(0)
+            if tok == "(":
+                depth += 1
+            elif tok == ")":
+                last_sel.pop(depth, None)  # that subquery's SELECT is closed
+                depth -= 1
+            else:
+                last_sel[depth] = t.start()
+        assert depth in last_sel, "generate_subscripts outside any SELECT"
+        return last_sel[depth]
+
+    def block_from(pos: int) -> re.Match:
+        # first FROM after pos at the SAME depth (skip subquery FROMs)
+        depth = 0
+        for t in re.finditer(r"[()]|\bFROM\s+(\w+)", shadow()[pos:]):
+            tok = t.group(0)
+            if tok == "(":
+                depth += 1
+            elif tok == ")":
+                depth -= 1
+            elif depth == 0:
+                m2 = re.compile(r"\bFROM\s+(\w+)").match(sql, pos + t.start())
+                assert m2
+                return m2
+        raise AssertionError("unnest/generate_subscripts block without a FROM")
+
     k = 0
     while True:
         m = re.search(r"generate_subscripts\((\w+),\s*1\)", sql)
@@ -110,10 +154,8 @@ def _rewrite_unnest_subscripts(sql: str) -> str:
         # entries' SQL reused as CTEs) gets one lateral view per block; a
         # global sub here used to rename the second block's columns to the
         # first block's aliases with no generator attached
-        sel = sql.rfind("SELECT", 0, m.start())
-        assert sel >= 0, "generate_subscripts outside any SELECT"
-        fm = re.compile(r"\bFROM\s+(\w+)").search(sql, m.start())
-        assert fm, "unnest/generate_subscripts block without a FROM"
+        sel = enclosing_select(m.start())
+        fm = block_from(m.end())
         block = sql[sel : fm.start()]
         block = re.sub(rf"generate_subscripts\({x},\s*1\)", f"({up} + 1)", block)
         block = re.sub(rf"\bunnest\({x}\)", uv, block)
@@ -313,6 +355,8 @@ def _rewrite_balanced_calls(sql: str, lits: list[str]) -> str:
     # epoch(ts) -> microsecond-exact seconds (unix_timestamp would truncate
     # fractional seconds; micros < 2^53 so the double stays exact)
     sql = _rewrite_call(sql, "epoch", lambda a: f"(1e-6 * unix_micros({a[0]}))")
+    # epoch_us(ts) -> native microseconds (exact BIGINT on both engines)
+    sql = _rewrite_call(sql, "epoch_us", lambda a: f"unix_micros({a[0]})")
     # 1-based inclusive-ends slice -> (start, length)
     sql = _rewrite_call(
         sql,

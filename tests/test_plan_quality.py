@@ -574,6 +574,73 @@ def test_delta_lsh_index_path_never_projects_corpus_norms(spark, tmp_path):
     assert with_idx.count("SQRT") == 4
     assert "changed since corpus_index" in with_idx  # tripwire is in-plan
     assert inline.count("SQRT") > 4
+    # round-9: exactly ONE disjointness guard per path — the inline branch
+    # used to apply _disjoint_ids_or_raise a second time, doubling the
+    # per-corpus-row broadcast hash probe; the guard expression must now
+    # appear the same number of times in both paths' plans
+    probe = "present in BOTH corpus and delta"
+    assert inline.count(probe) == with_idx.count(probe)
+    assert with_idx.count(probe) <= 6
+
+
+def _tree(plan: str) -> str:
+    """The indented operator tree at the top of a formatted explain."""
+    return plan.split("\n\n")[0]
+
+
+def _subtrees(tree: str, name: str) -> list[str]:
+    """Each occurrence of ``name`` in the tree with its full subtree
+    (lines strictly more indented than the node's own operator name)."""
+    import re
+
+    lines = tree.splitlines()
+
+    def depth(ln: str) -> int:
+        m = re.search(r"[\w*]", ln)
+        return m.start() if m else 0
+
+    subs = []
+    for i, ln in enumerate(lines):
+        if name in ln:
+            d = depth(ln)
+            sub = [ln]
+            for ln2 in lines[i + 1 :]:
+                if depth(ln2) <= d:
+                    break
+                sub.append(ln2)
+            subs.append("\n".join(sub))
+    return subs
+
+
+def test_cc_delta_contraction_never_broadcasts_full_labels(spark, tmp_path):
+    """Round-9 directive #1: connected_components_delta's contraction used
+    to broadcast the FULL history labeling — a >16 GB broadcast at 10^9
+    docs (OOM, not slow).  The labeling must reach a BroadcastExchange
+    only AFTER the LeftSemi shrink against the delta-pair endpoint id set
+    (≤2·|pairs| rows): every BroadcastExchange subtree that scans the
+    labels parquet must contain that LeftSemi, and the endpoint build
+    side is pair-derived (delta-sized) by construction."""
+    from open_bus_siri_etl_spark.operators.dedup import contract_delta_pairs
+
+    labels = spark.range(0, 1000).selectExpr(
+        "id as doc_id", "id % 7 as component"
+    )
+    lp = str(tmp_path / "labels")
+    labels.write.parquet(lp)
+    labels = spark.read.parquet(lp)
+    pairs = spark.createDataFrame(
+        [(3, 1001), (5, 1002)], "doc_a long, doc_b long"
+    )
+    tree = _tree(explain_str(contract_delta_pairs(labels, pairs)))
+    bx = _subtrees(tree, "BroadcastExchange")
+    assert bx, "contraction lost its broadcast label-map plan"
+    labeled = [s for s in bx if "Scan parquet" in s]
+    assert labeled, "labels no longer reach the contraction via parquet scan"
+    for s in labeled:
+        assert "LeftSemi" in s, (
+            "full labels frame broadcast without the endpoint semi-shrink:\n"
+            + s
+        )
 
 
 FULL_REGISTRY_ORDER = [

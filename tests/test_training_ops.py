@@ -1666,3 +1666,160 @@ def test_jaccard_delta_pairs_persisted_posting_index(spark, tmp_path):
         jaccard_delta_pairs(
             None, batch1, history_postings=idx
         ).count()
+
+
+def test_asof_tolerance_native_precision(spark):
+    """Round-9 (ADVICE): the staleness gate compares at native microsecond
+    precision.  Per-side floor-to-second truncation used to let a match up
+    to ~1 s staler than tolerance_sec pass when timestamps carry
+    sub-second parts."""
+    import datetime
+
+    from open_bus_siri_etl_spark.operators.temporal import asof_join
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ts(sec, us):
+        return t0 + datetime.timedelta(seconds=sec, microseconds=us)
+
+    left = spark.createDataFrame(
+        [(1, 9, ts(10, 900_000)), (2, 9, ts(10, 400_000))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(70, 9, ts(0, 500_000))],
+        "event_id long, user_id long, ts timestamp",
+    )
+    out = {
+        r["event_id"]: r["event_id_asof"]
+        for r in asof_join(
+            left, right, on="user_id", right_cols=["event_id"],
+            tolerance_sec=10,
+        ).collect()
+    }
+    # age 10.4 s > 10 s: stale (floor-per-side said 10 - 0 = 10 <= 10)
+    assert out[1] is None
+    # age 9.9 s <= 10 s: match (floor-per-side agreed here)
+    assert out[2] == 70
+
+
+def _wav_bytes(
+    rate: int, n: int, ch: int, bits: int, audio_fmt: int = 1
+) -> bytes:
+    """Parametric RIFF/WAVE synthesizer for the property tests (the fixed
+    _tiny_wav above is PCM16-only)."""
+    import struct
+
+    data = b"\x07" * (n * ch * (bits // 8))
+    fmt = struct.pack(
+        "<HHIIHH", audio_fmt, ch, rate,
+        rate * ch * (bits // 8), ch * (bits // 8), bits,
+    )
+    body = (
+        struct.pack("<4sI", b"fmt ", len(fmt)) + fmt
+        + struct.pack("<4sI", b"data", len(data)) + data
+        + (b"\x00" if len(data) & 1 else b"")
+    )
+    return struct.pack("<4sI4s", b"RIFF", 4 + len(body), b"WAVE") + body
+
+
+def test_wav_truncation_and_short_fmt_raise():
+    """Round-9 (ADVICE): a declared chunk size overrunning the blob is
+    truncation — computing duration from the DECLARED size would emit a
+    fabricated value; loud-fail instead.  A fmt chunk under 16 bytes
+    cannot carry the PCM fields either."""
+    import struct
+
+    import pytest as _pytest
+
+    from open_bus_siri_etl_spark.operators.multimodal import decode_wav
+
+    full = _wav_bytes(8000, 1000, 1, 16)
+    # cut inside the data payload: declared size now overruns the blob
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_wav(full[:-37])
+    # cut inside the fmt chunk (a JUNK chunk pushes fmt past the 36-byte
+    # minimum so the truncation check — not the container check — fires)
+    junk = struct.pack("<4sI", b"JUNK", 4) + b"\x00" * 4
+    shifted = full[:12] + junk + full[12:]
+    shifted = shifted[:4] + struct.pack("<I", len(shifted) - 8) + shifted[8:]
+    with _pytest.raises(ValueError, match="truncated"):
+        decode_wav(shifted[:40])
+    # fmt chunk declaring fewer than 16 bytes
+    short = (
+        struct.pack("<4sI4s", b"RIFF", 4 + 8 + 8, b"WAVE")
+        + struct.pack("<4sI", b"fmt ", 8) + b"\x00" * 8
+        + struct.pack("<4sI", b"data", 0)
+    )
+    with _pytest.raises(ValueError, match="fmt chunk is 8 bytes"):
+        decode_wav(short)
+
+
+def test_codec_properties():
+    """Round-9 directive #7: hypothesis-generated containers round-trip
+    through the codecs, and malformed truncations RAISE rather than
+    fabricate (the module's loud-fail contract, property-checked)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from open_bus_siri_etl_spark.operators.multimodal import (
+        decode_bmp,
+        decode_wav,
+    )
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        width=st.integers(1, 1 << 14),
+        height=st.integers(-(1 << 14), 1 << 14).filter(lambda h: h != 0),
+    )
+    def bmp_roundtrip(width, height):
+        meta = decode_bmp(_tiny_bmp(width, height))
+        assert meta == {"kind": "bmp", "width": width, "height": abs(height)}
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        rate=st.integers(1, 192_000),
+        n=st.integers(0, 2_000),
+        ch=st.integers(1, 8),
+        bits=st.sampled_from([8, 16, 24, 32]),
+    )
+    def wav_roundtrip(rate, n, ch, bits):
+        meta = decode_wav(_wav_bytes(rate, n, ch, bits))
+        assert meta["n_channels"] == ch
+        assert meta["sample_rate"] == rate
+        assert meta["n_samples"] == n
+        assert meta["duration_ms"] == (n * 1000) // rate
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        rate=st.integers(1, 48_000),
+        n=st.integers(1, 500),
+        ch=st.integers(1, 4),
+        bits=st.sampled_from([8, 16]),
+        data=st.data(),
+    )
+    def wav_truncation_never_fabricates(rate, n, ch, bits, data):
+        full = _wav_bytes(rate, n, ch, bits)
+        data_end = len(full) - (1 if (n * ch * (bits // 8)) & 1 else 0)
+        cut = data.draw(st.integers(1, data_end - 1))
+        try:
+            meta = decode_wav(full[:cut])
+        except ValueError:
+            return  # loud fail — the contract
+        # only acceptable success: nothing load-bearing was actually cut
+        raise AssertionError(
+            f"truncated WAV (cut at {cut}/{len(full)}) decoded to {meta}"
+        )
+
+    @settings(max_examples=60, deadline=None)
+    @given(blob=st.binary(max_size=25))
+    def bmp_too_short_raises(blob):
+        import pytest as _pytest
+
+        with _pytest.raises((ValueError, NotImplementedError)):
+            decode_bmp(blob)
+
+    bmp_roundtrip()
+    wav_roundtrip()
+    wav_truncation_never_fabricates()
+    bmp_too_short_raises()

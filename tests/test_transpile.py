@@ -213,3 +213,30 @@ def test_asof_rewrite_property_vs_duckdb(spark):
         assert got == want
 
     check()
+
+
+def test_unnest_scoping_skips_scalar_subqueries():
+    """Round-9 (ADVICE): the enclosing-SELECT search is paren-depth-aware.
+    A scalar subquery sitting between the block's SELECT and the
+    generate_subscripts call used to swallow the rfind — earlier unnest(x)
+    occurrences in the OUTER select list were left unrewritten."""
+    out = transpile(
+        "SELECT unnest(embedding)::DOUBLE AS v,\n"
+        "(SELECT max(vec_id) FROM embeddings) AS m,\n"
+        "generate_subscripts(embedding, 1) AS i FROM embeddings"
+    )
+    assert "unnest" not in out
+    assert "generate_subscripts" not in out
+    assert "_uv0" in out and "(_up0 + 1) AS i" in out
+    # the lateral view must attach to the OUTER FROM, after 'embeddings'
+    assert "FROM embeddings LATERAL VIEW posexplode(embedding)" in out
+
+    # ... and the FROM search skips a subquery's FROM too: a scalar
+    # subquery AFTER the generator must not capture the lateral view
+    out2 = transpile(
+        "SELECT generate_subscripts(embedding, 1) AS i,\n"
+        "(SELECT max(vec_id) FROM embeddings) AS m,\n"
+        "unnest(embedding)::DOUBLE AS v FROM embeddings"
+    )
+    assert "unnest" not in out2 and "generate_subscripts" not in out2
+    assert "FROM embeddings LATERAL VIEW posexplode(embedding)" in out2
