@@ -1030,3 +1030,93 @@ def connected_components_delta(
         id_col, F.coalesce("_new", id_col).alias(comp_col)
     )
     return out_history.unionByName(out_delta)
+
+
+def neardup_survivors_delta(
+    survivors: DataFrame,
+    labels: DataFrame,
+    delta_docs: DataFrame,
+    delta_pairs: DataFrame,
+    id_col: str = "doc_id",
+    size_col: str = "n_chars",
+) -> DataFrame:
+    """Incremental survivor selection — the stage that completes the delta
+    family to the row set a training run actually reads: fold one ingest
+    into an EXISTING per-component survivor summary under keep-the-longest
+    (max ``size_col``, ties to min id), matching the batch
+    ``neardup_survivor_rows`` row-for-row.
+
+    The fold never touches history DOCUMENT rows at all.  The previous
+    epoch's survivor rows are a sufficient statistic for the merge: each
+    row carries its component's max size and the MIN id among that max's
+    ties, so for a merged component the new max is the max over member
+    summaries (plus delta docs) and the new kept id is the min over
+    exactly those carriers whose max equals the merged max — any doc that
+    could beat the carried tie representative would have been that
+    component's representative already.  Member counts add likewise.
+
+    Inputs: ``survivors`` = previous epoch's (component, kept_doc_id,
+    kept_{size_col}, n_members); ``labels`` = previous (id, component)
+    labeling (contraction input only); ``delta_docs`` = ingested
+    (id, size); ``delta_pairs`` = this ingest's near-dup pairs (history x
+    delta + within-delta, e.g. ``jaccard_delta_pairs``).
+
+    Scale shape (plan-asserted in tests/test_plan_quality.py): UNTOUCHED
+    components pass through verbatim — one streaming scan of the survivor
+    summary with a broadcast anti probe against the touched-component set,
+    NO exchange on that arm; the argmax re-aggregation shuffles only
+    touched summaries + delta docs (O(|delta pairs| + touched
+    components)).  The contraction reuses ``contract_delta_pairs``'s
+    endpoint semi-shrink, so the full labeling is never broadcast either.
+    PRECONDITION (ENFORCED in-plan): labels∩delta ids disjoint, NULL ids
+    raise.
+    """
+    from .similarity import _disjoint_ids_or_raise, _non_null_ids
+
+    op = "neardup_survivors_delta"
+    labels = _non_null_ids(labels, id_col, op, "labels")
+    delta_docs = _non_null_ids(delta_docs, id_col, op, "delta_docs")
+    labels = _disjoint_ids_or_raise(labels, delta_docs.select(id_col), id_col, op)
+
+    contracted = contract_delta_pairs(labels, delta_pairs, id_col)
+    sub = connected_components(contracted)  # touched nodes only
+    relabel = F.broadcast(
+        sub.select(F.col("node").alias("_old"), F.col("component").alias("_new"))
+    )
+    touched = F.broadcast(sub.select(F.col("node").alias("component")).distinct())
+
+    kept_size = f"kept_{size_col}"
+    untouched = survivors.join(touched, "component", "left_anti")
+
+    touched_old = (
+        survivors.join(touched, "component", "left_semi")
+        .join(relabel, F.col("component") == F.col("_old"), "left")
+        .select(
+            F.coalesce("_new", "component").alias("component"),
+            F.col("kept_doc_id").alias("_cand_doc"),
+            F.col(kept_size).alias("_cand_size"),
+            F.col("n_members").alias("_members"),
+        )
+    )
+    delta_cand = delta_docs.join(
+        relabel, delta_docs[id_col] == F.col("_old"), "left"
+    ).select(
+        F.coalesce("_new", id_col).alias("component"),
+        F.col(id_col).alias("_cand_doc"),
+        F.col(size_col).alias("_cand_size"),
+        F.lit(1).cast("long").alias("_members"),
+    )
+    cand = touched_old.unionByName(delta_cand)
+    best = cand.groupBy("component").agg(
+        F.max("_cand_size").alias(kept_size),
+        F.sum("_members").alias("n_members"),
+    )
+    refreshed = (
+        cand.join(best.withColumnRenamed("component", "_bc"),
+                  (F.col("component") == F.col("_bc"))
+                  & (F.col("_cand_size") == F.col(kept_size)))
+        .groupBy("component", kept_size, "n_members")
+        .agg(F.min("_cand_doc").alias("kept_doc_id"))
+        .select("component", "kept_doc_id", kept_size, "n_members")
+    )
+    return untouched.unionByName(refreshed)

@@ -2094,3 +2094,44 @@ def jaccard_delta_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         threshold=0.5,
         history_postings=build_shingle_index(history),
     )
+
+
+# Same contract as neardup_components_delta: the incremental entry's oracle
+# IS the batch survivors SQL verbatim — fold-in must equal recomputation
+# row-for-row.
+_SURVIVORS_BATCH_SQL = REGISTRY["neardup_survivors"].sql
+
+
+@register(
+    "neardup_survivors_delta",
+    _SURVIVORS_BATCH_SQL,
+    note="INCREMENTAL survivor selection — completes the delta family to "
+    "the row set a training run actually reads: one ingest's pairs fold "
+    "into the EXISTING per-component survivor summary under "
+    "keep-the-longest (max n_chars, ties to min doc_id).  The fold never "
+    "touches history document rows: each old survivor row is a sufficient "
+    "statistic (its component's max size + min tie id), so merged "
+    "components resolve from survivor rows and delta docs alone.  "
+    "UNTOUCHED components pass through verbatim via a broadcast anti "
+    "probe (no exchange on that arm — plan-asserted); the only shuffle is "
+    "the delta-plus-touched-sized argmax.  Oracle = the batch "
+    "neardup_survivors SQL verbatim (same fold-in == recompute contract "
+    "as neardup_components_delta)",
+)
+def neardup_survivors_delta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import (
+        jaccard_delta_pairs,
+        neardup_membership,
+        neardup_survivor_rows,
+        neardup_survivors_delta,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    history = docs.filter(F.col("doc_id") % 10 != 0)
+    delta = docs.filter(F.col("doc_id") % 10 == 0)
+    labels = neardup_membership(history, threshold=0.5)
+    survivors = neardup_survivor_rows(history, threshold=0.5)
+    dpairs = jaccard_delta_pairs(history, delta, threshold=0.5)
+    return neardup_survivors_delta(
+        survivors, labels, delta.select("doc_id", "n_chars"), dpairs
+    )

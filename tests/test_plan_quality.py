@@ -705,6 +705,7 @@ FULL_REGISTRY_ORDER = [
     "delta_pairs_recall_eval",
     "neardup_components_delta",
     "jaccard_delta_pairs",
+    "neardup_survivors_delta",
 ]
 
 
@@ -730,3 +731,41 @@ def test_asof_tolerance_same_plan_shape(spark):
     assert "CartesianProduct" not in plan
     assert "Window" in plan
     assert plan.count(") Exchange") == 1
+
+
+def test_survivors_delta_pass_through_never_shuffles_summary(spark, tmp_path):
+    """Round-9 directive #3 scale shape: in neardup_survivors_delta the
+    persisted survivor summary reaches a shuffle ONLY through the
+    broadcast LeftSemi shrink to touched components (candidate-sized);
+    untouched components pass through a broadcast LeftAnti probe with no
+    exchange.  The summary parquet is the only parquet scan in the plan,
+    so any plain Exchange subtree scanning parquet must carry the semi."""
+    from open_bus_siri_etl_spark.operators.dedup import neardup_survivors_delta
+
+    surv = spark.createDataFrame(
+        [(10, 10, 50, 2), (20, 20, 50, 2), (30, 30, 70, 1)],
+        "component long, kept_doc_id long, kept_n_chars long, n_members long",
+    )
+    sp = str(tmp_path / "surv")
+    surv.write.parquet(sp)
+    surv = spark.read.parquet(sp)
+    labels = spark.createDataFrame(
+        [(10, 10), (12, 10), (20, 20), (21, 20), (30, 30)],
+        "doc_id long, component long",
+    )
+    delta = spark.createDataFrame([(100, 40), (101, 90)], "doc_id long, n_chars long")
+    pairs = spark.createDataFrame(
+        [(12, 100), (100, 21), (30, 101)], "doc_a long, doc_b long"
+    )
+    tree = _tree(
+        explain_str(neardup_survivors_delta(surv, labels, delta, pairs))
+    )
+    assert "LeftAnti" in tree  # untouched pass-through arm exists
+    for s in _subtrees(tree, "Exchange"):
+        if s.splitlines()[0].lstrip(" :+-").startswith("BroadcastExchange"):
+            continue
+        if "Scan parquet" in s:
+            assert "LeftSemi" in s, (
+                "survivor summary reached a shuffle without the touched-set "
+                "semi-shrink:\n" + s
+            )

@@ -28,8 +28,9 @@ NONPORTABLE = {
     "neardup_components": "UNION (distinct) inside a recursive CTE",
     "neardup_survivors": "UNION (distinct) inside a recursive CTE",
     "embedding_neardup_dedup": "UNION (distinct) inside a recursive CTE",
-    # shares the batch entry's SQL verbatim (fold-in == recompute)
+    # share the batch entries' SQL verbatim (fold-in == recompute)
     "neardup_components_delta": "UNION (distinct) inside a recursive CTE",
+    "neardup_survivors_delta": "UNION (distinct) inside a recursive CTE",
 }
 
 ORACLES = sorted(n for n, q in REGISTRY.items() if q.sql is not None)
@@ -66,7 +67,7 @@ def test_allowlisted_entries_genuinely_fail(views, name):
 
 
 def test_allowlist_is_small():
-    assert len(NONPORTABLE) <= 4, "dialect allowlist must stay enumerable"
+    assert len(NONPORTABLE) <= 5, "dialect allowlist must stay enumerable"
 
 
 def test_register_views_exposes_all_tables(spark):

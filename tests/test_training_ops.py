@@ -1823,3 +1823,85 @@ def test_codec_properties():
     wav_roundtrip()
     wav_truncation_never_fabricates()
     bmp_too_short_raises()
+
+
+def test_neardup_survivors_delta_multi_epoch(spark):
+    """Round-9 directive #3: incremental survivor selection folded over
+    TWO successive ingests equals batch recomputation — both the survivor
+    summary AND the labeling advance per epoch, so this exercises the real
+    steady state (fold against incrementally-built state).  Guards: a
+    re-ingested id raises."""
+    from pyspark.sql import functions as F
+
+    from open_bus_siri_etl_spark.operators.dedup import (
+        connected_components_delta,
+        jaccard_delta_pairs,
+        neardup_membership,
+        neardup_survivor_rows,
+        neardup_survivors_delta,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    h0 = docs.filter(F.col("doc_id") % 10 > 1)
+    b1 = docs.filter(F.col("doc_id") % 10 == 1)
+    b2 = docs.filter(F.col("doc_id") % 10 == 0)
+
+    labels = neardup_membership(h0, threshold=0.5)
+    survivors = neardup_survivor_rows(h0, threshold=0.5)
+    for hist, batch in ((h0, b1), (h0.unionByName(b1), b2)):
+        pairs = jaccard_delta_pairs(hist, batch, threshold=0.5)
+        survivors = neardup_survivors_delta(
+            survivors, labels, batch.select("doc_id", "n_chars"), pairs
+        ).localCheckpoint(eager=True)
+        labels = connected_components_delta(
+            labels, batch.select("doc_id"), pairs
+        ).localCheckpoint(eager=True)
+
+    batch_all = sorted(
+        map(tuple, neardup_survivor_rows(docs, threshold=0.5).collect())
+    )
+    assert sorted(map(tuple, survivors.collect())) == batch_all
+
+    with pytest.raises(Exception, match="BOTH corpus and delta"):
+        neardup_survivors_delta(
+            neardup_survivor_rows(h0, 0.5),
+            neardup_membership(h0, 0.5),
+            h0.select("doc_id", "n_chars").limit(5),
+            jaccard_delta_pairs(docs.filter("doc_id % 10 > 2"), b1),
+        ).count()
+
+
+def test_neardup_survivors_delta_tie_across_merge(spark):
+    """The sufficient-statistic argument, pinned: two components with the
+    SAME max size merge through a delta pair — the kept id must be the
+    global min over both components' tie carriers, and a delta doc that
+    beats the merged max takes over."""
+    from open_bus_siri_etl_spark.operators.dedup import neardup_survivors_delta
+
+    # component 10: docs {10, 12} both 50 chars (kept 10); component 20:
+    # docs {20, 21} both 50 chars (kept 20); component 30: {30} 70 chars
+    survivors = spark.createDataFrame(
+        [(10, 10, 50, 2), (20, 20, 50, 2), (30, 30, 70, 1)],
+        "component long, kept_doc_id long, kept_n_chars long, n_members long",
+    )
+    labels = spark.createDataFrame(
+        [(10, 10), (12, 10), (20, 20), (21, 20), (30, 30)],
+        "doc_id long, component long",
+    )
+    # delta doc 100 (40 chars) bridges components 10 and 20;
+    # delta doc 101 (90 chars) joins component 30 and beats its max
+    delta = spark.createDataFrame(
+        [(100, 40), (101, 90)], "doc_id long, n_chars long"
+    )
+    pairs = spark.createDataFrame(
+        [(12, 100), (100, 21), (30, 101)], "doc_a long, doc_b long"
+    )
+    out = {
+        r["component"]: (r["kept_doc_id"], r["kept_n_chars"], r["n_members"])
+        for r in neardup_survivors_delta(survivors, labels, delta, pairs).collect()
+    }
+    # merged 10+20+100: max 50, ties {10, 20} -> min 10; 5 members
+    assert out[10] == (10, 50, 5)
+    # 30+101: delta doc beats the old max
+    assert out[30] == (101, 90, 2)
+    assert set(out) == {10, 30}
