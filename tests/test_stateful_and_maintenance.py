@@ -1208,3 +1208,158 @@ def test_log_table_time_travel(spark, warehouse):
 
     with _pytest.raises(ValueError):
         warehouse.read_as_of("siri_vehicle_location", 1)
+
+
+def test_text_delta_dedup_stream_restart_equals_batch(spark, tmp_path):
+    """Round-9 directive: the streaming daemon meets the delta indexes.
+    Documents land as one parquet file per ingest; the stream processes
+    them one file per micro-batch, emitting jaccard_delta_pairs against
+    the persisted shingle index and appending the batch's posting rows.
+    STOPPED mid-stream and restarted on the same checkpoint, the final
+    state must equal the batch pipeline: accumulated index == from-scratch
+    build_shingle_index, and the union of per-batch pair partitions ==
+    the full batch pair list (exact decomposition by ingest)."""
+    from pyspark.sql import functions as F
+
+    from open_bus_siri_etl_spark.operators.dedup import (
+        build_shingle_index,
+        ngram_jaccard_pairs,
+    )
+    from open_bus_siri_etl_spark.streaming.delta_dedup import (
+        start_text_delta_dedup_stream,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+    )
+    landing = tmp_path / "landing"
+    for k in range(4):
+        docs.filter(F.col("doc_id") % 4 == k).coalesce(1).write.parquet(
+            str(landing / f"batch_{k}")
+        )
+    paths = dict(
+        index_path=str(tmp_path / "index"),
+        pairs_path=str(tmp_path / "pairs"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+
+    # phase 1: process at most 2 of the 4 files, then stop mid-stream
+    q = start_text_delta_dedup_stream(
+        spark, str(landing), max_files_per_trigger=1,
+        trigger={"processingTime": "0 seconds"}, **paths,
+    )
+    import time
+
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        done = [p for p in (tmp_path / "pairs").glob("ingest_batch=*")]
+        if len(done) >= 2:
+            break
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination(60)
+    n_before = len(list((tmp_path / "pairs").glob("ingest_batch=*")))
+    assert 2 <= n_before < 5
+
+    # phase 2: restart on the same checkpoint; drain the rest
+    q2 = start_text_delta_dedup_stream(
+        spark, str(landing), max_files_per_trigger=1,
+        trigger={"availableNow": True}, **paths,
+    )
+    q2.awaitTermination(180)
+
+    def multiset(df):
+        return sorted(tuple(str(v) for v in r) for r in df.collect())
+
+    # index == batch rebuild (modulo the ingest_batch partition column)
+    assert multiset(
+        spark.read.parquet(paths["index_path"]).drop("ingest_batch")
+    ) == multiset(build_shingle_index(docs))
+    # union of per-batch pairs == full batch pair list
+    got = multiset(
+        spark.read.parquet(paths["pairs_path"]).select(
+            "doc_a", "doc_b", "jaccard"
+        )
+    )
+    want = multiset(
+        ngram_jaccard_pairs(docs, threshold=0.5).select(
+            "doc_a", "doc_b", "jaccard"
+        )
+    )
+    assert got == want and got
+
+
+def test_embedding_delta_dedup_stream_equals_manual_fold(spark, tmp_path):
+    """The embedding twin of the delta-dedup stream: drained availableNow,
+    the per-batch pair partitions equal a manual sequential fold of
+    cosine_delta_pairs_lsh over the same batches, and index AND corpus
+    stores equal their from-scratch builds (bucket assignment depends only
+    on the vector and params, so per-ingest candidate sets are identical
+    to the batch run's)."""
+    from pyspark.sql import functions as F
+
+    from open_bus_siri_etl_spark.operators.similarity import (
+        cosine_delta_pairs_lsh,
+        lsh_bucket_index,
+    )
+    from open_bus_siri_etl_spark.streaming.delta_dedup import (
+        start_embedding_delta_dedup_stream,
+    )
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+    )
+    landing = tmp_path / "landing"
+    batches = [emb.filter(F.col("vec_id") % 3 == k) for k in range(3)]
+    for k, b in enumerate(batches):
+        b.coalesce(1).write.parquet(str(landing / f"batch_{k}"))
+    paths = dict(
+        index_path=str(tmp_path / "index"),
+        corpus_path=str(tmp_path / "corpus"),
+        pairs_path=str(tmp_path / "pairs"),
+        checkpoint_dir=str(tmp_path / "ckpt"),
+    )
+    q = start_embedding_delta_dedup_stream(
+        spark, str(landing), threshold=0.4, n_planes=4, n_tables=8,
+        max_files_per_trigger=1, **paths,
+    )
+    q.awaitTermination(180)
+
+    def multiset(df):
+        return sorted(tuple(str(v) for v in r) for r in df.collect())
+
+    # manual sequential fold over the batches in THEIR processed order —
+    # order-insensitive since the union is compared as a multiset
+    want = []
+    seen = batches[0].limit(0)
+    order = [
+        int(r["ingest_batch"])
+        for r in spark.read.parquet(paths["pairs_path"])
+        .select("ingest_batch").distinct().collect()
+    ]
+    assert len(order) == 3
+    # map ingest_batch -> landed file content via the corpus partitions
+    for k in sorted(order):
+        part = spark.read.parquet(
+            paths["corpus_path"] + f"/ingest_batch={k}"
+        ).select("vec_id", "embedding")
+        want += multiset(
+            cosine_delta_pairs_lsh(
+                seen, part, threshold=0.4, n_planes=4, n_tables=8
+            )
+        )
+        seen = seen.unionByName(part).localCheckpoint(eager=True)
+    got = multiset(
+        spark.read.parquet(paths["pairs_path"]).select(
+            "vec_a", "vec_b", "cosine"
+        )
+    )
+    assert got == sorted(want) and got
+    assert multiset(
+        spark.read.parquet(paths["index_path"]).drop("ingest_batch")
+    ) == multiset(lsh_bucket_index(emb, 4, 8))
+    assert multiset(
+        spark.read.parquet(paths["corpus_path"]).drop("ingest_batch")
+    ) == multiset(emb)

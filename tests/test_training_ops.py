@@ -1905,3 +1905,84 @@ def test_neardup_survivors_delta_tie_across_merge(spark):
     # 30+101: delta doc beats the old max
     assert out[30] == (101, 90, 2)
     assert set(out) == {10, 30}
+
+
+def test_delta_indexes_three_epoch_parquet_append(spark, tmp_path):
+    """Round-9 directive #2 (correctness half): the 'incremental append IS
+    the full rebuild' claim carried by all THREE delta indexes, exercised
+    the way production runs it — parquet mode('append') to a PERSISTED
+    index across three successive ingest epochs.  After epoch 3, each
+    appended index equals the from-scratch rebuild as a multiset, and each
+    family's delta operator probed through the appended index equals the
+    fresh-index result.  (The cost half is measured in
+    tools/bench_delta_epochs.py -> BENCH_DELTA_EPOCHS.json.)"""
+    from pyspark.sql import functions as F
+
+    from open_bus_siri_etl_spark.operators.dedup import (
+        build_minhash_index,
+        build_shingle_index,
+        jaccard_delta_pairs,
+        minhash_delta_dedup,
+    )
+    from open_bus_siri_etl_spark.operators.similarity import (
+        cosine_delta_pairs_lsh,
+        lsh_bucket_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    d_hist = docs.filter(F.col("doc_id") % 10 > 2)
+    e_hist = emb.filter(F.col("vec_id") % 10 > 2)
+    d_batches = [docs.filter(F.col("doc_id") % 10 == k) for k in (0, 1, 2)]
+    e_batches = [emb.filter(F.col("vec_id") % 10 == k) for k in (0, 1, 2)]
+
+    paths = {n: str(tmp_path / n) for n in ("shingle", "bands", "lsh")}
+    build_shingle_index(d_hist).write.parquet(paths["shingle"])
+    build_minhash_index(d_hist).write.parquet(paths["bands"])
+    lsh_bucket_index(e_hist).write.parquet(paths["lsh"])
+
+    def multiset(df):
+        return sorted(tuple(str(v) for v in r) for r in df.collect())
+
+    dh, eh = d_hist, e_hist
+    for k in range(3):
+        db, eb = d_batches[k], e_batches[k]
+        sh_idx = spark.read.parquet(paths["shingle"])
+        bd_idx = spark.read.parquet(paths["bands"])
+        ls_idx = spark.read.parquet(paths["lsh"])
+        # probe through the appended persisted index == fresh-index probe
+        assert multiset(
+            jaccard_delta_pairs(None, db, threshold=0.5, history_postings=sh_idx)
+        ) == multiset(
+            jaccard_delta_pairs(
+                None, db, threshold=0.5,
+                history_postings=build_shingle_index(dh),
+            )
+        )
+        assert multiset(
+            minhash_delta_dedup(dh, db, threshold=0.5, history_keys=bd_idx)
+        ) == multiset(minhash_delta_dedup(dh, db, threshold=0.5))
+        assert multiset(
+            cosine_delta_pairs_lsh(eh, eb, threshold=0.4, corpus_index=ls_idx)
+        ) == multiset(
+            cosine_delta_pairs_lsh(
+                eh, eb, threshold=0.4, corpus_index=lsh_bucket_index(eh)
+            )
+        )
+        # the append: O(|batch|) index rows, parquet mode('append')
+        build_shingle_index(db).write.mode("append").parquet(paths["shingle"])
+        build_minhash_index(db).write.mode("append").parquet(paths["bands"])
+        lsh_bucket_index(eb).write.mode("append").parquet(paths["lsh"])
+        dh = dh.unionByName(db)
+        eh = eh.unionByName(eb)
+
+    # epoch-3 state: appended persisted index == from-scratch rebuild
+    assert multiset(spark.read.parquet(paths["shingle"])) == multiset(
+        build_shingle_index(dh)
+    )
+    assert multiset(spark.read.parquet(paths["bands"])) == multiset(
+        build_minhash_index(dh)
+    )
+    assert multiset(spark.read.parquet(paths["lsh"])) == multiset(
+        lsh_bucket_index(eh)
+    )
