@@ -195,3 +195,255 @@ def start_embedding_delta_dedup_stream(
     )
     writer = writer.trigger(**(trigger or {"availableNow": True}))
     return writer.start()
+
+
+def latest_wins(records: DataFrame, key_cols: list[str], seq_col: str) -> DataFrame:
+    """Resolve a log-structured store to its current view: one row per key,
+    the record with the highest ``seq_col``.  Payload travels as one
+    struct through max_by so the winning row's columns stay together."""
+    payload = [c for c in records.columns if c not in key_cols and c != seq_col]
+    resolved = records.groupBy(*key_cols).agg(
+        F.max_by(F.struct(*payload), F.col(seq_col)).alias("_p")
+    )
+    return resolved.select(*key_cols, *[F.col(f"_p.{c}").alias(c) for c in payload])
+
+
+def read_current_labels(
+    spark: SparkSession, labels_path: str, id_col: str = "doc_id"
+) -> DataFrame:
+    """Current labeling from the label log: latest record per id.  A full
+    latest-wins pass — this is the READ-side cost (a training run resolves
+    once), never paid per ingest (see start_text_curation_stream)."""
+    return latest_wins(
+        spark.read.parquet(labels_path), [id_col], "ingest_batch"
+    )
+
+
+def read_current_survivors(spark: SparkSession, survivors_path: str) -> DataFrame:
+    """Current survivor set from the survivor log: latest record per
+    component, tombstones (components merged away) dropped."""
+    cur = latest_wins(
+        spark.read.parquet(survivors_path), ["component"], "ingest_batch"
+    )
+    return cur.filter(~F.col("deleted")).drop("deleted")
+
+
+def start_text_curation_stream(
+    spark: SparkSession,
+    landing_root: str,
+    state_root: str,
+    checkpoint_dir: str,
+    text_col: str = "text",
+    size_col: str = "n_chars",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_files_per_trigger: int | None = None,
+    trigger: dict | None = None,
+):
+    """The FULL streaming curation loop: every micro-batch of landed
+    documents advances all four persisted curation artifacts —
+
+    - ``<state_root>/index``      shingle posting index (append),
+    - ``<state_root>/pairs``      the batch's exact-Jaccard near-dup pairs,
+    - ``<state_root>/labels``     a LOG of labeling changes (id, component),
+    - ``<state_root>/survivors``  a LOG of per-component survivor upserts
+      and tombstones (component, kept_doc_id, kept_<size_col>, n_members,
+      deleted),
+
+    so ``read_current_labels`` / ``read_current_survivors`` equal the
+    batch pipeline (``neardup_membership`` / ``neardup_survivor_rows``
+    over everything landed) after any prefix of batches — asserted across
+    a mid-stream restart in tests.
+
+    Why a LOG and not a current-state table: rewriting an O(corpus) state
+    per micro-batch is exactly the non-incremental cost this family
+    exists to avoid.  Per batch only DELTA-SIZED rows are appended, and
+    the per-batch reads exploit a structural property of the pair graph:
+    components only ever MERGE (pairs add edges, nothing removes them),
+    so once a label record is superseded its component name is dead
+    forever and can never appear in a later batch's touched set.  Two
+    consequences, both load-bearing:
+
+    - endpoint labels: records semi-joined to the (broadcast, delta-sized)
+      pair-endpoint id set, then latest-wins on that endpoint-sized slice;
+    - touched-component members: the base∪log scan filtered by the
+      broadcast touched-component set IS the current membership — no
+      latest-wins needed, because a superseded record's component cannot
+      be in the touched set.
+
+    The label/survivor stores therefore stream through broadcast probes
+    once per batch (partition-prunable if bucketed by component in
+    production), and every shuffle in the per-batch plan is
+    endpoint-/touched-/delta-sized.  All four writes are
+    ``ingest_batch=``-partitioned dynamic overwrites and the reads
+    exclude the current batch's partition, so replays are idempotent
+    (same design as start_text_delta_dedup_stream).
+    """
+    from ..operators.dedup import connected_components, contract_delta_pairs
+
+    index_path = f"{state_root}/index"
+    pairs_path = f"{state_root}/pairs"
+    labels_path = f"{state_root}/labels"
+    survivors_path = f"{state_root}/survivors"
+    kept_size = f"kept_{size_col}"
+    schema = (
+        spark.read.option("recursiveFileLookup", "true")
+        .parquet(landing_root).schema
+    )
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.select("doc_id", text_col, size_col).localCheckpoint(
+            eager=True
+        )
+        if batch.isEmpty():
+            return
+        not_this = F.col("ingest_batch") != batch_id
+
+        idx = _read_or_none(spark, index_path)
+        history_post = (
+            idx.filter(not_this).drop("ingest_batch")
+            if idx is not None
+            else build_shingle_index(batch.limit(0), text_col, n)
+        )
+        pairs = jaccard_delta_pairs(
+            None, batch.select("doc_id", text_col), text_col, n, threshold,
+            history_postings=history_post,
+        ).localCheckpoint(eager=True)
+        _write_partition(pairs, batch_id, pairs_path)
+        _write_partition(
+            build_shingle_index(batch.select("doc_id", text_col), text_col, n),
+            batch_id,
+            index_path,
+        )
+
+        log_raw = _read_or_none(spark, labels_path)
+        log_rec = (
+            log_raw.filter(not_this)  # (doc_id, component, ingest_batch)
+            if log_raw is not None
+            else batch.select(
+                F.col("doc_id"),
+                F.col("doc_id").alias("component"),
+                F.lit(-1).cast("long").alias("ingest_batch"),
+            ).limit(0)
+        )
+        # endpoint labels: semi to the delta-sized endpoint id set first,
+        # then latest-wins on that endpoint-sized slice only (the
+        # contraction needs exactly one label per endpoint)
+        endpoints = (
+            pairs.select(F.explode(F.array("doc_a", "doc_b")).alias("doc_id"))
+            .distinct()
+        )
+        ep_labels = latest_wins(
+            log_rec.join(F.broadcast(endpoints), "doc_id", "left_semi"),
+            ["doc_id"],
+            "ingest_batch",
+        )
+        delta_ids = batch.select("doc_id")
+        contracted = contract_delta_pairs(ep_labels, pairs)
+        sub = connected_components(contracted)
+        relabel = F.broadcast(
+            sub.select(F.col("node").alias("_old"), F.col("component").alias("_new"))
+        )
+        touched = F.broadcast(
+            sub.select(F.col("node").alias("component")).distinct()
+        )
+        # touched-component members: comp-filtered scan IS current
+        # membership, one record per id
+        # (superseded records carry dead components; updates are emitted
+        # only on change) — no latest-wins on the corpus-sized store
+        members = log_rec.drop("ingest_batch").join(
+            touched, "component", "left_semi"
+        )
+        hist_updates = (
+            members.join(relabel, members["component"] == F.col("_old"))
+            .filter(F.col("_new") != F.col("component"))
+            .select("doc_id", F.col("_new").alias("component"))
+        )
+        delta_updates = delta_ids.join(
+            relabel, delta_ids["doc_id"] == F.col("_old"), "left"
+        ).select(
+            "doc_id", F.coalesce("_new", "doc_id").alias("component")
+        )
+        _write_partition(
+            hist_updates.unionByName(delta_updates), batch_id, labels_path
+        )
+
+        slog = _read_or_none(spark, survivors_path)
+        if slog is not None:
+            surv_touched = (
+                slog.filter(not_this).drop("deleted")
+                .join(touched, "component", "left_semi")
+            )
+            prev = latest_wins(surv_touched, ["component"], "ingest_batch")
+        else:
+            prev = batch.select(
+                F.col("doc_id").alias("component"),
+                F.col("doc_id").alias("kept_doc_id"),
+                F.col(size_col).alias(kept_size),
+                F.lit(1).cast("long").alias("n_members"),
+            ).limit(0)
+        old_cand = prev.select(
+            "component",
+            F.col("kept_doc_id").alias("_cand_doc"),
+            F.col(kept_size).alias("_cand_size"),
+            F.col("n_members").alias("_members"),
+        ).join(relabel, F.col("component") == F.col("_old"), "left").select(
+            F.coalesce("_new", "component").alias("component"),
+            "_cand_doc", "_cand_size", "_members",
+        )
+        delta_cand = batch.join(
+            relabel, batch["doc_id"] == F.col("_old"), "left"
+        ).select(
+            F.coalesce("_new", "doc_id").alias("component"),
+            F.col("doc_id").alias("_cand_doc"),
+            F.col(size_col).alias("_cand_size"),
+            F.lit(1).cast("long").alias("_members"),
+        )
+        cand = old_cand.unionByName(delta_cand)
+        best = cand.groupBy("component").agg(
+            F.max("_cand_size").alias(kept_size),
+            F.sum("_members").alias("n_members"),
+        )
+        upserts = (
+            cand.join(
+                best.withColumnRenamed("component", "_bc"),
+                (F.col("component") == F.col("_bc"))
+                & (F.col("_cand_size") == F.col(kept_size)),
+            )
+            .groupBy("component", kept_size, "n_members")
+            .agg(F.min("_cand_doc").alias("kept_doc_id"))
+            .select(
+                "component", "kept_doc_id", kept_size, "n_members",
+                F.lit(False).alias("deleted"),
+            )
+        )
+        # tombstones: previously-live components merged away this batch
+        dead = (
+            prev.select("component")
+            .join(relabel, F.col("component") == F.col("_old"))
+            .filter(F.col("_new") != F.col("component"))
+            .select(
+                "component",
+                F.lit(None).cast("long").alias("kept_doc_id"),
+                F.lit(None).cast(dict(prev.dtypes)[kept_size]).alias(kept_size),
+                F.lit(None).cast("long").alias("n_members"),
+                F.lit(True).alias("deleted"),
+            )
+        )
+        _write_partition(upserts.unionByName(dead), batch_id, survivors_path)
+
+    reader = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(landing_root)
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    writer = writer.trigger(**(trigger or {"availableNow": True}))
+    return writer.start()

@@ -1363,3 +1363,68 @@ def test_embedding_delta_dedup_stream_equals_manual_fold(spark, tmp_path):
     assert multiset(
         spark.read.parquet(paths["corpus_path"]).drop("ingest_batch")
     ) == multiset(emb)
+
+
+def test_text_curation_stream_restart_equals_batch(spark, tmp_path):
+    """Round-9, beyond the directive: the FULL streaming curation loop —
+    per micro-batch pairs + label-log updates + survivor-log
+    upserts/tombstones, all delta-sized appends.  Killed mid-stream and
+    restarted on the same checkpoint, the resolved current views must
+    equal the batch pipeline over everything landed:
+    read_current_labels == neardup_membership and
+    read_current_survivors == neardup_survivor_rows."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from open_bus_siri_etl_spark.operators.dedup import (
+        neardup_membership,
+        neardup_survivor_rows,
+    )
+    from open_bus_siri_etl_spark.streaming.delta_dedup import (
+        read_current_labels,
+        read_current_survivors,
+        start_text_curation_stream,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text", "n_chars")
+    )
+    landing = tmp_path / "landing"
+    for k in range(4):
+        docs.filter(F.col("doc_id") % 4 == k).coalesce(1).write.parquet(
+            str(landing / f"batch_{k}")
+        )
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    q = start_text_curation_stream(
+        spark, str(landing), state, ckpt,
+        max_files_per_trigger=1, trigger={"processingTime": "0 seconds"},
+    )
+    deadline = time.time() + 180
+    while time.time() < deadline:
+        if len(list((tmp_path / "state/survivors").glob("ingest_batch=*"))) >= 2:
+            break
+        time.sleep(0.5)
+    q.stop()
+    q.awaitTermination(60)
+
+    q2 = start_text_curation_stream(
+        spark, str(landing), state, ckpt,
+        max_files_per_trigger=1, trigger={"availableNow": True},
+    )
+    q2.awaitTermination(300)
+
+    def multiset(df):
+        return sorted(tuple(str(v) for v in r) for r in df.collect())
+
+    assert multiset(read_current_labels(spark, f"{state}/labels")) == multiset(
+        neardup_membership(docs, threshold=0.5)
+    )
+    assert multiset(
+        read_current_survivors(spark, f"{state}/survivors").select(
+            "component", "kept_doc_id", "kept_n_chars", "n_members"
+        )
+    ) == multiset(neardup_survivor_rows(docs, threshold=0.5))
