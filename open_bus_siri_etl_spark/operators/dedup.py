@@ -1085,18 +1085,40 @@ def neardup_survivors_delta(
     )
     touched = F.broadcast(sub.select(F.col("node").alias("component")).distinct())
 
-    kept_size = f"kept_{size_col}"
     untouched = survivors.join(touched, "component", "left_anti")
+    refreshed = survivor_fold(
+        survivors.join(touched, "component", "left_semi"),
+        delta_docs,
+        relabel,
+        id_col,
+        size_col,
+    )
+    return untouched.unionByName(refreshed)
 
-    touched_old = (
-        survivors.join(touched, "component", "left_semi")
-        .join(relabel, F.col("component") == F.col("_old"), "left")
-        .select(
-            F.coalesce("_new", "component").alias("component"),
-            F.col("kept_doc_id").alias("_cand_doc"),
-            F.col(kept_size).alias("_cand_size"),
-            F.col("n_members").alias("_members"),
-        )
+
+def survivor_fold(
+    prev: DataFrame,
+    delta_docs: DataFrame,
+    relabel: DataFrame,
+    id_col: str = "doc_id",
+    size_col: str = "n_chars",
+) -> DataFrame:
+    """The merge-argmax core shared by ``neardup_survivors_delta`` and the
+    streaming curation loop (keeping the keep-the-longest policy and its
+    tie-break in ONE place): previous survivor summaries + delta docs are
+    relabeled through ``relabel`` ((_old, _new), broadcastable) and
+    re-aggregated per new component — max size wins, ties to min id,
+    member counts add.  ``prev``: (component, kept_doc_id,
+    kept_<size_col>, n_members) rows for the TOUCHED components only;
+    output has the same shape for the refreshed components."""
+    kept_size = f"kept_{size_col}"
+    old_cand = prev.join(
+        relabel, F.col("component") == F.col("_old"), "left"
+    ).select(
+        F.coalesce("_new", "component").alias("component"),
+        F.col("kept_doc_id").alias("_cand_doc"),
+        F.col(kept_size).alias("_cand_size"),
+        F.col("n_members").alias("_members"),
     )
     delta_cand = delta_docs.join(
         relabel, delta_docs[id_col] == F.col("_old"), "left"
@@ -1106,12 +1128,12 @@ def neardup_survivors_delta(
         F.col(size_col).alias("_cand_size"),
         F.lit(1).cast("long").alias("_members"),
     )
-    cand = touched_old.unionByName(delta_cand)
+    cand = old_cand.unionByName(delta_cand)
     best = cand.groupBy("component").agg(
         F.max("_cand_size").alias(kept_size),
         F.sum("_members").alias("n_members"),
     )
-    refreshed = (
+    return (
         cand.join(best.withColumnRenamed("component", "_bc"),
                   (F.col("component") == F.col("_bc"))
                   & (F.col("_cand_size") == F.col(kept_size)))
@@ -1119,4 +1141,3 @@ def neardup_survivors_delta(
         .agg(F.min("_cand_doc").alias("kept_doc_id"))
         .select("component", "kept_doc_id", kept_size, "n_members")
     )
-    return untouched.unionByName(refreshed)

@@ -108,11 +108,14 @@ def _rewrite_unnest_subscripts(sql: str) -> str:
         )
 
     def enclosing_select(pos: int) -> int:
-        # the ENCLOSING select is the latest SELECT at the same paren depth
-        # as pos with no intervening close-paren below that depth — a plain
-        # rfind would land inside a scalar subquery sitting between the
-        # block's SELECT and the generator call, leaving earlier unnest(x)
-        # occurrences in the outer select list unrewritten
+        # the ENCLOSING select is the nearest still-open SELECT at or above
+        # the paren depth of ``pos`` — a plain rfind would land inside a
+        # scalar subquery sitting between the block's SELECT and the
+        # generator call, leaving earlier unnest(x) occurrences in the
+        # outer select list unrewritten.  Entries for closed subqueries
+        # are popped, so the remaining depths are all ancestors of pos;
+        # the innermost one is the enclosing select (the generator itself
+        # may sit deeper than its select, e.g. wrapped in CAST(...)).
         depth, last_sel = 0, {}
         for t in re.finditer(r"[()]|\bSELECT\b", shadow()[:pos]):
             tok = t.group(0)
@@ -123,20 +126,25 @@ def _rewrite_unnest_subscripts(sql: str) -> str:
                 depth -= 1
             else:
                 last_sel[depth] = t.start()
-        assert depth in last_sel, "generate_subscripts outside any SELECT"
-        return last_sel[depth]
+        open_sels = [d for d in last_sel if d <= depth]
+        assert open_sels, "generate_subscripts outside any SELECT"
+        return last_sel[max(open_sels)]
 
-    def block_from(pos: int) -> re.Match:
-        # first FROM after pos at the SAME depth (skip subquery FROMs)
+    def block_from(sel: int, after: int) -> re.Match:
+        # the block's FROM: first FROM at the SELECT's own depth (relative
+        # depth 0 scanning from ``sel``) that also lies past ``after`` —
+        # subquery FROMs sit at depth >= 1 and are skipped; anything
+        # between the select list and the FROM (including the generator
+        # call's own parens) nets back to depth 0 before the FROM
         depth = 0
-        for t in re.finditer(r"[()]|\bFROM\s+(\w+)", shadow()[pos:]):
+        for t in re.finditer(r"[()]|\bFROM\s+(\w+)", shadow()[sel:]):
             tok = t.group(0)
             if tok == "(":
                 depth += 1
             elif tok == ")":
                 depth -= 1
-            elif depth == 0:
-                m2 = re.compile(r"\bFROM\s+(\w+)").match(sql, pos + t.start())
+            elif depth == 0 and sel + t.start() >= after:
+                m2 = re.compile(r"\bFROM\s+(\w+)").match(sql, sel + t.start())
                 assert m2
                 return m2
         raise AssertionError("unnest/generate_subscripts block without a FROM")
@@ -155,7 +163,7 @@ def _rewrite_unnest_subscripts(sql: str) -> str:
         # global sub here used to rename the second block's columns to the
         # first block's aliases with no generator attached
         sel = enclosing_select(m.start())
-        fm = block_from(m.end())
+        fm = block_from(sel, m.end())
         block = sql[sel : fm.start()]
         block = re.sub(rf"generate_subscripts\({x},\s*1\)", f"({up} + 1)", block)
         block = re.sub(rf"\bunnest\({x}\)", uv, block)

@@ -40,10 +40,18 @@ from ..operators.similarity import cosine_delta_pairs_lsh, lsh_bucket_index
 
 
 def _read_or_none(spark: SparkSession, path: str) -> DataFrame | None:
+    """None iff nothing is persisted at ``path`` yet (missing or empty
+    directory).  Any OTHER read failure propagates — silently treating a
+    transient storage error or corrupt footer as "first batch" would make
+    the stream commit output computed against an empty history."""
+    from pyspark.errors import AnalysisException
+
     try:
         return spark.read.parquet(path)
-    except Exception:  # first batch: nothing persisted yet
-        return None
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "UNABLE_TO_INFER_SCHEMA" in str(e):
+            return None
+        raise
 
 
 def _write_partition(df: DataFrame, batch_id: int, path: str) -> None:
@@ -70,6 +78,7 @@ def start_text_delta_dedup_stream(
     threshold: float = 0.5,
     max_files_per_trigger: int | None = None,
     trigger: dict | None = None,
+    schema=None,
 ):
     """Stream parquet document files from ``landing_root``; per micro-batch
     emit ``jaccard_delta_pairs`` against the persisted shingle index and
@@ -80,10 +89,14 @@ def start_text_delta_dedup_stream(
     expected to land each document once, and replays are handled by the
     partition-exclusion read, not by weakening the guard.
     """
-    schema = (
-        spark.read.option("recursiveFileLookup", "true")
-        .parquet(landing_root).schema
-    )
+    # pass ``schema`` explicitly for a daemon that must start before the
+    # first file lands (and to skip the inference listing); otherwise it
+    # is inferred from whatever is already in the landing tree
+    if schema is None:
+        schema = (
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(landing_root).schema
+        )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch = batch_df.select("doc_id", text_col).localCheckpoint(eager=True)
@@ -135,38 +148,49 @@ def start_embedding_delta_dedup_stream(
     n_tables: int = 16,
     max_files_per_trigger: int | None = None,
     trigger: dict | None = None,
+    schema=None,
 ):
     """The embedding twin: per micro-batch emit ``cosine_delta_pairs_lsh``
     against the persisted LSH bucket index, then append the batch's index
     rows AND its vectors (the verify step needs candidate vectors; the
     corpus store is the same partition-idempotent parquet as the index).
     Returns the StreamingQuery."""
-    schema = (
-        spark.read.option("recursiveFileLookup", "true")
-        .parquet(landing_root).schema
-    )
+    # pass ``schema`` explicitly for a daemon that must start before the
+    # first file lands (and to skip the inference listing); otherwise it
+    # is inferred from whatever is already in the landing tree
+    if schema is None:
+        schema = (
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(landing_root).schema
+        )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch = batch_df.select(id_col, vec_col).localCheckpoint(eager=True)
         if batch.isEmpty():
             return
         idx = _read_or_none(spark, index_path)
+        cor = _read_or_none(spark, corpus_path)
+        not_this = F.col("ingest_batch") != batch_id
+        # cor may be missing while idx exists: a first-batch crash between
+        # the index write and the corpus write, replayed — the exclusion
+        # filter empties the index of this batch's rows anyway, so an
+        # empty corpus gives exactly the first-batch semantics
+        corpus = (
+            cor.filter(not_this).drop("ingest_batch")
+            if cor is not None
+            else batch.limit(0)
+        )
         if idx is not None:
-            not_this = F.col("ingest_batch") != batch_id
-            history_idx = idx.filter(not_this).drop("ingest_batch")
-            corpus = (
-                spark.read.parquet(corpus_path).filter(not_this)
-                .drop("ingest_batch")
-            )
             pairs = cosine_delta_pairs_lsh(
                 corpus, batch, threshold,
                 n_planes=n_planes, n_tables=n_tables,
-                id_col=id_col, vec_col=vec_col, corpus_index=history_idx,
+                id_col=id_col, vec_col=vec_col,
+                corpus_index=idx.filter(not_this).drop("ingest_batch"),
             )
         else:
             # first batch: no history — within-batch pairs only
             pairs = cosine_delta_pairs_lsh(
-                batch.limit(0), batch, threshold,
+                corpus, batch, threshold,
                 n_planes=n_planes, n_tables=n_tables,
                 id_col=id_col, vec_col=vec_col,
             )
@@ -239,6 +263,7 @@ def start_text_curation_stream(
     threshold: float = 0.5,
     max_files_per_trigger: int | None = None,
     trigger: dict | None = None,
+    schema=None,
 ):
     """The FULL streaming curation loop: every micro-batch of landed
     documents advances all four persisted curation artifacts —
@@ -279,17 +304,25 @@ def start_text_curation_stream(
     exclude the current batch's partition, so replays are idempotent
     (same design as start_text_delta_dedup_stream).
     """
-    from ..operators.dedup import connected_components, contract_delta_pairs
+    from ..operators.dedup import (
+        connected_components,
+        contract_delta_pairs,
+        survivor_fold,
+    )
 
     index_path = f"{state_root}/index"
     pairs_path = f"{state_root}/pairs"
     labels_path = f"{state_root}/labels"
     survivors_path = f"{state_root}/survivors"
     kept_size = f"kept_{size_col}"
-    schema = (
-        spark.read.option("recursiveFileLookup", "true")
-        .parquet(landing_root).schema
-    )
+    # pass ``schema`` explicitly for a daemon that must start before the
+    # first file lands (and to skip the inference listing); otherwise it
+    # is inferred from whatever is already in the landing tree
+    if schema is None:
+        schema = (
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(landing_root).schema
+        )
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch = batch_df.select("doc_id", text_col, size_col).localCheckpoint(
@@ -382,41 +415,12 @@ def start_text_curation_stream(
                 F.col(size_col).alias(kept_size),
                 F.lit(1).cast("long").alias("n_members"),
             ).limit(0)
-        old_cand = prev.select(
-            "component",
-            F.col("kept_doc_id").alias("_cand_doc"),
-            F.col(kept_size).alias("_cand_size"),
-            F.col("n_members").alias("_members"),
-        ).join(relabel, F.col("component") == F.col("_old"), "left").select(
-            F.coalesce("_new", "component").alias("component"),
-            "_cand_doc", "_cand_size", "_members",
-        )
-        delta_cand = batch.join(
-            relabel, batch["doc_id"] == F.col("_old"), "left"
-        ).select(
-            F.coalesce("_new", "doc_id").alias("component"),
-            F.col("doc_id").alias("_cand_doc"),
-            F.col(size_col).alias("_cand_size"),
-            F.lit(1).cast("long").alias("_members"),
-        )
-        cand = old_cand.unionByName(delta_cand)
-        best = cand.groupBy("component").agg(
-            F.max("_cand_size").alias(kept_size),
-            F.sum("_members").alias("n_members"),
-        )
-        upserts = (
-            cand.join(
-                best.withColumnRenamed("component", "_bc"),
-                (F.col("component") == F.col("_bc"))
-                & (F.col("_cand_size") == F.col(kept_size)),
-            )
-            .groupBy("component", kept_size, "n_members")
-            .agg(F.min("_cand_doc").alias("kept_doc_id"))
-            .select(
-                "component", "kept_doc_id", kept_size, "n_members",
-                F.lit(False).alias("deleted"),
-            )
-        )
+        # keep-the-longest policy and tie-break live in ONE place:
+        # operators/dedup.survivor_fold (shared with the batch operator)
+        upserts = survivor_fold(
+            prev, batch.select("doc_id", size_col), relabel,
+            id_col="doc_id", size_col=size_col,
+        ).withColumn("deleted", F.lit(False))
         # tombstones: previously-live components merged away this batch
         dead = (
             prev.select("component")

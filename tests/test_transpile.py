@@ -240,3 +240,18 @@ def test_unnest_scoping_skips_scalar_subqueries():
     )
     assert "unnest" not in out2 and "generate_subscripts" not in out2
     assert "FROM embeddings LATERAL VIEW posexplode(embedding)" in out2
+
+
+def test_unnest_scoping_handles_paren_wrapped_generator():
+    """A generator call wrapped in parens (CAST, arithmetic) sits DEEPER
+    than its enclosing SELECT — the depth-aware scoping must climb to the
+    nearest still-open SELECT, and the FROM scan must net the wrapper
+    parens back to the select's own depth."""
+    out = transpile(
+        "SELECT unnest(embedding)::DOUBLE AS v,\n"
+        "CAST(generate_subscripts(embedding, 1) AS BIGINT) AS i\n"
+        "FROM embeddings"
+    )
+    assert "unnest" not in out and "generate_subscripts" not in out
+    assert "CAST((_up0 + 1) AS BIGINT) AS i" in out
+    assert "FROM embeddings LATERAL VIEW posexplode(embedding)" in out
