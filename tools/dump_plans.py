@@ -135,6 +135,19 @@ SHOWCASE = {
     " sum-of-products — one exchange total",
     "neardup_survivors": "argmax per dup-cluster: per-component max +"
     " equi-rejoin, both map-side combinable; no window over raw docs",
+    "jaccard_delta_pairs": "per-ingest pair generation: delta postings"
+    " BROADCAST against one streaming pass of the persisted posting index"
+    " (params/NULL/disjointness guards ride the scan); within-delta pairs"
+    " from the tiny broadcast self-join — history never re-shingled",
+    "neardup_components_delta": "incremental clustering: the contraction's"
+    " label map is semi-shrunk to the delta-pair endpoint id set BEFORE"
+    " broadcasting (labels stream through a LeftSemi, never a full-corpus"
+    " BroadcastExchange); min-label CC runs on the delta-sized contracted"
+    " graph only",
+    "neardup_survivors_delta": "incremental survivor selection: untouched"
+    " components pass through a broadcast LeftAnti with NO exchange; the"
+    " only shuffle is the delta-plus-touched-sized merge-argmax (survivor"
+    " rows are a sufficient statistic — history docs never rescanned)",
 }
 
 
