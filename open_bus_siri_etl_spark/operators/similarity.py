@@ -285,6 +285,27 @@ def cosine_delta_pairs(
     )
 
 
+def _nearest_centroids(
+    df: DataFrame, cents, out: str, keep: int, dim: int | None = None
+) -> DataFrame:
+    """Max-cosine centroid assignment shared by the IVF family (ivf_topk,
+    ivf_pq_topk — one deterministic spec, ties to the smaller centroid
+    id).  ``df``: (_id, _vec); ``cents``: broadcastable (cent_id,
+    cent_vec).  Returns (_id, _vec, <out>) with the top ``keep``
+    centroids per row."""
+    scored = df.crossJoin(cents).withColumn(
+        "cent_cos",
+        _dot(F.col("_vec"), F.col("cent_vec"), dim)
+        / (_norm(F.col("_vec"), dim) * _norm(F.col("cent_vec"), dim)),
+    )
+    w = Window.partitionBy("_id").orderBy(F.desc("cent_cos"), "cent_id")
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= keep)
+        .select("_id", "_vec", F.col("cent_id").alias(out))
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -320,25 +341,12 @@ def ivf_topk(
         .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec"))
     )
 
-    def _nearest(df: DataFrame, out: str, keep: int) -> DataFrame:
-        scored = df.crossJoin(cents).withColumn(
-            "cent_cos",
-            _dot(F.col("_vec"), F.col("cent_vec"), dim)
-            / (_norm(F.col("_vec"), dim) * _norm(F.col("cent_vec"), dim)),
-        )
-        w = Window.partitionBy("_id").orderBy(F.desc("cent_cos"), "cent_id")
-        return (
-            scored.withColumn("_r", F.row_number().over(w))
-            .filter(F.col("_r") <= keep)
-            .select("_id", "_vec", F.col("cent_id").alias(out))
-        )
-
     c = corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
-    assigned = _nearest(c, "cluster", 1).select(
+    assigned = _nearest_centroids(c, cents, "cluster", 1, dim).select(
         F.col("_id").alias("neighbor_id"), F.col("_vec").alias("c_vec"), "cluster"
     )
     q = queries.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
-    probed = _nearest(q, "cluster", n_probe).select(
+    probed = _nearest_centroids(q, cents, "cluster", n_probe, dim).select(
         F.col("_id").alias("query_id"), F.col("_vec").alias("q_vec"), "cluster"
     )
 
@@ -1422,29 +1430,39 @@ def pq_codes_df(
     )
 
 
-def pq_adc_topk(
+def _pq_code_long(
+    corpus: DataFrame,
+    n_sub: int,
+    sub_dim: int,
+    n_centroids: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """PQ codes melted to (id, m, code) — the join shape the ADC lookup
+    wants; shared by pq_adc_topk and ivf_pq_topk."""
+    codes = pq_codes_df(corpus, n_sub, sub_dim, n_centroids, id_col, vec_col)
+    return codes.selectExpr(
+        id_col,
+        "stack({}, {}) AS (m, code)".format(
+            n_sub, ", ".join(f"{m}, code{m}" for m in range(n_sub))
+        ),
+    )
+
+
+def _pq_query_table(
     corpus: DataFrame,
     queries: DataFrame,
-    k: int = 5,
-    n_sub: int = 4,
-    sub_dim: int = 16,
-    n_centroids: int = 8,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
+    n_sub: int,
+    sub_dim: int,
+    n_centroids: int,
+    id_col: str,
+    vec_col: str,
 ) -> DataFrame:
-    """PQ asymmetric-distance (ADC) top-k — the billion-vector serving
-    pattern: the corpus is stored as PQ CODES only (n_sub bytes/vector);
-    a query precomputes its distance to every codebook centroid per
-    subspace (a |queries| x n_sub x n_centroids table, tiny -> broadcast)
-    and each candidate's approximate distance is n_sub table LOOKUPS, no
-    float vector math per pair.  Deterministic end to end (6dp-rounded
-    table entries, ties to smaller neighbor id), so the approximate index
-    itself carries an exact oracle.
-
-    Output: (query_id, neighbor_id, rank, adc_d2) — rank 1..k by
-    approximate distance asc; self-matches excluded.
-    """
-    codes = pq_codes_df(corpus, n_sub, sub_dim, n_centroids, id_col, vec_col)
+    """The per-query ADC distance table, melted to (query_id, code, m, d):
+    |queries| x n_sub x n_centroids 6dp-rounded subspace distances —
+    tiny, broadcast at the lookup join; shared by pq_adc_topk and
+    ivf_pq_topk so the table spec cannot drift between the serving
+    paths."""
     cents = (
         corpus.orderBy(id_col)
         .limit(n_centroids)
@@ -1471,19 +1489,115 @@ def pq_adc_topk(
         .crossJoin(F.broadcast(cents))
         .select("query_id", "cent_id", *qd)
     )
-    # melt codes to (vec_id, m, code) and the table to (query_id, m, code, d)
-    code_long = codes.selectExpr(
-        id_col,
-        "stack({}, {}) AS (m, code)".format(
-            n_sub, ", ".join(f"{m}, code{m}" for m in range(n_sub))
-        ),
-    )
-    dtab_long = dtab.selectExpr(
+    return dtab.selectExpr(
         "query_id",
         "cent_id AS code",
         "stack({}, {}) AS (m, d)".format(
             n_sub, ", ".join(f"{m}, qd_{m}" for m in range(n_sub))
         ),
+    )
+
+
+def ivf_pq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    n_sub: int = 4,
+    sub_dim: int = 16,
+    pq_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """IVF-PQ — the combined billion-vector serving shape: IVF cluster
+    PRUNING (probe only each query's ``n_probe`` nearest coarse clusters,
+    n_probe/n_centroids of the data) times PQ COMPRESSION (candidates
+    scored by asymmetric distance — n_sub table lookups against the
+    query's broadcast distance table, never per-pair float vector math).
+    This is what FAISS's IndexIVFPQ computes, expressed as joins.
+
+    Composes the two verified parts with their specs unchanged: the coarse
+    quantizer is ``ivf_topk``'s (max-cosine to the ``n_centroids``
+    lowest-id vectors, ties to the smaller centroid id, via
+    ``_nearest_centroids``) and the fine quantizer/lookup table are
+    ``pq_adc_topk``'s (``_pq_code_long`` / ``_pq_query_table``).
+    Deterministic end to end, so it carries an exact SQL oracle like the
+    rest of the ANN family.
+
+    Scale shape: in production (cluster, code0..n) persist together as
+    the IVF-PQ index, bucketed by cluster — the per-id join below
+    materializes exactly that table, the probe becomes a
+    partition-pruned scan of n_probe/n_centroids of 4-byte codes, the
+    distance table broadcasts, and the only wide shuffle is the
+    per-query top-k.
+
+    Output: (query_id, neighbor_id, rank, adc_d2); self-matches excluded.
+    """
+    cents = F.broadcast(
+        corpus.orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec"))
+    )
+    assigned = _nearest_centroids(
+        corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")),
+        cents, "cluster", 1, dim,
+    ).select(F.col("_id").alias(id_col), "cluster")
+    probed = _nearest_centroids(
+        queries.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")),
+        cents, "cluster", n_probe, dim,
+    ).select(F.col("_id").alias("query_id"), "cluster")
+
+    # the persisted IVF-PQ index row: (id, cluster, m, code)
+    indexed = _pq_code_long(
+        corpus, n_sub, sub_dim, pq_centroids, id_col, vec_col
+    ).join(assigned, id_col)
+    dtab_long = _pq_query_table(
+        corpus, queries, n_sub, sub_dim, pq_centroids, id_col, vec_col
+    )
+    adc = (
+        indexed.join(F.broadcast(probed), "cluster")
+        .join(F.broadcast(dtab_long), ["query_id", "m", "code"])
+        .filter(F.col(id_col) != F.col("query_id"))
+        .groupBy("query_id", id_col)
+        .agg(F.round(F.sum("d"), 6).alias("adc_d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_d2", id_col)
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", F.col(id_col).alias("neighbor_id"), "rank", "adc_d2"
+        )
+    )
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_sub: int = 4,
+    sub_dim: int = 16,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ asymmetric-distance (ADC) top-k — the billion-vector serving
+    pattern: the corpus is stored as PQ CODES only (n_sub bytes/vector);
+    a query precomputes its distance to every codebook centroid per
+    subspace (a |queries| x n_sub x n_centroids table, tiny -> broadcast)
+    and each candidate's approximate distance is n_sub table LOOKUPS, no
+    float vector math per pair.  Deterministic end to end (6dp-rounded
+    table entries, ties to smaller neighbor id), so the approximate index
+    itself carries an exact oracle.
+
+    Output: (query_id, neighbor_id, rank, adc_d2) — rank 1..k by
+    approximate distance asc; self-matches excluded.
+    """
+    code_long = _pq_code_long(corpus, n_sub, sub_dim, n_centroids, id_col, vec_col)
+    dtab_long = _pq_query_table(
+        corpus, queries, n_sub, sub_dim, n_centroids, id_col, vec_col
     )
     adc = (
         code_long.join(F.broadcast(dtab_long), ["m", "code"])

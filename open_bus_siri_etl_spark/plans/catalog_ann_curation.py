@@ -2135,3 +2135,81 @@ def neardup_survivors_delta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return neardup_survivors_delta(
         survivors, labels, delta.select("doc_id", "n_chars"), dpairs
     )
+
+
+@register(
+    "ivf_pq_topk",
+    f"""
+    WITH {_IVF_QUANTIZER_CTE},
+    sub AS (SELECT vec_id, (i - 1) // 16 AS m, i, v FROM f),
+    pqc AS (
+        SELECT s.vec_id AS cent_id, s.m, s.i, s.v
+        FROM sub s WHERE s.vec_id < 8
+    ),
+    d AS (
+        SELECT s.vec_id, s.m, c.cent_id,
+               round(sum((s.v - c.v) * (s.v - c.v)), 6) AS d2
+        FROM sub s JOIN pqc c ON c.m = s.m AND c.i = s.i
+        GROUP BY 1, 2, 3
+    ),
+    codes AS (
+        SELECT vec_id, m, cent_id AS code FROM (
+            SELECT vec_id, m, cent_id, row_number() OVER (
+                PARTITION BY vec_id, m ORDER BY d2, cent_id) AS r
+            FROM d) WHERE r = 1
+    ),
+    qprobe AS (
+        SELECT vec_id AS query_id, cent_id AS cluster FROM (
+            SELECT vec_id, cent_id, row_number() OVER (
+                PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS r
+            FROM vc WHERE vec_id BETWEEN 8 AND 15) WHERE r <= 2
+    ),
+    qtab AS (
+        SELECT vec_id AS query_id, m, cent_id AS code, d2 AS dist
+        FROM d WHERE vec_id BETWEEN 8 AND 15
+    ),
+    adc AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               round(sum(q.dist), 6) AS adc_d2
+        FROM codes c
+        JOIN assigned a ON a.vec_id = c.vec_id
+        JOIN qprobe p ON p.cluster = a.cluster
+        JOIN qtab q ON q.query_id = p.query_id
+                   AND q.m = c.m AND q.code = c.code
+        WHERE c.vec_id <> q.query_id
+        GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, rank, adc_d2 FROM (
+        SELECT query_id, neighbor_id, adc_d2, row_number() OVER (
+            PARTITION BY query_id ORDER BY adc_d2, neighbor_id) AS rank
+        FROM adc) WHERE rank <= 5
+    """,
+    note="IVF-PQ — the combined billion-vector serving shape (FAISS "
+    "IndexIVFPQ as joins): IVF cluster PRUNING (each query probes only "
+    "its n_probe=2 max-cosine coarse clusters — n_probe/n_centroids of "
+    "the data, partition-prunable when the index is bucketed by cluster) "
+    "times PQ COMPRESSION (candidates scored by asymmetric distance: 4 "
+    "lookups into the query's broadcast 6dp-rounded distance table, no "
+    "per-pair float vector math).  Composes the verified coarse "
+    "quantizer (embedding_ivf_ann's _IVF_QUANTIZER_CTE, verbatim) with "
+    "the verified fine quantizer (pq_codes / pq_adc_topk's codebook "
+    "spec), both sides shared on the Python side too "
+    "(_nearest_centroids / _pq_code_long / _pq_query_table), so neither "
+    "stage can drift from its standalone entry.  Deterministic ties "
+    "(smaller centroid / neighbor id) keep the approximate index "
+    "oracle-exact",
+)
+def ivf_pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivf_pq_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    return ivf_pq_topk(
+        emb,
+        emb.filter(F.col("vec_id").between(8, 15)),
+        k=5,
+        n_centroids=8,
+        n_probe=2,
+        n_sub=4,
+        sub_dim=16,
+        pq_centroids=8,
+    )

@@ -706,6 +706,7 @@ FULL_REGISTRY_ORDER = [
     "neardup_components_delta",
     "jaccard_delta_pairs",
     "neardup_survivors_delta",
+    "ivf_pq_topk",
 ]
 
 
