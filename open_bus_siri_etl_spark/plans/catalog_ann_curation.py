@@ -2213,3 +2213,70 @@ def ivf_pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         sub_dim=16,
         pq_centroids=8,
     )
+
+
+# Compose the IVF-PQ recall oracle FROM the registered ivf_pq_topk entry
+# (the delta_pairs_recall_eval discipline): the eval can never drift from
+# the serving path it measures.
+_IVF_PQ_SQL = REGISTRY["ivf_pq_topk"].sql
+
+
+@register(
+    "ivf_pq_recall_eval",
+    f"""
+    WITH approx AS ({_IVF_PQ_SQL}),
+    fx AS (
+        SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+    ),
+    nx AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM fx GROUP BY vec_id),
+    dx AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, sum(q.v * c.v) AS dot
+        FROM fx q JOIN fx c ON q.i = c.i AND q.vec_id <> c.vec_id
+        WHERE q.vec_id BETWEEN 8 AND 15
+        GROUP BY 1, 2
+    ),
+    sx AS (
+        SELECT query_id, neighbor_id, dot / (nq.nrm * nc.nrm) AS cosine
+        FROM dx JOIN nx nq ON query_id = nq.vec_id
+                JOIN nx nc ON neighbor_id = nc.vec_id
+    ),
+    exact AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM sx) WHERE rank <= 5
+    ),
+    hits AS (
+        SELECT a.query_id, count(*) AS n_hits
+        FROM approx a JOIN exact e
+          ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+        GROUP BY 1
+    )
+    SELECT qq.query_id, CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+           round(CAST(coalesce(n_hits, 0) AS DOUBLE) / 5.0, 6) AS recall
+    FROM (SELECT DISTINCT query_id FROM exact) qq LEFT JOIN hits USING (query_id)
+    """,
+    note="recall@5 of the combined IVF-PQ serving path against brute-force "
+    "cosine top-5 on the same 8-query set — completes the recall-eval "
+    "family (ann_recall_eval = IVF alone, lsh_ann_recall_eval = LSH, "
+    "delta_pairs_recall_eval = incremental LSH): every approximate index "
+    "in the catalog ships with its measured, oracle-exact error.  The "
+    "approx list's SQL is the registered ivf_pq_topk oracle string "
+    "verbatim, so the eval cannot drift from the serving path; IVF-PQ "
+    "stacks TWO approximations (cluster pruning AND ADC-compressed "
+    "distances), so its recall is the honest headline a deployment "
+    "trades 16x compression + n_probe/n_centroids pruning against",
+)
+def ivf_pq_recall_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ann_recall, cosine_topk, ivf_pq_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id").between(8, 15))
+    exact = cosine_topk(emb, qs, k=5)
+    approx = ivf_pq_topk(
+        emb, qs, k=5, n_centroids=8, n_probe=2, n_sub=4, sub_dim=16,
+        pq_centroids=8,
+    )
+    return ann_recall(exact, approx, k=5)

@@ -91,6 +91,16 @@ def test_ivf_ann_candidate_join_is_hash_join(spark):
     assert "CartesianProduct" not in plan  # centroid cross joins broadcast
 
 
+def test_ivf_pq_lookups_are_broadcast_hash_joins(spark):
+    """IVF-PQ's probe (cluster) and ADC lookup (query_id, m, code) joins
+    must be broadcast hash joins — the distance table and the probe list
+    are query-sized; the only nested-loop joins in the plan are against
+    the tiny broadcast centroid set, never a CartesianProduct."""
+    plan = explain_str(REGISTRY["ivf_pq_topk"].fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_tumbling_window_partial_agg(spark):
     plan = explain_str(REGISTRY["tumbling_window_agg"].fn(spark, SF))
     assert "partial_count" in plan or "partial_sum" in plan
@@ -707,6 +717,7 @@ FULL_REGISTRY_ORDER = [
     "jaccard_delta_pairs",
     "neardup_survivors_delta",
     "ivf_pq_topk",
+    "ivf_pq_recall_eval",
 ]
 
 
