@@ -1372,6 +1372,7 @@ def pq_codes_df(
     n_centroids: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cents: DataFrame | None = None,
 ) -> DataFrame:
     """Product-quantization codes: dims split into ``n_sub`` subspaces of
     ``sub_dim``; per-subspace codebook = the ``n_centroids`` lowest-id
@@ -1384,12 +1385,21 @@ def pq_codes_df(
     codebook (n_sub x n_centroids x sub_dim doubles) broadcasts;
     assignment is one scan of the corpus; per-subspace argmin windows are
     keyed by vec_id.
+
+    Pass ``cents`` (a (cent_id, cent_vec) frame) to encode against a
+    FROZEN codebook instead of re-deriving it from ``corpus`` — the
+    append path of ``build_ivf_pq_index`` needs this (FAISS ``add()``
+    semantics: deltas encode against the codebook the index was built
+    with, never against themselves).
     """
-    cents = (
-        corpus.orderBy(id_col)
-        .limit(n_centroids)
-        .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec"))
-    )
+    if cents is None:
+        cents = (
+            corpus.orderBy(id_col)
+            .limit(n_centroids)
+            .select(
+                F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
+            )
+        )
     pairs = corpus.crossJoin(F.broadcast(cents))
     sub_d2 = [
         F.round(
@@ -1437,10 +1447,13 @@ def _pq_code_long(
     n_centroids: int,
     id_col: str,
     vec_col: str,
+    cents: DataFrame | None = None,
 ) -> DataFrame:
     """PQ codes melted to (id, m, code) — the join shape the ADC lookup
     wants; shared by pq_adc_topk and ivf_pq_topk."""
-    codes = pq_codes_df(corpus, n_sub, sub_dim, n_centroids, id_col, vec_col)
+    codes = pq_codes_df(
+        corpus, n_sub, sub_dim, n_centroids, id_col, vec_col, cents=cents
+    )
     return codes.selectExpr(
         id_col,
         "stack({}, {}) AS (m, code)".format(
@@ -1450,24 +1463,20 @@ def _pq_code_long(
 
 
 def _pq_query_table(
-    corpus: DataFrame,
+    cents: DataFrame,
     queries: DataFrame,
     n_sub: int,
     sub_dim: int,
-    n_centroids: int,
     id_col: str,
     vec_col: str,
 ) -> DataFrame:
     """The per-query ADC distance table, melted to (query_id, code, m, d):
-    |queries| x n_sub x n_centroids 6dp-rounded subspace distances —
-    tiny, broadcast at the lookup join; shared by pq_adc_topk and
-    ivf_pq_topk so the table spec cannot drift between the serving
-    paths."""
-    cents = (
-        corpus.orderBy(id_col)
-        .limit(n_centroids)
-        .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec"))
-    )
+    |queries| x n_sub x |cents| 6dp-rounded subspace distances — tiny,
+    broadcast at the lookup join; shared by pq_adc_topk, ivf_pq_topk and
+    ivf_pq_topk_serve so the table spec cannot drift between the serving
+    paths.  ``cents`` is the (cent_id, cent_vec) PQ codebook frame —
+    callers derive it from the corpus (batch) or from the persisted
+    frozen codebook (serve)."""
     qd = [
         F.round(
             F.aggregate(
@@ -1495,6 +1504,202 @@ def _pq_query_table(
         "stack({}, {}) AS (m, d)".format(
             n_sub, ", ".join(f"{m}, qd_{m}" for m in range(n_sub))
         ),
+    )
+
+
+def _ivf_pq_params_tag(
+    n_centroids: int, n_sub: int, sub_dim: int, pq_centroids: int
+) -> str:
+    """Build-parameter fingerprint persisted with every
+    ``build_ivf_pq_index`` row — the IVF-PQ twin of ``_lsh_params_tag``.
+    Codes from one (coarse, sub, dim, fine) family are meaningless under
+    another family's distance table — probing with mismatched parameters
+    silently corrupts every ADC distance — so the serve path checks this
+    tag in-plan and fails loudly on any mismatch."""
+    return f"C{n_centroids}M{n_sub}S{sub_dim}K{pq_centroids}"
+
+
+def ivf_pq_centroids(
+    corpus: DataFrame,
+    n_keep: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The FROZEN IVF-PQ codebook frame: (cent_rank, cent_id, cent_vec) —
+    the ``n_keep`` lowest-id corpus vectors ranked 1..n_keep by id (the
+    ANN family's deterministic quantizer spec).  Persist it NEXT TO the
+    index: appends must encode against THIS frame (FAISS ``add()``
+    semantics) and never re-derive centroids from the delta — a delta row
+    with a lower id than an existing centroid would otherwise silently
+    shift the whole bucket space.  Slice ``cent_rank <= n_centroids`` for
+    the coarse codebook and ``<= pq_centroids`` for the fine one
+    (``_slice_codebook`` does both with an in-plan undersize guard).
+    The single-partition window is fine: the frame is already
+    limit-bounded to n_keep rows."""
+    return (
+        corpus.orderBy(id_col)
+        .limit(n_keep)
+        .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec"))
+        .withColumn(
+            "cent_rank", F.row_number().over(Window.orderBy("cent_id"))
+        )
+        .select("cent_rank", "cent_id", "cent_vec")
+    )
+
+
+def _slice_codebook(
+    cents: DataFrame, n: int, what: str, op: str
+) -> DataFrame:
+    """``cent_rank <= n`` slice of a frozen ``ivf_pq_centroids`` frame,
+    raising IN-PLAN if the frame holds fewer than ``n`` centroids — an
+    undersized codebook would silently change the quantizer family
+    (ranks are dense 1..n_keep by construction, so max(rank) == n iff
+    all n are present).  The window is over the already-tiny slice."""
+    w = Window.partitionBy(F.lit(1))
+    return cents.filter(F.col("cent_rank") <= n).select(
+        F.when(F.max("cent_rank").over(w) == n, F.col("cent_id"))
+        .otherwise(
+            F.raise_error(
+                F.lit(
+                    f"{op}: frozen codebook has fewer than {n} {what} "
+                    "centroids — rebuild ivf_pq_centroids with n_keep >= "
+                    "max(n_centroids, pq_centroids)"
+                )
+            )
+        )
+        .alias("cent_id"),
+        "cent_vec",
+    )
+
+
+def build_ivf_pq_index(
+    corpus: DataFrame,
+    n_centroids: int = 8,
+    n_sub: int = 4,
+    sub_dim: int = 16,
+    pq_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    cents: DataFrame | None = None,
+) -> DataFrame:
+    """The persistable IVF-PQ index: (id, cluster, m, code, params) —
+    ``n_sub`` rows per vector, each a 1-byte-equivalent code, plus the
+    coarse cluster id and the build-parameter tag.  This is the third
+    persisted delta index (after the MinHash band index and the LSH
+    bucket index) and the one a billion-vector ANN deployment actually
+    serves from: write it partitioned by ``cluster`` and
+    ``ivf_pq_topk_serve`` partition-prunes to n_probe/n_centroids of it.
+
+    Appends encode against the FROZEN codebook (pass ``cents`` — the
+    persisted ``ivf_pq_centroids`` frame the initial build used; FAISS
+    ``add()`` semantics).  Cluster assignment and codes are per-row
+    functions of (vector, codebook), so with a frozen codebook the
+    incremental append IS the full rebuild — same contract as the other
+    two indexes, test-asserted.  When ``cents`` is None (initial build)
+    the codebook is derived from ``corpus`` itself.
+    """
+    corpus = _non_null_ids(corpus, id_col, "build_ivf_pq_index", "input")
+    if cents is None:
+        cents = ivf_pq_centroids(
+            corpus, max(n_centroids, pq_centroids), id_col, vec_col
+        )
+    op = "build_ivf_pq_index"
+    coarse = F.broadcast(_slice_codebook(cents, n_centroids, "coarse", op))
+    fine = _slice_codebook(cents, pq_centroids, "PQ", op)
+    assigned = _nearest_centroids(
+        corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")),
+        coarse, "cluster", 1, dim,
+    ).select(F.col("_id").alias(id_col), "cluster")
+    codes = _pq_code_long(
+        corpus, n_sub, sub_dim, pq_centroids, id_col, vec_col, cents=fine
+    )
+    return codes.join(assigned, id_col).withColumn(
+        "params",
+        F.lit(_ivf_pq_params_tag(n_centroids, n_sub, sub_dim, pq_centroids)),
+    )
+
+
+def ivf_pq_topk_serve(
+    index: DataFrame,
+    cents: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    n_sub: int = 4,
+    sub_dim: int = 16,
+    pq_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Serve IVF-PQ top-k from the PERSISTED index — corpus vectors are
+    never an input, so the per-query-batch cost is structurally
+    independent of corpus float payload: the probe scans
+    n_probe/n_centroids of the (int, int, int) code rows (partition-pruned
+    when the index is written partitioned by ``cluster``), the query
+    distance table (|Q| x n_sub x pq_centroids, 6dp-rounded) broadcasts,
+    and the only wide shuffle is the per-query top-k.  The ONLY vector
+    math anywhere is queries x centroids (codebook-sized).
+
+    Staleness is fail-loud: the index's ``params`` tag is checked in-plan
+    against this call's (n_centroids, n_sub, sub_dim, pq_centroids) — a
+    mismatched codebook family silently corrupts every ADC distance — and
+    an undersized frozen-codebook frame raises via ``_slice_codebook``.
+
+    Output contract identical to ``ivf_pq_topk``: (query_id, neighbor_id,
+    rank, adc_d2), rank 1..k by ADC distance asc, ties to the smaller
+    neighbor id, self-matches excluded.
+    """
+    op = "ivf_pq_topk_serve"
+    if "params" not in index.columns:
+        raise ValueError(
+            f"{op}: index lacks the params column — rebuild it with "
+            "build_ivf_pq_index (format: id, cluster, m, code, params)"
+        )
+    expected = _ivf_pq_params_tag(n_centroids, n_sub, sub_dim, pq_centroids)
+    idx = index.select(
+        F.when(F.col("params") == expected, F.col(id_col))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"{op}: index was built with params "),
+                    F.col("params"),
+                    F.lit(
+                        f" but this call expects {expected} — a mismatched "
+                        "codebook family silently corrupts ADC distances, "
+                        "rebuild the index"
+                    ),
+                )
+            )
+        )
+        .alias(id_col),
+        "cluster",
+        "m",
+        "code",
+    )
+    coarse = F.broadcast(_slice_codebook(cents, n_centroids, "coarse", op))
+    fine = _slice_codebook(cents, pq_centroids, "PQ", op)
+    probed = _nearest_centroids(
+        queries.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")),
+        coarse, "cluster", n_probe, dim,
+    ).select(F.col("_id").alias("query_id"), "cluster")
+    dtab_long = _pq_query_table(fine, queries, n_sub, sub_dim, id_col, vec_col)
+    adc = (
+        idx.join(F.broadcast(probed), "cluster")
+        .join(F.broadcast(dtab_long), ["query_id", "m", "code"])
+        .filter(F.col(id_col) != F.col("query_id"))
+        .groupBy("query_id", id_col)
+        .agg(F.round(F.sum("d"), 6).alias("adc_d2"))
+    )
+    w = Window.partitionBy("query_id").orderBy("adc_d2", id_col)
+    return (
+        adc.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", F.col(id_col).alias("neighbor_id"), "rank", "adc_d2"
+        )
     )
 
 
@@ -1526,50 +1731,27 @@ def ivf_pq_topk(
     Deterministic end to end, so it carries an exact SQL oracle like the
     rest of the ANN family.
 
-    Scale shape: in production (cluster, code0..n) persist together as
-    the IVF-PQ index, bucketed by cluster — the per-id join below
-    materializes exactly that table, the probe becomes a
-    partition-pruned scan of n_probe/n_centroids of 4-byte codes, the
-    distance table broadcasts, and the only wide shuffle is the
-    per-query top-k.
+    This batch form IS the persisted pipeline run inline — it builds the
+    frozen codebook (``ivf_pq_centroids``), encodes the index
+    (``build_ivf_pq_index``) and serves from it (``ivf_pq_topk_serve``),
+    so the inline result and the persisted-index result cannot drift; in
+    production the first two persist once (index partitioned by
+    ``cluster``) and only the serve plan runs per query batch.
 
     Output: (query_id, neighbor_id, rank, adc_d2); self-matches excluded.
     """
-    cents = F.broadcast(
-        corpus.orderBy(id_col)
-        .limit(n_centroids)
-        .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec"))
+    cframe = ivf_pq_centroids(
+        corpus, max(n_centroids, pq_centroids), id_col, vec_col
     )
-    assigned = _nearest_centroids(
-        corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")),
-        cents, "cluster", 1, dim,
-    ).select(F.col("_id").alias(id_col), "cluster")
-    probed = _nearest_centroids(
-        queries.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")),
-        cents, "cluster", n_probe, dim,
-    ).select(F.col("_id").alias("query_id"), "cluster")
-
-    # the persisted IVF-PQ index row: (id, cluster, m, code)
-    indexed = _pq_code_long(
-        corpus, n_sub, sub_dim, pq_centroids, id_col, vec_col
-    ).join(assigned, id_col)
-    dtab_long = _pq_query_table(
-        corpus, queries, n_sub, sub_dim, pq_centroids, id_col, vec_col
+    index = build_ivf_pq_index(
+        corpus, n_centroids, n_sub, sub_dim, pq_centroids,
+        id_col, vec_col, dim, cents=cframe,
     )
-    adc = (
-        indexed.join(F.broadcast(probed), "cluster")
-        .join(F.broadcast(dtab_long), ["query_id", "m", "code"])
-        .filter(F.col(id_col) != F.col("query_id"))
-        .groupBy("query_id", id_col)
-        .agg(F.round(F.sum("d"), 6).alias("adc_d2"))
-    )
-    w = Window.partitionBy("query_id").orderBy("adc_d2", id_col)
-    return (
-        adc.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id", F.col(id_col).alias("neighbor_id"), "rank", "adc_d2"
-        )
+    return ivf_pq_topk_serve(
+        index, cframe, queries,
+        k=k, n_centroids=n_centroids, n_probe=n_probe, n_sub=n_sub,
+        sub_dim=sub_dim, pq_centroids=pq_centroids,
+        id_col=id_col, vec_col=vec_col, dim=dim,
     )
 
 
@@ -1596,9 +1778,12 @@ def pq_adc_topk(
     approximate distance asc; self-matches excluded.
     """
     code_long = _pq_code_long(corpus, n_sub, sub_dim, n_centroids, id_col, vec_col)
-    dtab_long = _pq_query_table(
-        corpus, queries, n_sub, sub_dim, n_centroids, id_col, vec_col
+    cents = (
+        corpus.orderBy(id_col)
+        .limit(n_centroids)
+        .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec"))
     )
+    dtab_long = _pq_query_table(cents, queries, n_sub, sub_dim, id_col, vec_col)
     adc = (
         code_long.join(F.broadcast(dtab_long), ["m", "code"])
         .filter(F.col(id_col) != F.col("query_id"))

@@ -1986,3 +1986,105 @@ def test_delta_indexes_three_epoch_parquet_append(spark, tmp_path):
     assert multiset(spark.read.parquet(paths["lsh"])) == multiset(
         lsh_bucket_index(eh)
     )
+
+
+def test_ivf_pq_persisted_index_serve_matches_inline(spark, tmp_path):
+    """The persisted IVF-PQ path (build_ivf_pq_index + ivf_pq_centroids
+    written to parquet, read back, served via ivf_pq_topk_serve) returns
+    EXACTLY the inline ivf_pq_topk result — the serving shape where
+    corpus vectors are never an input to the per-query-batch plan."""
+    from open_bus_siri_etl_spark.operators.similarity import (
+        build_ivf_pq_index,
+        ivf_pq_centroids,
+        ivf_pq_topk,
+        ivf_pq_topk_serve,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.filter("vec_id BETWEEN 8 AND 15")
+    inline = sorted(map(tuple, ivf_pq_topk(emb, qs, k=5).collect()))
+
+    cents_path = str(tmp_path / "ivfpq_cents")
+    idx_path = str(tmp_path / "ivfpq_index")
+    cframe = ivf_pq_centroids(emb, n_keep=8)
+    cframe.write.parquet(cents_path)
+    cframe = spark.read.parquet(cents_path)
+    build_ivf_pq_index(emb, cents=cframe).write.partitionBy("cluster").parquet(
+        idx_path
+    )
+    idx = spark.read.parquet(idx_path)
+    served = sorted(
+        map(tuple, ivf_pq_topk_serve(idx, cframe, qs, k=5).collect())
+    )
+    assert inline == served and inline
+
+
+def test_ivf_pq_index_append_is_rebuild(spark):
+    """With the codebook FROZEN (FAISS add() semantics: deltas encode
+    against the centroids the index was built with), cluster assignment
+    and PQ codes are per-row functions of (vector, codebook) — so
+    appending a delta's index frame to the existing one equals rebuilding
+    over the full corpus, row for row.  Same contract as the MinHash band
+    index and the LSH bucket index."""
+    from open_bus_siri_etl_spark.operators.similarity import (
+        build_ivf_pq_index,
+        ivf_pq_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    part1 = emb.filter("vec_id < 300")
+    delta = emb.filter("vec_id >= 300")
+    cframe = ivf_pq_centroids(part1, n_keep=8)
+    full = sorted(
+        map(tuple, build_ivf_pq_index(emb, cents=cframe).collect())
+    )
+    appended = sorted(
+        map(
+            tuple,
+            build_ivf_pq_index(part1, cents=cframe)
+            .unionByName(build_ivf_pq_index(delta, cents=cframe))
+            .collect(),
+        )
+    )
+    assert full == appended and full
+
+
+def test_ivf_pq_serve_params_mismatch_raises(spark):
+    """An index encoded under one (coarse, sub, dim, fine) family served
+    under another would silently corrupt every ADC distance — the
+    persisted params tag is checked IN-PLAN and fails the job loudly; a
+    tag-less frame is rejected at plan build."""
+    import pytest as _pytest
+
+    from open_bus_siri_etl_spark.operators.similarity import (
+        build_ivf_pq_index,
+        ivf_pq_centroids,
+        ivf_pq_topk_serve,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.filter("vec_id BETWEEN 8 AND 15")
+    cframe = ivf_pq_centroids(emb, n_keep=8)
+    idx = build_ivf_pq_index(emb, cents=cframe)
+    with _pytest.raises(Exception, match="built with params"):
+        ivf_pq_topk_serve(idx, cframe, qs, n_sub=2, sub_dim=32).count()
+    with _pytest.raises(ValueError, match="rebuild"):
+        ivf_pq_topk_serve(idx.drop("params"), cframe, qs)
+
+
+def test_ivf_pq_undersized_codebook_raises(spark):
+    """A frozen-codebook frame with fewer centroids than the call's
+    n_centroids/pq_centroids would silently change the quantizer family —
+    _slice_codebook raises in-plan instead (ranks are dense, so
+    max(rank) < n iff the frame is undersized)."""
+    import pytest as _pytest
+
+    from open_bus_siri_etl_spark.operators.similarity import (
+        build_ivf_pq_index,
+        ivf_pq_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    small = ivf_pq_centroids(emb, n_keep=4)
+    with _pytest.raises(Exception, match="fewer than 8"):
+        build_ivf_pq_index(emb, cents=small).count()
