@@ -1,0 +1,182 @@
+"""IVF-PQ serving evidence: the per-query-batch cost of the PERSISTED
+IVF-PQ path (build_ivf_pq_index once -> parquet partitioned by cluster;
+ivf_pq_topk_serve per batch, corpus vectors never an input) versus
+brute-force exact cosine top-k, across corpus tiers.  The claim under
+measurement is the serving shape's: exact cost grows linearly in corpus
+floats, serve cost grows only in (pruned) code rows — n_probe/n_centroids
+of N int rows — so the gap widens with N while the one-time build is
+amortized over every batch.
+
+Queries are planted jittered twins of corpus rows (the regime a
+retrieval deployment actually serves: queries correlate with their
+relevant docs), so recall@10 vs the exact list is meaningful rather than
+the degenerate random-gaussian number.
+
+Writes one JSON line (and BENCH_IVFPQ.json with --write).
+Run: python tools/bench_ivfpq.py [--write]
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+import numpy as np
+
+ROOT = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(ROOT))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from open_bus_siri_etl_spark.operators.similarity import (  # noqa: E402
+    ann_recall,
+    build_ivf_pq_index,
+    cosine_topk,
+    ivf_pq_centroids,
+    ivf_pq_topk_serve,
+)
+from open_bus_siri_etl_spark.session import get_spark  # noqa: E402
+
+DIM = 64
+N_QUERIES = 64
+K = 10
+N_SUB, SUB_DIM, PQ_CENTROIDS = 8, 8, 64
+# (corpus size, coarse centroids, probes) — pruning fraction tightens as
+# the corpus grows, the way a real deployment retunes nlist with N
+TIERS = [(20_000, 64, 8), (100_000, 128, 8), (300_000, 256, 8)]
+
+
+def synth(spark, work: Path, n: int):
+    """Seeded corpus + planted-twin queries: query j is corpus row
+    j*stride plus N(0, 0.15) jitter — close enough that its twin's
+    neighborhood is the relevant set, far enough that ranks are
+    non-degenerate.  Query ids live above the corpus id range."""
+    rng = np.random.RandomState(11)
+    vecs = rng.randn(n, DIM).astype("float32")
+    stride = n // N_QUERIES
+    qvecs = (
+        vecs[:: stride][:N_QUERIES]
+        + 0.15 * rng.randn(N_QUERIES, DIM).astype("float32")
+    ).astype("float32")
+    import pandas as pd
+
+    cdf = pd.DataFrame(
+        {"vec_id": np.arange(n, dtype="int64"), "embedding": list(vecs)}
+    )
+    qdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(n, n + N_QUERIES, dtype="int64"),
+            "embedding": list(qvecs),
+        }
+    )
+    cpath, qpath = str(work / f"c_{n}"), str(work / f"q_{n}")
+    spark.createDataFrame(cdf).repartition(32).write.mode("overwrite").parquet(cpath)
+    spark.createDataFrame(qdf).coalesce(1).write.mode("overwrite").parquet(qpath)
+    return spark.read.parquet(cpath), spark.read.parquet(qpath)
+
+
+def main() -> None:
+    spark = get_spark(app_name="siri-etl-bench-ivfpq")
+    spark.sparkContext.setLogLevel("ERROR")
+    work = Path(tempfile.mkdtemp(prefix="bench_ivfpq_"))
+    tiers = []
+    try:
+        for n, n_cent, n_probe in TIERS:
+            corpus, queries = synth(spark, work, n)
+            corpus.count(), queries.count()  # materialize before timing
+
+            t0 = time.time()
+            cframe = ivf_pq_centroids(corpus, n_keep=max(n_cent, PQ_CENTROIDS))
+            cpath = str(work / f"cents_{n}")
+            cframe.write.mode("overwrite").parquet(cpath)
+            cframe = spark.read.parquet(cpath)
+            ipath = str(work / f"index_{n}")
+            build_ivf_pq_index(
+                corpus, n_centroids=n_cent, n_sub=N_SUB, sub_dim=SUB_DIM,
+                pq_centroids=PQ_CENTROIDS, dim=DIM, cents=cframe,
+            ).write.mode("overwrite").partitionBy("cluster").parquet(ipath)
+            build_sec = time.time() - t0
+            index = spark.read.parquet(ipath)
+
+            def serve():
+                return ivf_pq_topk_serve(
+                    index, cframe, queries, k=K, n_centroids=n_cent,
+                    n_probe=n_probe, n_sub=N_SUB, sub_dim=SUB_DIM,
+                    pq_centroids=PQ_CENTROIDS, dim=DIM,
+                )
+
+            t0 = time.time()
+            n_served = serve().count()
+            serve_sec = time.time() - t0
+
+            t0 = time.time()
+            exact = cosine_topk(corpus, queries, k=K)
+            n_exact = exact.count()
+            exact_sec = time.time() - t0
+
+            recall = (
+                ann_recall(exact, serve(), k=K)
+                .agg(F.avg("recall").alias("r"))
+                .collect()[0]["r"]
+            )
+            # the retrieval-relevant number: each query has ONE planted
+            # relevant doc (its twin, cosine ~0.99); did the index find it?
+            # recall@10 above is the honest-but-degenerate gaussian-tail
+            # number (ranks 2..10 are barely-correlated random vectors).
+            stride = n // N_QUERIES
+            twins = spark.createDataFrame(
+                [(n + j, j * stride) for j in range(N_QUERIES)],
+                "query_id long, twin_id long",
+            )
+            served = serve()
+            twin_top1 = (
+                served.filter(F.col("rank") == 1)
+                .join(twins, "query_id")
+                .filter(F.col("neighbor_id") == F.col("twin_id"))
+                .count()
+            )
+            twin_top10 = (
+                served.join(twins, "query_id")
+                .filter(F.col("neighbor_id") == F.col("twin_id"))
+                .count()
+            )
+            tier = {
+                "n_vectors": n,
+                "n_centroids": n_cent,
+                "n_probe": n_probe,
+                "pruning_frac": round(n_probe / n_cent, 4),
+                "build_sec": round(build_sec, 3),
+                "serve_sec": round(serve_sec, 3),
+                "exact_sec": round(exact_sec, 3),
+                "serve_speedup_vs_exact": round(exact_sec / serve_sec, 2),
+                "rows_served": n_served,
+                "rows_exact": n_exact,
+                "recall_at_10": round(recall, 4),
+                "twin_recall_at_1": round(twin_top1 / N_QUERIES, 4),
+                "twin_recall_at_10": round(twin_top10 / N_QUERIES, 4),
+            }
+            tiers.append(tier)
+            print(json.dumps(tier), flush=True)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    out = {
+        "metric": "ivfpq_serve_speedup_vs_exact_at_max_tier",
+        "value": tiers[-1]["serve_speedup_vs_exact"],
+        "unit": "x",
+        "dim": DIM,
+        "n_queries": N_QUERIES,
+        "k": K,
+        "pq": {"n_sub": N_SUB, "sub_dim": SUB_DIM, "pq_centroids": PQ_CENTROIDS},
+        "tiers": tiers,
+    }
+    print(json.dumps(out))
+    if "--write" in sys.argv:
+        (ROOT / "BENCH_IVFPQ.json").write_text(json.dumps(out, indent=2) + "\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -148,6 +148,10 @@ SHOWCASE = {
     " components pass through a broadcast LeftAnti with NO exchange; the"
     " only shuffle is the delta-plus-touched-sized merge-argmax (survivor"
     " rows are a sufficient statistic — history docs never rescanned)",
+    "ivf_pq_topk": "IVF-PQ serving: probe and ADC lookups are broadcast"
+    " hash joins (query-sized sides); the only nested-loop joins are"
+    " against the tiny codebook; scored candidates are code rows, never"
+    " per-pair vector math",
 }
 
 
