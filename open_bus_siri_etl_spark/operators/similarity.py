@@ -1547,17 +1547,39 @@ def ivf_pq_centroids(
     )
 
 
+def _codebook_fingerprint(cents: DataFrame, out: str) -> DataFrame:
+    """One-row content fingerprint of a frozen codebook frame — an
+    order-independent sum of per-row hashes over (rank, id, vector).
+    Persisted with every index row at build time and recomputed from the
+    serve call's frame, so serving an index against a codebook with the
+    SAME parameter counts but DIFFERENT content (re-embedded corpus,
+    regenerated centroids) fails loudly instead of silently corrupting
+    every ADC distance — the staleness direction the params tag cannot
+    see (unlike the LSH family, whose md5 planes are fully determined by
+    the parameters, the IVF-PQ quantizer IS the codebook data).  pmod
+    keeps the per-row term small so the sum cannot overflow; coalesce
+    pins the empty-frame fingerprint so empty-vs-nonempty mismatches."""
+    return cents.select(
+        F.pmod(
+            F.xxhash64("cent_rank", "cent_id", "cent_vec"), F.lit(2**31)
+        ).alias("_h")
+    ).agg(F.coalesce(F.sum("_h"), F.lit(-1)).alias(out))
+
+
 def _slice_codebook(
     cents: DataFrame, n: int, what: str, op: str
 ) -> DataFrame:
     """``cent_rank <= n`` slice of a frozen ``ivf_pq_centroids`` frame,
     raising IN-PLAN if the frame holds fewer than ``n`` centroids — an
     undersized codebook would silently change the quantizer family
-    (ranks are dense 1..n_keep by construction, so max(rank) == n iff
-    all n are present).  The window is over the already-tiny slice."""
-    w = Window.partitionBy(F.lit(1))
-    return cents.filter(F.col("cent_rank") <= n).select(
-        F.when(F.max("cent_rank").over(w) == n, F.col("cent_id"))
+    (ranks are dense 1..n_keep by construction, so max(rank) >= n iff
+    all n are present).  The guard is a one-row AGGREGATE over the full
+    frame cross-joined back onto the slice — not a per-row window — so
+    it fires even when the frame is EMPTY and the slice has no rows to
+    evaluate a predicate on (the degenerate case a row-scoped guard
+    silently passes)."""
+    guard = cents.agg(F.max("cent_rank").alias("_mx")).select(
+        F.when(F.coalesce(F.col("_mx"), F.lit(0)) >= n, F.lit(1))
         .otherwise(
             F.raise_error(
                 F.lit(
@@ -1567,8 +1589,22 @@ def _slice_codebook(
                 )
             )
         )
-        .alias("cent_id"),
-        "cent_vec",
+        .alias("_ok")
+    )
+    return (
+        cents.filter(F.col("cent_rank") <= n)
+        .crossJoin(F.broadcast(guard))
+        # route cent_id through _ok so column pruning cannot drop the
+        # guard expression from the plan (the otherwise branch is
+        # unreachable: _ok is 1 on every row the guard emits)
+        .select(
+            F.when(F.col("_ok") == 1, F.col("cent_id"))
+            .otherwise(
+                F.raise_error(F.lit(f"{op}: unreachable codebook guard"))
+            )
+            .alias("cent_id"),
+            "cent_vec",
+        )
     )
 
 
@@ -1583,9 +1619,11 @@ def build_ivf_pq_index(
     dim: int | None = None,
     cents: DataFrame | None = None,
 ) -> DataFrame:
-    """The persistable IVF-PQ index: (id, cluster, m, code, params) —
-    ``n_sub`` rows per vector, each a 1-byte-equivalent code, plus the
-    coarse cluster id and the build-parameter tag.  This is the third
+    """The persistable IVF-PQ index: (id, cluster, m, code, cb_fp,
+    params) — ``n_sub`` rows per vector, each a 1-byte-equivalent code,
+    plus the coarse cluster id, the codebook-content fingerprint
+    (``_codebook_fingerprint`` — both constants dictionary-encode to
+    nothing in parquet) and the build-parameter tag.  This is the third
     persisted delta index (after the MinHash band index and the LSH
     bucket index) and the one a billion-vector ANN deployment actually
     serves from: write it partitioned by ``cluster`` and
@@ -1614,9 +1652,15 @@ def build_ivf_pq_index(
     codes = _pq_code_long(
         corpus, n_sub, sub_dim, pq_centroids, id_col, vec_col, cents=fine
     )
-    return codes.join(assigned, id_col).withColumn(
-        "params",
-        F.lit(_ivf_pq_params_tag(n_centroids, n_sub, sub_dim, pq_centroids)),
+    return (
+        codes.join(assigned, id_col)
+        .crossJoin(F.broadcast(_codebook_fingerprint(cents, "cb_fp")))
+        .withColumn(
+            "params",
+            F.lit(
+                _ivf_pq_params_tag(n_centroids, n_sub, sub_dim, pq_centroids)
+            ),
+        )
     )
 
 
@@ -1643,25 +1687,35 @@ def ivf_pq_topk_serve(
     and the only wide shuffle is the per-query top-k.  The ONLY vector
     math anywhere is queries x centroids (codebook-sized).
 
-    Staleness is fail-loud: the index's ``params`` tag is checked in-plan
-    against this call's (n_centroids, n_sub, sub_dim, pq_centroids) — a
-    mismatched codebook family silently corrupts every ADC distance — and
-    an undersized frozen-codebook frame raises via ``_slice_codebook``.
+    Staleness is fail-loud in BOTH directions: the index's ``params`` tag
+    is checked in-plan against this call's (n_centroids, n_sub, sub_dim,
+    pq_centroids), AND the index's persisted codebook-content fingerprint
+    (``cb_fp``) is checked against one recomputed from THIS call's
+    ``cents`` frame — parameters alone cannot see a regenerated or
+    re-embedded codebook with the same counts, and either mismatch
+    silently corrupts every ADC distance.  Serve with the SAME persisted
+    codebook frame the build used (a superset frame with identical rows
+    fingerprints identically only if it is row-identical — conservative
+    by design).  An undersized or empty frozen-codebook frame raises via
+    ``_slice_codebook``.
 
     Output contract identical to ``ivf_pq_topk``: (query_id, neighbor_id,
     rank, adc_d2), rank 1..k by ADC distance asc, ties to the smaller
     neighbor id, self-matches excluded.
     """
     op = "ivf_pq_topk_serve"
-    if "params" not in index.columns:
+    if "params" not in index.columns or "cb_fp" not in index.columns:
         raise ValueError(
-            f"{op}: index lacks the params column — rebuild it with "
-            "build_ivf_pq_index (format: id, cluster, m, code, params)"
+            f"{op}: index lacks the params/cb_fp columns — rebuild it with "
+            "build_ivf_pq_index (format: id, cluster, m, code, cb_fp, "
+            "params)"
         )
     expected = _ivf_pq_params_tag(n_centroids, n_sub, sub_dim, pq_centroids)
-    idx = index.select(
-        F.when(F.col("params") == expected, F.col(id_col))
-        .otherwise(
+    idx = index.crossJoin(
+        F.broadcast(_codebook_fingerprint(cents, "_live_fp"))
+    ).select(
+        F.when(
+            F.col("params") != expected,
             F.raise_error(
                 F.concat(
                     F.lit(f"{op}: index was built with params "),
@@ -1672,8 +1726,20 @@ def ivf_pq_topk_serve(
                         "rebuild the index"
                     ),
                 )
-            )
+            ),
         )
+        .when(
+            F.col("cb_fp") != F.col("_live_fp"),
+            F.raise_error(
+                F.lit(
+                    f"{op}: codebook fingerprint mismatch — the cents "
+                    "frame passed to serve is not the one the index was "
+                    "built against (regenerated/re-embedded codebook); "
+                    "rebuild the index or serve with the persisted frame"
+                )
+            ),
+        )
+        .otherwise(F.col(id_col))
         .alias(id_col),
         "cluster",
         "m",
@@ -1740,9 +1806,13 @@ def ivf_pq_topk(
 
     Output: (query_id, neighbor_id, rank, adc_d2); self-matches excluded.
     """
+    # the codebook frame feeds four slice subtrees (coarse+fine in both
+    # build and serve) — localCheckpoint the <=max(n_centroids,
+    # pq_centroids)-row frame so the corpus TakeOrdered runs once, not 4x
+    # (same pattern as connected_components' iterative labeling)
     cframe = ivf_pq_centroids(
         corpus, max(n_centroids, pq_centroids), id_col, vec_col
-    )
+    ).localCheckpoint()
     index = build_ivf_pq_index(
         corpus, n_centroids, n_sub, sub_dim, pq_centroids,
         id_col, vec_col, dim, cents=cframe,
@@ -1777,11 +1847,16 @@ def pq_adc_topk(
     Output: (query_id, neighbor_id, rank, adc_d2) — rank 1..k by
     approximate distance asc; self-matches excluded.
     """
-    code_long = _pq_code_long(corpus, n_sub, sub_dim, n_centroids, id_col, vec_col)
     cents = (
         corpus.orderBy(id_col)
         .limit(n_centroids)
         .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec"))
+    )
+    # one codebook derivation threaded to BOTH quantizer sides — the
+    # shared-codebook invariant is structural, not by convention, and the
+    # plan pays one corpus TakeOrdered instead of two
+    code_long = _pq_code_long(
+        corpus, n_sub, sub_dim, n_centroids, id_col, vec_col, cents=cents
     )
     dtab_long = _pq_query_table(cents, queries, n_sub, sub_dim, id_col, vec_col)
     adc = (

@@ -2088,3 +2088,46 @@ def test_ivf_pq_undersized_codebook_raises(spark):
     small = ivf_pq_centroids(emb, n_keep=4)
     with _pytest.raises(Exception, match="fewer than 8"):
         build_ivf_pq_index(emb, cents=small).count()
+
+
+def test_ivf_pq_codebook_content_mismatch_raises(spark):
+    """The params tag alone cannot see a REGENERATED codebook with the
+    same parameter counts (the IVF-PQ quantizer IS the codebook data, not
+    a parameter-derived family like the LSH planes) — the persisted
+    cb_fp content fingerprint catches it in-plan."""
+    import pytest as _pytest
+
+    from open_bus_siri_etl_spark.operators.similarity import (
+        build_ivf_pq_index,
+        ivf_pq_centroids,
+        ivf_pq_topk_serve,
+    )
+    from pyspark.sql import functions as _F
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.filter("vec_id BETWEEN 8 AND 15")
+    cframe = ivf_pq_centroids(emb, n_keep=8)
+    idx = build_ivf_pq_index(emb, cents=cframe)
+    # same counts, different content: a "re-embedded" codebook
+    other = cframe.withColumn(
+        "cent_vec", _F.transform("cent_vec", lambda x: x * _F.lit(2.0))
+    )
+    with _pytest.raises(Exception, match="fingerprint mismatch"):
+        ivf_pq_topk_serve(idx, other, qs).count()
+
+
+def test_ivf_pq_empty_codebook_raises(spark):
+    """An EMPTY codebook frame has no rows for a per-row guard to
+    evaluate — the aggregate-based undersize guard still fires (the
+    degenerate case a row-scoped when() silently passes as 0 results)."""
+    import pytest as _pytest
+
+    from open_bus_siri_etl_spark.operators.similarity import (
+        build_ivf_pq_index,
+        ivf_pq_centroids,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    empty = ivf_pq_centroids(emb, n_keep=8).filter("cent_rank > 100")
+    with _pytest.raises(Exception, match="fewer than 8"):
+        build_ivf_pq_index(emb, cents=empty).count()
