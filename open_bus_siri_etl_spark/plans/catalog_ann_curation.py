@@ -2137,11 +2137,11 @@ def neardup_survivors_delta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "ivf_pq_topk",
-    f"""
-    WITH {_IVF_QUANTIZER_CTE},
-    sub AS (SELECT vec_id, (i - 1) // 16 AS m, i, v FROM f),
+# The PQ fine-quantizer CTE chain (subspace melt -> codebook -> 6dp
+# subspace distances -> argmin codes) shared between ivf_pq_topk and
+# ivf_pq_index — the _LSH_ANN_CTE reuse discipline: the persisted-index
+# entry cannot drift from the serving entry's code spec.
+_PQ_CODES_CTES = """sub AS (SELECT vec_id, (i - 1) // 16 AS m, i, v FROM f),
     pqc AS (
         SELECT s.vec_id AS cent_id, s.m, s.i, s.v
         FROM sub s WHERE s.vec_id < 8
@@ -2157,7 +2157,14 @@ def neardup_survivors_delta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             SELECT vec_id, m, cent_id, row_number() OVER (
                 PARTITION BY vec_id, m ORDER BY d2, cent_id) AS r
             FROM d) WHERE r = 1
-    ),
+    )"""
+
+
+@register(
+    "ivf_pq_topk",
+    f"""
+    WITH {_IVF_QUANTIZER_CTE},
+    {_PQ_CODES_CTES},
     qprobe AS (
         SELECT vec_id AS query_id, cent_id AS cluster FROM (
             SELECT vec_id, cent_id, row_number() OVER (
@@ -2280,3 +2287,33 @@ def ivf_pq_recall_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_centroids=8,
     )
     return ann_recall(exact, approx, k=5)
+
+
+@register(
+    "ivf_pq_index",
+    f"""
+    WITH {_IVF_QUANTIZER_CTE},
+    {_PQ_CODES_CTES}
+    SELECT c.vec_id, a.cluster, c.m, c.code,
+           'C8M4S16K8' AS params
+    FROM codes c JOIN assigned a ON a.vec_id = c.vec_id
+    """,
+    note="the PERSISTED IVF-PQ index itself under a value-level contract "
+    "— what ivf_pq_topk_serve actually reads: (id, coarse cluster, "
+    "subspace, code, params tag), n_sub rows per vector, written "
+    "partitioned by cluster so the probe partition-prunes to "
+    "n_probe/n_centroids of it.  SQL composed from the SAME CTE chains "
+    "the serving entry uses (_IVF_QUANTIZER_CTE + _PQ_CODES_CTES), so "
+    "the persisted artifact cannot drift from the serving path — the "
+    "lsh_bucket_index discipline for the third index family.  The "
+    "cb_fp codebook-content fingerprint column is excluded from the "
+    "contract: it is an xxhash64 of the codebook rows (engine-specific "
+    "by design, checked in-plan at serve, test-asserted), not portable "
+    "ANSI",
+)
+def ivf_pq_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import build_ivf_pq_index
+
+    return build_ivf_pq_index(t(spark, sf_dir, "embeddings")).select(
+        "vec_id", "cluster", "m", "code", "params"
+    )

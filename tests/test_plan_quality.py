@@ -718,6 +718,7 @@ FULL_REGISTRY_ORDER = [
     "neardup_survivors_delta",
     "ivf_pq_topk",
     "ivf_pq_recall_eval",
+    "ivf_pq_index",
 ]
 
 
