@@ -782,3 +782,39 @@ def test_survivors_delta_pass_through_never_shuffles_summary(spark, tmp_path):
                 "survivor summary reached a shuffle without the touched-set "
                 "semi-shrink:\n" + s
             )
+
+
+def test_ivf_pq_serve_partition_prunes_the_index(spark, tmp_path):
+    """The serve docstring's scale claim must match the physical plan:
+    with the index persisted PARTITIONED BY cluster (the production
+    layout), the probe join triggers DYNAMIC PARTITION PRUNING on the
+    index scan — the per-batch plan reads n_probe/n_centroids of the
+    code partitions, not the whole index — and corpus vectors are
+    structurally absent (the only parquet scans are index, codebook and
+    queries)."""
+    from open_bus_siri_etl_spark.operators.similarity import (
+        build_ivf_pq_index,
+        ivf_pq_centroids,
+        ivf_pq_topk_serve,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qs = emb.filter("vec_id BETWEEN 8 AND 15")
+    cframe = ivf_pq_centroids(emb, n_keep=8)
+    cpath = str(tmp_path / "cents")
+    cframe.write.parquet(cpath)
+    cframe = spark.read.parquet(cpath)
+    ipath = str(tmp_path / "index")
+    build_ivf_pq_index(emb, cents=cframe).write.partitionBy("cluster").parquet(
+        ipath
+    )
+    idx = spark.read.parquet(ipath)
+    served = ivf_pq_topk_serve(idx, cframe, qs, k=5)
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    # the index scan's PartitionFilters carry a dynamicpruning subquery
+    # seeded by the broadcast probe side
+    idx_scans = [
+        ln for ln in plan.splitlines() if "PartitionFilters" in ln and ipath in ln
+    ]
+    assert idx_scans and all("dynamicpruning" in ln for ln in idx_scans)
+    assert "CartesianProduct" not in plan
