@@ -36,7 +36,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.dedup import build_shingle_index, jaccard_delta_pairs
-from ..operators.similarity import cosine_delta_pairs_lsh, lsh_bucket_index
+from ..operators.similarity import (
+    build_ivf_pq_index,
+    cosine_delta_pairs_lsh,
+    ivf_pq_centroids,
+    lsh_bucket_index,
+)
 
 
 def _read_or_none(spark: SparkSession, path: str) -> DataFrame | None:
@@ -435,6 +440,89 @@ def start_text_curation_stream(
             )
         )
         _write_partition(upserts.unionByName(dead), batch_id, survivors_path)
+
+    reader = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(landing_root)
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    writer = writer.trigger(**(trigger or {"availableNow": True}))
+    return writer.start()
+
+
+def start_ivf_pq_index_stream(
+    spark: SparkSession,
+    landing_root: str,
+    index_path: str,
+    cents_path: str,
+    checkpoint_dir: str,
+    n_centroids: int = 8,
+    n_sub: int = 4,
+    sub_dim: int = 16,
+    pq_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_files_per_trigger: int | None = None,
+    trigger: dict | None = None,
+    schema=None,
+):
+    """Streaming IVF-PQ indexer — the third index family wired into
+    Structured Streaming (after the shingle-posting and LSH-bucket
+    streams): the codebook is FROZEN from the first micro-batch
+    (``ivf_pq_centroids`` written once to ``cents_path`` — FAISS
+    train-then-add semantics), and every batch's vectors are encoded
+    against it (``build_ivf_pq_index(cents=frozen)``) and appended as
+    that batch's ``ingest_batch`` partition.  Codes and cluster
+    assignment are per-row functions of (vector, codebook), so the
+    drained index equals the batch build over everything landed
+    (append IS the rebuild, test-asserted) and ``ivf_pq_topk_serve``
+    reads it directly — drop ``ingest_batch`` or leave it; the serve
+    plan ignores extra columns.
+
+    Effectively-once under replays like the sibling streams: the
+    codebook is deterministic in the first batch's content (a replay
+    recomputes the identical frame, and it is only written when absent),
+    and index rows overwrite exactly their own batch partition.  A first
+    batch smaller than max(n_centroids, pq_centroids) fails LOUDLY via
+    the codebook undersize guard rather than freezing a truncated
+    quantizer; a pre-existing ``cents_path`` from an older deployment is
+    honored (and an undersized one raises the same way), so re-pointing
+    the stream at a new landing tree keeps the codebook stable.
+    Returns the StreamingQuery.
+    """
+    if schema is None:
+        schema = (
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(landing_root).schema
+        )
+    n_keep = max(n_centroids, pq_centroids)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.select(id_col, vec_col).localCheckpoint(eager=True)
+        if batch.isEmpty():
+            return
+        cents = _read_or_none(spark, cents_path)
+        if cents is None:
+            ivf_pq_centroids(batch, n_keep, id_col, vec_col).coalesce(
+                1
+            ).write.parquet(cents_path)
+            cents = spark.read.parquet(cents_path)
+        _write_partition(
+            build_ivf_pq_index(
+                batch, n_centroids, n_sub, sub_dim, pq_centroids,
+                id_col, vec_col, cents=cents,
+            ),
+            batch_id,
+            index_path,
+        )
 
     reader = (
         spark.readStream.schema(schema)

@@ -1428,3 +1428,55 @@ def test_text_curation_stream_restart_equals_batch(spark, tmp_path):
             "component", "kept_doc_id", "kept_n_chars", "n_members"
         )
     ) == multiset(neardup_survivor_rows(docs, threshold=0.5))
+
+
+def test_ivf_pq_index_stream_equals_batch_build(spark, tmp_path):
+    """The streaming IVF-PQ indexer, drained availableNow over 3 landed
+    batches: the codebook is frozen from the FIRST batch (FAISS
+    train-then-add), the accumulated index equals the batch build over
+    everything landed against that same frozen codebook (append IS the
+    rebuild), and ivf_pq_topk_serve answers identically from the streamed
+    store and the batch-built one."""
+    from pyspark.sql import functions as F
+
+    from open_bus_siri_etl_spark.operators.similarity import (
+        build_ivf_pq_index,
+        ivf_pq_topk_serve,
+    )
+    from open_bus_siri_etl_spark.streaming.delta_dedup import (
+        start_ivf_pq_index_stream,
+    )
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+    )
+    landing = tmp_path / "landing"
+    for k in range(3):
+        emb.filter(F.col("vec_id") % 3 == k).coalesce(1).write.parquet(
+            str(landing / f"batch_{k}")
+        )
+    index_path = str(tmp_path / "index")
+    cents_path = str(tmp_path / "cents")
+    q = start_ivf_pq_index_stream(
+        spark, str(landing), index_path, cents_path,
+        str(tmp_path / "ckpt"), max_files_per_trigger=1,
+    )
+    q.awaitTermination(180)
+
+    def multiset(df):
+        return sorted(tuple(str(v) for v in r) for r in df.collect())
+
+    cents = spark.read.parquet(cents_path)
+    # codebook froze on the first PROCESSED batch's 8 lowest ids
+    first = spark.read.parquet(index_path).select(
+        F.min("ingest_batch").alias("b")
+    ).collect()[0]["b"]
+    assert cents.count() == 8
+    streamed = spark.read.parquet(index_path).drop("ingest_batch")
+    batch_built = build_ivf_pq_index(emb, cents=cents)
+    assert multiset(streamed) == multiset(batch_built) and first == 0
+    qs = emb.filter("vec_id BETWEEN 8 AND 15")
+    assert multiset(ivf_pq_topk_serve(streamed, cents, qs, k=5)) == multiset(
+        ivf_pq_topk_serve(batch_built, cents, qs, k=5)
+    )
