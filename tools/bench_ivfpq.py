@@ -79,6 +79,104 @@ def synth(spark, work: Path, n: int):
     return spark.read.parquet(cpath), spark.read.parquet(qpath)
 
 
+def epoch_appends(spark, work: Path) -> dict:
+    """The append half of the serving story, measured the way production
+    runs it (the BENCH_DELTA_EPOCHS discipline, extended to the fourth
+    persisted index): freeze the codebook on a 100k base corpus, build
+    the base index once, then K=8 successive 5k-vector ingests — each
+    epoch times the encode+append (mode('append') against the persisted
+    parquet, expected FLAT: codes are per-row functions of
+    (vector, frozen codebook)) and a fixed 64-query serve from the
+    accumulated store (expected to grow only with the pruned code rows).
+    After epoch K the accumulated index must equal the from-scratch
+    rebuild against the same frozen codebook (exceptAll both ways)."""
+    n_base, n_batch, k_epochs, n_cent, n_probe = 100_000, 5_000, 8, 128, 8
+    rng = np.random.RandomState(23)
+    import pandas as pd
+
+    def write_vecs(ids, vecs, path):
+        pdf = pd.DataFrame({"vec_id": ids, "embedding": list(vecs)})
+        spark.createDataFrame(pdf).repartition(8).write.mode(
+            "overwrite"
+        ).parquet(path)
+        return spark.read.parquet(path)
+
+    base = write_vecs(
+        np.arange(n_base, dtype="int64"),
+        rng.randn(n_base, DIM).astype("float32"),
+        str(work / "ep_base"),
+    )
+    queries = write_vecs(
+        np.arange(10**9, 10**9 + N_QUERIES, dtype="int64"),
+        rng.randn(N_QUERIES, DIM).astype("float32"),
+        str(work / "ep_queries"),
+    )
+    cpath = str(work / "ep_cents")
+    ivf_pq_centroids(base, n_keep=max(n_cent, PQ_CENTROIDS)).write.parquet(cpath)
+    cents = spark.read.parquet(cpath)
+    ipath = str(work / "ep_index")
+    kw = dict(
+        n_centroids=n_cent, n_sub=N_SUB, sub_dim=SUB_DIM,
+        pq_centroids=PQ_CENTROIDS, dim=DIM,
+    )
+    t0 = time.time()
+    build_ivf_pq_index(base, cents=cents, **kw).write.partitionBy(
+        "cluster"
+    ).parquet(ipath)
+    base_build_sec = round(time.time() - t0, 3)
+    epochs = []
+    batches = [base]
+    for e in range(1, k_epochs + 1):
+        batch = write_vecs(
+            np.arange(n_base + (e - 1) * n_batch, n_base + e * n_batch,
+                      dtype="int64"),
+            rng.randn(n_batch, DIM).astype("float32"),
+            str(work / f"ep_b{e}"),
+        )
+        batches.append(batch)
+        t0 = time.time()
+        build_ivf_pq_index(batch, cents=cents, **kw).write.mode(
+            "append"
+        ).partitionBy("cluster").parquet(ipath)
+        append_sec = time.time() - t0
+        t0 = time.time()
+        n_rows = ivf_pq_topk_serve(
+            spark.read.parquet(ipath), cents, queries, k=K,
+            n_probe=n_probe, **kw,
+        ).count()
+        serve_sec = time.time() - t0
+        epochs.append(
+            {
+                "epoch": e,
+                "append_sec": round(append_sec, 3),
+                "serve_sec": round(serve_sec, 3),
+                "rows_served": n_rows,
+            }
+        )
+        print(json.dumps(epochs[-1]), flush=True)
+    full = batches[0]
+    for b in batches[1:]:
+        full = full.unionByName(b)
+    rebuilt = build_ivf_pq_index(full, cents=cents, **kw)
+    accumulated = spark.read.parquet(ipath).select(*rebuilt.columns)
+    append_equals_rebuild = (
+        accumulated.exceptAll(rebuilt).isEmpty()
+        and rebuilt.exceptAll(accumulated).isEmpty()
+    )
+    app = [e["append_sec"] for e in epochs]
+    return {
+        "n_base": n_base,
+        "n_batch": n_batch,
+        "k_epochs": k_epochs,
+        "n_centroids": n_cent,
+        "n_probe": n_probe,
+        "base_build_sec": base_build_sec,
+        "epochs": epochs,
+        "append_flatness_max_over_min": round(max(app) / min(app), 3),
+        "append_equals_rebuild": append_equals_rebuild,
+    }
+
+
 def main() -> None:
     spark = get_spark(app_name="siri-etl-bench-ivfpq")
     spark.sparkContext.setLogLevel("ERROR")
@@ -161,6 +259,7 @@ def main() -> None:
             }
             tiers.append(tier)
             print(json.dumps(tier), flush=True)
+        ep = epoch_appends(spark, work)
     finally:
         shutil.rmtree(work, ignore_errors=True)
     out = {
@@ -172,6 +271,7 @@ def main() -> None:
         "k": K,
         "pq": {"n_sub": N_SUB, "sub_dim": SUB_DIM, "pq_centroids": PQ_CENTROIDS},
         "tiers": tiers,
+        "epoch_appends": ep,
     }
     print(json.dumps(out))
     if "--write" in sys.argv:
