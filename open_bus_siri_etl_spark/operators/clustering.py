@@ -157,3 +157,78 @@ def kmeans_assign(
                 for c in range(k)
             ]
     return assign.select(id_col, "cluster")
+
+
+def kmeans_ivf_topk(
+    corpus: DataFrame,
+    query_ids: DataFrame,
+    k: int = 5,
+    n_clusters: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """IVF top-k with a TRAINED coarse quantizer — the kmeans codebook
+    replaces the lowest-id stand-in the rest of the ANN family uses for
+    oracle brevity.  This is the shape real deployments run (FAISS
+    trains IndexIVF's quantizer with kmeans): candidate generation is an
+    equi-join on the TRAINED cluster id, so candidate quality follows the
+    data's actual geometry instead of an arbitrary seed set, and because
+    ``kmeans_assign`` is deterministic (min-id init, 6dp-rounded
+    distances/means, min-index ties) the trained index still carries an
+    exact cross-engine oracle — iterative training and oracle-exactness
+    compose.
+
+    n_probe = 1 by construction: queries are corpus rows (pass their ids
+    in ``query_ids``) and probe their own trained cluster via the shared
+    assignment — one kmeans pass covers both sides.  Out-of-sample
+    queries would assign against the trained centroids (driver state,
+    kilobytes) with the same kernel.
+
+    Scale shape: training is ``iters`` scans with centroid-sized driver
+    state; the candidate join is cluster-keyed (bucket/partition by
+    cluster in production); the exact re-rank touches only candidate
+    pairs; the top-k window is per-query.  Output: (query_id,
+    neighbor_id, rank) — rank 1..k by exact cosine desc, ties to the
+    smaller neighbor id, self-matches excluded (the cosine_topk/ivf_topk
+    contract).
+    """
+    from .similarity import _dot, _norm
+
+    asg = kmeans_assign(corpus, n_clusters, iters, id_col, vec_col)
+    q = asg.join(
+        F.broadcast(query_ids.select(id_col)), id_col, "left_semi"
+    ).select(F.col(id_col).alias("query_id"), "cluster")
+    cand = (
+        F.broadcast(q)
+        .join(asg.select(F.col(id_col).alias("neighbor_id"), "cluster"), "cluster")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+    )
+    qv = corpus.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    sim = (
+        cand.join(F.broadcast(qv.join(
+            F.broadcast(query_ids.select(F.col(id_col).alias("query_id"))),
+            "query_id", "left_semi",
+        )), "query_id")
+        .join(cv, "neighbor_id")
+        .withColumn(
+            "cosine",
+            _dot(F.col("q_vec"), F.col("c_vec"), dim)
+            / (_norm(F.col("q_vec"), dim) * _norm(F.col("c_vec"), dim)),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

@@ -2317,3 +2317,69 @@ def ivf_pq_index_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return build_ivf_pq_index(t(spark, sf_dir, "embeddings")).select(
         "vec_id", "cluster", "m", "code", "params"
     )
+
+
+# Compose the trained-quantizer ANN oracle FROM the registered kmeans
+# entry: candidate generation uses the 2-iteration Lloyd assignment
+# verbatim, so the trained index cannot drift from the clustering entry.
+_KMEANS_ASSIGN_SQL = REGISTRY["kmeans_clusters"].sql
+
+
+@register(
+    "ivf_kmeans_ann",
+    f"""
+    WITH asg AS ({_KMEANS_ASSIGN_SQL}),
+    fx AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+               unnest(embedding)::DOUBLE AS v
+        FROM embeddings
+    ),
+    nx AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM fx GROUP BY vec_id),
+    cand AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+        FROM asg q JOIN asg c ON c.cluster = q.cluster
+                            AND c.vec_id <> q.vec_id
+        WHERE q.vec_id BETWEEN 8 AND 15
+    ),
+    dd AS (
+        SELECT cand.query_id, cand.neighbor_id, sum(a.v * b.v) AS dot
+        FROM cand JOIN fx a ON a.vec_id = cand.query_id
+                  JOIN fx b ON b.vec_id = cand.neighbor_id AND b.i = a.i
+        GROUP BY 1, 2
+    ),
+    ss AS (
+        SELECT query_id, neighbor_id, dot / (nq.nrm * nc.nrm) AS cosine
+        FROM dd JOIN nx nq ON query_id = nq.vec_id
+                JOIN nx nc ON neighbor_id = nc.vec_id
+    )
+    SELECT query_id, neighbor_id, rank FROM (
+        SELECT query_id, neighbor_id, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM ss) WHERE rank <= 5
+    """,
+    note="IVF ANN with a TRAINED coarse quantizer — the kmeans codebook "
+    "(2 deterministic Lloyd iterations, the registered kmeans_clusters "
+    "assignment verbatim) replaces the lowest-id stand-in the rest of "
+    "the ANN family uses: the shape real deployments run (FAISS trains "
+    "IndexIVF's quantizer with kmeans), with candidates following the "
+    "data's actual geometry.  Because the training is deterministic "
+    "(min-id init, 6dp-rounded distances/means, min-index ties), the "
+    "TRAINED index still carries an exact oracle — iterative training "
+    "and oracle-exactness compose.  n_probe=1 via the shared "
+    "assignment (queries are corpus rows); candidate join is "
+    "cluster-keyed, exact cosine re-rank on candidates only.  Shares "
+    "ann_recall_eval's boundary assumption: the re-rank compares "
+    "unrounded cosines, no ulp-level tie exists in the synthetic "
+    "embeddings",
+)
+def ivf_kmeans_ann_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import kmeans_ivf_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    return kmeans_ivf_topk(
+        emb,
+        emb.filter(F.col("vec_id").between(8, 15)).select("vec_id"),
+        k=5,
+        n_clusters=8,
+        iters=2,
+    )

@@ -719,6 +719,7 @@ FULL_REGISTRY_ORDER = [
     "ivf_pq_topk",
     "ivf_pq_recall_eval",
     "ivf_pq_index",
+    "ivf_kmeans_ann",
 ]
 
 
