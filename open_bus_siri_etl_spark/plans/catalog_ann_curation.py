@@ -2383,3 +2383,67 @@ def ivf_kmeans_ann_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_clusters=8,
         iters=2,
     )
+
+
+# Compose the trained-quantizer recall oracle FROM the registered
+# ivf_kmeans_ann entry (same discipline as ivf_pq_recall_eval).
+_IVF_KMEANS_SQL = REGISTRY["ivf_kmeans_ann"].sql
+
+
+@register(
+    "kmeans_ann_recall_eval",
+    f"""
+    WITH approx AS ({_IVF_KMEANS_SQL}),
+    fx AS (
+        SELECT vec_id, unnest(embedding)::DOUBLE AS v,
+               generate_subscripts(embedding, 1) AS i
+        FROM embeddings
+    ),
+    nx AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM fx GROUP BY vec_id),
+    dx AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, sum(q.v * c.v) AS dot
+        FROM fx q JOIN fx c ON q.i = c.i AND q.vec_id <> c.vec_id
+        WHERE q.vec_id BETWEEN 8 AND 15
+        GROUP BY 1, 2
+    ),
+    sx AS (
+        SELECT query_id, neighbor_id, dot / (nq.nrm * nc.nrm) AS cosine
+        FROM dx JOIN nx nq ON query_id = nq.vec_id
+                JOIN nx nc ON neighbor_id = nc.vec_id
+    ),
+    exact AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id, row_number() OVER (
+                PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM sx) WHERE rank <= 5
+    ),
+    hits AS (
+        SELECT a.query_id, count(*) AS n_hits
+        FROM approx a JOIN exact e
+          ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+        GROUP BY 1
+    )
+    SELECT qq.query_id, CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
+           round(CAST(coalesce(n_hits, 0) AS DOUBLE) / 5.0, 6) AS recall
+    FROM (SELECT DISTINCT query_id FROM exact) qq LEFT JOIN hits USING (query_id)
+    """,
+    note="recall@5 of the TRAINED-quantizer IVF path (ivf_kmeans_ann) "
+    "against brute-force cosine top-5 on the same 8-query set — keeps "
+    "the family invariant that every approximate index in the catalog "
+    "ships with its measured, oracle-exact error (IVF / LSH / delta-LSH "
+    "/ IVF-PQ / trained-IVF).  The approx list's SQL is the registered "
+    "ivf_kmeans_ann oracle string verbatim; its recall documents what "
+    "n_probe=1 on a trained codebook trades for cluster-local candidate "
+    "generation",
+)
+def kmeans_ann_recall_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import kmeans_ivf_topk
+    from ..operators.similarity import ann_recall, cosine_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id").between(8, 15))
+    exact = cosine_topk(emb, qs, k=5)
+    approx = kmeans_ivf_topk(
+        emb, qs.select("vec_id"), k=5, n_clusters=8, iters=2
+    )
+    return ann_recall(exact, approx, k=5)

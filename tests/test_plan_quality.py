@@ -101,6 +101,15 @@ def test_ivf_pq_lookups_are_broadcast_hash_joins(spark):
     assert "BroadcastHashJoin" in plan
 
 
+def test_ivf_kmeans_candidate_join_is_cluster_keyed(spark):
+    """The trained-quantizer IVF's candidate generation must be an
+    equi-join on the trained cluster id — never a CartesianProduct — and
+    the exact re-rank touches candidate pairs only (hash joins)."""
+    plan = explain_str(REGISTRY["ivf_kmeans_ann"].fn(spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_tumbling_window_partial_agg(spark):
     plan = explain_str(REGISTRY["tumbling_window_agg"].fn(spark, SF))
     assert "partial_count" in plan or "partial_sum" in plan
@@ -720,6 +729,7 @@ FULL_REGISTRY_ORDER = [
     "ivf_pq_recall_eval",
     "ivf_pq_index",
     "ivf_kmeans_ann",
+    "kmeans_ann_recall_eval",
 ]
 
 
