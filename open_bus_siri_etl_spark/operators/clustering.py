@@ -117,6 +117,39 @@ def _assign_matmul(vecd: DataFrame, cents: list[list[float]], id_col: str) -> Da
     return vecd.mapInPandas(assign, schema=out_schema)
 
 
+def _resolve_kernel(k: int, kernel: str):
+    if kernel == "auto":
+        kernel = "expr" if k <= EXPR_KERNEL_MAX_K else "matmul"
+    return {"expr": _assign_expr, "matmul": _assign_matmul}[kernel]
+
+
+def _train_centroids(
+    vecd: DataFrame, k: int, iters: int, id_col: str, assign_fn
+) -> list[list[float]]:
+    """The Lloyd training loop as driver state: init = the ``k`` vectors
+    with the smallest ids, then ``iters - 1`` assign→mean updates (the
+    centroids RETURNED are the ones the final assignment pass uses, so
+    ``assign_fn(vecd, result)`` == ``kmeans_assign``'s output).  6dp
+    rounding on updated coordinates and per-coordinate carry-forward for
+    emptied clusters keep the result oracle-exact (module contract)."""
+    cents = [r["v"] for r in vecd.orderBy(id_col).limit(k).collect()]
+    dim = len(cents[0])
+    for _ in range(iters - 1):
+        assign = assign_fn(vecd, cents, id_col)
+        rows = (
+            assign.select("cluster", F.posexplode("v").alias("i", "val"))
+            .groupBy("cluster", "i")
+            .agg(F.round(F.avg("val"), 6).alias("m"))
+            .collect()
+        )
+        got = {(r["cluster"], r["i"]): r["m"] for r in rows}
+        cents = [
+            [got.get((c, i), cents[c][i]) for i in range(dim)]
+            for c in range(k)
+        ]
+    return cents
+
+
 def kmeans_assign(
     df: DataFrame,
     k: int = 8,
@@ -131,32 +164,85 @@ def kmeans_assign(
     EXPR_KERNEL_MAX_K, matmul above), ``expr`` or ``matmul``; both satisfy
     the module's determinism contract and return identical assignments.
     """
-    if kernel == "auto":
-        kernel = "expr" if k <= EXPR_KERNEL_MAX_K else "matmul"
-    assign_fn = {"expr": _assign_expr, "matmul": _assign_matmul}[kernel]
-
+    assign_fn = _resolve_kernel(k, kernel)
     vecd = df.select(
         id_col, F.transform(vec_col, lambda x: x.cast("double")).alias("v")
     )
-    cents = [r["v"] for r in vecd.orderBy(id_col).limit(k).collect()]
-    dim = len(cents[0])
+    cents = _train_centroids(vecd, k, iters, id_col, assign_fn)
+    return assign_fn(vecd, cents, id_col).select(id_col, "cluster")
 
-    assign = None
-    for it in range(iters):
-        assign = assign_fn(vecd, cents, id_col)
-        if it < iters - 1:
-            rows = (
-                assign.select("cluster", F.posexplode("v").alias("i", "val"))
-                .groupBy("cluster", "i")
-                .agg(F.round(F.avg("val"), 6).alias("m"))
-                .collect()
-            )
-            got = {(r["cluster"], r["i"]): r["m"] for r in rows}
-            cents = [
-                [got.get((c, i), cents[c][i]) for i in range(dim)]
-                for c in range(k)
-            ]
-    return assign.select(id_col, "cluster")
+
+_CODEBOOK_SCHEMA = "cent_rank int, cent_id bigint, cent_vec array<double>"
+
+
+def kmeans_codebook(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    kernel: str = "auto",
+) -> DataFrame:
+    """The TRAINED kmeans centroids as a frozen-codebook frame
+    (cent_rank, cent_id, cent_vec) — drop-in for ``ivf_pq_centroids``'
+    lowest-id stand-in wherever the ANN family takes a ``cents`` frame
+    (``build_ivf_pq_index`` / ``ivf_pq_topk_serve`` with
+    ``coarse_metric="l2"``), so the persisted IVF-PQ index can carry a
+    REAL quantizer.  ``cent_id`` is the cluster index (0..k-1): assigning
+    a corpus row against this frame by 6dp-rounded L2 with min-cent_id
+    ties reproduces ``kmeans_assign``'s output exactly, which is what
+    keeps the trained index oracle-exact.  The centroids are the ones the
+    FINAL assignment pass uses (after ``iters - 1`` mean updates) —
+    kilobytes of driver state, persisted next to the index like the
+    stand-in codebook."""
+    assign_fn = _resolve_kernel(k, kernel)
+    vecd = df.select(
+        id_col, F.transform(vec_col, lambda x: x.cast("double")).alias("v")
+    )
+    cents = _train_centroids(vecd, k, iters, id_col, assign_fn)
+    rows = [(c + 1, c, [float(x) for x in cents[c]]) for c in range(k)]
+    return df.sparkSession.createDataFrame(rows, _CODEBOOK_SCHEMA)
+
+
+def kmeans_subspace_codebook(
+    df: DataFrame,
+    n_sub: int = 4,
+    sub_dim: int = 16,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    kernel: str = "auto",
+) -> DataFrame:
+    """TRAINED product-quantizer codebook: one independent kmeans per
+    subspace (FAISS trains IndexPQ exactly this way), returned as ONE
+    (cent_rank, cent_id, cent_vec) frame where ``cent_vec`` for cluster
+    ``c`` is the CONCATENATION over subspaces of that subspace's c-th
+    trained centroid.  The concatenated layout is what makes the trained
+    fine quantizer a drop-in for the stand-in one: ``_pq_code_long`` /
+    ``_pq_query_table`` slice ``cent_vec`` per subspace, so slicing the
+    concatenation yields exactly the per-subspace trained centroid.
+    Each subspace's kmeans inherits the module determinism contract
+    (min-id init on the subvector slices, 6dp rounding, min-index ties,
+    per-coordinate carry-forward), so PQ codes stay oracle-exact.
+    Training cost: n_sub independent Lloyd runs over sub_dim-wide slices
+    — same total scan bytes as one full-dim run per iteration."""
+    assign_fn = _resolve_kernel(k, kernel)
+    per_sub: list[list[list[float]]] = []
+    for m in range(n_sub):
+        vecd = df.select(
+            id_col,
+            F.transform(
+                F.slice(vec_col, m * sub_dim + 1, sub_dim),
+                lambda x: x.cast("double"),
+            ).alias("v"),
+        )
+        per_sub.append(_train_centroids(vecd, k, iters, id_col, assign_fn))
+    rows = [
+        (c + 1, c, [float(x) for m in range(n_sub) for x in per_sub[m][c]])
+        for c in range(k)
+    ]
+    return df.sparkSession.createDataFrame(rows, _CODEBOOK_SCHEMA)
 
 
 def kmeans_ivf_topk(
@@ -197,9 +283,49 @@ def kmeans_ivf_topk(
     from .similarity import _dot, _norm
 
     asg = kmeans_assign(corpus, n_clusters, iters, id_col, vec_col)
-    q = asg.join(
+    # lazily checkpoint the endpoint-sized matched-query slice: it feeds
+    # two subtrees below and Catalyst has no cross-subtree CSE, so without
+    # this the corpus-wide assignment scan would run once per use
+    q0 = asg.join(
         F.broadcast(query_ids.select(id_col)), id_col, "left_semi"
-    ).select(F.col(id_col).alias("query_id"), "cluster")
+    ).localCheckpoint(eager=False)
+    # fail-loud on query ids absent from the corpus (the family's
+    # _non_null_ids/_disjoint_ids_or_raise discipline): a typo'd or
+    # out-of-sample id used to be silently omitted by the semi join.  The
+    # probe frame is rebuilt as query_ids LEFT JOIN the broadcast matched
+    # slice with a per-row raise on the unmatched branch — the probe is
+    # the candidate join's broadcast build side, which must materialize
+    # before any result (or empty result) is produced, so the guard
+    # cannot be pruned the way a raise on a dead-end subtree can (AQE
+    # empty-relation propagation skips broadcasts a join no longer needs).
+    q = (
+        query_ids.select(F.col(id_col).alias("query_id"))
+        .join(
+            F.broadcast(
+                q0.select(F.col(id_col).alias("query_id"), "cluster")
+            ),
+            "query_id",
+            "left",
+        )
+        .select(
+            "query_id",
+            F.when(F.col("cluster").isNotNull(), F.col("cluster"))
+            .otherwise(
+                F.raise_error(
+                    F.format_string(
+                        "kmeans_ivf_topk: query id %s is not a corpus row "
+                        "— in-sample queries pass corpus ids; use "
+                        "kmeans_ivf_topk_oos for query vectors outside "
+                        "the corpus",
+                        F.coalesce(
+                            F.col("query_id").cast("string"), F.lit("NULL")
+                        ),
+                    )
+                )
+            )
+            .alias("cluster"),
+        )
+    )
     cand = (
         F.broadcast(q)
         .join(asg.select(F.col(id_col).alias("neighbor_id"), "cluster"), "cluster")
@@ -231,4 +357,128 @@ def kmeans_ivf_topk(
         sim.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def kmeans_ivf_topk_oos(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_clusters: int = 8,
+    iters: int = 2,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """OUT-OF-SAMPLE trained-quantizer IVF top-k — the path
+    ``kmeans_ivf_topk``'s docstring promises: ``queries`` are (id, vector)
+    rows that need NOT be corpus members.  Each query assigns against the
+    TRAINED centroids (kilobyte driver state via ``kmeans_codebook``) by
+    6dp-rounded L2 with min-centroid-id ties — the same deterministic
+    assignment spec training used, so for an in-sample vector at
+    ``n_probe=1`` the probe reproduces its trained cluster — and probes
+    its ``n_probe`` nearest clusters; exact cosine re-ranks candidates.
+
+    No self-exclusion: queries are outside the corpus by contract (their
+    ids live in a different namespace), so every corpus row is a valid
+    neighbor.  At ``n_probe = n_clusters`` the result equals brute-force
+    cosine top-k (every cluster probed, exact re-rank) — test-asserted,
+    and recall rises monotonically in expectation as n_probe grows.
+
+    Scale shape: training is ``iters`` scans with centroid-sized driver
+    state; the probe is queries x k centroids (broadcast codebook);
+    candidates come from ONE cluster equi-join (partition-pruned when the
+    corpus is stored partitioned by cluster); the top-k window is
+    per-query.  Output: (query_id, neighbor_id, rank) — rank 1..k by
+    exact cosine desc, ties to the smaller neighbor id.
+    """
+    from pyspark.sql import Window
+
+    from .similarity import _dot, _nearest_centroids, _norm
+
+    asg = kmeans_assign(corpus, n_clusters, iters, id_col, vec_col)
+    cb = kmeans_codebook(corpus, n_clusters, iters, id_col, vec_col)
+    q = queries.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
+    probed = _nearest_centroids(
+        q, F.broadcast(cb.select("cent_id", "cent_vec")), "cluster",
+        n_probe, dim, metric="l2",
+    ).select(
+        F.col("_id").alias("query_id"), F.col("_vec").alias("q_vec"), "cluster"
+    )
+    cand = F.broadcast(probed).join(
+        asg.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col("cluster").cast("bigint").alias("cluster"),
+        ),
+        "cluster",
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    sim = cand.join(cv, "neighbor_id").withColumn(
+        "cosine",
+        _dot(F.col("q_vec"), F.col("c_vec"), dim)
+        / (_norm(F.col("q_vec"), dim) * _norm(F.col("c_vec"), dim)),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
+    return (
+        sim.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def ivf_pq_kmeans_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    n_sub: int = 4,
+    sub_dim: int = 16,
+    pq_centroids: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """IVF-PQ with BOTH quantizers TRAINED — the composition round 9 left
+    on the table: ``kmeans_codebook`` (coarse, L2 assignment) and
+    ``kmeans_subspace_codebook`` (per-subspace PQ) replace the lowest-id
+    stand-in codebook in the SAME persisted-index pipeline
+    (``build_ivf_pq_index`` → ``ivf_pq_topk_serve``), so the serving
+    plan's scale shape is untouched (code-only index partitioned by
+    cluster, DPP probe, broadcast ADC table) while the codebooks follow
+    the data's actual geometry — what FAISS's train()-then-add()
+    IndexIVFPQ actually ships.  Because both trainings inherit the kmeans
+    determinism contract, the trained index STILL carries an exact SQL
+    oracle: iterative training, compression, pruning and oracle-exactness
+    all compose.
+
+    This inline form IS the persisted pipeline run end to end (build +
+    serve with the same frames), so the inline result and a
+    persisted-index serve cannot drift — test-asserted like the stand-in
+    family.  Output contract identical to ``ivf_pq_topk``: (query_id,
+    neighbor_id, rank, adc_d2), self-matches excluded.
+    """
+    from .similarity import build_ivf_pq_index, ivf_pq_topk_serve
+
+    coarse = kmeans_codebook(
+        corpus, n_centroids, iters, id_col, vec_col
+    )
+    fine = kmeans_subspace_codebook(
+        corpus, n_sub, sub_dim, pq_centroids, iters, id_col, vec_col
+    )
+    index = build_ivf_pq_index(
+        corpus, n_centroids, n_sub, sub_dim, pq_centroids,
+        id_col, vec_col, dim, cents=coarse, fine_cents=fine,
+        coarse_metric="l2",
+    )
+    return ivf_pq_topk_serve(
+        index, coarse, queries,
+        k=k, n_centroids=n_centroids, n_probe=n_probe, n_sub=n_sub,
+        sub_dim=sub_dim, pq_centroids=pq_centroids,
+        id_col=id_col, vec_col=vec_col, dim=dim,
+        fine_cents=fine, coarse_metric="l2",
     )

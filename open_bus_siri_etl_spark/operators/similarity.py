@@ -286,19 +286,51 @@ def cosine_delta_pairs(
 
 
 def _nearest_centroids(
-    df: DataFrame, cents, out: str, keep: int, dim: int | None = None
+    df: DataFrame,
+    cents,
+    out: str,
+    keep: int,
+    dim: int | None = None,
+    metric: str = "cosine",
 ) -> DataFrame:
-    """Max-cosine centroid assignment shared by the IVF family (ivf_topk,
+    """Nearest-centroid assignment shared by the IVF family (ivf_topk,
     ivf_pq_topk — one deterministic spec, ties to the smaller centroid
     id).  ``df``: (_id, _vec); ``cents``: broadcastable (cent_id,
     cent_vec).  Returns (_id, _vec, <out>) with the top ``keep``
-    centroids per row."""
-    scored = df.crossJoin(cents).withColumn(
-        "cent_cos",
-        _dot(F.col("_vec"), F.col("cent_vec"), dim)
-        / (_norm(F.col("_vec"), dim) * _norm(F.col("cent_vec"), dim)),
-    )
-    w = Window.partitionBy("_id").orderBy(F.desc("cent_cos"), "cent_id")
+    centroids per row.
+
+    ``metric``: "cosine" (max unrounded cosine — the lowest-id stand-in
+    family's spec) or "l2" (min 6dp-ROUNDED squared L2 — the kmeans
+    contract, so assigning against a ``kmeans_codebook`` frame reproduces
+    ``kmeans_assign``'s clusters exactly: trained centroids are
+    themselves 6dp values, and the rounding keeps argmin ties
+    engine-identical)."""
+    scored = df.crossJoin(cents)
+    if metric == "l2":
+        scored = scored.withColumn(
+            "cent_d2",
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("_vec"),
+                        F.col("cent_vec"),
+                        lambda x, y: (x.cast("double") - y.cast("double"))
+                        * (x.cast("double") - y.cast("double")),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ),
+        )
+        w = Window.partitionBy("_id").orderBy("cent_d2", "cent_id")
+    else:
+        scored = scored.withColumn(
+            "cent_cos",
+            _dot(F.col("_vec"), F.col("cent_vec"), dim)
+            / (_norm(F.col("_vec"), dim) * _norm(F.col("cent_vec"), dim)),
+        )
+        w = Window.partitionBy("_id").orderBy(F.desc("cent_cos"), "cent_id")
     return (
         scored.withColumn("_r", F.row_number().over(w))
         .filter(F.col("_r") <= keep)
@@ -1508,15 +1540,24 @@ def _pq_query_table(
 
 
 def _ivf_pq_params_tag(
-    n_centroids: int, n_sub: int, sub_dim: int, pq_centroids: int
+    n_centroids: int,
+    n_sub: int,
+    sub_dim: int,
+    pq_centroids: int,
+    coarse_metric: str = "cosine",
 ) -> str:
     """Build-parameter fingerprint persisted with every
     ``build_ivf_pq_index`` row — the IVF-PQ twin of ``_lsh_params_tag``.
     Codes from one (coarse, sub, dim, fine) family are meaningless under
     another family's distance table — probing with mismatched parameters
     silently corrupts every ADC distance — so the serve path checks this
-    tag in-plan and fails loudly on any mismatch."""
-    return f"C{n_centroids}M{n_sub}S{sub_dim}K{pq_centroids}"
+    tag in-plan and fails loudly on any mismatch.  The coarse metric is
+    part of the family: an index whose clusters were assigned by trained
+    L2 (``coarse_metric="l2"``) must not be probed by max-cosine, so the
+    L2 family carries an ``L2`` suffix (the default cosine family's tag
+    is unchanged — it is part of the ivf_pq_index oracle contract)."""
+    tag = f"C{n_centroids}M{n_sub}S{sub_dim}K{pq_centroids}"
+    return tag + ("L2" if coarse_metric == "l2" else "")
 
 
 def ivf_pq_centroids(
@@ -1564,6 +1605,33 @@ def _codebook_fingerprint(cents: DataFrame, out: str) -> DataFrame:
             F.xxhash64("cent_rank", "cent_id", "cent_vec"), F.lit(2**31)
         ).alias("_h")
     ).agg(F.coalesce(F.sum("_h"), F.lit(-1)).alias(out))
+
+
+def _codebook_fingerprint_pair(
+    coarse: DataFrame, fine: DataFrame, out: str
+) -> DataFrame:
+    """One-row content fingerprint of a SPLIT codebook (separately trained
+    coarse + fine frames — the ``fine_cents`` path): per-row hashes are
+    salted with the frame's role before the order-independent sum, so
+    swapping the two frames (or serving the coarse frame where the fine
+    one was trained) mismatches even when their row multisets coincide.
+    The single-frame formula above stays byte-stable for the stand-in
+    family (its fingerprint is asserted in persisted-index tests)."""
+    a = coarse.select(
+        F.pmod(
+            F.xxhash64(F.lit("coarse"), "cent_rank", "cent_id", "cent_vec"),
+            F.lit(2**31),
+        ).alias("_h")
+    )
+    b = fine.select(
+        F.pmod(
+            F.xxhash64(F.lit("fine"), "cent_rank", "cent_id", "cent_vec"),
+            F.lit(2**31),
+        ).alias("_h")
+    )
+    return a.unionByName(b).agg(
+        F.coalesce(F.sum("_h"), F.lit(-1)).alias(out)
+    )
 
 
 def _slice_codebook(
@@ -1618,6 +1686,8 @@ def build_ivf_pq_index(
     vec_col: str = "embedding",
     dim: int | None = None,
     cents: DataFrame | None = None,
+    fine_cents: DataFrame | None = None,
+    coarse_metric: str = "cosine",
 ) -> DataFrame:
     """The persistable IVF-PQ index: (id, cluster, m, code, cb_fp,
     params) — ``n_sub`` rows per vector, each a 1-byte-equivalent code,
@@ -1636,6 +1706,15 @@ def build_ivf_pq_index(
     incremental append IS the full rebuild — same contract as the other
     two indexes, test-asserted.  When ``cents`` is None (initial build)
     the codebook is derived from ``corpus`` itself.
+
+    TRAINED quantizers: pass ``cents=kmeans_codebook(...)`` with
+    ``coarse_metric="l2"`` (the kmeans assignment spec) and
+    ``fine_cents=kmeans_subspace_codebook(...)`` for a separately trained
+    PQ codebook.  With ``fine_cents`` the persisted fingerprint covers
+    BOTH frames role-salted (``_codebook_fingerprint_pair``), and the
+    params tag carries the metric, so serve calls must present the same
+    two frames and the same family — both staleness directions stay
+    fail-loud.  The serving plan is identical either way.
     """
     corpus = _non_null_ids(corpus, id_col, "build_ivf_pq_index", "input")
     if cents is None:
@@ -1644,21 +1723,31 @@ def build_ivf_pq_index(
         )
     op = "build_ivf_pq_index"
     coarse = F.broadcast(_slice_codebook(cents, n_centroids, "coarse", op))
-    fine = _slice_codebook(cents, pq_centroids, "PQ", op)
+    fine = _slice_codebook(
+        fine_cents if fine_cents is not None else cents,
+        pq_centroids, "PQ", op,
+    )
     assigned = _nearest_centroids(
         corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")),
-        coarse, "cluster", 1, dim,
+        coarse, "cluster", 1, dim, metric=coarse_metric,
     ).select(F.col("_id").alias(id_col), "cluster")
     codes = _pq_code_long(
         corpus, n_sub, sub_dim, pq_centroids, id_col, vec_col, cents=fine
     )
+    fp = (
+        _codebook_fingerprint(cents, "cb_fp")
+        if fine_cents is None
+        else _codebook_fingerprint_pair(cents, fine_cents, "cb_fp")
+    )
     return (
         codes.join(assigned, id_col)
-        .crossJoin(F.broadcast(_codebook_fingerprint(cents, "cb_fp")))
+        .crossJoin(F.broadcast(fp))
         .withColumn(
             "params",
             F.lit(
-                _ivf_pq_params_tag(n_centroids, n_sub, sub_dim, pq_centroids)
+                _ivf_pq_params_tag(
+                    n_centroids, n_sub, sub_dim, pq_centroids, coarse_metric
+                )
             ),
         )
     )
@@ -1677,6 +1766,8 @@ def ivf_pq_topk_serve(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    fine_cents: DataFrame | None = None,
+    coarse_metric: str = "cosine",
 ) -> DataFrame:
     """Serve IVF-PQ top-k from the PERSISTED index — corpus vectors are
     never an input, so the per-query-batch cost is structurally
@@ -1710,10 +1801,15 @@ def ivf_pq_topk_serve(
             "build_ivf_pq_index (format: id, cluster, m, code, cb_fp, "
             "params)"
         )
-    expected = _ivf_pq_params_tag(n_centroids, n_sub, sub_dim, pq_centroids)
-    idx = index.crossJoin(
-        F.broadcast(_codebook_fingerprint(cents, "_live_fp"))
-    ).select(
+    expected = _ivf_pq_params_tag(
+        n_centroids, n_sub, sub_dim, pq_centroids, coarse_metric
+    )
+    live_fp = (
+        _codebook_fingerprint(cents, "_live_fp")
+        if fine_cents is None
+        else _codebook_fingerprint_pair(cents, fine_cents, "_live_fp")
+    )
+    idx = index.crossJoin(F.broadcast(live_fp)).select(
         F.when(
             F.col("params") != expected,
             F.raise_error(
@@ -1746,10 +1842,13 @@ def ivf_pq_topk_serve(
         "code",
     )
     coarse = F.broadcast(_slice_codebook(cents, n_centroids, "coarse", op))
-    fine = _slice_codebook(cents, pq_centroids, "PQ", op)
+    fine = _slice_codebook(
+        fine_cents if fine_cents is not None else cents,
+        pq_centroids, "PQ", op,
+    )
     probed = _nearest_centroids(
         queries.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")),
-        coarse, "cluster", n_probe, dim,
+        coarse, "cluster", n_probe, dim, metric=coarse_metric,
     ).select(F.col("_id").alias("query_id"), "cluster")
     dtab_long = _pq_query_table(fine, queries, n_sub, sub_dim, id_col, vec_col)
     adc = (

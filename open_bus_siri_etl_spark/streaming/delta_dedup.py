@@ -54,7 +54,17 @@ def _read_or_none(spark: SparkSession, path: str) -> DataFrame | None:
     try:
         return spark.read.parquet(path)
     except AnalysisException as e:
-        if "PATH_NOT_FOUND" in str(e) or "UNABLE_TO_INFER_SCHEMA" in str(e):
+        # match both the current error classes and the legacy message text
+        # ("Path does not exist") — older Spark releases raise the same
+        # missing-path condition without the error-class constants, and a
+        # legitimate first batch must not kill the stream there
+        msg = str(e)
+        if (
+            "PATH_NOT_FOUND" in msg
+            or "UNABLE_TO_INFER_SCHEMA" in msg
+            or "Path does not exist" in msg
+            or "Unable to infer schema" in msg
+        ):
             return None
         raise
 
@@ -231,8 +241,18 @@ def latest_wins(records: DataFrame, key_cols: list[str], seq_col: str) -> DataFr
     the record with the highest ``seq_col``.  Payload travels as one
     struct through max_by so the winning row's columns stay together."""
     payload = [c for c in records.columns if c not in key_cols and c != seq_col]
+    # max over struct(seq, payload) instead of max_by(payload, seq): the
+    # writers emit at most one record per (key, ingest_batch), but if a
+    # future writer ever violated that, max_by's tie resolution would be
+    # nondeterministic — struct ordering falls through to the payload
+    # columns, so the resolved view is a pure function of the log contents
     resolved = records.groupBy(*key_cols).agg(
-        F.max_by(F.struct(*payload), F.col(seq_col)).alias("_p")
+        F.max(
+            F.struct(
+                F.col(seq_col).alias("_seq"),
+                *[F.col(c).alias(c) for c in payload],
+            )
+        ).alias("_p")
     )
     return resolved.select(*key_cols, *[F.col(f"_p.{c}").alias(c) for c in payload])
 
@@ -511,9 +531,16 @@ def start_ivf_pq_index_stream(
             return
         cents = _read_or_none(spark, cents_path)
         if cents is None:
+            # mode("overwrite"), not the default errorIfExists: a crash
+            # MID-write leaves a partial directory that _read_or_none reads
+            # as missing (no footers -> UNABLE_TO_INFER_SCHEMA), and the
+            # replay's re-attempt must be able to clobber the partial
+            # output instead of wedging the stream on "path already
+            # exists".  Safe because the frame is deterministic in the
+            # first batch's content and only written when unreadable.
             ivf_pq_centroids(batch, n_keep, id_col, vec_col).coalesce(
                 1
-            ).write.parquet(cents_path)
+            ).write.mode("overwrite").parquet(cents_path)
             cents = spark.read.parquet(cents_path)
         _write_partition(
             build_ivf_pq_index(

@@ -730,6 +730,9 @@ FULL_REGISTRY_ORDER = [
     "ivf_pq_index",
     "ivf_kmeans_ann",
     "kmeans_ann_recall_eval",
+    "ivf_pq_kmeans_topk",
+    "ivf_pq_kmeans_recall_eval",
+    "kmeans_ivf_oos_ann",
 ]
 
 
@@ -826,6 +829,48 @@ def test_ivf_pq_serve_partition_prunes_the_index(spark, tmp_path):
     # seeded by the broadcast probe side
     idx_scans = [
         ln for ln in plan.splitlines() if "PartitionFilters" in ln and ipath in ln
+    ]
+    assert idx_scans and all("dynamicpruning" in ln for ln in idx_scans)
+    assert "CartesianProduct" not in plan
+
+
+def test_ivf_pq_kmeans_serve_partition_prunes_the_index(spark, tmp_path):
+    """Round-10: the DPP serving shape survives quantizer TRAINING — with
+    the trained-L2 index persisted PARTITIONED BY cluster, the probe join
+    still triggers dynamic partition pruning on the index scan and corpus
+    vectors stay structurally absent.  Training changes the codebook
+    content, never the plan."""
+    from open_bus_siri_etl_spark.operators.clustering import (
+        kmeans_codebook,
+        kmeans_subspace_codebook,
+    )
+    from open_bus_siri_etl_spark.operators.similarity import (
+        build_ivf_pq_index,
+        ivf_pq_topk_serve,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qs = emb.filter("vec_id BETWEEN 8 AND 15")
+    cpath, fpath = str(tmp_path / "tc"), str(tmp_path / "tf")
+    kmeans_codebook(emb, k=8, iters=2).write.parquet(cpath)
+    kmeans_subspace_codebook(emb, n_sub=4, sub_dim=16, k=8, iters=2).write.parquet(fpath)
+    coarse = spark.read.parquet(cpath)
+    fine = spark.read.parquet(fpath)
+    ipath = str(tmp_path / "tindex")
+    build_ivf_pq_index(
+        emb, cents=coarse, fine_cents=fine, coarse_metric="l2"
+    ).write.partitionBy("cluster").parquet(ipath)
+    idx = spark.read.parquet(ipath)
+    served = ivf_pq_topk_serve(
+        idx, coarse, qs, k=5, fine_cents=fine, coarse_metric="l2"
+    )
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    # identify the index scan by its cluster partition filter rather than
+    # the path (plan toString truncates long pytest tmp paths)
+    idx_scans = [
+        ln
+        for ln in plan.splitlines()
+        if "PartitionFilters: [isnotnull(cluster" in ln
     ]
     assert idx_scans and all("dynamicpruning" in ln for ln in idx_scans)
     assert "CartesianProduct" not in plan

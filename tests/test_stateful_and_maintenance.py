@@ -1480,3 +1480,18 @@ def test_ivf_pq_index_stream_equals_batch_build(spark, tmp_path):
     assert multiset(ivf_pq_topk_serve(streamed, cents, qs, k=5)) == multiset(
         ivf_pq_topk_serve(batch_built, cents, qs, k=5)
     )
+
+
+def test_latest_wins_tiebreak_deterministic(spark):
+    """ADVICE round 9: the writers emit one record per (key, batch), but
+    latest_wins must stay a pure function of the log even if that
+    invariant is ever violated — the struct-max tiebreak resolves equal
+    seq values by payload comparison, identically across input orders."""
+    from open_bus_siri_etl_spark.streaming.delta_dedup import latest_wins
+
+    rows = [(1, 7, 100), (1, 7, 300), (1, 7, 200), (2, 5, 50)]
+    a = spark.createDataFrame(rows, "k long, seq long, payload long")
+    b = spark.createDataFrame(rows[::-1], "k long, seq long, payload long")
+    ra = sorted(map(tuple, latest_wins(a, ["k"], "seq").collect()))
+    rb = sorted(map(tuple, latest_wins(b, ["k"], "seq").collect()))
+    assert ra == rb == [(1, 300), (2, 50)]

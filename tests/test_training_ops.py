@@ -2131,3 +2131,212 @@ def test_ivf_pq_empty_codebook_raises(spark):
     empty = ivf_pq_centroids(emb, n_keep=8).filter("cent_rank > 100")
     with _pytest.raises(Exception, match="fewer than 8"):
         build_ivf_pq_index(emb, cents=empty).count()
+
+
+# ---- round-10: trained quantizers in the persisted IVF-PQ pipeline ----
+
+
+def _trained_frames(spark):
+    from open_bus_siri_etl_spark.operators.clustering import (
+        kmeans_codebook,
+        kmeans_subspace_codebook,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    coarse = kmeans_codebook(emb, k=8, iters=2)
+    fine = kmeans_subspace_codebook(emb, n_sub=4, sub_dim=16, k=8, iters=2)
+    return emb, coarse, fine
+
+
+def test_kmeans_codebook_l2_assignment_matches_kmeans_assign(spark):
+    """The load-bearing contract of the trained path: assigning corpus
+    rows against the kmeans_codebook frame by 6dp-rounded L2 with
+    min-cent_id ties (_nearest_centroids metric='l2') reproduces
+    kmeans_assign's clusters exactly — this is what lets the trained
+    IVF-PQ index reuse the kmeans oracle."""
+    from pyspark.sql import functions as _F
+
+    from open_bus_siri_etl_spark.operators.clustering import kmeans_assign
+    from open_bus_siri_etl_spark.operators.similarity import _nearest_centroids
+
+    emb, coarse, _ = _trained_frames(spark)
+    via_codebook = _nearest_centroids(
+        emb.select(_F.col("vec_id").alias("_id"), _F.col("embedding").alias("_vec")),
+        _F.broadcast(coarse.select("cent_id", "cent_vec")),
+        "cluster", 1, metric="l2",
+    ).select(_F.col("_id").alias("vec_id"), _F.col("cluster").cast("int").alias("cluster"))
+    direct = kmeans_assign(emb, k=8, iters=2)
+    assert sorted(map(tuple, via_codebook.collect())) == sorted(
+        map(tuple, direct.collect())
+    )
+
+
+def test_ivf_pq_kmeans_persisted_serve_matches_inline(spark, tmp_path):
+    """The trained-quantizer persisted path (both codebook frames and the
+    index written to parquet, read back, served) returns EXACTLY the
+    inline ivf_pq_kmeans_topk result — the same cannot-drift contract the
+    stand-in family carries."""
+    from open_bus_siri_etl_spark.operators.clustering import ivf_pq_kmeans_topk
+    from open_bus_siri_etl_spark.operators.similarity import (
+        build_ivf_pq_index,
+        ivf_pq_topk_serve,
+    )
+
+    emb, coarse, fine = _trained_frames(spark)
+    qs = emb.filter("vec_id BETWEEN 8 AND 15")
+    inline = sorted(map(tuple, ivf_pq_kmeans_topk(emb, qs, k=5).collect()))
+
+    cpath, fpath = str(tmp_path / "tcents"), str(tmp_path / "tfine")
+    coarse.write.parquet(cpath)
+    fine.write.parquet(fpath)
+    coarse = spark.read.parquet(cpath)
+    fine = spark.read.parquet(fpath)
+    ipath = str(tmp_path / "tindex")
+    build_ivf_pq_index(
+        emb, cents=coarse, fine_cents=fine, coarse_metric="l2"
+    ).write.partitionBy("cluster").parquet(ipath)
+    idx = spark.read.parquet(ipath)
+    served = sorted(
+        map(
+            tuple,
+            ivf_pq_topk_serve(
+                idx, coarse, qs, k=5, fine_cents=fine, coarse_metric="l2"
+            ).collect(),
+        )
+    )
+    assert inline == served and inline
+
+
+def test_ivf_pq_kmeans_append_is_rebuild(spark):
+    """FAISS train-then-add with TRAINED codebooks: frozen kmeans frames
+    make cluster assignment and PQ codes per-row functions of (vector,
+    codebooks), so appending a delta's index rows equals the full
+    rebuild — the persisted-index contract survives quantizer training."""
+    from open_bus_siri_etl_spark.operators.similarity import build_ivf_pq_index
+
+    emb, coarse, fine = _trained_frames(spark)
+    part1 = emb.filter("vec_id < 300")
+    delta = emb.filter("vec_id >= 300")
+    kw = dict(cents=coarse, fine_cents=fine, coarse_metric="l2")
+    full = sorted(map(tuple, build_ivf_pq_index(emb, **kw).collect()))
+    appended = sorted(
+        map(
+            tuple,
+            build_ivf_pq_index(part1, **kw)
+            .unionByName(build_ivf_pq_index(delta, **kw))
+            .collect(),
+        )
+    )
+    assert full == appended and full
+
+
+def test_ivf_pq_kmeans_stale_codebook_raises(spark):
+    """Both staleness directions stay fail-loud for the SPLIT codebook:
+    (a) serving a trained-L2 index as the cosine family trips the params
+    tag (the metric is part of the family); (b) serving with a regenerated
+    fine frame (same counts, different content) trips the role-salted
+    pair fingerprint; (c) swapping the coarse and fine frames — identical
+    row multiset union — also trips it (the role salt is load-bearing)."""
+    import pytest as _pytest
+    from pyspark.sql import functions as _F
+
+    from open_bus_siri_etl_spark.operators.similarity import (
+        build_ivf_pq_index,
+        ivf_pq_topk_serve,
+    )
+
+    emb, coarse, fine = _trained_frames(spark)
+    qs = emb.filter("vec_id BETWEEN 8 AND 15")
+    idx = build_ivf_pq_index(
+        emb, cents=coarse, fine_cents=fine, coarse_metric="l2"
+    )
+    with _pytest.raises(Exception, match="built with params"):
+        ivf_pq_topk_serve(idx, coarse, qs, fine_cents=fine).count()
+    other_fine = fine.withColumn(
+        "cent_vec", _F.transform("cent_vec", lambda x: x * _F.lit(2.0))
+    )
+    with _pytest.raises(Exception, match="fingerprint mismatch"):
+        ivf_pq_topk_serve(
+            idx, coarse, qs, fine_cents=other_fine, coarse_metric="l2"
+        ).count()
+    with _pytest.raises(Exception, match="fingerprint mismatch"):
+        ivf_pq_topk_serve(
+            idx, fine, qs, fine_cents=coarse, coarse_metric="l2"
+        ).count()
+
+
+def test_kmeans_oos_equals_bruteforce_at_full_probe(spark):
+    """kmeans_ivf_topk_oos with n_probe = n_clusters probes every cluster,
+    so the exact cosine re-rank over ALL candidates must equal brute-force
+    cosine_topk — the recall ceiling of the out-of-sample path is exactly
+    1.0, reached at full probing."""
+    from pyspark.sql import functions as _F
+
+    from open_bus_siri_etl_spark.operators.clustering import kmeans_ivf_topk_oos
+    from open_bus_siri_etl_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.filter("vec_id BETWEEN 8 AND 15").select(
+        (_F.col("vec_id") + 1000000).alias("vec_id"),
+        _F.transform(
+            "embedding",
+            lambda x: _F.round(x.cast("double") * _F.lit(0.9) + _F.lit(0.01), 6),
+        ).alias("embedding"),
+    )
+    exact = sorted(map(tuple, cosine_topk(emb, qs, k=5).collect()))
+    oos = sorted(
+        map(
+            tuple,
+            kmeans_ivf_topk_oos(
+                emb, qs, k=5, n_clusters=8, iters=2, n_probe=8
+            ).collect(),
+        )
+    )
+    assert oos == exact and oos
+
+
+def test_kmeans_oos_recall_rises_with_probes(spark):
+    """Out-of-sample trained IVF recall@5 is monotone in n_probe (more
+    probed clusters can only add candidates to the exact re-rank) and
+    hits 1.0 at n_probe = n_clusters."""
+    from pyspark.sql import functions as _F
+
+    from open_bus_siri_etl_spark.operators.clustering import kmeans_ivf_topk_oos
+    from open_bus_siri_etl_spark.operators.similarity import ann_recall, cosine_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.filter("vec_id BETWEEN 8 AND 15").select(
+        (_F.col("vec_id") + 1000000).alias("vec_id"),
+        _F.transform(
+            "embedding",
+            lambda x: _F.round(x.cast("double") * _F.lit(0.9) + _F.lit(0.01), 6),
+        ).alias("embedding"),
+    )
+    exact = cosine_topk(emb, qs, k=5)
+    recalls = []
+    for p in (1, 2, 8):
+        approx = kmeans_ivf_topk_oos(
+            emb, qs, k=5, n_clusters=8, iters=2, n_probe=p
+        )
+        recalls.append(
+            ann_recall(exact, approx, k=5)
+            .agg(_F.avg("recall").alias("r"))
+            .collect()[0]["r"]
+        )
+    assert recalls == sorted(recalls), recalls
+    assert recalls[-1] == 1.0
+
+
+def test_kmeans_ivf_missing_query_id_raises(spark):
+    """A query id absent from the corpus must fail loudly (ADVICE round
+    9): the in-sample path's semi join used to silently omit it.  The
+    guard rides the probe frame — the candidate join's broadcast build
+    side — so AQE empty-relation propagation cannot prune it."""
+    import pytest as _pytest
+
+    from open_bus_siri_etl_spark.operators.clustering import kmeans_ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    bad = spark.createDataFrame([(8,), (99999999,)], "vec_id long")
+    with _pytest.raises(Exception, match="not a corpus row"):
+        kmeans_ivf_topk(emb, bad, k=5).collect()

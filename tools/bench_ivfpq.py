@@ -32,6 +32,10 @@ sys.path.insert(0, str(ROOT))
 
 from pyspark.sql import functions as F  # noqa: E402
 
+from open_bus_siri_etl_spark.operators.clustering import (  # noqa: E402
+    kmeans_codebook,
+    kmeans_subspace_codebook,
+)
 from open_bus_siri_etl_spark.operators.similarity import (  # noqa: E402
     ann_recall,
     build_ivf_pq_index,
@@ -242,6 +246,50 @@ def main() -> None:
                 .filter(F.col("neighbor_id") == F.col("twin_id"))
                 .count()
             )
+            # TRAINED quantizers at the SAME pruning fraction (round-10):
+            # kmeans coarse codebook (L2 assignment family) + per-subspace
+            # kmeans PQ codebook replace the lowest-id stand-ins in the
+            # identical persisted pipeline — the recall delta at fixed
+            # n_probe/n_centroids is what training buys.
+            t0 = time.time()
+            tr_coarse = kmeans_codebook(corpus, k=n_cent, iters=2, kernel="matmul")
+            tr_fine = kmeans_subspace_codebook(
+                corpus, n_sub=N_SUB, sub_dim=SUB_DIM, k=PQ_CENTROIDS,
+                iters=2, kernel="matmul",
+            )
+            train_sec = time.time() - t0
+            t0 = time.time()
+            tcpath, tfpath = str(work / f"tc_{n}"), str(work / f"tf_{n}")
+            tr_coarse.coalesce(1).write.mode("overwrite").parquet(tcpath)
+            tr_fine.coalesce(1).write.mode("overwrite").parquet(tfpath)
+            tr_coarse = spark.read.parquet(tcpath)
+            tr_fine = spark.read.parquet(tfpath)
+            tipath = str(work / f"tindex_{n}")
+            build_ivf_pq_index(
+                corpus, n_centroids=n_cent, n_sub=N_SUB, sub_dim=SUB_DIM,
+                pq_centroids=PQ_CENTROIDS, dim=DIM, cents=tr_coarse,
+                fine_cents=tr_fine, coarse_metric="l2",
+            ).write.mode("overwrite").partitionBy("cluster").parquet(tipath)
+            trained_build_sec = time.time() - t0
+            tindex = spark.read.parquet(tipath)
+
+            def serve_trained():
+                return ivf_pq_topk_serve(
+                    tindex, tr_coarse, queries, k=K, n_centroids=n_cent,
+                    n_probe=n_probe, n_sub=N_SUB, sub_dim=SUB_DIM,
+                    pq_centroids=PQ_CENTROIDS, dim=DIM,
+                    fine_cents=tr_fine, coarse_metric="l2",
+                )
+
+            t0 = time.time()
+            serve_trained().count()
+            trained_serve_sec = time.time() - t0
+            trained_recall = (
+                ann_recall(exact, serve_trained(), k=K)
+                .agg(F.avg("recall").alias("r"))
+                .collect()[0]["r"]
+            )
+
             tier = {
                 "n_vectors": n,
                 "n_centroids": n_cent,
@@ -256,7 +304,26 @@ def main() -> None:
                 "recall_at_10": round(recall, 4),
                 "twin_recall_at_1": round(twin_top1 / N_QUERIES, 4),
                 "twin_recall_at_10": round(twin_top10 / N_QUERIES, 4),
+                "trained": {
+                    "train_sec": round(train_sec, 3),
+                    "build_sec": round(trained_build_sec, 3),
+                    "serve_sec": round(trained_serve_sec, 3),
+                    "recall_at_10": round(trained_recall, 4),
+                },
             }
+            stride = n // N_QUERIES
+            served_t = serve_trained()
+            tier["trained"]["twin_recall_at_1"] = round(
+                served_t.filter(F.col("rank") == 1)
+                .join(twins, "query_id")
+                .filter(F.col("neighbor_id") == F.col("twin_id"))
+                .count() / N_QUERIES, 4,
+            )
+            tier["trained"]["twin_recall_at_10"] = round(
+                served_t.join(twins, "query_id")
+                .filter(F.col("neighbor_id") == F.col("twin_id"))
+                .count() / N_QUERIES, 4,
+            )
             tiers.append(tier)
             print(json.dumps(tier), flush=True)
         ep = epoch_appends(spark, work)
