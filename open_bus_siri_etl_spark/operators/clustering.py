@@ -280,7 +280,7 @@ def kmeans_ivf_topk(
     smaller neighbor id, self-matches excluded (the cosine_topk/ivf_topk
     contract).
     """
-    from .similarity import _dot, _norm
+    from .similarity import _exact_cosine, _topk_per_query
 
     asg = kmeans_assign(corpus, n_clusters, iters, id_col, vec_col)
     # lazily checkpoint the endpoint-sized matched-query slice: it feeds
@@ -345,19 +345,10 @@ def kmeans_ivf_topk(
         )), "query_id")
         .join(cv, "neighbor_id")
         .withColumn(
-            "cosine",
-            _dot(F.col("q_vec"), F.col("c_vec"), dim)
-            / (_norm(F.col("q_vec"), dim) * _norm(F.col("c_vec"), dim)),
+            "cosine", _exact_cosine(F.col("q_vec"), F.col("c_vec"), dim)
         )
     )
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
-    return (
-        sim.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank")
-    )
+    return _topk_per_query(sim, k, [F.desc("cosine")])
 
 
 def kmeans_ivf_topk_oos(
@@ -393,9 +384,7 @@ def kmeans_ivf_topk_oos(
     per-query.  Output: (query_id, neighbor_id, rank) — rank 1..k by
     exact cosine desc, ties to the smaller neighbor id.
     """
-    from pyspark.sql import Window
-
-    from .similarity import _dot, _nearest_centroids, _norm
+    from .similarity import _exact_cosine, _nearest_centroids, _topk_per_query
 
     asg = kmeans_assign(corpus, n_clusters, iters, id_col, vec_col)
     cb = kmeans_codebook(corpus, n_clusters, iters, id_col, vec_col)
@@ -417,16 +406,9 @@ def kmeans_ivf_topk_oos(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
     )
     sim = cand.join(cv, "neighbor_id").withColumn(
-        "cosine",
-        _dot(F.col("q_vec"), F.col("c_vec"), dim)
-        / (_norm(F.col("q_vec"), dim) * _norm(F.col("c_vec"), dim)),
+        "cosine", _exact_cosine(F.col("q_vec"), F.col("c_vec"), dim)
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
-    return (
-        sim.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank")
-    )
+    return _topk_per_query(sim, k, [F.desc("cosine")])
 
 
 def ivf_pq_kmeans_topk(
@@ -482,3 +464,115 @@ def ivf_pq_kmeans_topk(
         id_col=id_col, vec_col=vec_col, dim=dim,
         fine_cents=fine, coarse_metric="l2",
     )
+
+
+def ivf_pq_residual_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    n_sub: int = 4,
+    sub_dim: int = 16,
+    pq_centroids: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+):
+    """RESIDUAL IVF-PQ with trained quantizers — the full FAISS
+    IndexIVFPQ shape (by_residual=True, its default): the coarse kmeans
+    codebook assigns cells, and PQ encodes x - centroid[cluster] with a
+    fine codebook TRAINED ON THOSE RESIDUALS, so the code budget resolves
+    within-cell ranking instead of re-describing the coarse structure a
+    cluster id already names.  Measured on topic-structured corpora this
+    is what moves ADC recall (BENCH_IVFPQ clustered_recall); on the plan
+    side the only change is the ADC lookup join gaining the cluster key
+    (the query re-centers per probed cluster; the distance table stays
+    broadcast-sized at |Q| x n_probe x n_sub x pq_centroids).
+    Deterministic end to end — residuals are exact IEEE subtractions
+    against 6dp centroids — so the residual index carries an exact SQL
+    oracle like every other index in the catalog.  Output contract
+    identical to ivf_pq_topk."""
+    from .similarity import (
+        build_ivf_pq_index,
+        ivf_pq_topk_serve,
+        ivf_residuals,
+    )
+
+    coarse = kmeans_codebook(corpus, n_centroids, iters, id_col, vec_col)
+    res = ivf_residuals(
+        corpus, coarse, n_centroids, id_col, vec_col, dim, "l2"
+    )
+    fine = kmeans_subspace_codebook(
+        res, n_sub, sub_dim, pq_centroids, iters, id_col, vec_col
+    )
+    index = build_ivf_pq_index(
+        corpus, n_centroids, n_sub, sub_dim, pq_centroids,
+        id_col, vec_col, dim, cents=coarse, fine_cents=fine,
+        coarse_metric="l2", residual=True,
+    )
+    return ivf_pq_topk_serve(
+        index, coarse, queries,
+        k=k, n_centroids=n_centroids, n_probe=n_probe, n_sub=n_sub,
+        sub_dim=sub_dim, pq_centroids=pq_centroids,
+        id_col=id_col, vec_col=vec_col, dim=dim,
+        fine_cents=fine, coarse_metric="l2", residual=True,
+    )
+
+
+def ivf_pq_refine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    shortlist: int = 20,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    n_sub: int = 4,
+    sub_dim: int = 16,
+    pq_centroids: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """IVF-PQ + EXACT REFINE — FAISS's IndexRefineFlat stage on top of
+    the residual index: ADC produces a per-query SHORTLIST (top
+    ``shortlist`` by approximate distance, compressed codes only), then
+    exact cosine re-ranks just those candidates and returns the top
+    ``k``.  This is the stage that turns ADC's lossy ordering into a
+    deployment-quotable recall: the clustered-corpus measurement
+    (BENCH_IVFPQ clustered_recall) recovers near the candidate-recall
+    ceiling, because the refine only needs the true neighbors to be
+    SOMEWHERE in the shortlist, not ADC-ranked into the top k.
+
+    Scale shape: the refine is the ONE stage that touches corpus vectors
+    — a shortlist-sized id set (|Q| x shortlist) broadcast against one
+    corpus scan (broadcast hash join, never a shuffle of the corpus), so
+    its cost is one pruned-column pass regardless of k or shortlist.
+    Everything upstream stays code-only.  Output: (query_id, neighbor_id,
+    rank) — the cosine_topk contract (rank by exact cosine desc, ties to
+    the smaller neighbor id; self-matches excluded by the ADC stage).
+    """
+    from .similarity import _exact_cosine, _topk_per_query
+
+    short = ivf_pq_residual_topk(
+        corpus, queries, k=shortlist, n_centroids=n_centroids,
+        n_probe=n_probe, n_sub=n_sub, sub_dim=sub_dim,
+        pq_centroids=pq_centroids, iters=iters,
+        id_col=id_col, vec_col=vec_col, dim=dim,
+    ).select("query_id", "neighbor_id")
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    sim = (
+        short.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .withColumn(
+            "cosine", _exact_cosine(F.col("q_vec"), F.col("c_vec"), dim)
+        )
+    )
+    return _topk_per_query(sim, k, [F.desc("cosine")])

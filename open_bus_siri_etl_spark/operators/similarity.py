@@ -61,6 +61,31 @@ def _norm(a: Column, dim: int | None = None) -> Column:
     return F.sqrt(_dot(a, a, dim))
 
 
+def _exact_cosine(q_vec: Column, c_vec: Column, dim: int | None = None) -> Column:
+    """The ANN family's exact re-rank score — unrounded cosine, ONE
+    definition shared by every serving path that re-ranks candidates
+    (ivf_topk, the trained kmeans_ivf_topk twins, lsh_ann_topk), so the
+    family's boundary assumption (no ulp-level cosine ties in the data)
+    lives in one expression."""
+    return _dot(q_vec, c_vec, dim) / (_norm(q_vec, dim) * _norm(c_vec, dim))
+
+
+def _topk_per_query(
+    scored: DataFrame, k: int, order: list, extra_cols: tuple = ()
+) -> DataFrame:
+    """The ANN family's per-query top-k tail — ONE definition of the rank
+    contract (row_number per query_id over the given score order, ties
+    always to the smaller neighbor_id), shared by the cosine servers and
+    the ADC server so the tie-break can never drift between entries (the
+    survivor_fold discipline applied to serving)."""
+    w = Window.partitionBy("query_id").orderBy(*order, "neighbor_id")
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", *extra_cols)
+    )
+
+
 def cosine_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -95,12 +120,7 @@ def cosine_topk(
             / (F.col("q_nrm") * F.col("c_nrm")),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
-    return (
-        sim.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank")
-    )
+    return _topk_per_query(sim, k, [F.desc("cosine")])
 
 
 def cosine_near_pairs(
@@ -386,17 +406,10 @@ def ivf_topk(
         assigned.join(probed, "cluster")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
-            "cosine",
-            _dot(F.col("q_vec"), F.col("c_vec"), dim)
-            / (_norm(F.col("q_vec"), dim) * _norm(F.col("c_vec"), dim)),
+            "cosine", _exact_cosine(F.col("q_vec"), F.col("c_vec"), dim)
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
-    return (
-        sim.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank")
-    )
+    return _topk_per_query(sim, k, [F.desc("cosine")])
 
 
 def hyperplanes(dim: int, n_planes: int = 16, seed: int = 42) -> list[list[float]]:
@@ -530,16 +543,9 @@ def lsh_ann_topk(
         .dropDuplicates(["query_id", "neighbor_id"])
     )
     sim = candidates.withColumn(
-        "cosine",
-        _dot(F.col("q_vec"), F.col("c_vec"), dim)
-        / (_norm(F.col("q_vec"), dim) * _norm(F.col("c_vec"), dim)),
+        "cosine", _exact_cosine(F.col("q_vec"), F.col("c_vec"), dim)
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
-    return (
-        sim.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank")
-    )
+    return _topk_per_query(sim, k, [F.desc("cosine")])
 
 
 def cosine_near_pairs_blocked(
@@ -991,12 +997,7 @@ def lsh_ann_topk_exact(
             / (F.col("q_nrm") * F.col("c_nrm")),
         )
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
-    return (
-        sim.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "neighbor_id", "rank")
-    )
+    return _topk_per_query(sim, k, [F.desc("cosine")])
 
 
 def _lsh_params_tag(n_planes: int, n_tables: int, quant: int, dim: int) -> str:
@@ -1494,6 +1495,32 @@ def _pq_code_long(
     )
 
 
+def _subspace_d2_cols(
+    n_sub: int, sub_dim: int, a: str = "q_vec", b: str = "cent_vec"
+) -> list:
+    """Per-subspace 6dp-rounded squared-L2 expressions between columns
+    ``a`` and ``b`` — ONE definition of the PQ distance entry shared by
+    the whole-vector query table, the residual query table and
+    pq_codes_df's spec (same fold, same rounding), so no serving path can
+    drift on the quantity ADC sums."""
+    return [
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.slice(F.col(a), m * sub_dim + 1, sub_dim),
+                    F.slice(F.col(b), m * sub_dim + 1, sub_dim),
+                    lambda x, y: (x.cast("double") - y.cast("double"))
+                    * (x.cast("double") - y.cast("double")),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias(f"qd_{m}")
+        for m in range(n_sub)
+    ]
+
+
 def _pq_query_table(
     cents: DataFrame,
     queries: DataFrame,
@@ -1509,22 +1536,7 @@ def _pq_query_table(
     paths.  ``cents`` is the (cent_id, cent_vec) PQ codebook frame —
     callers derive it from the corpus (batch) or from the persisted
     frozen codebook (serve)."""
-    qd = [
-        F.round(
-            F.aggregate(
-                F.zip_with(
-                    F.slice(F.col("q_vec"), m * sub_dim + 1, sub_dim),
-                    F.slice(F.col("cent_vec"), m * sub_dim + 1, sub_dim),
-                    lambda x, y: (x.cast("double") - y.cast("double"))
-                    * (x.cast("double") - y.cast("double")),
-                ),
-                F.lit(0.0),
-                lambda acc, x: acc + x,
-            ),
-            6,
-        ).alias(f"qd_{m}")
-        for m in range(n_sub)
-    ]
+    qd = _subspace_d2_cols(n_sub, sub_dim)
     dtab = (
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
         .crossJoin(F.broadcast(cents))
@@ -1539,12 +1551,38 @@ def _pq_query_table(
     )
 
 
+def _pq_query_table_residual(
+    probed_res: DataFrame, fine: DataFrame, n_sub: int, sub_dim: int
+) -> DataFrame:
+    """The residual-IVF-PQ ADC table: one distance table per (query,
+    probed cluster) — residual codes live in a cluster's own coordinate
+    frame (x - that cluster's centroid), so the query must be re-centered
+    per probed cluster before the subspace distances are taken.
+    ``probed_res``: (query_id, cluster, q_vec=query residual vs that
+    cluster's centroid).  Output: (query_id, cluster, code, m, d) —
+    |Q| x n_probe x pq_centroids x n_sub rounded entries, still
+    broadcast-sized."""
+    qd = _subspace_d2_cols(n_sub, sub_dim)
+    dtab = probed_res.crossJoin(F.broadcast(fine)).select(
+        "query_id", "cluster", "cent_id", *qd
+    )
+    return dtab.selectExpr(
+        "query_id",
+        "cluster",
+        "cent_id AS code",
+        "stack({}, {}) AS (m, d)".format(
+            n_sub, ", ".join(f"{m}, qd_{m}" for m in range(n_sub))
+        ),
+    )
+
+
 def _ivf_pq_params_tag(
     n_centroids: int,
     n_sub: int,
     sub_dim: int,
     pq_centroids: int,
     coarse_metric: str = "cosine",
+    residual: bool = False,
 ) -> str:
     """Build-parameter fingerprint persisted with every
     ``build_ivf_pq_index`` row — the IVF-PQ twin of ``_lsh_params_tag``.
@@ -1555,9 +1593,14 @@ def _ivf_pq_params_tag(
     part of the family: an index whose clusters were assigned by trained
     L2 (``coarse_metric="l2"``) must not be probed by max-cosine, so the
     L2 family carries an ``L2`` suffix (the default cosine family's tag
-    is unchanged — it is part of the ivf_pq_index oracle contract)."""
+    is unchanged — it is part of the ivf_pq_index oracle contract).
+    Likewise RESIDUAL codes (x - coarse centroid) are meaningless under a
+    whole-vector distance table and vice versa — the residual family
+    appends ``R``."""
     tag = f"C{n_centroids}M{n_sub}S{sub_dim}K{pq_centroids}"
-    return tag + ("L2" if coarse_metric == "l2" else "")
+    return tag + ("L2" if coarse_metric == "l2" else "") + (
+        "R" if residual else ""
+    )
 
 
 def ivf_pq_centroids(
@@ -1676,6 +1719,54 @@ def _slice_codebook(
     )
 
 
+def ivf_residuals(
+    corpus: DataFrame,
+    cents: DataFrame,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    coarse_metric: str = "l2",
+    op: str = "ivf_residuals",
+) -> DataFrame:
+    """(id, cluster, residual) — each vector re-centered on its coarse
+    cell: residual = x - centroid[cluster].  This is what FAISS's
+    IndexIVFPQ actually PQ-encodes (by_residual=True, the default): a
+    whole-vector PQ spends its entire code budget re-describing the
+    coarse structure the cluster id already names, so ADC cannot resolve
+    WITHIN-cell ranking; coding the residual points the same bits at
+    exactly the within-cell variation ADC needs.  Exposed standalone so
+    the residual fine codebook can be TRAINED on the same frame the
+    index encodes (kmeans_subspace_codebook over this output).
+    Deterministic: the subtraction is an exact IEEE op against
+    6dp-rounded centroid coordinates, so residual codes carry the same
+    cross-engine oracle as whole-vector codes."""
+    coarse = F.broadcast(_slice_codebook(cents, n_centroids, "coarse", op))
+    asg = _nearest_centroids(
+        corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")),
+        coarse, "cluster", 1, dim, metric=coarse_metric,
+    )
+    return (
+        asg.join(
+            F.broadcast(
+                coarse.select(
+                    F.col("cent_id").alias("cluster"),
+                    F.col("cent_vec").alias("_cent"),
+                )
+            ),
+            "cluster",
+        )
+        .select(
+            F.col("_id").alias(id_col),
+            "cluster",
+            F.zip_with(
+                "_vec", "_cent",
+                lambda x, y: x.cast("double") - y.cast("double"),
+            ).alias(vec_col),
+        )
+    )
+
+
 def build_ivf_pq_index(
     corpus: DataFrame,
     n_centroids: int = 8,
@@ -1688,6 +1779,7 @@ def build_ivf_pq_index(
     cents: DataFrame | None = None,
     fine_cents: DataFrame | None = None,
     coarse_metric: str = "cosine",
+    residual: bool = False,
 ) -> DataFrame:
     """The persistable IVF-PQ index: (id, cluster, m, code, cb_fp,
     params) — ``n_sub`` rows per vector, each a 1-byte-equivalent code,
@@ -1715,6 +1807,14 @@ def build_ivf_pq_index(
     params tag carries the metric, so serve calls must present the same
     two frames and the same family — both staleness directions stay
     fail-loud.  The serving plan is identical either way.
+
+    RESIDUAL encoding (``residual=True`` — FAISS IndexIVFPQ's
+    by_residual default): PQ codes are taken on x - centroid[cluster]
+    (``ivf_residuals``), pointing the code budget at within-cell
+    variation instead of re-describing the coarse structure.  Train
+    ``fine_cents`` on the ``ivf_residuals`` frame; the params tag gains
+    ``R`` so a whole-vector serve of a residual index (or vice versa)
+    fails loudly.
     """
     corpus = _non_null_ids(corpus, id_col, "build_ivf_pq_index", "input")
     if cents is None:
@@ -1727,13 +1827,26 @@ def build_ivf_pq_index(
         fine_cents if fine_cents is not None else cents,
         pq_centroids, "PQ", op,
     )
-    assigned = _nearest_centroids(
-        corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")),
-        coarse, "cluster", 1, dim, metric=coarse_metric,
-    ).select(F.col("_id").alias(id_col), "cluster")
-    codes = _pq_code_long(
-        corpus, n_sub, sub_dim, pq_centroids, id_col, vec_col, cents=fine
-    )
+    if residual:
+        res = ivf_residuals(
+            corpus, cents, n_centroids, id_col, vec_col, dim,
+            coarse_metric, op,
+        )
+        assigned = res.select(id_col, "cluster")
+        codes = _pq_code_long(
+            res.select(id_col, vec_col), n_sub, sub_dim, pq_centroids,
+            id_col, vec_col, cents=fine,
+        )
+    else:
+        assigned = _nearest_centroids(
+            corpus.select(
+                F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")
+            ),
+            coarse, "cluster", 1, dim, metric=coarse_metric,
+        ).select(F.col("_id").alias(id_col), "cluster")
+        codes = _pq_code_long(
+            corpus, n_sub, sub_dim, pq_centroids, id_col, vec_col, cents=fine
+        )
     fp = (
         _codebook_fingerprint(cents, "cb_fp")
         if fine_cents is None
@@ -1746,7 +1859,8 @@ def build_ivf_pq_index(
             "params",
             F.lit(
                 _ivf_pq_params_tag(
-                    n_centroids, n_sub, sub_dim, pq_centroids, coarse_metric
+                    n_centroids, n_sub, sub_dim, pq_centroids,
+                    coarse_metric, residual,
                 )
             ),
         )
@@ -1768,6 +1882,7 @@ def ivf_pq_topk_serve(
     dim: int | None = None,
     fine_cents: DataFrame | None = None,
     coarse_metric: str = "cosine",
+    residual: bool = False,
 ) -> DataFrame:
     """Serve IVF-PQ top-k from the PERSISTED index — corpus vectors are
     never an input, so the per-query-batch cost is structurally
@@ -1802,7 +1917,7 @@ def ivf_pq_topk_serve(
             "params)"
         )
     expected = _ivf_pq_params_tag(
-        n_centroids, n_sub, sub_dim, pq_centroids, coarse_metric
+        n_centroids, n_sub, sub_dim, pq_centroids, coarse_metric, residual
     )
     live_fp = (
         _codebook_fingerprint(cents, "_live_fp")
@@ -1846,26 +1961,47 @@ def ivf_pq_topk_serve(
         fine_cents if fine_cents is not None else cents,
         pq_centroids, "PQ", op,
     )
-    probed = _nearest_centroids(
+    probed_full = _nearest_centroids(
         queries.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")),
         coarse, "cluster", n_probe, dim, metric=coarse_metric,
-    ).select(F.col("_id").alias("query_id"), "cluster")
-    dtab_long = _pq_query_table(fine, queries, n_sub, sub_dim, id_col, vec_col)
+    )
+    probed = probed_full.select(F.col("_id").alias("query_id"), "cluster")
+    if residual:
+        # residual codes live per-cluster: re-center the query on each
+        # probed cluster's centroid and take the distance table there —
+        # the lookup join gains the cluster key, nothing else changes
+        probed_res = probed_full.join(
+            F.broadcast(
+                coarse.select(
+                    F.col("cent_id").alias("cluster"),
+                    F.col("cent_vec").alias("_cent"),
+                )
+            ),
+            "cluster",
+        ).select(
+            F.col("_id").alias("query_id"),
+            "cluster",
+            F.zip_with(
+                "_vec", "_cent",
+                lambda x, y: x.cast("double") - y.cast("double"),
+            ).alias("q_vec"),
+        )
+        dtab_long = _pq_query_table_residual(probed_res, fine, n_sub, sub_dim)
+        lookup_keys = ["query_id", "cluster", "m", "code"]
+    else:
+        dtab_long = _pq_query_table(
+            fine, queries, n_sub, sub_dim, id_col, vec_col
+        )
+        lookup_keys = ["query_id", "m", "code"]
     adc = (
         idx.join(F.broadcast(probed), "cluster")
-        .join(F.broadcast(dtab_long), ["query_id", "m", "code"])
+        .join(F.broadcast(dtab_long), lookup_keys)
         .filter(F.col(id_col) != F.col("query_id"))
         .groupBy("query_id", id_col)
         .agg(F.round(F.sum("d"), 6).alias("adc_d2"))
+        .withColumnRenamed(id_col, "neighbor_id")
     )
-    w = Window.partitionBy("query_id").orderBy("adc_d2", id_col)
-    return (
-        adc.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id", F.col(id_col).alias("neighbor_id"), "rank", "adc_d2"
-        )
-    )
+    return _topk_per_query(adc, k, ["adc_d2"], extra_cols=("adc_d2",))
 
 
 def ivf_pq_topk(
@@ -1963,12 +2099,6 @@ def pq_adc_topk(
         .filter(F.col(id_col) != F.col("query_id"))
         .groupBy("query_id", id_col)
         .agg(F.round(F.sum("d"), 6).alias("adc_d2"))
+        .withColumnRenamed(id_col, "neighbor_id")
     )
-    w = Window.partitionBy("query_id").orderBy("adc_d2", id_col)
-    return (
-        adc.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select(
-            "query_id", F.col(id_col).alias("neighbor_id"), "rank", "adc_d2"
-        )
-    )
+    return _topk_per_query(adc, k, ["adc_d2"], extra_cols=("adc_d2",))

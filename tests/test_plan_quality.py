@@ -733,6 +733,10 @@ FULL_REGISTRY_ORDER = [
     "ivf_pq_kmeans_topk",
     "ivf_pq_kmeans_recall_eval",
     "kmeans_ivf_oos_ann",
+    "ivf_pq_residual_topk",
+    "ivf_pq_residual_recall_eval",
+    "ivf_pq_refine_topk",
+    "ivf_pq_refine_recall_eval",
 ]
 
 

@@ -1495,3 +1495,138 @@ def test_latest_wins_tiebreak_deterministic(spark):
     ra = sorted(map(tuple, latest_wins(a, ["k"], "seq").collect()))
     rb = sorted(map(tuple, latest_wins(b, ["k"], "seq").collect()))
     assert ra == rb == [(1, 300), (2, 50)]
+
+
+def test_curation_log_compaction_preserves_views_and_stream(spark, tmp_path):
+    """Round-10 directive: compaction of the curation label/survivor logs
+    (the control-table compact() shape for the streaming state).  After a
+    drained run: (a) compaction shrinks the logs to their latest-wins
+    base (one record per id / live component, ingest_batch=-1) while
+    read_current_labels / read_current_survivors stay byte-identical;
+    (b) a post-compaction continuation of the SAME stream (same
+    checkpoint) over newly landed batches still equals the batch pipeline
+    over everything landed — the base partition composes with the
+    per-batch exclusion reads and latest-wins exactly like the log it
+    replaced."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from open_bus_siri_etl_spark.operators.dedup import (
+        neardup_membership,
+        neardup_survivor_rows,
+    )
+    from open_bus_siri_etl_spark.streaming.delta_dedup import (
+        compact_curation_logs,
+        read_current_labels,
+        read_current_survivors,
+        start_text_curation_stream,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text", "n_chars")
+    )
+    landing = tmp_path / "landing"
+    for k in range(4):
+        docs.filter(F.col("doc_id") % 6 == k).coalesce(1).write.parquet(
+            str(landing / f"batch_{k}")
+        )
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    q = start_text_curation_stream(
+        spark, str(landing), state, ckpt, max_files_per_trigger=1,
+        trigger={"availableNow": True},
+    )
+    q.awaitTermination(300)
+
+    def multiset(df):
+        return sorted(tuple(str(v) for v in r) for r in df.collect())
+
+    labels_before = multiset(read_current_labels(spark, f"{state}/labels"))
+    surv_before = multiset(read_current_survivors(spark, f"{state}/survivors"))
+    stats = compact_curation_logs(spark, state)
+    # superseded records / tombstones actually went away
+    assert stats["labels"]["rows_after"] <= stats["labels"]["rows_before"]
+    assert stats["survivors"]["rows_after"] < stats["survivors"]["rows_before"]
+    assert len(list((tmp_path / "state/labels").glob("ingest_batch=*"))) == 1
+    # resolved views byte-identical across compaction
+    assert multiset(read_current_labels(spark, f"{state}/labels")) == labels_before
+    assert (
+        multiset(read_current_survivors(spark, f"{state}/survivors"))
+        == surv_before
+    )
+
+    # continue the SAME stream over two more landed batches
+    for k in (4, 5):
+        docs.filter(F.col("doc_id") % 6 == k).coalesce(1).write.parquet(
+            str(landing / f"batch_{k}")
+        )
+    q2 = start_text_curation_stream(
+        spark, str(landing), state, ckpt, max_files_per_trigger=1,
+        trigger={"availableNow": True},
+    )
+    q2.awaitTermination(300)
+
+    assert multiset(read_current_labels(spark, f"{state}/labels")) == multiset(
+        neardup_membership(docs, threshold=0.5)
+    )
+    assert multiset(
+        read_current_survivors(spark, f"{state}/survivors").select(
+            "component", "kept_doc_id", "kept_n_chars", "n_members"
+        )
+    ) == multiset(neardup_survivor_rows(docs, threshold=0.5))
+
+
+def test_ivf_pq_index_stream_serves_each_prefix_like_inline(spark, tmp_path):
+    """Round-10 directive: the streaming indexer's MID-STREAM snapshots
+    are servable, not just its drained end state — after each ingested
+    batch, ivf_pq_topk_serve over the accumulated store equals the inline
+    ivf_pq_topk over exactly the landed prefix (batch 0 carries the
+    lowest ids, so the stream's frozen codebook equals the one the inline
+    path derives from any prefix).  This is the serve-side contract the
+    curation loop already had."""
+    from pyspark.sql import functions as F
+
+    from open_bus_siri_etl_spark.operators.similarity import (
+        ivf_pq_topk,
+        ivf_pq_topk_serve,
+    )
+    from open_bus_siri_etl_spark.streaming.delta_dedup import (
+        start_ivf_pq_index_stream,
+    )
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+    )
+    slices = [
+        emb.filter("vec_id < 200"),
+        emb.filter("vec_id >= 200 AND vec_id < 350"),
+        emb.filter("vec_id >= 350"),
+    ]
+    qs = emb.filter("vec_id BETWEEN 8 AND 15")
+    landing = tmp_path / "landing"
+    index_path = str(tmp_path / "index")
+    cents_path = str(tmp_path / "cents")
+    ckpt = str(tmp_path / "ckpt")
+
+    def multiset(df):
+        return sorted(tuple(str(v) for v in r) for r in df.collect())
+
+    prefix = None
+    for k, part in enumerate(slices):
+        part.coalesce(1).write.parquet(str(landing / f"batch_{k}"))
+        q = start_ivf_pq_index_stream(
+            spark, str(landing), index_path, cents_path, ckpt,
+            max_files_per_trigger=1,
+        )
+        q.awaitTermination(180)
+        prefix = part if prefix is None else prefix.unionByName(part)
+        cents = spark.read.parquet(cents_path)
+        served = ivf_pq_topk_serve(
+            spark.read.parquet(index_path), cents, qs, k=5
+        )
+        inline = ivf_pq_topk(prefix, qs, k=5)
+        assert multiset(served) == multiset(inline), f"prefix {k}"

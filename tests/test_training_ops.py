@@ -2340,3 +2340,104 @@ def test_kmeans_ivf_missing_query_id_raises(spark):
     bad = spark.createDataFrame([(8,), (99999999,)], "vec_id long")
     with _pytest.raises(Exception, match="not a corpus row"):
         kmeans_ivf_topk(emb, bad, k=5).collect()
+
+
+def test_ivf_pq_residual_persisted_serve_matches_inline(spark, tmp_path):
+    """The residual path persists and serves like the others: trained
+    coarse + residual-trained fine frames and the residual index written
+    to parquet, read back, served — equals the inline
+    ivf_pq_residual_topk exactly."""
+    from open_bus_siri_etl_spark.operators.clustering import (
+        ivf_pq_residual_topk,
+        kmeans_codebook,
+        kmeans_subspace_codebook,
+    )
+    from open_bus_siri_etl_spark.operators.similarity import (
+        build_ivf_pq_index,
+        ivf_pq_topk_serve,
+        ivf_residuals,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.filter("vec_id BETWEEN 8 AND 15")
+    inline = sorted(map(tuple, ivf_pq_residual_topk(emb, qs, k=5).collect()))
+
+    coarse = kmeans_codebook(emb, k=8, iters=2)
+    res = ivf_residuals(emb, coarse, 8)
+    fine = kmeans_subspace_codebook(res, n_sub=4, sub_dim=16, k=8, iters=2)
+    cpath, fpath = str(tmp_path / "rc"), str(tmp_path / "rf")
+    coarse.write.parquet(cpath)
+    fine.write.parquet(fpath)
+    coarse, fine = spark.read.parquet(cpath), spark.read.parquet(fpath)
+    ipath = str(tmp_path / "rindex")
+    build_ivf_pq_index(
+        emb, cents=coarse, fine_cents=fine, coarse_metric="l2", residual=True
+    ).write.partitionBy("cluster").parquet(ipath)
+    served = sorted(
+        map(
+            tuple,
+            ivf_pq_topk_serve(
+                spark.read.parquet(ipath), coarse, qs, k=5,
+                fine_cents=fine, coarse_metric="l2", residual=True,
+            ).collect(),
+        )
+    )
+    assert inline == served and inline
+
+
+def test_ivf_pq_residual_family_mismatch_raises(spark):
+    """Residual codes under a whole-vector distance table (or vice versa)
+    silently corrupt every ADC distance — the R params-tag suffix makes
+    both directions fail loudly in-plan."""
+    import pytest as _pytest
+
+    from open_bus_siri_etl_spark.operators.clustering import (
+        kmeans_codebook,
+        kmeans_subspace_codebook,
+    )
+    from open_bus_siri_etl_spark.operators.similarity import (
+        build_ivf_pq_index,
+        ivf_pq_topk_serve,
+        ivf_residuals,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.filter("vec_id BETWEEN 8 AND 15")
+    coarse = kmeans_codebook(emb, k=8, iters=2)
+    res = ivf_residuals(emb, coarse, 8)
+    fine = kmeans_subspace_codebook(res, n_sub=4, sub_dim=16, k=8, iters=2)
+    kw = dict(cents=coarse, fine_cents=fine, coarse_metric="l2")
+    idx_res = build_ivf_pq_index(emb, residual=True, **kw)
+    with _pytest.raises(Exception, match="built with params"):
+        ivf_pq_topk_serve(
+            idx_res, coarse, qs, fine_cents=fine, coarse_metric="l2",
+            residual=False,
+        ).count()
+    idx_raw = build_ivf_pq_index(emb, residual=False, **kw)
+    with _pytest.raises(Exception, match="built with params"):
+        ivf_pq_topk_serve(
+            idx_raw, coarse, qs, fine_cents=fine, coarse_metric="l2",
+            residual=True,
+        ).count()
+
+
+def test_ivf_pq_refine_full_probe_equals_exact(spark):
+    """With every cluster probed and an unbounded shortlist, the refine
+    stage degenerates to brute force — ivf_pq_refine_topk must equal
+    cosine_topk exactly (the recall ceiling of the refined stack is
+    structural, not tuned)."""
+    from open_bus_siri_etl_spark.operators.clustering import ivf_pq_refine_topk
+    from open_bus_siri_etl_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    qs = emb.filter("vec_id BETWEEN 8 AND 15")
+    refined = sorted(
+        map(
+            tuple,
+            ivf_pq_refine_topk(
+                emb, qs, k=5, shortlist=10**6, n_probe=8
+            ).collect(),
+        )
+    )
+    exact = sorted(map(tuple, cosine_topk(emb, qs, k=5).collect()))
+    assert refined == exact and refined

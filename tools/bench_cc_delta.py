@@ -4,10 +4,13 @@ recomputation (neardup_membership over the full corpus) as the corpus
 grows with the delta held fixed — the round-8 companion to
 BENCH_DELTA_SCALING (embedding side) for the clustering stage.
 
-Corpus tiers are synthesized from sf0.1 documents (letter-rotated copies,
-the BENCH_DEDUP_SCALING trick: shingle sets across copies are disjoint, so
-per-doc workload is identical and no artificial cross-copy clusters
-inflate the pair list).  The incremental path's inputs are what a real
+Corpus tiers are synthesized from sf0.1 documents: copy i tags every
+WORD with the copy index (tokens are space-split, so every word 3-gram
+shingle of copy i differs from every shingle of copy j != i — shingle
+sets across copies are fully disjoint at ANY copy count, unlike the
+letter-rotation trick whose 25 distinct rotations collide past 25x),
+per-doc workload is identical, and no artificial cross-copy clusters
+inflate the pair list.  The incremental path's inputs are what a real
 ingest has on hand: the PRE-COMPUTED labeling of the history (built once,
 maintained by these very fold-ins) and the delta batch; its per-ingest
 cost is the delta pair generation (delta postings broadcast against one
@@ -42,22 +45,18 @@ ID_SPAN = 10_000_000
 THRESHOLD = 0.5
 
 
-def rotated_copies(base, n_copies: int):
-    """Union n_copies with letters rotated per copy (a->b->c...) and ids
-    offset: disjoint shingle sets, same per-doc workload."""
-    import string
-
+def tagged_copies(base, n_copies: int):
+    """Union n_copies with every WORD suffixed by the copy index and ids
+    offset: token bijection per copy keeps within-copy Jaccard identical
+    (same near-dup structure, same per-doc workload) while making shingle
+    sets fully disjoint across copies for any n_copies."""
     parts = []
     for i in range(n_copies):
         part = base.withColumn("doc_id", F.col("doc_id") + i * ID_SPAN)
         if i:
-            src = string.ascii_lowercase + string.ascii_uppercase
-            k = i % 25 + 1
-            dst = (
-                string.ascii_lowercase[k:] + string.ascii_lowercase[:k]
-                + string.ascii_uppercase[k:] + string.ascii_uppercase[:k]
+            part = part.withColumn(
+                "text", F.regexp_replace("text", r"(\S+)", rf"$1~{i}")
             )
-            part = part.withColumn("text", F.translate("text", src, dst))
         parts.append(part)
     out = parts[0]
     for p in parts[1:]:
@@ -76,8 +75,8 @@ def main() -> None:
     n_delta = delta.count()
 
     results = []
-    for n_copies in (1, 2, 4, 8):
-        history = rotated_copies(base, n_copies).repartition(32).cache()
+    for n_copies in (1, 2, 4, 8, 16, 32, 64):
+        history = tagged_copies(base, n_copies).repartition(32).cache()
         n_history = history.count()
         tier = {"tier": f"{n_copies}x", "n_history": n_history, "n_delta": n_delta}
 

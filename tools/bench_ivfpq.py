@@ -42,6 +42,7 @@ from open_bus_siri_etl_spark.operators.similarity import (  # noqa: E402
     cosine_topk,
     ivf_pq_centroids,
     ivf_pq_topk_serve,
+    ivf_residuals,
 )
 from open_bus_siri_etl_spark.session import get_spark  # noqa: E402
 
@@ -81,6 +82,177 @@ def synth(spark, work: Path, n: int):
     spark.createDataFrame(cdf).repartition(32).write.mode("overwrite").parquet(cpath)
     spark.createDataFrame(qdf).coalesce(1).write.mode("overwrite").parquet(qpath)
     return spark.read.parquet(cpath), spark.read.parquet(qpath)
+
+
+def clustered_recall(spark, work: Path) -> dict:
+    """Recall in the regime retrieval actually runs (round-10): a corpus
+    with TOPIC structure — 256 gaussian topic centers, members = center +
+    0.8·noise (within-topic cosine ~0.6, inter-topic ~0), queries are
+    FRESH samples from known topics (out-of-corpus), relevant set = the
+    exact top-10 (mostly same-topic members).  On isotropic gaussian data
+    the gaussian-tail recall@10 is structurally capped by pruning no
+    matter the codebook (the tier numbers above); with topic structure
+    the recall LADDER the catalog serves is measured rung by rung at one
+    pruning fraction: stand-in codebook -> trained codebooks ->
+    RESIDUAL-encoded PQ (FAISS by_residual: codes describe within-cell
+    variation instead of re-describing the coarse structure) -> exact
+    REFINE of the ADC shortlist (IndexRefineFlat: recall recovers to near
+    the candidate-recall ceiling, which is also reported).  The candidate
+    recall shows how much the coarse stage leaves on the table; the
+    rung-to-rung deltas price each design decision separately."""
+    n, n_topics, sigma, n_cent, n_probe = 100_000, 256, 0.8, 128, 8
+    rng = np.random.RandomState(31)
+    import pandas as pd
+
+    centers = rng.randn(n_topics, DIM).astype("float64")
+    topic_of = np.arange(n) % n_topics
+    vecs = (centers[topic_of] + sigma * rng.randn(n, DIM)).astype("float32")
+    q_topics = rng.randint(0, n_topics, N_QUERIES)
+    qvecs = (centers[q_topics] + sigma * rng.randn(N_QUERIES, DIM)).astype(
+        "float32"
+    )
+    cdf = pd.DataFrame({"vec_id": np.arange(n, dtype="int64"), "embedding": list(vecs)})
+    qdf = pd.DataFrame(
+        {"vec_id": np.arange(n, n + N_QUERIES, dtype="int64"), "embedding": list(qvecs)}
+    )
+    cpath, qpath = str(work / "cl_c"), str(work / "cl_q")
+    spark.createDataFrame(cdf).repartition(32).write.mode("overwrite").parquet(cpath)
+    spark.createDataFrame(qdf).coalesce(1).write.mode("overwrite").parquet(qpath)
+    corpus = spark.read.parquet(cpath)
+    queries = spark.read.parquet(qpath)
+    exact = cosine_topk(corpus, queries, k=K)
+    exact.count()
+    out = {
+        "n_vectors": n, "n_topics": n_topics, "sigma": sigma,
+        "n_centroids": n_cent, "n_probe": n_probe,
+        "pruning_frac": round(n_probe / n_cent, 4),
+    }
+
+    # stand-in codebook at the same pruning fraction
+    sc_path = str(work / "cl_cents")
+    ivf_pq_centroids(corpus, n_keep=max(n_cent, PQ_CENTROIDS)).write.mode(
+        "overwrite"
+    ).parquet(sc_path)
+    scents = spark.read.parquet(sc_path)
+    si_path = str(work / "cl_index")
+    kw = dict(n_centroids=n_cent, n_sub=N_SUB, sub_dim=SUB_DIM,
+              pq_centroids=PQ_CENTROIDS, dim=DIM)
+    build_ivf_pq_index(corpus, cents=scents, **kw).write.mode(
+        "overwrite"
+    ).partitionBy("cluster").parquet(si_path)
+    standin_served = ivf_pq_topk_serve(
+        spark.read.parquet(si_path), scents, queries, k=K, n_probe=n_probe, **kw
+    )
+    out["standin_recall_at_10"] = round(
+        ann_recall(exact, standin_served, k=K)
+        .agg(F.avg("recall").alias("r")).collect()[0]["r"], 4,
+    )
+
+    # trained codebooks, identical serving parameters
+    tc = kmeans_codebook(corpus, k=n_cent, iters=2, kernel="matmul")
+    tcp = str(work / "cl_tc")
+    tc.coalesce(1).write.mode("overwrite").parquet(tcp)
+    tc = spark.read.parquet(tcp)
+    tf = kmeans_subspace_codebook(
+        corpus, n_sub=N_SUB, sub_dim=SUB_DIM, k=PQ_CENTROIDS, iters=2,
+        kernel="matmul",
+    )
+    tfp = str(work / "cl_tf")
+    tf.coalesce(1).write.mode("overwrite").parquet(tfp)
+    tf = spark.read.parquet(tfp)
+    ti_path = str(work / "cl_tindex")
+    build_ivf_pq_index(
+        corpus, cents=tc, fine_cents=tf, coarse_metric="l2", **kw
+    ).write.mode("overwrite").partitionBy("cluster").parquet(ti_path)
+    trained_served = ivf_pq_topk_serve(
+        spark.read.parquet(ti_path), tc, queries, k=K, n_probe=n_probe,
+        fine_cents=tf, coarse_metric="l2", **kw,
+    )
+    out["trained_recall_at_10"] = round(
+        ann_recall(exact, trained_served, k=K)
+        .agg(F.avg("recall").alias("r")).collect()[0]["r"], 4,
+    )
+
+    # candidate recall: the coarse-stage ceiling every ADC rung is
+    # bounded by — fraction of exact top-10 inside the probed cells
+    asg = ivf_residuals(corpus, tc, n_cent, dim=DIM).select(
+        F.col("vec_id").alias("neighbor_id"), "cluster"
+    )
+    from open_bus_siri_etl_spark.operators.similarity import (
+        _nearest_centroids,
+        _slice_codebook,
+    )
+
+    qprobe = _nearest_centroids(
+        queries.select(F.col("vec_id").alias("_id"), F.col("embedding").alias("_vec")),
+        F.broadcast(_slice_codebook(tc, n_cent, "coarse", "bench")),
+        "cluster", n_probe, DIM, metric="l2",
+    ).select(F.col("_id").alias("query_id"), "cluster")
+    hits = (
+        exact.join(asg, "neighbor_id")
+        .join(qprobe, ["query_id", "cluster"], "left_semi")
+        .count()
+    )
+    out["trained_candidate_recall_at_10"] = round(
+        hits / (N_QUERIES * K), 4
+    )
+
+    # residual encoding: fine codebook trained on x - centroid[cluster]
+    res = ivf_residuals(corpus, tc, n_cent, dim=DIM)
+    rf = kmeans_subspace_codebook(
+        res, n_sub=N_SUB, sub_dim=SUB_DIM, k=PQ_CENTROIDS, iters=2,
+        kernel="matmul",
+    )
+    rfp = str(work / "cl_rf")
+    rf.coalesce(1).write.mode("overwrite").parquet(rfp)
+    rf = spark.read.parquet(rfp)
+    ri_path = str(work / "cl_rindex")
+    build_ivf_pq_index(
+        corpus, cents=tc, fine_cents=rf, coarse_metric="l2",
+        residual=True, **kw,
+    ).write.mode("overwrite").partitionBy("cluster").parquet(ri_path)
+
+    def serve_residual(kk):
+        return ivf_pq_topk_serve(
+            spark.read.parquet(ri_path), tc, queries, k=kk,
+            n_probe=n_probe, fine_cents=rf, coarse_metric="l2",
+            residual=True, **kw,
+        )
+
+    out["residual_recall_at_10"] = round(
+        ann_recall(exact, serve_residual(K), k=K)
+        .agg(F.avg("recall").alias("r")).collect()[0]["r"], 4,
+    )
+
+    # exact refine of the ADC shortlist (IndexRefineFlat)
+    from open_bus_siri_etl_spark.operators.similarity import (
+        _exact_cosine,
+        _topk_per_query,
+    )
+
+    for shortlist in (50, 100, 200):
+        short = serve_residual(shortlist).select("query_id", "neighbor_id")
+        qv = queries.select(
+            F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
+        )
+        cv = corpus.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("c_vec"),
+        )
+        refined = _topk_per_query(
+            short.join(F.broadcast(qv), "query_id")
+            .join(cv, "neighbor_id")
+            .withColumn(
+                "cosine", _exact_cosine(F.col("q_vec"), F.col("c_vec"), DIM)
+            ),
+            K, [F.desc("cosine")],
+        )
+        out[f"refine{shortlist}_recall_at_10"] = round(
+            ann_recall(exact, refined, k=K)
+            .agg(F.avg("recall").alias("r")).collect()[0]["r"], 4,
+        )
+    print(json.dumps(out), flush=True)
+    return out
 
 
 def epoch_appends(spark, work: Path) -> dict:
@@ -326,6 +498,7 @@ def main() -> None:
             )
             tiers.append(tier)
             print(json.dumps(tier), flush=True)
+        cl = clustered_recall(spark, work)
         ep = epoch_appends(spark, work)
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -338,6 +511,7 @@ def main() -> None:
         "k": K,
         "pq": {"n_sub": N_SUB, "sub_dim": SUB_DIM, "pq_centroids": PQ_CENTROIDS},
         "tiers": tiers,
+        "clustered_recall": cl,
         "epoch_appends": ep,
     }
     print(json.dumps(out))
