@@ -267,10 +267,11 @@ def kmeans_ivf_topk(
     compose.
 
     n_probe = 1 by construction: queries are corpus rows (pass their ids
-    in ``query_ids``) and probe their own trained cluster via the shared
-    assignment — one kmeans pass covers both sides.  Out-of-sample
-    queries would assign against the trained centroids (driver state,
-    kilobytes) with the same kernel.
+    in ``query_ids``; an id absent from the corpus raises in-plan) and
+    probe their own trained cluster via the shared assignment — one
+    kmeans pass covers both sides.  For query VECTORS outside the corpus
+    use ``kmeans_ivf_topk_oos``, which assigns against the trained
+    centroids with the same deterministic spec and supports n_probe > 1.
 
     Scale shape: training is ``iters`` scans with centroid-sized driver
     state; the candidate join is cluster-keyed (bucket/partition by
@@ -283,12 +284,11 @@ def kmeans_ivf_topk(
     from .similarity import _exact_cosine, _topk_per_query
 
     asg = kmeans_assign(corpus, n_clusters, iters, id_col, vec_col)
-    # lazily checkpoint the endpoint-sized matched-query slice: it feeds
-    # two subtrees below and Catalyst has no cross-subtree CSE, so without
-    # this the corpus-wide assignment scan would run once per use
-    q0 = asg.join(
-        F.broadcast(query_ids.select(id_col)), id_col, "left_semi"
-    ).localCheckpoint(eager=False)
+    # distinct: the left-join probe rebuild below is 1:1 only for unique
+    # query ids — a duplicated id would duplicate every candidate row and
+    # corrupt the top-k ranks (the old semi join deduped by construction)
+    qids = query_ids.select(id_col).distinct()
+    q0 = asg.join(F.broadcast(qids), id_col, "left_semi")
     # fail-loud on query ids absent from the corpus (the family's
     # _non_null_ids/_disjoint_ids_or_raise discipline): a typo'd or
     # out-of-sample id used to be silently omitted by the semi join.  The
@@ -299,7 +299,7 @@ def kmeans_ivf_topk(
     # cannot be pruned the way a raise on a dead-end subtree can (AQE
     # empty-relation propagation skips broadcasts a join no longer needs).
     q = (
-        query_ids.select(F.col(id_col).alias("query_id"))
+        qids.select(F.col(id_col).alias("query_id"))
         .join(
             F.broadcast(
                 q0.select(F.col(id_col).alias("query_id"), "cluster")
@@ -384,10 +384,33 @@ def kmeans_ivf_topk_oos(
     per-query.  Output: (query_id, neighbor_id, rank) — rank 1..k by
     exact cosine desc, ties to the smaller neighbor id.
     """
-    from .similarity import _exact_cosine, _nearest_centroids, _topk_per_query
+    from .similarity import (
+        _disjoint_ids_or_raise,
+        _exact_cosine,
+        _nearest_centroids,
+        _topk_per_query,
+    )
 
-    asg = kmeans_assign(corpus, n_clusters, iters, id_col, vec_col)
-    cb = kmeans_codebook(corpus, n_clusters, iters, id_col, vec_col)
+    # queries are OUTSIDE the corpus by contract — a colliding id would
+    # silently return the corpus row itself as its own rank-1 neighbor
+    # (no self-exclusion on this path), so enforce disjointness in-plan
+    # like the delta-ingest family does
+    corpus = _disjoint_ids_or_raise(
+        corpus, queries, id_col, "kmeans_ivf_topk_oos"
+    )
+    # ONE Lloyd training drives both the corpus assignment and the
+    # codebook frame (kmeans_assign + kmeans_codebook would train twice
+    # for identical deterministic centroids)
+    assign_fn = _resolve_kernel(n_clusters, "auto")
+    vecd = corpus.select(
+        id_col, F.transform(vec_col, lambda x: x.cast("double")).alias("v")
+    )
+    cents = _train_centroids(vecd, n_clusters, iters, id_col, assign_fn)
+    asg = assign_fn(vecd, cents, id_col).select(id_col, "cluster")
+    cb = corpus.sparkSession.createDataFrame(
+        [(c + 1, c, [float(x) for x in cents[c]]) for c in range(n_clusters)],
+        _CODEBOOK_SCHEMA,
+    )
     q = queries.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
     probed = _nearest_centroids(
         q, F.broadcast(cb.select("cent_id", "cent_vec")), "cluster",

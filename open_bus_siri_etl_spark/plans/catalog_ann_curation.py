@@ -2604,11 +2604,11 @@ def ivf_pq_kmeans_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # path it measures.
 _IVF_PQ_KMEANS_SQL = REGISTRY["ivf_pq_kmeans_topk"].sql
 
-
-@register(
-    "ivf_pq_kmeans_recall_eval",
-    f"""
-    WITH approx AS ({_IVF_PQ_KMEANS_SQL}),
+# The brute-force recall tail shared by every round-10 recall eval
+# (kmeans / residual / refine): fx..exact is the exact cosine top-5 on
+# the standard 8-query set, hits joins it against the `approx` CTE the
+# composing entry supplies — one definition, no drift between evals.
+_RECALL_EVAL_TAIL = """
     fx AS (
         SELECT vec_id, unnest(embedding)::DOUBLE AS v,
                generate_subscripts(embedding, 1) AS i
@@ -2641,6 +2641,14 @@ _IVF_PQ_KMEANS_SQL = REGISTRY["ivf_pq_kmeans_topk"].sql
     SELECT qq.query_id, CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
            round(CAST(coalesce(n_hits, 0) AS DOUBLE) / 5.0, 6) AS recall
     FROM (SELECT DISTINCT query_id FROM exact) qq LEFT JOIN hits USING (query_id)
+"""
+
+
+@register(
+    "ivf_pq_kmeans_recall_eval",
+    f"""
+    WITH approx AS ({_IVF_PQ_KMEANS_SQL}),
+    {_RECALL_EVAL_TAIL}
     """,
     note="recall@5 of the TRAINED IVF-PQ path against brute-force cosine "
     "top-5 on the same 8-query set — the measured answer to whether "
@@ -2856,42 +2864,6 @@ def ivf_pq_residual_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=5, n_centroids=8, n_probe=2, n_sub=4, sub_dim=16,
         pq_centroids=8, iters=2,
     )
-
-
-_RECALL_EVAL_TAIL = """
-    fx AS (
-        SELECT vec_id, unnest(embedding)::DOUBLE AS v,
-               generate_subscripts(embedding, 1) AS i
-        FROM embeddings
-    ),
-    nx AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM fx GROUP BY vec_id),
-    dx AS (
-        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, sum(q.v * c.v) AS dot
-        FROM fx q JOIN fx c ON q.i = c.i AND q.vec_id <> c.vec_id
-        WHERE q.vec_id BETWEEN 8 AND 15
-        GROUP BY 1, 2
-    ),
-    sx AS (
-        SELECT query_id, neighbor_id, dot / (nq.nrm * nc.nrm) AS cosine
-        FROM dx JOIN nx nq ON query_id = nq.vec_id
-                JOIN nx nc ON neighbor_id = nc.vec_id
-    ),
-    exact AS (
-        SELECT query_id, neighbor_id FROM (
-            SELECT query_id, neighbor_id, row_number() OVER (
-                PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
-            FROM sx) WHERE rank <= 5
-    ),
-    hits AS (
-        SELECT a.query_id, count(*) AS n_hits
-        FROM approx a JOIN exact e
-          ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
-        GROUP BY 1
-    )
-    SELECT qq.query_id, CAST(coalesce(n_hits, 0) AS BIGINT) AS n_hits,
-           round(CAST(coalesce(n_hits, 0) AS DOUBLE) / 5.0, 6) AS recall
-    FROM (SELECT DISTINCT query_id FROM exact) qq LEFT JOIN hits USING (query_id)
-"""
 
 
 @register(

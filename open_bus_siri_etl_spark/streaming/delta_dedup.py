@@ -51,6 +51,17 @@ def _read_or_none(spark: SparkSession, path: str) -> DataFrame | None:
     the stream commit output computed against an empty history."""
     from pyspark.errors import AnalysisException
 
+    import os
+
+    if os.path.exists(path + "._compacting"):
+        raise RuntimeError(
+            f"{path}: a log compaction was interrupted mid-rewrite (marker "
+            f"{path}._compacting present) — the store may be partially "
+            "deleted.  Recover from the staged latest-wins copy at "
+            f"{path}._compact_staging, then remove the marker.  Refusing "
+            "to read: treating a half-rewritten log as first-batch state "
+            "would silently rebuild from empty."
+        )
     try:
         return spark.read.parquet(path)
     except AnalysisException as e:
@@ -296,7 +307,15 @@ def _compact_log(
     go, so no stale live record can resurface).  Staged like
     ``Warehouse._staged_rewrite``: write the resolved view to a sibling
     directory first, then overwrite the log from the staged copy — never
-    overwrite the directory the resolving plan is reading."""
+    overwrite the directory the resolving plan is reading.  The final
+    overwrite is the one non-atomic step (plain-parquet limits, same
+    class as the control-table compaction; a lake deployment swaps in
+    Delta's transactional replaceWhere): it runs under a ``_compacting``
+    marker that ``_read_or_none`` REFUSES to read through, so a crash
+    mid-rewrite fails the next stream loudly — with the staged
+    latest-wins copy intact as the recovery source — instead of being
+    silently read as first-batch state."""
+    import os
     import shutil
 
     log = _read_or_none(spark, path)
@@ -313,12 +332,15 @@ def _compact_log(
     ).write.mode("overwrite").parquet(stage)
     staged = spark.read.parquet(stage)
     n_after = staged.count()
+    marker = path + "._compacting"
+    os.makedirs(marker, exist_ok=True)
     # STATIC overwrite: the whole point is removing the superseded
     # partitions, and the session default (dynamic, for the per-batch
     # idempotent writes) would replace only ingest_batch=-1
     staged.write.mode("overwrite").option(
         "partitionOverwriteMode", "static"
     ).partitionBy("ingest_batch").parquet(path)
+    os.rmdir(marker)
     shutil.rmtree(stage, ignore_errors=True)
     return {
         "rows_before": n_before,

@@ -483,7 +483,6 @@ def main() -> None:
                     "recall_at_10": round(trained_recall, 4),
                 },
             }
-            stride = n // N_QUERIES
             served_t = serve_trained()
             tier["trained"]["twin_recall_at_1"] = round(
                 served_t.filter(F.col("rank") == 1)
