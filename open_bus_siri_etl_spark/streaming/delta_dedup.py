@@ -593,6 +593,9 @@ def start_ivf_pq_index_stream(
     pq_centroids: int = 8,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    trained: bool = False,
+    residual: bool = False,
+    iters: int = 2,
     max_files_per_trigger: int | None = None,
     trigger: dict | None = None,
     schema=None,
@@ -620,13 +623,50 @@ def start_ivf_pq_index_stream(
     honored (and an undersized one raises the same way), so re-pointing
     the stream at a new landing tree keeps the codebook stable.
     Returns the StreamingQuery.
+
+    ``trained=True`` freezes TRAINED codebooks instead of the lowest-id
+    stand-in — FAISS's actual train()-then-add(): the coarse kmeans
+    codebook and the per-subspace PQ codebook (over first-batch
+    residuals when ``residual=True``) are trained on the FIRST
+    micro-batch, written once (coarse at ``cents_path``, fine at
+    ``cents_path + "_fine"``), and every batch encodes against them with
+    the L2/residual family tags.  Both trainings are deterministic in
+    the first batch's content, so replays recompute identical frames and
+    the overwrite-when-unreadable rule keeps crashes between the two
+    codebook writes recoverable (the checkpoint cannot have committed
+    batch 0 before process_batch finished, so a replay still holds the
+    training data).
     """
+    from ..operators.clustering import (
+        kmeans_codebook,
+        kmeans_subspace_codebook,
+    )
+    from ..operators.similarity import ivf_residuals
+
     if schema is None:
         schema = (
             spark.read.option("recursiveFileLookup", "true")
             .parquet(landing_root).schema
         )
     n_keep = max(n_centroids, pq_centroids)
+    fine_path = cents_path + "_fine"
+    if residual and not trained:
+        raise ValueError(
+            "start_ivf_pq_index_stream: residual=True requires "
+            "trained=True (residual codes need the trained L2 coarse "
+            "family to re-center against)"
+        )
+
+    def _write_once(frame: DataFrame, path: str) -> DataFrame:
+        # mode("overwrite"), not the default errorIfExists: a crash
+        # MID-write leaves a partial directory that _read_or_none reads
+        # as missing (no footers -> UNABLE_TO_INFER_SCHEMA), and the
+        # replay's re-attempt must be able to clobber the partial
+        # output instead of wedging the stream on "path already
+        # exists".  Safe because the frame is deterministic in the
+        # first batch's content and only written when unreadable.
+        frame.coalesce(1).write.mode("overwrite").parquet(path)
+        return spark.read.parquet(path)
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch = batch_df.select(id_col, vec_col).localCheckpoint(eager=True)
@@ -634,21 +674,34 @@ def start_ivf_pq_index_stream(
             return
         cents = _read_or_none(spark, cents_path)
         if cents is None:
-            # mode("overwrite"), not the default errorIfExists: a crash
-            # MID-write leaves a partial directory that _read_or_none reads
-            # as missing (no footers -> UNABLE_TO_INFER_SCHEMA), and the
-            # replay's re-attempt must be able to clobber the partial
-            # output instead of wedging the stream on "path already
-            # exists".  Safe because the frame is deterministic in the
-            # first batch's content and only written when unreadable.
-            ivf_pq_centroids(batch, n_keep, id_col, vec_col).coalesce(
-                1
-            ).write.mode("overwrite").parquet(cents_path)
-            cents = spark.read.parquet(cents_path)
+            cents = _write_once(
+                kmeans_codebook(batch, n_centroids, iters, id_col, vec_col)
+                if trained
+                else ivf_pq_centroids(batch, n_keep, id_col, vec_col),
+                cents_path,
+            )
+        fine = None
+        if trained:
+            fine = _read_or_none(spark, fine_path)
+            if fine is None:
+                base = (
+                    ivf_residuals(batch, cents, n_centroids, id_col, vec_col)
+                    if residual
+                    else batch
+                )
+                fine = _write_once(
+                    kmeans_subspace_codebook(
+                        base, n_sub, sub_dim, pq_centroids, iters,
+                        id_col, vec_col,
+                    ),
+                    fine_path,
+                )
         _write_partition(
             build_ivf_pq_index(
                 batch, n_centroids, n_sub, sub_dim, pq_centroids,
-                id_col, vec_col, cents=cents,
+                id_col, vec_col, cents=cents, fine_cents=fine,
+                coarse_metric="l2" if trained else "cosine",
+                residual=residual,
             ),
             batch_id,
             index_path,

@@ -1630,3 +1630,59 @@ def test_ivf_pq_index_stream_serves_each_prefix_like_inline(spark, tmp_path):
         )
         inline = ivf_pq_topk(prefix, qs, k=5)
         assert multiset(served) == multiset(inline), f"prefix {k}"
+
+
+def test_ivf_pq_index_stream_trained_residual_equals_batch(spark, tmp_path):
+    """Round-10: the streaming indexer with trained=True, residual=True
+    (FAISS train-then-add with REAL quantizers) — codebooks train on the
+    first micro-batch and freeze; the drained store equals the batch
+    build over everything landed against those same frozen frames, and
+    serving from it (residual family tags) equals serving the
+    batch-built index."""
+    from pyspark.sql import functions as F
+
+    from open_bus_siri_etl_spark.operators.similarity import (
+        build_ivf_pq_index,
+        ivf_pq_topk_serve,
+    )
+    from open_bus_siri_etl_spark.streaming.delta_dedup import (
+        start_ivf_pq_index_stream,
+    )
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+    )
+    slices = [
+        emb.filter("vec_id < 200"),
+        emb.filter("vec_id >= 200 AND vec_id < 350"),
+        emb.filter("vec_id >= 350"),
+    ]
+    landing = tmp_path / "landing"
+    for k, part in enumerate(slices):
+        part.coalesce(1).write.parquet(str(landing / f"batch_{k}"))
+    index_path = str(tmp_path / "index")
+    cents_path = str(tmp_path / "cents")
+    q = start_ivf_pq_index_stream(
+        spark, str(landing), index_path, cents_path,
+        str(tmp_path / "ckpt"), trained=True, residual=True,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(300)
+
+    def multiset(df):
+        return sorted(tuple(str(v) for v in r) for r in df.collect())
+
+    coarse = spark.read.parquet(cents_path)
+    fine = spark.read.parquet(cents_path + "_fine")
+    kw = dict(cents=coarse, fine_cents=fine, coarse_metric="l2", residual=True)
+    rebuilt = build_ivf_pq_index(emb, **kw)
+    streamed = spark.read.parquet(index_path).select(*rebuilt.columns)
+    assert multiset(streamed) == multiset(rebuilt)
+    assert streamed.select("params").distinct().first()[0].endswith("L2R")
+
+    qs = emb.filter("vec_id BETWEEN 8 AND 15")
+    skw = dict(fine_cents=fine, coarse_metric="l2", residual=True)
+    assert multiset(
+        ivf_pq_topk_serve(streamed, coarse, qs, k=5, **skw)
+    ) == multiset(ivf_pq_topk_serve(rebuilt, coarse, qs, k=5, **skw))
