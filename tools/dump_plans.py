@@ -152,6 +152,13 @@ SHOWCASE = {
     " hash joins (query-sized sides); the only nested-loop joins are"
     " against the tiny codebook; scored candidates are code rows, never"
     " per-pair vector math",
+    "ivf_pq_residual_topk": "residual IVF-PQ (trained quantizers): the"
+    " per-cluster re-centered ADC table broadcasts; the lookup join"
+    " carries (query, cluster, m, code); still no per-pair vector math —"
+    " vector folds appear only against codebook-sized frames",
+    "ivf_pq_refine_topk": "exact-refine stage: the shortlist (|Q| x 20"
+    " ids) reaches the corpus through a broadcast hash join — one pruned"
+    " corpus scan, never a corpus shuffle or cross join",
 }
 
 
