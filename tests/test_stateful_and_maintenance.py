@@ -1686,3 +1686,26 @@ def test_ivf_pq_index_stream_trained_residual_equals_batch(spark, tmp_path):
     assert multiset(
         ivf_pq_topk_serve(streamed, coarse, qs, k=5, **skw)
     ) == multiset(ivf_pq_topk_serve(rebuilt, coarse, qs, k=5, **skw))
+
+
+def test_interrupted_compaction_marker_refuses_reads(spark, tmp_path):
+    """A compaction killed mid-rewrite must fail the next reader LOUDLY:
+    the _compacting marker makes _read_or_none raise (with the staged
+    copy named as the recovery source) instead of mapping a
+    half-deleted log to first-batch state and silently rebuilding from
+    empty."""
+    import os
+
+    import pytest as _pytest
+
+    from open_bus_siri_etl_spark.streaming.delta_dedup import _read_or_none
+
+    path = str(tmp_path / "labels")
+    spark.range(5).withColumn("ingest_batch", F.lit(0)).write.partitionBy(
+        "ingest_batch"
+    ).parquet(path)
+    os.makedirs(path + "._compacting")
+    with _pytest.raises(RuntimeError, match="interrupted mid-rewrite"):
+        _read_or_none(spark, path)
+    os.rmdir(path + "._compacting")
+    assert _read_or_none(spark, path).count() == 5
