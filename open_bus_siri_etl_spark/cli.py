@@ -114,6 +114,15 @@ def main(argv: list[str] | None = None) -> int:
     tp.add_argument("--min-tokens", type=int, default=20)
     tp.add_argument("--max-tokens", type=int, default=80)
 
+    cc = sub.add_parser(
+        "compact-curation-state",
+        help="beyond-reference maintenance: rewrite a curation stream's "
+        "label/survivor logs to their latest-wins base (run while the "
+        "stream is stopped after a clean drain — the daily-maintenance "
+        "slot, like the control-table compaction)",
+    )
+    cc.add_argument("state_root")
+
     ex = sub.add_parser(
         "export-training-shards",
         help="beyond-reference: materialize a parquet table as N "
@@ -144,6 +153,15 @@ def main(argv: list[str] | None = None) -> int:
             return 0 if path else 1
         landed = download_latest_snapshots(landing, url_template, minutes=args.minutes)
         print(json.dumps({"landed": len(landed), "snapshot_ids": landed}))
+        return 0
+
+    if args.cmd == "compact-curation-state":
+        from .session import get_spark
+        from .streaming.delta_dedup import compact_curation_logs
+
+        spark = get_spark(app_name="siri-etl-compact-curation")
+        stats = compact_curation_logs(spark, args.state_root)
+        print(json.dumps({"state_root": args.state_root, **stats}))
         return 0
 
     if args.cmd == "export-training-shards":

@@ -154,3 +154,40 @@ def test_cli_export_training_shards(tmp_path):
     import glob
 
     assert len(glob.glob(f"{out}/shard=*/*.parquet")) == 4
+
+
+def test_cli_compact_curation_state(spark, tmp_path, capsys):
+    """The maintenance verb wraps compact_curation_logs: logs shrink to
+    their base partition and the command reports the row stats."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    state = tmp_path / "state"
+    for name, rows in (
+        ("labels", [(1, 10), (2, 20)]),
+        ("labels", [(1, 5), (3, 5)]),
+    ):
+        df = spark.createDataFrame(rows, "doc_id long, component long")
+        batch = len(list((state / name).glob("ingest_batch=*"))) if (
+            state / name
+        ).exists() else 0
+        df.withColumn("ingest_batch", F.lit(batch)).write.mode(
+            "append"
+        ).partitionBy("ingest_batch").parquet(str(state / name))
+    surv = spark.createDataFrame(
+        [(10, 1, 100, 2, False), (10, None, None, None, True)],
+        "component long, kept_doc_id long, kept_n_chars long, "
+        "n_members long, deleted boolean",
+    )
+    surv.withColumn("ingest_batch", F.expr("case when deleted then 1 else 0 end")).write.partitionBy(
+        "ingest_batch"
+    ).parquet(str(state / "survivors"))
+
+    rc = main(["compact-curation-state", str(state)])
+    out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0
+    assert out["labels"]["rows_before"] == 4
+    assert out["labels"]["rows_after"] == 3
+    assert out["survivors"]["rows_after"] == 0  # tombstoned away
+    assert len(list((state / "labels").glob("ingest_batch=*"))) == 1
