@@ -2441,3 +2441,35 @@ def test_ivf_pq_refine_full_probe_equals_exact(spark):
     )
     exact = sorted(map(tuple, cosine_topk(emb, qs, k=5).collect()))
     assert refined == exact and refined
+
+
+def test_ivf_pq_residual_append_is_rebuild(spark):
+    """Residual codes are still per-row functions of (vector, frozen
+    codebooks) — the cluster assignment fixes the re-centering, so the
+    append-is-rebuild contract survives residual encoding too."""
+    from open_bus_siri_etl_spark.operators.clustering import (
+        kmeans_codebook,
+        kmeans_subspace_codebook,
+    )
+    from open_bus_siri_etl_spark.operators.similarity import (
+        build_ivf_pq_index,
+        ivf_residuals,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    coarse = kmeans_codebook(emb, k=8, iters=2)
+    res = ivf_residuals(emb, coarse, 8)
+    fine = kmeans_subspace_codebook(res, n_sub=4, sub_dim=16, k=8, iters=2)
+    kw = dict(cents=coarse, fine_cents=fine, coarse_metric="l2", residual=True)
+    part1 = emb.filter("vec_id < 300")
+    delta = emb.filter("vec_id >= 300")
+    full = sorted(map(tuple, build_ivf_pq_index(emb, **kw).collect()))
+    appended = sorted(
+        map(
+            tuple,
+            build_ivf_pq_index(part1, **kw)
+            .unionByName(build_ivf_pq_index(delta, **kw))
+            .collect(),
+        )
+    )
+    assert full == appended and full
