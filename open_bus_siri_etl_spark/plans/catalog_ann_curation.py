@@ -2968,3 +2968,73 @@ def ivf_pq_refine_recall_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         sub_dim=16, pq_centroids=8, iters=2,
     )
     return ann_recall(exact, approx, k=5)
+
+
+def _kmeans_chain_sql(iters: int, k: int = 8) -> str:
+    """GENERATED Lloyd CTE chain for arbitrary ``iters`` — the proof that
+    iterative DEPTH is a parameter, not a hand-written special case: the
+    same loop count that drives ``kmeans_assign``'s driver-state training
+    emits the oracle's assignment→means→carry-forward rounds, so any
+    depth stays oracle-exact.  (kmeans_clusters' hand-written SQL is the
+    iters=2 instance; the trained-IVF chains reuse that fixed form.)"""
+    parts = [
+        "f AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,"
+        " unnest(embedding)::DOUBLE AS v FROM embeddings)",
+        f"c0f AS (SELECT vec_id AS cid, i, v FROM f WHERE vec_id < {k})",
+    ]
+    for j in range(1, iters):
+        prev = f"c{j - 1}f"
+        parts.append(
+            f"d{j} AS (SELECT f.vec_id, {prev}.cid,"
+            f" round(sum((f.v - {prev}.v) * (f.v - {prev}.v)), 6) AS d2"
+            f" FROM f JOIN {prev} USING (i) GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"a{j} AS (SELECT vec_id, cid AS cluster FROM ("
+            f"SELECT vec_id, cid, row_number() OVER ("
+            f"PARTITION BY vec_id ORDER BY d2, cid) AS rn FROM d{j})"
+            f" WHERE rn = 1)"
+        )
+        parts.append(
+            f"c{j} AS (SELECT a{j}.cluster AS cid, f.i,"
+            f" round(avg(f.v), 6) AS v FROM f JOIN a{j} USING (vec_id)"
+            f" GROUP BY 1, 2)"
+        )
+        parts.append(
+            f"c{j}f AS (SELECT p.cid, p.i, coalesce(c{j}.v, p.v) AS v"
+            f" FROM {prev} p LEFT JOIN c{j}"
+            f" ON c{j}.cid = p.cid AND c{j}.i = p.i)"
+        )
+    last = f"c{iters - 1}f"
+    parts.append(
+        f"dfin AS (SELECT f.vec_id, {last}.cid,"
+        f" round(sum((f.v - {last}.v) * (f.v - {last}.v)), 6) AS d2"
+        f" FROM f JOIN {last} USING (i) GROUP BY 1, 2)"
+    )
+    chain = ",\n    ".join(parts)
+    return f"""
+    WITH {chain}
+    SELECT vec_id, cid AS cluster FROM (
+        SELECT vec_id, cid, row_number() OVER (
+            PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM dfin) WHERE rn = 1
+    """
+
+
+@register(
+    "kmeans_clusters_deep",
+    _kmeans_chain_sql(iters=4),
+    note="4-iteration Lloyd assignment with a GENERATED oracle chain — "
+    "training depth as a parameter: _kmeans_chain_sql emits the "
+    "assignment->means->carry-forward rounds for ANY iters, mirroring "
+    "the driver-state loop, so deeper training (what lifts coarse "
+    "candidate recall — 2->5 iterations moved the clustered-corpus "
+    "candidate ceiling 0.94->0.99 in the BENCH_IVFPQ design study) "
+    "keeps the exact cross-engine contract without hand-writing CTEs.  "
+    "Same determinism spec as kmeans_clusters (min-id init, 6dp "
+    "rounding, min-cid ties, per-coordinate carry-forward)",
+)
+def kmeans_clusters_deep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.clustering import kmeans_assign
+
+    return kmeans_assign(t(spark, sf_dir, "embeddings"), k=8, iters=4)

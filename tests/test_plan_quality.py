@@ -737,6 +737,7 @@ FULL_REGISTRY_ORDER = [
     "ivf_pq_residual_recall_eval",
     "ivf_pq_refine_topk",
     "ivf_pq_refine_recall_eval",
+    "kmeans_clusters_deep",
 ]
 
 

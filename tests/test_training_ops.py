@@ -2473,3 +2473,23 @@ def test_ivf_pq_residual_append_is_rebuild(spark):
         )
     )
     assert full == appended and full
+
+
+def test_kmeans_chain_sql_iters2_matches_kmeans_clusters(spark):
+    """The generated Lloyd chain at iters=2 must return exactly what the
+    hand-written kmeans_clusters oracle's Spark twin returns — the
+    generator is the general form of the fixed chain, not a new spec."""
+    import open_bus_siri_etl_spark.plans.catalog  # noqa: F401 (assembler first)
+    from open_bus_siri_etl_spark.operators.clustering import kmeans_assign
+    from open_bus_siri_etl_spark.plans.catalog_ann_curation import (
+        _kmeans_chain_sql,
+    )
+    from open_bus_siri_etl_spark.plans.sqlapi import sql_spark
+
+    sf = "/root/testdata/sf0.001"
+    via_sql = sorted(
+        map(tuple, sql_spark(spark, sf, _kmeans_chain_sql(iters=2)).collect())
+    )
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    direct = sorted(map(tuple, kmeans_assign(emb, k=8, iters=2).collect()))
+    assert via_sql == direct and via_sql
