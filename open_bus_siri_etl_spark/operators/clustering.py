@@ -133,6 +133,14 @@ def _train_centroids(
     rounding on updated coordinates and per-coordinate carry-forward for
     emptied clusters keep the result oracle-exact (module contract)."""
     cents = [r["v"] for r in vecd.orderBy(id_col).limit(k).collect()]
+    if len(cents) < k:
+        raise ValueError(
+            f"kmeans: k={k} but the input has only {len(cents)} rows — "
+            "min-id init needs k distinct vectors (a streaming trainer's "
+            "FIRST batch must carry at least max(n_centroids, "
+            "pq_centroids) rows; this is the trained-path twin of the "
+            "frozen-codebook undersize guard)"
+        )
     dim = len(cents[0])
     for _ in range(iters - 1):
         assign = assign_fn(vecd, cents, id_col)

@@ -372,6 +372,24 @@ def compact_curation_logs(spark: SparkSession, state_root: str) -> dict:
     ``ingest_batch=-1`` so later appends always win latest-wins and no
     real batch id can collide with it.
     """
+    import os
+
+    missing = [
+        name
+        for name in ("labels", "survivors")
+        if not os.path.isdir(f"{state_root}/{name}")
+    ]
+    if missing:
+        # a typo'd state_root compacting "successfully" with all-zero
+        # stats would let the real log grow quadratically while the daily
+        # maintenance slot reports green — fail loudly instead (a drained
+        # curation stream always leaves BOTH logs)
+        raise FileNotFoundError(
+            f"compact_curation_logs: {state_root} has no "
+            f"{'/'.join(missing)} log{'s' if len(missing) > 1 else ''} — "
+            "not a curation stream state root (run against the state_root "
+            "a drained start_text_curation_stream wrote)"
+        )
     return {
         "labels": _compact_log(spark, f"{state_root}/labels", ["doc_id"]),
         "survivors": _compact_log(
@@ -656,6 +674,31 @@ def start_ivf_pq_index_stream(
             "trained=True (residual codes need the trained L2 coarse "
             "family to re-center against)"
         )
+    # fail at START, not at serve, if this stream's family flags disagree
+    # with what the persisted index was built as: flipping trained= /
+    # residual= on an existing deployment would append mixed-family
+    # partitions (different params tag) into the same store, and only
+    # every LATER serve would raise — with manual partition surgery as
+    # the fix.  One distinct-scan of the params column at startup is
+    # cheap (dictionary-encoded constant) and keeps per-batch cost
+    # delta-sized.
+    from ..operators.similarity import _ivf_pq_params_tag
+
+    expected_tag = _ivf_pq_params_tag(
+        n_centroids, n_sub, sub_dim, pq_centroids,
+        "l2" if trained else "cosine", residual,
+    )
+    existing = _read_or_none(spark, index_path)
+    if existing is not None:
+        tags = [r["params"] for r in existing.select("params").distinct().collect()]
+        if tags and set(tags) != {expected_tag}:
+            raise ValueError(
+                f"start_ivf_pq_index_stream: the persisted index at "
+                f"{index_path} carries params {sorted(set(tags))} but this "
+                f"stream would append {expected_tag} — the trained=/"
+                "residual=/geometry flags must match the deployment the "
+                "index was built as (rebuild the index to change family)"
+            )
 
     def _write_once(frame: DataFrame, path: str) -> DataFrame:
         # mode("overwrite"), not the default errorIfExists: a crash
@@ -680,6 +723,24 @@ def start_ivf_pq_index_stream(
                 else ivf_pq_centroids(batch, n_keep, id_col, vec_col),
                 cents_path,
             )
+        elif trained:
+            # an ADOPTED frame must look like a kmeans_codebook (cent_id
+            # IS the dense cluster index) — a stand-in ivf_pq_centroids
+            # frame left by an older untrained deployment would otherwise
+            # be silently served as "trained" (its cb_fp self-verifies, so
+            # no later stage would catch the swap)
+            bad = cents.filter(
+                F.col("cent_id") != F.col("cent_rank") - 1
+            ).count()
+            if bad or cents.count() != n_centroids:
+                raise ValueError(
+                    f"start_ivf_pq_index_stream: the frame at {cents_path} "
+                    "is not a trained kmeans_codebook (expected exactly "
+                    f"{n_centroids} rows with cent_id == cent_rank - 1) — "
+                    "a trained=True stream must not adopt a stand-in "
+                    "codebook; point cents_path elsewhere or remove the "
+                    "stale frame"
+                )
         fine = None
         if trained:
             fine = _read_or_none(spark, fine_path)

@@ -1709,3 +1709,79 @@ def test_interrupted_compaction_marker_refuses_reads(spark, tmp_path):
         _read_or_none(spark, path)
     os.rmdir(path + "._compacting")
     assert _read_or_none(spark, path).count() == 5
+
+
+def test_ivf_pq_stream_family_flip_fails_at_start(spark, tmp_path):
+    """Flipping trained=/residual= against an existing index must fail at
+    STREAM START, not at some later serve over a mixed-family store."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from open_bus_siri_etl_spark.streaming.delta_dedup import (
+        start_ivf_pq_index_stream,
+    )
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+    )
+    landing = tmp_path / "landing"
+    emb.filter("vec_id < 200").coalesce(1).write.parquet(str(landing / "b0"))
+    index_path = str(tmp_path / "index")
+    cents_path = str(tmp_path / "cents")
+    q = start_ivf_pq_index_stream(
+        spark, str(landing), index_path, cents_path, str(tmp_path / "ckpt")
+    )
+    q.awaitTermination(180)
+    with _pytest.raises(ValueError, match="must match the deployment"):
+        start_ivf_pq_index_stream(
+            spark, str(landing), index_path, str(tmp_path / "tcents"),
+            str(tmp_path / "ckpt2"), trained=True, residual=True,
+        )
+
+
+def test_ivf_pq_stream_trained_rejects_standin_codebook(spark, tmp_path):
+    """trained=True adopting a stand-in ivf_pq_centroids frame would be
+    served as 'trained' with a self-consistent fingerprint — the adopt
+    path must reject frames that are not a kmeans_codebook."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from open_bus_siri_etl_spark.operators.similarity import ivf_pq_centroids
+    from open_bus_siri_etl_spark.streaming.delta_dedup import (
+        start_ivf_pq_index_stream,
+    )
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+    )
+    landing = tmp_path / "landing"
+    emb.filter("vec_id < 200").coalesce(1).write.parquet(str(landing / "b0"))
+    cents_path = str(tmp_path / "cents")
+    # a stale stand-in frame whose cent_ids are NOT dense cluster indexes
+    ivf_pq_centroids(
+        emb.filter("vec_id >= 3"), n_keep=8
+    ).coalesce(1).write.parquet(cents_path)
+    q = start_ivf_pq_index_stream(
+        spark, str(landing), str(tmp_path / "index"), cents_path,
+        str(tmp_path / "ckpt"), trained=True, residual=True,
+    )
+    with _pytest.raises(Exception, match="not a trained kmeans_codebook"):
+        q.awaitTermination(180)
+        raise RuntimeError(
+            q.exception() or "stream finished without the expected error"
+        )
+
+
+def test_compact_curation_logs_missing_root_raises(spark, tmp_path):
+    """A typo'd state_root must fail loudly, not report an all-zero
+    'successful' compaction while the real log grows."""
+    import pytest as _pytest
+
+    from open_bus_siri_etl_spark.streaming.delta_dedup import (
+        compact_curation_logs,
+    )
+
+    with _pytest.raises(FileNotFoundError, match="not a curation stream"):
+        compact_curation_logs(spark, str(tmp_path / "nope"))

@@ -383,7 +383,13 @@ def main() -> None:
     if "--clustered-only" in sys.argv:
         # refresh just the clustered_recall section of an existing
         # artifact (the tier/epoch sections are ~40 min of re-run)
-        out = json.loads((ROOT / "BENCH_IVFPQ.json").read_text())
+        artifact = ROOT / "BENCH_IVFPQ.json"
+        if not artifact.exists():
+            sys.exit(
+                "--clustered-only refreshes an existing BENCH_IVFPQ.json; "
+                "none found — run the full bench (no flag) first"
+            )
+        out = json.loads(artifact.read_text())
         try:
             out["clustered_recall"] = clustered_recall(spark, work)
         finally:
