@@ -122,6 +122,14 @@ def main(argv: list[str] | None = None) -> int:
         "slot, like the control-table compaction)",
     )
     cc.add_argument("state_root")
+    cc.add_argument(
+        "--checkpoint",
+        default=None,
+        help="the stream's checkpointLocation; when given, compaction "
+        "REFUSES if any offsets/<n> lacks its commits/<n> twin (an "
+        "uncommitted batch that will replay) instead of trusting the "
+        "operator's clean-drain claim",
+    )
 
     ex = sub.add_parser(
         "export-training-shards",
@@ -160,7 +168,9 @@ def main(argv: list[str] | None = None) -> int:
         from .streaming.delta_dedup import compact_curation_logs
 
         spark = get_spark(app_name="siri-etl-compact-curation")
-        stats = compact_curation_logs(spark, args.state_root)
+        stats = compact_curation_logs(
+            spark, args.state_root, checkpoint_dir=args.checkpoint
+        )
         print(json.dumps({"state_root": args.state_root, **stats}))
         return 0
 

@@ -975,12 +975,44 @@ def contract_delta_pairs(
     )
 
 
+#: measured crossover for the incremental-vs-batch CC dispatch
+#: (BENCH_CC_DELTA.json): with |delta| = 500 the delta fold first beats
+#: the batch recompute at n_history = 18,000 — history/delta = 36
+#: (speedup 1.03; below it, 0.73x/0.90x — the fixed cost of the
+#: contract-and-solve plan dominates until history dwarfs the delta).
+#: A test pins this constant to the committed artifact's first >=1x tier.
+CC_DELTA_MIN_HISTORY_RATIO = 36.0
+
+
+def resolve_cc_dispatch(
+    history_rows: int,
+    delta_rows: int,
+    min_ratio: float = CC_DELTA_MIN_HISTORY_RATIO,
+) -> str:
+    """'delta' when the incremental fold is predicted to win, 'batch'
+    otherwise — the dispatch rule ``connected_components_delta`` applies
+    under ``dispatch='auto'``.  The incremental path's advantage is that
+    it never re-solves the history graph, but its contract-and-solve plan
+    carries a fixed multi-join cost; below the measured crossover
+    (history/delta < ~36, BENCH_CC_DELTA.json) the batch recompute is
+    simply cheaper.  Empty deltas dispatch to 'delta' (the fold
+    degenerates to a pass-through)."""
+    if delta_rows <= 0:
+        return "delta"
+    return (
+        "delta" if history_rows / delta_rows >= min_ratio else "batch"
+    )
+
+
 def connected_components_delta(
     labels: DataFrame,
     delta_ids: DataFrame,
     delta_pairs: DataFrame,
     id_col: str = "doc_id",
     comp_col: str = "component",
+    dispatch: str = "delta",
+    history_rows: int | None = None,
+    delta_rows: int | None = None,
 ) -> DataFrame:
     """Incremental connected components: fold one ingest's near-dup pairs
     into an EXISTING labeling — the missing per-ingest stage of the delta
@@ -1006,13 +1038,53 @@ def connected_components_delta(
 
     Output: (id, component) over history ∪ delta.  PRECONDITION
     (ENFORCED in-plan): labels∩delta id sets disjoint; NULL ids raise.
+
+    DISPATCH (round-10 directive): the incremental fold is NOT always the
+    right plan — below the measured crossover (history/delta < ~36,
+    BENCH_CC_DELTA.json, constant ``CC_DELTA_MIN_HISTORY_RATIO``) the
+    batch recompute wins because the fold's fixed contract-and-solve cost
+    dominates.  ``dispatch='delta'`` (default) always folds;
+    ``dispatch='batch'`` re-derives the labeling from scratch over the
+    EQUIVALENT graph (labels-as-edges ∪ delta pairs — each history doc's
+    edge to its component min-id reproduces the history components
+    exactly, so the output is row-for-row identical to the fold, just a
+    different physical plan); ``dispatch='auto'`` counts the two inputs
+    (or takes caller-known ``history_rows``/``delta_rows`` to skip the
+    counting jobs) and applies ``resolve_cc_dispatch``.
     """
     from .similarity import _disjoint_ids_or_raise, _non_null_ids
 
+    if dispatch not in ("delta", "batch", "auto"):
+        raise ValueError(
+            f"connected_components_delta: dispatch={dispatch!r} — "
+            "expected 'delta', 'batch' or 'auto'"
+        )
     op = "connected_components_delta"
     labels = _non_null_ids(labels, id_col, op, "labels")
     delta_ids = _non_null_ids(delta_ids.select(id_col), id_col, op, "delta_ids")
     labels = _disjoint_ids_or_raise(labels, delta_ids, id_col, op)
+
+    if dispatch == "auto":
+        dispatch = resolve_cc_dispatch(
+            labels.count() if history_rows is None else history_rows,
+            delta_ids.count() if delta_rows is None else delta_rows,
+        )
+    if dispatch == "batch":
+        # history components re-enter as doc->component-min-id edges: the
+        # min-label CC over (label edges ∪ delta pairs) names every merged
+        # component by its global min id, exactly what the fold produces
+        label_edges = labels.select(
+            F.col(id_col).alias("doc_a"), F.col(comp_col).alias("doc_b")
+        ).filter(F.col("doc_a") != F.col("doc_b"))
+        cc = connected_components(
+            label_edges.unionByName(delta_pairs.select("doc_a", "doc_b"))
+        )
+        everyone = labels.select(id_col).unionByName(delta_ids.select(id_col))
+        return everyone.join(
+            cc, everyone[id_col] == cc["node"], "left"
+        ).select(
+            id_col, F.coalesce("component", id_col).alias(comp_col)
+        )
 
     contracted = contract_delta_pairs(labels, delta_pairs, id_col, comp_col)
     sub = connected_components(contracted)  # (node, component) — touched only

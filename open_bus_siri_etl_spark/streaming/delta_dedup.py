@@ -44,6 +44,43 @@ from ..operators.similarity import (
 )
 
 
+def _hadoop_fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path`` resolved through Spark's Hadoop
+    configuration — the SAME filesystem abstraction the data reads/writes
+    go through.  Every marker/listing probe in this module uses this
+    instead of ``os.path``: a driver-local check against an HDFS/S3 state
+    root would silently never fire (the exact failure the compaction
+    marker exists to prevent), while the Hadoop API resolves local paths
+    to ``file://`` and remote ones to their real store."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+    return jpath.getFileSystem(spark._jsc.hadoopConfiguration()), jpath
+
+
+def _fs_exists(spark: SparkSession, path: str) -> bool:
+    fs, p = _hadoop_fs(spark, path)
+    return bool(fs.exists(p))
+
+
+def _fs_mkdirs(spark: SparkSession, path: str) -> None:
+    fs, p = _hadoop_fs(spark, path)
+    fs.mkdirs(p)
+
+
+def _fs_delete(spark: SparkSession, path: str) -> None:
+    fs, p = _hadoop_fs(spark, path)
+    if fs.exists(p):
+        fs.delete(p, True)
+
+
+def _fs_child_names(spark: SparkSession, path: str) -> list[str]:
+    """Child entry names of ``path`` (empty when missing) via the Hadoop
+    FS — used for partition-count and checkpoint-progress probes."""
+    fs, p = _hadoop_fs(spark, path)
+    if not fs.exists(p):
+        return []
+    return [st.getPath().getName() for st in fs.listStatus(p)]
+
+
 def _read_or_none(spark: SparkSession, path: str) -> DataFrame | None:
     """None iff nothing is persisted at ``path`` yet (missing or empty
     directory).  Any OTHER read failure propagates — silently treating a
@@ -51,9 +88,7 @@ def _read_or_none(spark: SparkSession, path: str) -> DataFrame | None:
     the stream commit output computed against an empty history."""
     from pyspark.errors import AnalysisException
 
-    import os
-
-    if os.path.exists(path + "._compacting"):
+    if _fs_exists(spark, path + "._compacting"):
         raise RuntimeError(
             f"{path}: a log compaction was interrupted mid-rewrite (marker "
             f"{path}._compacting present) — the store may be partially "
@@ -300,6 +335,7 @@ def _compact_log(
     path: str,
     key_cols: list[str],
     drop_deleted: bool = False,
+    keep_batch: int | None = None,
 ) -> dict:
     """Rewrite one log-structured store to its latest-wins snapshot in the
     ``ingest_batch=-1`` base partition, removing superseded records (and,
@@ -314,34 +350,46 @@ def _compact_log(
     marker that ``_read_or_none`` REFUSES to read through, so a crash
     mid-rewrite fails the next stream loudly — with the staged
     latest-wins copy intact as the recovery source — instead of being
-    silently read as first-batch state."""
-    import os
-    import shutil
+    silently read as first-batch state.
 
+    ``keep_batch`` is the IN-STREAM variant (auto-compaction): that one
+    partition is carried through the rewrite VERBATIM instead of folded
+    into the base.  The stream passes its current batch_id — every other
+    partition belongs to a batch whose checkpoint commit exists (micro
+    -batches are sequential; only the newest batch can be uncommitted),
+    so folding them can never double-apply under a replay, while the
+    possibly-uncommitted current partition keeps its own ``ingest_batch``
+    so the replay's partition-exclusion read still excludes it."""
     log = _read_or_none(spark, path)
     if log is None:
         return {"rows_before": 0, "rows_after": 0, "partitions_before": 0}
+    if keep_batch is not None:
+        kept = log.filter(F.col("ingest_batch") == keep_batch)
+        log = log.filter(F.col("ingest_batch") != keep_batch)
+    else:
+        kept = None
     n_before = log.count()
     n_parts = log.select("ingest_batch").distinct().count()
     cur = latest_wins(log, key_cols, "ingest_batch")
     if drop_deleted:
         cur = cur.filter(~F.col("deleted"))
     stage = path + "._compact_staging"
-    cur.withColumn(
-        "ingest_batch", F.lit(_COMPACTED_BASE_BATCH)
-    ).write.mode("overwrite").parquet(stage)
+    base = cur.withColumn("ingest_batch", F.lit(_COMPACTED_BASE_BATCH))
+    if kept is not None:
+        base = base.unionByName(kept.select(*base.columns))
+    base.write.mode("overwrite").parquet(stage)
     staged = spark.read.parquet(stage)
     n_after = staged.count()
     marker = path + "._compacting"
-    os.makedirs(marker, exist_ok=True)
+    _fs_mkdirs(spark, marker)
     # STATIC overwrite: the whole point is removing the superseded
     # partitions, and the session default (dynamic, for the per-batch
     # idempotent writes) would replace only ingest_batch=-1
     staged.write.mode("overwrite").option(
         "partitionOverwriteMode", "static"
     ).partitionBy("ingest_batch").parquet(path)
-    os.rmdir(marker)
-    shutil.rmtree(stage, ignore_errors=True)
+    _fs_delete(spark, marker)
+    _fs_delete(spark, stage)
     return {
         "rows_before": n_before,
         "rows_after": n_after,
@@ -349,7 +397,41 @@ def _compact_log(
     }
 
 
-def compact_curation_logs(spark: SparkSession, state_root: str) -> dict:
+def _assert_drained_checkpoint(spark: SparkSession, checkpoint_dir: str) -> None:
+    """Refuse maintenance rewrites against a NOT-cleanly-drained stream:
+    Structured Streaming writes ``offsets/<batchId>`` before a micro-batch
+    runs and ``commits/<batchId>`` after ``foreachBatch`` returns, so an
+    offset file without a matching commit means a batch wrote state but
+    never committed — it WILL replay on restart, and folding its rows into
+    the ``ingest_batch=-1`` base would defeat the replay's own-partition
+    read exclusion (the rows get double-applied).  The probe goes through
+    the Hadoop FS like every other state read, so it holds on non-local
+    checkpoint stores too."""
+    offsets = {
+        int(n) for n in _fs_child_names(spark, f"{checkpoint_dir}/offsets")
+        if n.isdigit()
+    }
+    commits = {
+        int(n) for n in _fs_child_names(spark, f"{checkpoint_dir}/commits")
+        if n.isdigit()
+    }
+    uncommitted = sorted(offsets - commits)
+    if uncommitted:
+        raise RuntimeError(
+            f"compact_curation_logs: checkpoint {checkpoint_dir} has "
+            f"offsets without commits for batch(es) {uncommitted} — the "
+            "stream did not drain cleanly and those batches will REPLAY on "
+            "restart.  Compacting now would fold their uncommitted rows "
+            "into the ingest_batch=-1 base, where the replay's "
+            "own-partition read exclusion cannot exclude them (double "
+            "apply).  Restart the stream to let the replay commit, drain, "
+            "then compact."
+        )
+
+
+def compact_curation_logs(
+    spark: SparkSession, state_root: str, checkpoint_dir: str | None = None
+) -> dict:
     """Compact ``start_text_curation_stream``'s label and survivor logs —
     the round-9 finding #4 job, the curation twin of the control table's
     ``compact()`` (sources/tables.py): every micro-batch streams the full
@@ -368,16 +450,19 @@ def compact_curation_logs(spark: SparkSession, state_root: str) -> dict:
     daily-maintenance slot, like the control-table compaction): replay
     idempotency depends on a replayed batch's reads EXCLUDING its own
     partition, and folding a not-yet-committed batch's output into the
-    base would put its rows back in the replay's view.  The base lands at
-    ``ingest_batch=-1`` so later appends always win latest-wins and no
-    real batch id can collide with it.
+    base would put its rows back in the replay's view.  Pass the stream's
+    ``checkpoint_dir`` to make that precondition a PROGRAMMATIC guard
+    instead of a docstring: the call refuses when any ``offsets/<n>``
+    exists without its ``commits/<n>`` twin (an uncommitted batch that
+    will replay).  The base lands at ``ingest_batch=-1`` so later appends
+    always win latest-wins and no real batch id can collide with it.
     """
-    import os
-
+    if checkpoint_dir is not None:
+        _assert_drained_checkpoint(spark, checkpoint_dir)
     missing = [
         name
         for name in ("labels", "survivors")
-        if not os.path.isdir(f"{state_root}/{name}")
+        if not _fs_exists(spark, f"{state_root}/{name}")
     ]
     if missing:
         # a typo'd state_root compacting "successfully" with all-zero
@@ -410,6 +495,7 @@ def start_text_curation_stream(
     max_files_per_trigger: int | None = None,
     trigger: dict | None = None,
     schema=None,
+    auto_compact_min_batches: int | None = 16,
 ):
     """The FULL streaming curation loop: every micro-batch of landed
     documents advances all four persisted curation artifacts —
@@ -449,6 +535,25 @@ def start_text_curation_stream(
     ``ingest_batch=``-partitioned dynamic overwrites and the reads
     exclude the current batch's partition, so replays are idempotent
     (same design as start_text_delta_dedup_stream).
+
+    AUTO-COMPACTION (round-10 directive): the label/survivor logs grow
+    with total-ever-ingested + superseded records, so an unattended
+    daemon's per-batch scan would creep with log length even though every
+    shuffle stays delta-sized.  When the labels log holds
+    ``auto_compact_min_batches`` or more ``ingest_batch=`` partitions at
+    the START of a micro-batch (a pure FS-listing probe — no data scan),
+    both logs are folded to their latest-wins ``ingest_batch=-1`` base
+    IN-STREAM before the batch's reads.  Replay safety: only the CURRENT
+    batch can be uncommitted (micro-batches are sequential), and its
+    partition is carried through the rewrite verbatim (``keep_batch``),
+    so the compaction folds exclusively committed batches and a replay's
+    own-partition exclusion still works.  A crash mid-rewrite leaves the
+    ``._compacting`` marker, which fails the next read loudly with the
+    staged copy as recovery — same contract as the manual
+    ``compact_curation_logs``.  The bound this buys: the per-batch scan
+    is base (current-state-sized) + at most ``auto_compact_min_batches``
+    delta partitions, FLAT in stream lifetime.  ``None`` disables (the
+    manual maintenance-slot job remains).
     """
     from ..operators.dedup import (
         connected_components,
@@ -476,6 +581,20 @@ def start_text_curation_stream(
         )
         if batch.isEmpty():
             return
+        if auto_compact_min_batches is not None:
+            n_parts = sum(
+                1
+                for name in _fs_child_names(spark, labels_path)
+                if name.startswith("ingest_batch=")
+            )
+            if n_parts >= auto_compact_min_batches:
+                _compact_log(
+                    spark, labels_path, ["doc_id"], keep_batch=batch_id
+                )
+                _compact_log(
+                    spark, survivors_path, ["component"],
+                    drop_deleted=True, keep_batch=batch_id,
+                )
         not_this = F.col("ingest_batch") != batch_id
 
         idx = _read_or_none(spark, index_path)
@@ -599,6 +718,117 @@ def start_text_curation_stream(
     return writer.start()
 
 
+def retrain_ivf_pq_store(
+    spark: SparkSession,
+    corpus: DataFrame,
+    index_path: str,
+    cents_path: str,
+    n_centroids: int = 8,
+    n_sub: int = 4,
+    sub_dim: int = 16,
+    pq_centroids: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    residual: bool = True,
+    checkpoint_dir: str | None = None,
+) -> dict:
+    """Retrain-and-reindex for a streaming IVF-PQ store — the other half
+    of the FAISS train-then-add contract: the frozen codebook is exact
+    for the distribution it was trained on, and under DISTRIBUTION DRIFT
+    across appended batches its recall decays (measured:
+    BENCH_CODEBOOK_DRIFT.json).  This maintenance job retrains BOTH
+    codebooks on ``corpus`` (the store's current full vector set — the
+    landing tree the stream ingests, re-read; the index itself holds only
+    codes), re-encodes everything, and swaps the store:
+
+    1. new coarse kmeans codebook + fine codebook (on residuals when
+       ``residual``) are trained and STAGED next to their final paths;
+    2. the full re-encode against the new codebooks is staged likewise;
+    3. under a ``._compacting`` marker on ``index_path`` (so every reader
+       refuses mid-swap instead of mixing families), codebooks and index
+       are overwritten from the staged copies — the index lands in the
+       ``ingest_batch=-1`` base partition, so the resumed stream's
+       appends (which encode against the NEW codebook it now adopts)
+       compose exactly as after a log compaction.
+
+    The codebook fingerprint rotates BY CONTENT: every re-encoded row
+    carries the new codebooks' ``cb_fp``, so serving the new store
+    against a stale codebook frame (or vice versa) raises in-plan — no
+    version counter to forget.  A crash between the codebook swap and the
+    index swap leaves the marker, and the next read fails loudly with the
+    staged copies intact as recovery.
+
+    Run only while the stream is stopped; pass ``checkpoint_dir`` to
+    enforce the clean drain programmatically (offsets-without-commits
+    guard, same as ``compact_curation_logs``).  Post-retrain the store
+    equals a from-scratch build against the new codebooks row-for-row
+    (test-asserted), and a trained=True stream pointed back at it adopts
+    the retagged codebooks and keeps appending.
+    """
+    from ..operators.clustering import (
+        kmeans_codebook,
+        kmeans_subspace_codebook,
+    )
+    from ..operators.similarity import ivf_residuals
+
+    if checkpoint_dir is not None:
+        _assert_drained_checkpoint(spark, checkpoint_dir)
+    fine_path = cents_path + "_fine"
+
+    def _stage(frame: DataFrame, final: str, single: bool = True) -> DataFrame:
+        stage = final + "._compact_staging"
+        w = frame.coalesce(1) if single else frame
+        w.write.mode("overwrite").parquet(stage)
+        return spark.read.parquet(stage)
+
+    coarse = _stage(
+        kmeans_codebook(corpus, n_centroids, iters, id_col, vec_col)
+        .withColumn("cb_kind", F.lit("trained")),
+        cents_path,
+    )
+    fine_base = (
+        ivf_residuals(
+            corpus, coarse.drop("cb_kind"), n_centroids, id_col, vec_col
+        )
+        if residual
+        else corpus
+    )
+    fine = _stage(
+        kmeans_subspace_codebook(
+            fine_base, n_sub, sub_dim, pq_centroids, iters, id_col, vec_col
+        ).withColumn("cb_kind", F.lit("trained")),
+        fine_path,
+    )
+    reencoded = _stage(
+        build_ivf_pq_index(
+            corpus, n_centroids, n_sub, sub_dim, pq_centroids,
+            id_col, vec_col, cents=coarse.drop("cb_kind"),
+            fine_cents=fine.drop("cb_kind"), coarse_metric="l2",
+            residual=residual,
+        ).withColumn("ingest_batch", F.lit(_COMPACTED_BASE_BATCH)),
+        index_path,
+        single=False,
+    )
+    n_rows = reencoded.count()
+    marker = index_path + "._compacting"
+    _fs_mkdirs(spark, marker)
+    coarse.write.mode("overwrite").parquet(cents_path)
+    fine.write.mode("overwrite").parquet(fine_path)
+    reencoded.write.mode("overwrite").option(
+        "partitionOverwriteMode", "static"
+    ).partitionBy("ingest_batch").parquet(index_path)
+    _fs_delete(spark, marker)
+    for p in (cents_path, fine_path, index_path):
+        _fs_delete(spark, p + "._compact_staging")
+    return {
+        "rows_reencoded": n_rows,
+        "n_centroids": n_centroids,
+        "pq_centroids": pq_centroids,
+        "residual": residual,
+    }
+
+
 def start_ivf_pq_index_stream(
     spark: SparkSession,
     landing_root: str,
@@ -700,6 +930,8 @@ def start_ivf_pq_index_stream(
                 "index was built as (rebuild the index to change family)"
             )
 
+    kind_tag = "trained" if trained else "standin"
+
     def _write_once(frame: DataFrame, path: str) -> DataFrame:
         # mode("overwrite"), not the default errorIfExists: a crash
         # MID-write leaves a partial directory that _read_or_none reads
@@ -708,8 +940,46 @@ def start_ivf_pq_index_stream(
         # output instead of wedging the stream on "path already
         # exists".  Safe because the frame is deterministic in the
         # first batch's content and only written when unreadable.
-        frame.coalesce(1).write.mode("overwrite").parquet(path)
+        # cb_kind is PERSISTED PROVENANCE (advice round-10): adoption
+        # checks read it instead of inferring trained-ness from the
+        # cent_id layout, which is a false negative on any 0-based
+        # contiguous-id corpus (a stale stand-in there also has
+        # cent_id == cent_rank - 1 and would be silently served as
+        # 'trained' — cb_fp self-verifies, so nothing downstream
+        # detects the swap).  Downstream consumers hash/slice named
+        # columns only, so the extra column is inert.
+        frame.withColumn("cb_kind", F.lit(kind_tag)).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(path)
         return spark.read.parquet(path)
+
+    def _checked_adopt(frame: DataFrame, path: str, what: str) -> DataFrame:
+        kinds = (
+            [r[0] for r in frame.select("cb_kind").distinct().collect()]
+            if "cb_kind" in frame.columns
+            else []
+        )
+        if trained and kinds != ["trained"]:
+            raise ValueError(
+                f"start_ivf_pq_index_stream: the frame at {path} is not a "
+                f"trained kmeans_codebook (cb_kind={kinds or 'absent'}) — "
+                f"a trained=True stream must not adopt a stand-in {what} "
+                "codebook (the cent_id layout cannot prove trained-ness: "
+                "a stale stand-in over a 0-based contiguous-id corpus "
+                "looks identical); point cents_path elsewhere, remove the "
+                "stale frame, or re-tag a known-trained legacy frame with "
+                "a cb_kind='trained' column"
+            )
+        if not trained and kinds == ["trained"]:
+            raise ValueError(
+                f"start_ivf_pq_index_stream: the frame at {path} is a "
+                f"TRAINED {what} codebook (cb_kind=trained) but this "
+                "stream runs trained=False — adopting it would assign "
+                "with the wrong family (cosine over kmeans centroids); "
+                "start the stream with trained=True or point cents_path "
+                "elsewhere"
+            )
+        return frame.drop("cb_kind")
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         batch = batch_df.select(id_col, vec_col).localCheckpoint(eager=True)
@@ -722,25 +992,9 @@ def start_ivf_pq_index_stream(
                 if trained
                 else ivf_pq_centroids(batch, n_keep, id_col, vec_col),
                 cents_path,
-            )
-        elif trained:
-            # an ADOPTED frame must look like a kmeans_codebook (cent_id
-            # IS the dense cluster index) — a stand-in ivf_pq_centroids
-            # frame left by an older untrained deployment would otherwise
-            # be silently served as "trained" (its cb_fp self-verifies, so
-            # no later stage would catch the swap)
-            bad = cents.filter(
-                F.col("cent_id") != F.col("cent_rank") - 1
-            ).count()
-            if bad or cents.count() != n_centroids:
-                raise ValueError(
-                    f"start_ivf_pq_index_stream: the frame at {cents_path} "
-                    "is not a trained kmeans_codebook (expected exactly "
-                    f"{n_centroids} rows with cent_id == cent_rank - 1) — "
-                    "a trained=True stream must not adopt a stand-in "
-                    "codebook; point cents_path elsewhere or remove the "
-                    "stale frame"
-                )
+            ).drop("cb_kind")
+        else:
+            cents = _checked_adopt(cents, cents_path, "coarse")
         fine = None
         if trained:
             fine = _read_or_none(spark, fine_path)
@@ -756,7 +1010,9 @@ def start_ivf_pq_index_stream(
                         id_col, vec_col,
                     ),
                     fine_path,
-                )
+                ).drop("cb_kind")
+            else:
+                fine = _checked_adopt(fine, fine_path, "fine")
         _write_partition(
             build_ivf_pq_index(
                 batch, n_centroids, n_sub, sub_dim, pq_centroids,

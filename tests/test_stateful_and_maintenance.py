@@ -1785,3 +1785,388 @@ def test_compact_curation_logs_missing_root_raises(spark, tmp_path):
 
     with _pytest.raises(FileNotFoundError, match="not a curation stream"):
         compact_curation_logs(spark, str(tmp_path / "nope"))
+
+
+def test_cc_dispatch_rule_pinned_to_artifact(spark):
+    """Round-10 directive #5: below the measured crossover the delta CC
+    fold LOSES to the batch recompute (BENCH_CC_DELTA.json 0.73x/0.90x at
+    its 1x/2x tiers) — the operator now carries the dispatch rule.  Pins
+    (a) the selector at both regimes, (b) the in-code threshold to the
+    committed artifact's first >=1x tier, and (c) that the batch path is
+    row-for-row identical to the fold (it is a different PHYSICAL plan
+    over the equivalent graph, not different semantics)."""
+    import json
+
+    from open_bus_siri_etl_spark.operators.dedup import (
+        CC_DELTA_MIN_HISTORY_RATIO,
+        connected_components_delta,
+        resolve_cc_dispatch,
+    )
+
+    with open(os.path.join(os.path.dirname(__file__), "..", "BENCH_CC_DELTA.json")) as f:
+        tiers = json.load(f)["tiers"]
+    crossover = next(t for t in tiers if t["speedup"] >= 1.0)
+    assert CC_DELTA_MIN_HISTORY_RATIO == crossover["n_history"] / crossover["n_delta"]
+    below = next(t for t in tiers if t["speedup"] < 1.0)
+    assert resolve_cc_dispatch(below["n_history"], below["n_delta"]) == "batch"
+    assert (
+        resolve_cc_dispatch(crossover["n_history"], crossover["n_delta"])
+        == "delta"
+    )
+    assert resolve_cc_dispatch(10, 0) == "delta"  # empty delta: pass-through
+
+    labels = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 3), (4, 4), (7, 7)], "doc_id long, component long"
+    )
+    delta_ids = spark.createDataFrame([(10,), (11,), (12,)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(3, 10), (10, 11), (4, 12)], "doc_a long, doc_b long"
+    )
+
+    def multiset(df):
+        return sorted(map(tuple, df.collect()))
+
+    d = multiset(connected_components_delta(labels, delta_ids, pairs))
+    b = multiset(
+        connected_components_delta(labels, delta_ids, pairs, dispatch="batch")
+    )
+    a = multiset(
+        connected_components_delta(labels, delta_ids, pairs, dispatch="auto")
+    )
+    assert d == b == a
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="dispatch="):
+        connected_components_delta(labels, delta_ids, pairs, dispatch="nope")
+
+
+def test_compact_refuses_uncommitted_checkpoint(spark, tmp_path):
+    """ADVICE round 10: compact_curation_logs' clean-drain precondition is
+    now a programmatic guard — an offsets/<n> without its commits/<n>
+    twin (a batch that wrote state but never committed, and WILL replay)
+    refuses the compaction instead of folding the uncommitted rows into
+    the base where the replay's read exclusion cannot see them."""
+    import pytest as _pytest
+
+    from open_bus_siri_etl_spark.streaming.delta_dedup import (
+        compact_curation_logs,
+    )
+
+    state = tmp_path / "state"
+    for name, key in (("labels", "doc_id"), ("survivors", "component")):
+        df = spark.createDataFrame(
+            [(1, 2, 0)], f"{key} long, payload long, ingest_batch long"
+        )
+        if name == "survivors":
+            df = (
+                df.withColumnRenamed("payload", "kept_doc_id")
+                .withColumn("kept_n_chars", F.lit(5).cast("long"))
+                .withColumn("n_members", F.lit(1).cast("long"))
+                .withColumn("deleted", F.lit(False))
+            )
+        df.write.partitionBy("ingest_batch").parquet(str(state / name))
+    ckpt = tmp_path / "ckpt"
+    (ckpt / "offsets").mkdir(parents=True)
+    (ckpt / "commits").mkdir(parents=True)
+    for b in (0, 1):
+        (ckpt / "offsets" / str(b)).write_text("{}")
+    (ckpt / "commits" / "0").write_text("{}")
+
+    with _pytest.raises(RuntimeError, match="offsets without commits"):
+        compact_curation_logs(spark, str(state), checkpoint_dir=str(ckpt))
+    # the replay commits -> the same call goes through
+    (ckpt / "commits" / "1").write_text("{}")
+    stats = compact_curation_logs(spark, str(state), checkpoint_dir=str(ckpt))
+    assert stats["labels"]["rows_after"] == 1
+
+
+def test_curation_auto_compaction_flat_and_restart_safe(spark, tmp_path):
+    """Round-10 directive #2: the curation stream compacts its own logs
+    when the labels log crosses a partition-count threshold — NO manual
+    CLI call.  The ingest is the ADVERSARIAL descending-id regime (every
+    batch hands every component a new min id, so every batch rewrites
+    every label: the O(K^2) log-growth workload).  Asserts (a) the stream
+    compacted mid-run (base partition exists, partition count bounded by
+    the threshold, log rows far below the uncompacted total), (b) the
+    resolved views still equal the batch pipeline, and (c) a RESTART over
+    newly landed batches composes with the auto-compacted base exactly
+    like the manual-compaction contract."""
+    from open_bus_siri_etl_spark.operators.dedup import neardup_membership
+    from open_bus_siri_etl_spark.streaming.delta_dedup import (
+        read_current_labels,
+        read_current_survivors,
+        start_text_curation_stream,
+    )
+
+    texts = [
+        "alpha beta gamma delta epsilon zeta",
+        "one two three four five six seven",
+        "red orange yellow green blue indigo",
+        "north south east west up down here",
+    ]
+
+    def batch_rows(k):
+        # batch k's ids sit BELOW every earlier batch's (descending):
+        # ids 1000-10k .. 1000-10k+3 — each text's component min drops
+        # every batch, renaming all prior members
+        return [
+            (1000 - 10 * k + t, texts[t], len(texts[t])) for t in range(4)
+        ]
+
+    landing = tmp_path / "landing"
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "doc_id long, text string, n_chars long"
+
+    def land(k):
+        spark.createDataFrame(batch_rows(k), schema).coalesce(1).write.parquet(
+            str(landing / f"batch_{k}")
+        )
+
+    for k in range(6):
+        land(k)
+    q = start_text_curation_stream(
+        spark, str(landing), state, ckpt, max_files_per_trigger=1,
+        trigger={"availableNow": True}, auto_compact_min_batches=3,
+    )
+    q.awaitTermination(600)
+
+    parts = sorted(
+        p.name for p in (tmp_path / "state" / "labels").glob("ingest_batch=*")
+    )
+    assert "ingest_batch=-1" in parts, "auto-compaction never fired"
+    assert len(parts) <= 3, parts  # base + at most threshold-1 deltas
+    # uncompacted, the adversarial stream writes sum(4k+4, k=0..5) = 84
+    # label records; the auto-compacted log stays current-state-bounded
+    n_log = spark.read.parquet(f"{state}/labels").count()
+    assert n_log <= 48, n_log
+
+    def multiset(df):
+        return sorted(tuple(str(v) for v in r) for r in df.collect())
+
+    def all_docs():
+        rows = [r for k in range(n_landed) for r in batch_rows(k)]
+        return spark.createDataFrame(rows, schema)
+
+    n_landed = 6
+    assert multiset(read_current_labels(spark, f"{state}/labels")) == multiset(
+        neardup_membership(all_docs().select("doc_id", "text"), threshold=0.5)
+    )
+
+    # restart over two more adversarial batches: the base partition and
+    # the replay-exclusion reads compose — same checkpoint, no manual step
+    for k in (6, 7):
+        land(k)
+    q2 = start_text_curation_stream(
+        spark, str(landing), state, ckpt, max_files_per_trigger=1,
+        trigger={"availableNow": True}, auto_compact_min_batches=3,
+    )
+    q2.awaitTermination(600)
+    n_landed = 8
+    assert multiset(read_current_labels(spark, f"{state}/labels")) == multiset(
+        neardup_membership(all_docs().select("doc_id", "text"), threshold=0.5)
+    )
+    surv = read_current_survivors(spark, f"{state}/survivors")
+    assert surv.count() == 4  # one live component per text
+    # every component is named by its global min id = batch 7's ids
+    assert sorted(r["component"] for r in surv.collect()) == [
+        930 + t for t in range(4)
+    ]
+
+
+def test_ivf_pq_stream_trained_rejects_contiguous_standin(spark, tmp_path):
+    """ADVICE round 10: the cent_id-layout heuristic was a FALSE NEGATIVE
+    on a 0-based contiguous-id corpus (a stale stand-in there also has
+    cent_id == cent_rank - 1 and identical row count).  Provenance is now
+    persisted WITH the codebook (cb_kind) — the layout-indistinguishable
+    stand-in must be rejected too."""
+    import pytest as _pytest
+
+    from open_bus_siri_etl_spark.operators.similarity import ivf_pq_centroids
+    from open_bus_siri_etl_spark.streaming.delta_dedup import (
+        start_ivf_pq_index_stream,
+    )
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+    )
+    landing = tmp_path / "landing"
+    emb.filter("vec_id < 200").coalesce(1).write.parquet(str(landing / "b0"))
+    cents_path = str(tmp_path / "cents")
+    # ids 0..N are contiguous from 0, so cent_id == cent_rank - 1 — the
+    # exact frame the old layout check silently adopted
+    ivf_pq_centroids(emb, n_keep=8).coalesce(1).write.parquet(cents_path)
+    q = start_ivf_pq_index_stream(
+        spark, str(landing), str(tmp_path / "index"), cents_path,
+        str(tmp_path / "ckpt"), trained=True, residual=True,
+    )
+    with _pytest.raises(Exception, match="not a trained kmeans_codebook"):
+        q.awaitTermination(180)
+        raise RuntimeError(
+            q.exception() or "stream finished without the expected error"
+        )
+
+
+def test_ivf_pq_stream_untrained_rejects_trained_codebook(spark, tmp_path):
+    """The symmetric family flip: a trained=False stream adopting a
+    cb_kind='trained' codebook would assign with the wrong family
+    (cosine over kmeans centroids) — refuse at the adopt point."""
+    import pytest as _pytest
+
+    from open_bus_siri_etl_spark.streaming.delta_dedup import (
+        start_ivf_pq_index_stream,
+    )
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+    )
+    landing = tmp_path / "landing"
+    emb.filter("vec_id < 200").coalesce(1).write.parquet(str(landing / "b0"))
+    cents_path = str(tmp_path / "cents")
+    # train a real codebook via a trained stream first
+    q = start_ivf_pq_index_stream(
+        spark, str(landing), str(tmp_path / "tindex"), cents_path,
+        str(tmp_path / "tckpt"), trained=True,
+    )
+    q.awaitTermination(180)
+    assert (
+        spark.read.parquet(cents_path).select("cb_kind").distinct().collect()[0][0]
+        == "trained"
+    )
+    q2 = start_ivf_pq_index_stream(
+        spark, str(landing), str(tmp_path / "index"), cents_path,
+        str(tmp_path / "ckpt"), trained=False,
+    )
+    with _pytest.raises(Exception, match="TRAINED"):
+        q2.awaitTermination(180)
+        raise RuntimeError(
+            q2.exception() or "stream finished without the expected error"
+        )
+
+
+def test_retrain_ivf_pq_store_rotates_and_equals_fresh_build(spark, tmp_path):
+    """Round-10 directive #4: the retrain-and-reindex path.  After a
+    trained+residual stream drains, retrain_ivf_pq_store trains NEW
+    codebooks on the full landed corpus, re-encodes everything into the
+    ingest_batch=-1 base, and rotates the content fingerprint: (a) the
+    store equals a from-scratch build against the new codebooks, (b)
+    serving it with the STALE codebook frame raises the fingerprint
+    guard, (c) the resumed stream adopts the new codebooks and its
+    appends still equal the batch rebuild — FAISS re-train semantics
+    with the same staged/marker crash contract as log compaction."""
+    import pytest as _pytest
+
+    from open_bus_siri_etl_spark.operators.similarity import (
+        build_ivf_pq_index,
+        ivf_pq_topk_serve,
+    )
+    from open_bus_siri_etl_spark.streaming.delta_dedup import (
+        retrain_ivf_pq_store,
+        start_ivf_pq_index_stream,
+    )
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+    )
+    landing = tmp_path / "landing"
+    emb.filter("vec_id < 200").coalesce(1).write.parquet(str(landing / "b0"))
+    emb.filter("vec_id >= 200 AND vec_id < 350").coalesce(1).write.parquet(
+        str(landing / "b1")
+    )
+    index_path = str(tmp_path / "index")
+    cents_path = str(tmp_path / "cents")
+    ckpt = str(tmp_path / "ckpt")
+    q = start_ivf_pq_index_stream(
+        spark, str(landing), index_path, cents_path, ckpt,
+        trained=True, residual=True, max_files_per_trigger=1,
+    )
+    q.awaitTermination(300)
+
+    # pin the PRE-retrain codebooks in memory (the on-disk frames are
+    # about to be overwritten)
+    old_coarse = spark.createDataFrame(
+        spark.read.parquet(cents_path).drop("cb_kind").toPandas()
+    )
+    old_fine = spark.createDataFrame(
+        spark.read.parquet(cents_path + "_fine").drop("cb_kind").toPandas()
+    )
+
+    corpus = emb.filter("vec_id < 350")
+    stats = retrain_ivf_pq_store(
+        spark, corpus, index_path, cents_path, checkpoint_dir=ckpt
+    )
+    # one index row per (vector, subspace): 350 vectors x n_sub=4
+    assert stats["rows_reencoded"] == 350 * 4
+
+    def multiset(df):
+        return sorted(tuple(str(v) for v in r) for r in df.collect())
+
+    new_coarse = spark.read.parquet(cents_path)
+    new_fine = spark.read.parquet(cents_path + "_fine")
+    assert (
+        new_coarse.select("cb_kind").distinct().collect()[0][0] == "trained"
+    )
+    kw = dict(
+        cents=new_coarse.drop("cb_kind"), fine_cents=new_fine.drop("cb_kind"),
+        coarse_metric="l2", residual=True,
+    )
+    fresh = build_ivf_pq_index(corpus, **kw)
+    store = spark.read.parquet(index_path).select(*fresh.columns)
+    assert multiset(store) == multiset(fresh)
+
+    qs = emb.filter("vec_id BETWEEN 8 AND 15")
+    skw = dict(coarse_metric="l2", residual=True)
+    assert multiset(
+        ivf_pq_topk_serve(
+            store, new_coarse.drop("cb_kind"), qs, k=5,
+            fine_cents=new_fine.drop("cb_kind"), **skw,
+        )
+    ) == multiset(
+        ivf_pq_topk_serve(
+            fresh, new_coarse.drop("cb_kind"), qs, k=5,
+            fine_cents=new_fine.drop("cb_kind"), **skw,
+        )
+    )
+    # the stale codebook cannot silently serve the rotated store
+    with _pytest.raises(Exception, match="fingerprint mismatch"):
+        ivf_pq_topk_serve(
+            store, old_coarse, qs, k=5, fine_cents=old_fine, **skw
+        ).collect()
+
+    # the resumed stream adopts the retagged codebooks and keeps appending
+    emb.filter("vec_id >= 350").coalesce(1).write.parquet(str(landing / "b2"))
+    q2 = start_ivf_pq_index_stream(
+        spark, str(landing), index_path, cents_path, ckpt,
+        trained=True, residual=True, max_files_per_trigger=1,
+    )
+    q2.awaitTermination(300)
+    rebuilt_all = build_ivf_pq_index(emb, **kw)
+    store_all = spark.read.parquet(index_path).select(*rebuilt_all.columns)
+    assert multiset(store_all) == multiset(rebuilt_all)
+
+
+def test_retrain_refuses_undrained_checkpoint(spark, tmp_path):
+    """retrain shares the clean-drain guard: offsets without commits
+    refuse the rewrite."""
+    import pytest as _pytest
+
+    from open_bus_siri_etl_spark.streaming.delta_dedup import (
+        retrain_ivf_pq_store,
+    )
+
+    ckpt = tmp_path / "ckpt"
+    (ckpt / "offsets").mkdir(parents=True)
+    (ckpt / "commits").mkdir(parents=True)
+    (ckpt / "offsets" / "0").write_text("{}")
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+    )
+    with _pytest.raises(RuntimeError, match="offsets without commits"):
+        retrain_ivf_pq_store(
+            spark, emb, str(tmp_path / "i"), str(tmp_path / "c"),
+            checkpoint_dir=str(ckpt),
+        )

@@ -53,6 +53,14 @@ N_SUB, SUB_DIM, PQ_CENTROIDS = 8, 8, 64
 # (corpus size, coarse centroids, probes) — pruning fraction tightens as
 # the corpus grows, the way a real deployment retunes nlist with N
 TIERS = [(20_000, 64, 8), (100_000, 128, 8), (300_000, 256, 8)]
+# the DEPLOYABLE-stack tiers (round-10 directive #1/#6): topic-structured
+# corpora at the scales where approx must beat exact; n_probe and the
+# refine rungs come from the measured frontier knee
+# (BENCH_IVFPQ_FRONTIER.json) — (n, n_centroids, n_probe, refine_ks)
+CLUSTERED_TIERS = [
+    (300_000, 256, 16, (0, 100, 200)),
+    (1_000_000, 256, 16, (0, 100, 200)),
+]
 
 
 def synth(spark, work: Path, n: int):
@@ -278,6 +286,181 @@ def clustered_recall(spark, work: Path) -> dict:
     return out
 
 
+def synth_clustered(spark, work: Path, n: int, tag: str,
+                    n_topics: int = 256, sigma: float = 0.8,
+                    seed: int = 31, chunk: int = 100_000):
+    """Topic-structured corpus + fresh-sample queries at arbitrary N —
+    the regime retrieval actually runs (see clustered_recall).  Written
+    in chunks so the 1M tier never holds the whole corpus in one driver
+    pandas frame."""
+    import pandas as pd
+
+    rng = np.random.RandomState(seed)
+    centers = rng.randn(n_topics, DIM).astype("float64")
+    cpath, qpath = str(work / f"clc_{tag}"), str(work / f"clq_{tag}")
+    for start in range(0, n, chunk):
+        m = min(chunk, n - start)
+        topic_of = (np.arange(start, start + m)) % n_topics
+        vecs = (centers[topic_of] + sigma * rng.randn(m, DIM)).astype(
+            "float32"
+        )
+        pdf = pd.DataFrame(
+            {
+                "vec_id": np.arange(start, start + m, dtype="int64"),
+                "embedding": list(vecs),
+            }
+        )
+        spark.createDataFrame(pdf).repartition(8).write.mode(
+            "append"
+        ).parquet(cpath)
+    q_topics = rng.randint(0, n_topics, N_QUERIES)
+    qvecs = (centers[q_topics] + sigma * rng.randn(N_QUERIES, DIM)).astype(
+        "float32"
+    )
+    qdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(n, n + N_QUERIES, dtype="int64"),
+            "embedding": list(qvecs),
+        }
+    )
+    spark.createDataFrame(qdf).coalesce(1).write.mode("overwrite").parquet(qpath)
+    return spark.read.parquet(cpath), spark.read.parquet(qpath)
+
+
+def build_residual_stack(spark, work: Path, corpus, n_cent: int, tag: str):
+    """Train coarse+residual-fine codebooks on ``corpus``, persist them and
+    the residual-encoded index (partitioned by cluster for serve-side
+    partition pruning).  Returns (index, coarse, fine, train_sec,
+    build_sec) — the deployable FAISS-shaped store the frontier and tier
+    sections both serve from."""
+    from open_bus_siri_etl_spark.operators.similarity import ivf_residuals
+
+    kw = dict(n_centroids=n_cent, n_sub=N_SUB, sub_dim=SUB_DIM,
+              pq_centroids=PQ_CENTROIDS, dim=DIM)
+    t0 = time.time()
+    tc = kmeans_codebook(corpus, k=n_cent, iters=2, kernel="matmul")
+    tcp = str(work / f"rs_tc_{tag}")
+    tc.coalesce(1).write.mode("overwrite").parquet(tcp)
+    tc = spark.read.parquet(tcp)
+    res = ivf_residuals(corpus, tc, n_cent, dim=DIM)
+    rf = kmeans_subspace_codebook(
+        res, n_sub=N_SUB, sub_dim=SUB_DIM, k=PQ_CENTROIDS, iters=2,
+        kernel="matmul",
+    )
+    rfp = str(work / f"rs_rf_{tag}")
+    rf.coalesce(1).write.mode("overwrite").parquet(rfp)
+    rf = spark.read.parquet(rfp)
+    train_sec = time.time() - t0
+    t0 = time.time()
+    ipath = str(work / f"rs_ix_{tag}")
+    build_ivf_pq_index(
+        corpus, cents=tc, fine_cents=rf, coarse_metric="l2",
+        residual=True, **kw,
+    ).write.mode("overwrite").partitionBy("cluster").parquet(ipath)
+    build_sec = time.time() - t0
+    return (
+        spark.read.parquet(ipath), tc, rf,
+        round(train_sec, 3), round(build_sec, 3),
+    )
+
+
+def serve_refined(spark, index, tc, rf, corpus, queries, n_cent: int,
+                  n_probe: int, refine_k: int):
+    """One deployable serve: residual-ADC shortlist of ``refine_k`` (or
+    straight ADC top-K when refine_k == 0), exact-refined to the top K.
+    Returns the served frame (64 x K rows)."""
+    from open_bus_siri_etl_spark.operators.similarity import (
+        _exact_cosine,
+        _topk_per_query,
+    )
+
+    kw = dict(n_centroids=n_cent, n_sub=N_SUB, sub_dim=SUB_DIM,
+              pq_centroids=PQ_CENTROIDS, dim=DIM)
+    adc = ivf_pq_topk_serve(
+        index, tc, queries, k=(refine_k or K), n_probe=n_probe,
+        fine_cents=rf, coarse_metric="l2", residual=True, **kw,
+    )
+    if not refine_k:
+        return adc
+    qv = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
+    )
+    cv = corpus.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_vec")
+    )
+    sim = (
+        adc.select("query_id", "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .withColumn("cosine", _exact_cosine(F.col("q_vec"), F.col("c_vec"), DIM))
+    )
+    return _topk_per_query(sim, K, [F.desc("cosine")])
+
+
+def _pin(spark, df):
+    """Materialize a SMALL served frame once so timing actions and recall
+    evals don't re-run the full serve plan."""
+    return spark.createDataFrame(df.collect(), df.schema)
+
+
+def clustered_tiers(spark, work: Path, tiers) -> list:
+    """Round-10 directive #1/#6: price the DEPLOYABLE stack — trained
+    coarse + residual PQ + exact refine — at the tiers where approx must
+    beat exact, with recall measured AT THE SAME TIER (the round-10
+    artifact priced recall at 100k and speedup at 300k on different
+    corpora).  Each tier row carries exact_sec next to serve_sec and
+    recall@10 for ADC and each refine rung, on a topic-structured corpus
+    (isotropic-gaussian recall is structurally capped by pruning and is
+    NOT the regime retrieval runs — see clustered_recall)."""
+    out = []
+    for n, n_cent, n_probe, refine_ks in tiers:
+        tag = f"{n}"
+        corpus, queries = synth_clustered(spark, work, n, tag)
+        corpus.count()
+        index, tc, rf, train_sec, build_sec = build_residual_stack(
+            spark, work, corpus, n_cent, tag
+        )
+        t0 = time.time()
+        exact = cosine_topk(corpus, queries, k=K)
+        expath = str(work / f"clx_{tag}")
+        exact.write.mode("overwrite").parquet(expath)
+        exact_sec = round(time.time() - t0, 3)
+        exact = spark.read.parquet(expath)
+        tier = {
+            "n_vectors": n, "n_topics": 256, "sigma": 0.8,
+            "n_centroids": n_cent, "n_probe": n_probe,
+            "pruning_frac": round(n_probe / n_cent, 4),
+            "train_sec": train_sec, "build_sec": build_sec,
+            "exact_sec": exact_sec, "rungs": [],
+        }
+        for refine_k in refine_ks:
+            t0 = time.time()
+            served = serve_refined(
+                spark, index, tc, rf, corpus, queries, n_cent, n_probe,
+                refine_k,
+            )
+            n_rows = served.count()
+            serve_sec = round(time.time() - t0, 3)
+            served = _pin(spark, served)
+            recall = (
+                ann_recall(exact, served, k=K)
+                .agg(F.avg("recall").alias("r")).collect()[0]["r"]
+            )
+            tier["rungs"].append(
+                {
+                    "refine_k": refine_k,
+                    "serve_sec": serve_sec,
+                    "serve_speedup_vs_exact": round(exact_sec / serve_sec, 2),
+                    "recall_at_10": round(recall, 4),
+                    "rows_served": n_rows,
+                }
+            )
+            print(json.dumps({"tier": n, **tier["rungs"][-1]}), flush=True)
+        out.append(tier)
+        print(json.dumps(tier), flush=True)
+    return out
+
+
 def epoch_appends(spark, work: Path) -> dict:
     """The append half of the serving story, measured the way production
     runs it (the BENCH_DELTA_EPOCHS discipline, extended to the fourth
@@ -380,18 +563,28 @@ def main() -> None:
     spark = get_spark(app_name="siri-etl-bench-ivfpq")
     spark.sparkContext.setLogLevel("ERROR")
     work = Path(tempfile.mkdtemp(prefix="bench_ivfpq_"))
-    if "--clustered-only" in sys.argv:
-        # refresh just the clustered_recall section of an existing
-        # artifact (the tier/epoch sections are ~40 min of re-run)
+    only_flags = {
+        "--clustered-only": ("clustered_recall", clustered_recall),
+        "--clustered-tiers-only": (
+            "clustered_tiers",
+            lambda s, w: clustered_tiers(s, w, CLUSTERED_TIERS),
+        ),
+    }
+    hit = [f for f in only_flags if f in sys.argv]
+    if hit:
+        # refresh just one section of an existing artifact (the full
+        # tier/epoch re-run is ~40+ min)
         artifact = ROOT / "BENCH_IVFPQ.json"
         if not artifact.exists():
             sys.exit(
-                "--clustered-only refreshes an existing BENCH_IVFPQ.json; "
+                f"{hit[0]} refreshes an existing BENCH_IVFPQ.json; "
                 "none found — run the full bench (no flag) first"
             )
         out = json.loads(artifact.read_text())
         try:
-            out["clustered_recall"] = clustered_recall(spark, work)
+            for f in hit:
+                key, fn = only_flags[f]
+                out[key] = fn(spark, work)
         finally:
             shutil.rmtree(work, ignore_errors=True)
         print(json.dumps(out))
@@ -541,6 +734,7 @@ def main() -> None:
             tiers.append(tier)
             print(json.dumps(tier), flush=True)
         cl = clustered_recall(spark, work)
+        ct = clustered_tiers(spark, work, CLUSTERED_TIERS)
         ep = epoch_appends(spark, work)
     finally:
         shutil.rmtree(work, ignore_errors=True)
@@ -554,6 +748,7 @@ def main() -> None:
         "pq": {"n_sub": N_SUB, "sub_dim": SUB_DIM, "pq_centroids": PQ_CENTROIDS},
         "tiers": tiers,
         "clustered_recall": cl,
+        "clustered_tiers": ct,
         "epoch_appends": ep,
     }
     print(json.dumps(out))
