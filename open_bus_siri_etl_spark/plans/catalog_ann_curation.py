@@ -3038,3 +3038,34 @@ def kmeans_clusters_deep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.clustering import kmeans_assign
 
     return kmeans_assign(t(spark, sf_dir, "embeddings"), k=8, iters=4)
+
+
+@register(
+    "neardup_components_dispatch",
+    _NEARDUP_BATCH_SQL,
+    note="the round-11 DISPATCH contract on the incremental CC fold made "
+    "oracle-exact: connected_components_delta(dispatch='batch') re-derives "
+    "the labeling over the EQUIVALENT graph (history labels re-enter as "
+    "doc -> component-min-id edges, union the delta pairs) instead of "
+    "contract-and-solve — the physical plan BENCH_CC_DELTA.json shows "
+    "winning below the measured crossover (history/delta < 36, pinned as "
+    "CC_DELTA_MIN_HISTORY_RATIO; at/above it 'auto' picks the fold).  "
+    "Same oracle SQL as neardup_components_delta AND the batch entry: all "
+    "three plans must be row-for-row identical, which is exactly what the "
+    "dispatch rule relies on to swap them freely on cost alone",
+)
+def neardup_components_dispatch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import (
+        connected_components_delta,
+        jaccard_delta_pairs,
+        neardup_membership,
+    )
+
+    docs = t(spark, sf_dir, "documents")
+    history = docs.filter(F.col("doc_id") % 10 != 0)
+    delta = docs.filter(F.col("doc_id") % 10 == 0)
+    labels = neardup_membership(history, threshold=0.5)
+    dpairs = jaccard_delta_pairs(history, delta, threshold=0.5)
+    return connected_components_delta(
+        labels, delta.select("doc_id"), dpairs, dispatch="batch"
+    )

@@ -738,6 +738,7 @@ FULL_REGISTRY_ORDER = [
     "ivf_pq_refine_topk",
     "ivf_pq_refine_recall_eval",
     "kmeans_clusters_deep",
+    "neardup_components_dispatch",
 ]
 
 

@@ -1,0 +1,236 @@
+"""Codebook drift + retrain evidence (round-10 directive #4): the frozen
+codebook is FAISS train-then-add — exact for the distribution it was
+trained on.  This bench measures what K appends of a DRIFTING
+distribution do to serving recall (the round-10 epoch_appends used
+stationary batches, which cannot show decay), then exercises the shipped
+retrain path (``retrain_ivf_pq_store``: new codebooks, full re-encode,
+content-fingerprint rotation) and measures the recovery.
+
+Setup: 100k topic-structured base corpus (256 topics, sigma=0.8); coarse
+(128) + residual-PQ codebooks trained on the base and FROZEN; K=6 epochs
+of 20k appends whose topic centers DRIFT a fixed step per epoch
+(step=0.6 on sigma=0.8 — by epoch 6 the distribution has moved several
+sigma).  After each epoch: queries drawn from the CURRENT epoch's
+distribution (serving traffic follows the drift), recall@10 of the
+deployable serve (residual ADC shortlist=200 + exact refine, n_probe=8)
+against exact over the accumulated corpus.  Then retrain on the
+accumulated corpus and re-measure the SAME final-epoch queries.
+
+The decay mechanism is structural, not noise: drifted vectors land far
+from every trained centroid, so their residuals are large (ADC ranking
+degrades) and query probes stop aligning with the cells that hold the
+relevant drifted docs (candidate recall degrades) — both columns are
+reported per epoch.
+
+Writes one JSON line (and BENCH_CODEBOOK_DRIFT.json with --write).
+Run: python tools/bench_codebook_drift.py [--write]
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+import numpy as np
+
+ROOT = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(ROOT))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from open_bus_siri_etl_spark.operators.clustering import (  # noqa: E402
+    kmeans_codebook,
+    kmeans_subspace_codebook,
+)
+from open_bus_siri_etl_spark.operators.similarity import (  # noqa: E402
+    ann_recall,
+    build_ivf_pq_index,
+    cosine_topk,
+    ivf_pq_topk_serve,
+    ivf_residuals,
+)
+from open_bus_siri_etl_spark.session import get_spark  # noqa: E402
+from open_bus_siri_etl_spark.streaming.delta_dedup import (  # noqa: E402
+    retrain_ivf_pq_store,
+)
+
+DIM, N_QUERIES, K = 64, 64, 10
+N_SUB, SUB_DIM, PQ_CENTROIDS = 8, 8, 64
+N_BASE, N_BATCH, K_EPOCHS = 100_000, 20_000, 6
+N_TOPICS, SIGMA, DRIFT_STEP = 256, 0.8, 0.6
+N_CENT, N_PROBE, SHORTLIST = 128, 8, 200
+
+
+def main() -> None:
+    spark = get_spark(app_name="siri-etl-bench-codebook-drift")
+    spark.sparkContext.setLogLevel("ERROR")
+    work = Path(tempfile.mkdtemp(prefix="bench_drift_"))
+    import pandas as pd
+
+    rng = np.random.RandomState(47)
+    centers = rng.randn(N_TOPICS, DIM).astype("float64")
+    # one fixed unit drift direction per topic — the distribution MOVES,
+    # it does not just widen
+    dirs = rng.randn(N_TOPICS, DIM)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+
+    def write_vecs(ids, vecs, path):
+        pdf = pd.DataFrame({"vec_id": ids, "embedding": list(vecs)})
+        spark.createDataFrame(pdf).repartition(8).write.mode(
+            "overwrite"
+        ).parquet(path)
+        return spark.read.parquet(path)
+
+    def sample(n, epoch, id_start):
+        c = centers + epoch * DRIFT_STEP * dirs
+        topic_of = rng.randint(0, N_TOPICS, n)
+        vecs = (c[topic_of] + SIGMA * rng.randn(n, DIM)).astype("float32")
+        return np.arange(id_start, id_start + n, dtype="int64"), vecs
+
+    ids, vecs = sample(N_BASE, 0, 0)
+    base = write_vecs(ids, vecs, str(work / "base"))
+    corpus = base
+
+    kw = dict(n_centroids=N_CENT, n_sub=N_SUB, sub_dim=SUB_DIM,
+              pq_centroids=PQ_CENTROIDS, dim=DIM)
+    coarse = kmeans_codebook(base, k=N_CENT, iters=2, kernel="matmul")
+    cents_path = str(work / "cents")
+    coarse.coalesce(1).write.parquet(cents_path)
+    coarse = spark.read.parquet(cents_path)
+    fine = kmeans_subspace_codebook(
+        ivf_residuals(base, coarse, N_CENT, dim=DIM),
+        n_sub=N_SUB, sub_dim=SUB_DIM, k=PQ_CENTROIDS, iters=2,
+        kernel="matmul",
+    )
+    fine_path = cents_path + "_fine"
+    fine.coalesce(1).write.parquet(fine_path)
+    fine = spark.read.parquet(fine_path)
+
+    index_path = str(work / "index")
+    build_ivf_pq_index(
+        base, cents=coarse, fine_cents=fine, coarse_metric="l2",
+        residual=True, **kw,
+    ).withColumn("ingest_batch", F.lit(0)).write.partitionBy(
+        "ingest_batch"
+    ).parquet(index_path)
+
+    def serve_and_recall(epoch_queries, corpus_now, cents_f, fine_f):
+        exact = cosine_topk(corpus_now, epoch_queries, k=K)
+        xp = str(work / "exact_tmp")
+        exact.write.mode("overwrite").parquet(xp)
+        exact = spark.read.parquet(xp)
+        t0 = time.time()
+        short = ivf_pq_topk_serve(
+            spark.read.parquet(index_path), cents_f, epoch_queries,
+            k=SHORTLIST, n_probe=N_PROBE, fine_cents=fine_f,
+            coarse_metric="l2", residual=True, **kw,
+        )
+        from open_bus_siri_etl_spark.operators.similarity import (
+            _exact_cosine,
+            _topk_per_query,
+        )
+
+        qv = epoch_queries.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_vec"),
+        )
+        cv = corpus_now.select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("embedding").alias("c_vec"),
+        )
+        served = _topk_per_query(
+            short.select("query_id", "neighbor_id")
+            .join(F.broadcast(qv), "query_id")
+            .join(cv, "neighbor_id")
+            .withColumn(
+                "cosine", _exact_cosine(F.col("q_vec"), F.col("c_vec"), DIM)
+            ),
+            K, [F.desc("cosine")],
+        )
+        served = spark.createDataFrame(served.collect(), served.schema)
+        serve_sec = round(time.time() - t0, 3)
+        recall = (
+            ann_recall(exact, served, k=K)
+            .agg(F.avg("recall").alias("r")).collect()[0]["r"]
+        )
+        return round(recall, 4), serve_sec
+
+    epochs = []
+    qid = 10**9
+    last_queries = None
+    for e in range(1, K_EPOCHS + 1):
+        ids, vecs = sample(N_BATCH, e, N_BASE + (e - 1) * N_BATCH)
+        batch = write_vecs(ids, vecs, str(work / f"b{e}"))
+        corpus = corpus.unionByName(batch)
+        cpath = str(work / f"corpus_{e}")
+        corpus.write.parquet(cpath)
+        corpus = spark.read.parquet(cpath)
+        # frozen-codebook append, the exact streaming-indexer math
+        build_ivf_pq_index(
+            batch, cents=coarse, fine_cents=fine, coarse_metric="l2",
+            residual=True, **kw,
+        ).withColumn("ingest_batch", F.lit(e)).write.mode(
+            "append"
+        ).partitionBy("ingest_batch").parquet(index_path)
+        qids, qvecs = sample(N_QUERIES, e, qid)
+        qid += N_QUERIES
+        last_queries = write_vecs(qids, qvecs, str(work / f"q{e}"))
+        recall, serve_sec = serve_and_recall(last_queries, corpus, coarse, fine)
+        epochs.append(
+            {
+                "epoch": e,
+                "drift_dist_sigma": round(e * DRIFT_STEP / SIGMA, 2),
+                "n_corpus": N_BASE + e * N_BATCH,
+                "recall_at_10": recall,
+                "serve_sec": serve_sec,
+            }
+        )
+        print(json.dumps(epochs[-1]), flush=True)
+
+    # retrain on the accumulated corpus: new codebooks, full re-encode,
+    # fingerprint rotation — then the SAME final-epoch queries
+    t0 = time.time()
+    retrain_ivf_pq_store(
+        spark, corpus, index_path, cents_path,
+        n_centroids=N_CENT, n_sub=N_SUB, sub_dim=SUB_DIM,
+        pq_centroids=PQ_CENTROIDS, iters=2, residual=True,
+    )
+    retrain_sec = round(time.time() - t0, 3)
+    new_coarse = spark.read.parquet(cents_path).drop("cb_kind")
+    new_fine = spark.read.parquet(fine_path).drop("cb_kind")
+    post_recall, post_serve_sec = serve_and_recall(
+        last_queries, corpus, new_coarse, new_fine
+    )
+    out = {
+        "metric": "ivfpq_recall_drop_under_drift_then_retrain",
+        "value": round(epochs[0]["recall_at_10"] - epochs[-1]["recall_at_10"], 4),
+        "unit": "recall@10",
+        "n_base": N_BASE, "n_batch": N_BATCH, "k_epochs": K_EPOCHS,
+        "n_topics": N_TOPICS, "sigma": SIGMA, "drift_step": DRIFT_STEP,
+        "n_centroids": N_CENT, "n_probe": N_PROBE, "shortlist": SHORTLIST,
+        "pq": {"n_sub": N_SUB, "sub_dim": SUB_DIM,
+               "pq_centroids": PQ_CENTROIDS, "residual": True},
+        "epochs": epochs,
+        "post_retrain": {
+            "retrain_sec": retrain_sec,
+            "recall_at_10": post_recall,
+            "serve_sec": post_serve_sec,
+            "recovered_vs_epoch_final": round(
+                post_recall - epochs[-1]["recall_at_10"], 4
+            ),
+        },
+    }
+    shutil.rmtree(work, ignore_errors=True)
+    print(json.dumps(out))
+    if "--write" in sys.argv:
+        (ROOT / "BENCH_CODEBOOK_DRIFT.json").write_text(
+            json.dumps(out, indent=2) + "\n"
+        )
+
+
+if __name__ == "__main__":
+    main()
