@@ -31,6 +31,7 @@ NONPORTABLE = {
     # share the batch entries' SQL verbatim (fold-in == recompute)
     "neardup_components_delta": "UNION (distinct) inside a recursive CTE",
     "neardup_survivors_delta": "UNION (distinct) inside a recursive CTE",
+    "neardup_components_dispatch": "UNION (distinct) inside a recursive CTE",
 }
 
 ORACLES = sorted(n for n, q in REGISTRY.items() if q.sql is not None)
@@ -67,7 +68,9 @@ def test_allowlisted_entries_genuinely_fail(views, name):
 
 
 def test_allowlist_is_small():
-    assert len(NONPORTABLE) <= 5, "dialect allowlist must stay enumerable"
+    # 6 = the three recursive-CTE batch entries + the three entries that
+    # share their SQL verbatim (delta fold, survivors fold, dispatch twin)
+    assert len(NONPORTABLE) <= 6, "dialect allowlist must stay enumerable"
 
 
 def test_register_views_exposes_all_tables(spark):
