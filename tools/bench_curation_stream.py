@@ -65,6 +65,9 @@ def drain(spark, landing, state, ckpt, schema) -> float:
         spark, str(landing), state, ckpt,
         max_files_per_trigger=1, trigger={"availableNow": True},
         schema=schema,
+        # this bench prices MANUAL compaction; in-stream auto-compaction
+        # must stay out of both sides' measured regimes
+        auto_compact_min_batches=None,
     )
     q.awaitTermination(600)
     return round(time.time() - t0, 3)
