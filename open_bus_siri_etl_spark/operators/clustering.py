@@ -180,6 +180,22 @@ def kmeans_assign(
     return assign_fn(vecd, cents, id_col).select(id_col, "cluster")
 
 
+#: The measured serving default for the deployable IVF-PQ stack (trained
+#: coarse + residual PQ + exact refine) — the KNEE of the recall/cost
+#: frontier swept in tools/bench_ivfpq_frontier.py on the 300k
+#: topic-structured corpus (BENCH_IVFPQ_FRONTIER.json, which a test pins
+#: this dict against): the cheapest (n_probe, refine_k) clearing
+#: recall@10 >= 0.9.  n_probe is meaningful relative to n_centroids
+#: (pruning fraction n_probe/n_centroids); refine_k is the ADC shortlist
+#: the exact re-rank touches corpus vectors for — its cost is one
+#: broadcast-id-join corpus pass regardless of k.
+IVF_PQ_SERVING_DEFAULTS = {
+    "n_centroids": 256,
+    "n_probe": 16,
+    "refine_k": 100,
+    "recall_bar": 0.9,
+}
+
 _CODEBOOK_SCHEMA = "cent_rank int, cent_id bigint, cent_vec array<double>"
 
 

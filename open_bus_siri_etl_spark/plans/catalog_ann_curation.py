@@ -2929,7 +2929,11 @@ def ivf_pq_residual_recall_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame
     "stage touching corpus vectors: a |Q| x shortlist id set broadcast "
     "against one pruned-column corpus scan, never a corpus shuffle.  "
     "The shortlist SQL is the registered residual chain at rank<=20 — "
-    "same template, different limit, so the stages cannot drift",
+    "same template, different limit, so the stages cannot drift.  The "
+    "entry runs oracle-sized knobs (sf0.01); the CORPUS-SCALE serving "
+    "default is the measured frontier knee pinned as "
+    "IVF_PQ_SERVING_DEFAULTS (operators/clustering.py <-> "
+    "BENCH_IVFPQ_FRONTIER.json, sync test in test_training_ops)",
 )
 def ivf_pq_refine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.clustering import ivf_pq_refine_topk

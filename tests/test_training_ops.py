@@ -2493,3 +2493,34 @@ def test_kmeans_chain_sql_iters2_matches_kmeans_clusters(spark):
     emb = spark.read.parquet(f"{sf}/embeddings.parquet")
     direct = sorted(map(tuple, kmeans_assign(emb, k=8, iters=2).collect()))
     assert via_sql == direct and via_sql
+
+
+def test_ivf_pq_serving_defaults_pinned_to_frontier_artifact():
+    """Round-10 directive #3: the serving default the code ships
+    (IVF_PQ_SERVING_DEFAULTS) must BE the measured frontier knee — the
+    cheapest (n_probe, refine_k) clearing the recall bar in the committed
+    BENCH_IVFPQ_FRONTIER.json.  If the frontier is re-measured and the
+    knee moves, this fails and the constant follows the measurement, not
+    the other way around."""
+    import json
+    import os
+
+    from open_bus_siri_etl_spark.operators.clustering import (
+        IVF_PQ_SERVING_DEFAULTS as D,
+    )
+
+    path = os.path.join(
+        os.path.dirname(__file__), "..", "BENCH_IVFPQ_FRONTIER.json"
+    )
+    art = json.load(open(path))
+    assert art["recall_bar"] == D["recall_bar"]
+    assert art["n_centroids"] == D["n_centroids"]
+    knee = art["serving_default"]
+    assert knee is not None, "no frontier config cleared the recall bar"
+    assert (knee["n_probe"], knee["refine_k"]) == (D["n_probe"], D["refine_k"])
+    assert knee["recall_at_10"] >= D["recall_bar"]
+    # the knee is genuinely the cheapest clearing config
+    clearing = [
+        r for r in art["rows"] if r["recall_at_10"] >= art["recall_bar"]
+    ]
+    assert knee["serve_sec"] == min(r["serve_sec"] for r in clearing)

@@ -55,11 +55,17 @@ N_SUB, SUB_DIM, PQ_CENTROIDS = 8, 8, 64
 TIERS = [(20_000, 64, 8), (100_000, 128, 8), (300_000, 256, 8)]
 # the DEPLOYABLE-stack tiers (round-10 directive #1/#6): topic-structured
 # corpora at the scales where approx must beat exact; n_probe and the
-# refine rungs come from the measured frontier knee
-# (BENCH_IVFPQ_FRONTIER.json) — (n, n_centroids, n_probe, refine_ks)
+# refine rungs bracket the measured frontier knee
+# (BENCH_IVFPQ_FRONTIER.json).  Topic count grows with the corpus (a
+# bigger corpus adds topics, it does not add members forever) and nlist
+# retunes with it; the 1M tier trains its codebooks on a deterministic
+# 1-in-10 sample — FAISS's actual practice (train() on a subsample, add()
+# everything) — while the 300k tier trains on the full corpus to stay
+# comparable with the frontier run.
+# (n, n_topics, n_centroids, n_probe, refine_ks, train_mod)
 CLUSTERED_TIERS = [
-    (300_000, 256, 16, (0, 100, 200)),
-    (1_000_000, 256, 16, (0, 100, 200)),
+    (300_000, 256, 256, 4, (0, 200, 400), 1),
+    (1_000_000, 1024, 1024, 4, (0, 200, 400), 10),
 ]
 
 
@@ -293,11 +299,18 @@ def synth_clustered(spark, work: Path, n: int, tag: str,
     the regime retrieval actually runs (see clustered_recall).  Written
     in chunks so the 1M tier never holds the whole corpus in one driver
     pandas frame."""
+    import os
+
     import pandas as pd
 
     rng = np.random.RandomState(seed)
     centers = rng.randn(n_topics, DIM).astype("float64")
     cpath, qpath = str(work / f"clc_{tag}"), str(work / f"clq_{tag}")
+    if os.path.isdir(cpath) and os.path.isdir(qpath):
+        # a persistent --work dir reuses the corpus across runs (the
+        # chunked corpus write is mode=append — regenerating into an
+        # existing dir would double it)
+        return spark.read.parquet(cpath), spark.read.parquet(qpath)
     for start in range(0, n, chunk):
         m = min(chunk, n - start)
         topic_of = (np.arange(start, start + m)) % n_topics
@@ -327,22 +340,39 @@ def synth_clustered(spark, work: Path, n: int, tag: str,
     return spark.read.parquet(cpath), spark.read.parquet(qpath)
 
 
-def build_residual_stack(spark, work: Path, corpus, n_cent: int, tag: str):
-    """Train coarse+residual-fine codebooks on ``corpus``, persist them and
-    the residual-encoded index (partitioned by cluster for serve-side
-    partition pruning).  Returns (index, coarse, fine, train_sec,
-    build_sec) — the deployable FAISS-shaped store the frontier and tier
-    sections both serve from."""
+def build_residual_stack(spark, work: Path, corpus, n_cent: int, tag: str,
+                         train_corpus=None):
+    """Train coarse+residual-fine codebooks on ``train_corpus`` (default:
+    the full corpus; FAISS practice at scale is a SUBSAMPLE — train() on
+    a fraction, add() everything), persist them and the residual-encoded
+    index (partitioned by cluster for serve-side partition pruning).
+    Returns (index, coarse, fine, train_sec, build_sec) — the deployable
+    FAISS-shaped store the frontier and tier sections both serve from."""
+    import os
+
     from open_bus_siri_etl_spark.operators.similarity import ivf_residuals
 
     kw = dict(n_centroids=n_cent, n_sub=N_SUB, sub_dim=SUB_DIM,
               pq_centroids=PQ_CENTROIDS, dim=DIM)
+    done = [
+        str(work / f"rs_{p}_{tag}") for p in ("tc", "rf", "ix")
+    ]
+    if all(os.path.isdir(p) for p in done):
+        # persistent --work dir: the trained stack is deterministic in the
+        # corpus, so reuse it (train/build timings come from the run that
+        # paid them — reported as 0 here to keep cached reruns honest)
+        return (
+            spark.read.parquet(done[2]), spark.read.parquet(done[0]),
+            spark.read.parquet(done[1]), 0.0, 0.0,
+        )
+    if train_corpus is None:
+        train_corpus = corpus
     t0 = time.time()
-    tc = kmeans_codebook(corpus, k=n_cent, iters=2, kernel="matmul")
+    tc = kmeans_codebook(train_corpus, k=n_cent, iters=2, kernel="matmul")
     tcp = str(work / f"rs_tc_{tag}")
     tc.coalesce(1).write.mode("overwrite").parquet(tcp)
     tc = spark.read.parquet(tcp)
-    res = ivf_residuals(corpus, tc, n_cent, dim=DIM)
+    res = ivf_residuals(train_corpus, tc, n_cent, dim=DIM)
     rf = kmeans_subspace_codebook(
         res, n_sub=N_SUB, sub_dim=SUB_DIM, k=PQ_CENTROIDS, iters=2,
         kernel="matmul",
@@ -413,12 +443,19 @@ def clustered_tiers(spark, work: Path, tiers) -> list:
     (isotropic-gaussian recall is structurally capped by pruning and is
     NOT the regime retrieval runs — see clustered_recall)."""
     out = []
-    for n, n_cent, n_probe, refine_ks in tiers:
+    for n, n_topics, n_cent, n_probe, refine_ks, train_mod in tiers:
         tag = f"{n}"
-        corpus, queries = synth_clustered(spark, work, n, tag)
+        corpus, queries = synth_clustered(
+            spark, work, n, tag, n_topics=n_topics
+        )
         corpus.count()
         index, tc, rf, train_sec, build_sec = build_residual_stack(
-            spark, work, corpus, n_cent, tag
+            spark, work, corpus, n_cent, tag,
+            train_corpus=(
+                corpus.filter(F.col("vec_id") % train_mod == 0)
+                if train_mod > 1
+                else None
+            ),
         )
         t0 = time.time()
         exact = cosine_topk(corpus, queries, k=K)
@@ -427,7 +464,8 @@ def clustered_tiers(spark, work: Path, tiers) -> list:
         exact_sec = round(time.time() - t0, 3)
         exact = spark.read.parquet(expath)
         tier = {
-            "n_vectors": n, "n_topics": 256, "sigma": 0.8,
+            "n_vectors": n, "n_topics": n_topics, "sigma": 0.8,
+            "train_mod": train_mod,
             "n_centroids": n_cent, "n_probe": n_probe,
             "pruning_frac": round(n_probe / n_cent, 4),
             "train_sec": train_sec, "build_sec": build_sec,

@@ -50,15 +50,27 @@ from open_bus_siri_etl_spark.operators.similarity import (  # noqa: E402
 from open_bus_siri_etl_spark.session import get_spark  # noqa: E402
 
 N, N_CENT = 300_000, 256
+# the measured surface showed recall is INDEPENDENT of n_probe here (the
+# candidate ceiling is 1.0 from n_probe=4 up — topic structure makes the
+# coarse stage near-lossless), so the frontier's recall axis is refine_k
+# alone and 400 is needed to clear the 0.9 bar (200 caps at ~0.85: the
+# ADC must rank ~1200 same-topic members per cell at this corpus/cell
+# ratio, coarser than the 100k/128 measurement)
 N_PROBES = (4, 8, 16, 32)
-REFINE_KS = (0, 50, 100, 200)
+REFINE_KS = (0, 50, 100, 200, 400)
 RECALL_BAR = 0.9
 
 
 def main() -> None:
     spark = get_spark(app_name="siri-etl-bench-ivfpq-frontier")
     spark.sparkContext.setLogLevel("ERROR")
-    work = Path(tempfile.mkdtemp(prefix="bench_ivfpq_frontier_"))
+    keep = "--work" in sys.argv
+    work = (
+        Path(sys.argv[sys.argv.index("--work") + 1])
+        if keep
+        else Path(tempfile.mkdtemp(prefix="bench_ivfpq_frontier_"))
+    )
+    work.mkdir(parents=True, exist_ok=True)
     try:
         corpus, queries = synth_clustered(spark, work, N, "frontier")
         corpus.count()
@@ -72,6 +84,7 @@ def main() -> None:
         exact.write.mode("overwrite").parquet(expath)
         exact_sec = round(time.time() - t0, 3)
         exact = spark.read.parquet(expath)
+        print(json.dumps({"exact_sec": exact_sec}), flush=True)
 
         # candidate-recall ceiling per n_probe: fraction of the exact
         # top-10 that lives inside the probed cells — bounds every
@@ -159,7 +172,8 @@ def main() -> None:
             "serving_default": default,
         }
     finally:
-        shutil.rmtree(work, ignore_errors=True)
+        if not keep:
+            shutil.rmtree(work, ignore_errors=True)
     print(json.dumps(out))
     if "--write" in sys.argv:
         (ROOT / "BENCH_IVFPQ_FRONTIER.json").write_text(
