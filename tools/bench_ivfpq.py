@@ -600,7 +600,13 @@ def epoch_appends(spark, work: Path) -> dict:
 def main() -> None:
     spark = get_spark(app_name="siri-etl-bench-ivfpq")
     spark.sparkContext.setLogLevel("ERROR")
-    work = Path(tempfile.mkdtemp(prefix="bench_ivfpq_"))
+    keep = "--work" in sys.argv
+    work = (
+        Path(sys.argv[sys.argv.index("--work") + 1])
+        if keep
+        else Path(tempfile.mkdtemp(prefix="bench_ivfpq_"))
+    )
+    work.mkdir(parents=True, exist_ok=True)
     only_flags = {
         "--clustered-only": ("clustered_recall", clustered_recall),
         "--clustered-tiers-only": (
@@ -624,7 +630,8 @@ def main() -> None:
                 key, fn = only_flags[f]
                 out[key] = fn(spark, work)
         finally:
-            shutil.rmtree(work, ignore_errors=True)
+            if not keep:
+                shutil.rmtree(work, ignore_errors=True)
         print(json.dumps(out))
         if "--write" in sys.argv:
             (ROOT / "BENCH_IVFPQ.json").write_text(
@@ -775,7 +782,8 @@ def main() -> None:
         ct = clustered_tiers(spark, work, CLUSTERED_TIERS)
         ep = epoch_appends(spark, work)
     finally:
-        shutil.rmtree(work, ignore_errors=True)
+        if not keep:
+            shutil.rmtree(work, ignore_errors=True)
     out = {
         "metric": "ivfpq_serve_speedup_vs_exact_at_max_tier",
         "value": tiers[-1]["serve_speedup_vs_exact"],
