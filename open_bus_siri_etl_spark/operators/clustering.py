@@ -191,8 +191,8 @@ def kmeans_assign(
 #: broadcast-id-join corpus pass regardless of k.
 IVF_PQ_SERVING_DEFAULTS = {
     "n_centroids": 256,
-    "n_probe": 16,
-    "refine_k": 100,
+    "n_probe": 4,
+    "refine_k": 400,
     "recall_bar": 0.9,
 }
 
