@@ -305,6 +305,16 @@ def cosine_delta_pairs(
     )
 
 
+#: above this codebook size the keep-1 L2 assignment routes through the
+#: Arrow matmul kernel instead of the crossJoin+window plan: the
+#: crossJoin materializes N x K rows CARRYING THE VECTORS through a
+#: window shuffle (at 1M x 1024 x 64d that is ~10^9 rows / half a
+#: terabyte of exchange for what is one argmin per row), while the
+#: kernel is one Arrow scan against a driver-held k x dim matrix.
+#: Catalog-entry geometries (k <= 16) keep the declarative plan.
+MATMUL_ASSIGN_MIN_K = 64
+
+
 def _nearest_centroids(
     df: DataFrame,
     cents,
@@ -312,6 +322,7 @@ def _nearest_centroids(
     keep: int,
     dim: int | None = None,
     metric: str = "cosine",
+    n_cents: int | None = None,
 ) -> DataFrame:
     """Nearest-centroid assignment shared by the IVF family (ivf_topk,
     ivf_pq_topk — one deterministic spec, ties to the smaller centroid
@@ -324,7 +335,51 @@ def _nearest_centroids(
     contract, so assigning against a ``kmeans_codebook`` frame reproduces
     ``kmeans_assign``'s clusters exactly: trained centroids are
     themselves 6dp values, and the rounding keeps argmin ties
-    engine-identical)."""
+    engine-identical).
+
+    ``n_cents`` (callers that know their codebook size pass it): for the
+    keep-1 L2 family above ``MATMUL_ASSIGN_MIN_K`` the assignment runs
+    through ``clustering._assign_matmul`` — the SAME sequential-fold /
+    6dp-half-up / first-min kernel the kmeans trainer uses, so the
+    result is bit-identical to the crossJoin plan (parity-tested) while
+    the plan stays one Arrow scan instead of an N x K row explosion.
+    The codebook collects to the driver (bounded k x dim — the kmeans
+    precedent), which also fires the undersize guard eagerly."""
+    if (
+        metric == "l2"
+        and keep == 1
+        and n_cents is not None
+        and n_cents >= MATMUL_ASSIGN_MIN_K
+    ):
+        from .clustering import _assign_matmul
+
+        rows = sorted(
+            cents.select("cent_id", "cent_vec").collect(),
+            key=lambda r: r["cent_id"],
+        )
+        ids = [r["cent_id"] for r in rows]
+        cmat = [list(map(float, r["cent_vec"])) for r in rows]
+        assigned = _assign_matmul(
+            df.select(
+                "_id",
+                F.transform("_vec", lambda x: x.cast("double")).alias("v"),
+            ),
+            cmat,
+            "_id",
+        )
+        # argmin INDEX -> cent_id: sorted-by-cent_id list means the
+        # first-min index tie IS the smaller-cent_id tie; map through the
+        # id list (identity for dense kmeans codebooks, but not assumed)
+        id_map = F.array(*[F.lit(int(i)) for i in ids])
+        return assigned.select(
+            "_id",
+            F.col("v").alias("_vec"),
+            # cast matches the crossJoin path's cent_id type (bigint) so
+            # both plans write schema-identical parquet partitions
+            F.element_at(id_map, F.col("cluster") + 1)
+            .cast("long")
+            .alias(out),
+        )
     scored = df.crossJoin(cents)
     if metric == "l2":
         scored = scored.withColumn(
@@ -1745,6 +1800,7 @@ def ivf_residuals(
     asg = _nearest_centroids(
         corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")),
         coarse, "cluster", 1, dim, metric=coarse_metric,
+        n_cents=n_centroids,
     )
     return (
         asg.join(
@@ -1843,6 +1899,7 @@ def build_ivf_pq_index(
                 F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")
             ),
             coarse, "cluster", 1, dim, metric=coarse_metric,
+            n_cents=n_centroids,
         ).select(F.col("_id").alias(id_col), "cluster")
         codes = _pq_code_long(
             corpus, n_sub, sub_dim, pq_centroids, id_col, vec_col, cents=fine
