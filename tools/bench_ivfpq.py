@@ -63,9 +63,15 @@ TIERS = [(20_000, 64, 8), (100_000, 128, 8), (300_000, 256, 8)]
 # everything) — while the 300k tier trains on the full corpus to stay
 # comparable with the frontier run.
 # (n, n_topics, n_centroids, n_probe, refine_ks, train_mod)
+# 1M keeps the 300k knee's PRUNING FRACTION (16/1024 == 4/256): the
+# first 1M attempt at 4/1024 dropped the candidate ceiling and capped
+# refine@400 at 0.64 — n_probe scales with nlist, the fraction is the
+# knob.  train_mod=9 (coprime with the topic count) because a stride
+# sharing a factor with n_topics aliases the min-id kmeans init onto a
+# subset of topics (gcd(10,1024)=2 covered only 512 of 1024).
 CLUSTERED_TIERS = [
     (300_000, 256, 256, 4, (0, 200, 400), 1),
-    (1_000_000, 1024, 1024, 4, (0, 200, 400), 10),
+    (1_000_000, 1024, 1024, 16, (0, 200, 400), 9),
 ]
 
 
@@ -463,13 +469,38 @@ def clustered_tiers(spark, work: Path, tiers) -> list:
         exact.write.mode("overwrite").parquet(expath)
         exact_sec = round(time.time() - t0, 3)
         exact = spark.read.parquet(expath)
+        # candidate-recall ceiling from the PERSISTED index assignments:
+        # the fraction of exact top-10 living inside the probed cells —
+        # every refine rung is bounded by it, so the tier row carries it
+        from open_bus_siri_etl_spark.operators.similarity import (
+            _nearest_centroids,
+            _slice_codebook,
+        )
+
+        asg = index.select(
+            F.col("vec_id").alias("neighbor_id"), "cluster"
+        ).distinct()
+        qprobe = _nearest_centroids(
+            queries.select(
+                F.col("vec_id").alias("_id"), F.col("embedding").alias("_vec")
+            ),
+            F.broadcast(_slice_codebook(tc, n_cent, "coarse", "tiers")),
+            "cluster", n_probe, DIM, metric="l2",
+        ).select(F.col("_id").alias("query_id"), "cluster")
+        ceiling = (
+            exact.join(asg, "neighbor_id")
+            .join(qprobe, ["query_id", "cluster"], "left_semi")
+            .count()
+        ) / (N_QUERIES * K)
         tier = {
             "n_vectors": n, "n_topics": n_topics, "sigma": 0.8,
             "train_mod": train_mod,
             "n_centroids": n_cent, "n_probe": n_probe,
             "pruning_frac": round(n_probe / n_cent, 4),
             "train_sec": train_sec, "build_sec": build_sec,
-            "exact_sec": exact_sec, "rungs": [],
+            "exact_sec": exact_sec,
+            "candidate_recall_ceiling": round(ceiling, 4),
+            "rungs": [],
         }
         for refine_k in refine_ks:
             t0 = time.time()
