@@ -19,6 +19,13 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 import os
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+# --sf PATH overrides the env var; without this, a stray "--sf x" pair
+# would silently become two never-matching ENTRY-NAME filters and the
+# run would report "0 ok" while checking nothing (round-11 footgun)
+if "--sf" in sys.argv:
+    i = sys.argv.index("--sf")
+    SF_DIR = sys.argv[i + 1]
+    del sys.argv[i : i + 2]
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
@@ -100,6 +107,11 @@ def main() -> int:
     from open_bus_siri_etl_spark.session import get_spark
 
     only = set(sys.argv[1:])
+    unknown = only - set(REGISTRY)
+    if unknown:
+        # a typo'd entry name must not silently shrink the run to nothing
+        print(f"unknown entry name(s): {sorted(unknown)}", file=sys.stderr)
+        return 2
     spark = get_spark(app_name="check-oracle")
     con = duckdb.connect()
     for tbl in TABLES:
