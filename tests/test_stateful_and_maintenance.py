@@ -2170,3 +2170,53 @@ def test_retrain_refuses_undrained_checkpoint(spark, tmp_path):
             spark, emb, str(tmp_path / "i"), str(tmp_path / "c"),
             checkpoint_dir=str(ckpt),
         )
+
+
+def test_compact_log_keep_batch_preserves_replay_partition(spark, tmp_path):
+    """Unit pin for the in-stream compaction's replay contract: with
+    keep_batch=b, partition b survives the rewrite VERBATIM (so a
+    replayed batch b's `ingest_batch != b` read exclusion still works),
+    every other partition folds into the ingest_batch=-1 base, and the
+    latest-wins view is unchanged.  A keep_batch with no partition yet
+    (the normal case — compaction runs BEFORE the batch's writes) just
+    folds everything."""
+    from open_bus_siri_etl_spark.streaming.delta_dedup import (
+        _compact_log,
+        latest_wins,
+    )
+
+    path = str(tmp_path / "labels")
+    rows = [
+        # doc 1 written in batches 0 and 1 (superseded), doc 2 in 0,
+        # doc 3 in the CURRENT (possibly uncommitted) batch 2
+        (1, 10, 0), (2, 20, 0), (1, 11, 1), (3, 30, 2),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id long, component long, ingest_batch long"
+    ).write.partitionBy("ingest_batch").parquet(path)
+
+    def view():
+        return sorted(
+            map(tuple, latest_wins(
+                spark.read.parquet(path), ["doc_id"], "ingest_batch"
+            ).collect())
+        )
+
+    before = view()
+    stats = _compact_log(spark, path, ["doc_id"], keep_batch=2)
+    assert stats["rows_before"] == 3  # the folded portion only
+    parts = sorted(
+        p.name for p in (tmp_path / "labels").glob("ingest_batch=*")
+    )
+    assert parts == ["ingest_batch=-1", "ingest_batch=2"]
+    assert view() == before
+    # batch 2's row is byte-identical in its own partition
+    kept = spark.read.parquet(path).filter("ingest_batch = 2").collect()
+    assert [(r["doc_id"], r["component"]) for r in kept] == [(3, 30)]
+    # second compaction with a not-yet-written keep_batch: folds all
+    _compact_log(spark, path, ["doc_id"], keep_batch=99)
+    parts = sorted(
+        p.name for p in (tmp_path / "labels").glob("ingest_batch=*")
+    )
+    assert parts == ["ingest_batch=-1"]
+    assert view() == before
