@@ -33,8 +33,13 @@ from open_bus_siri_etl_spark.session import get_spark  # noqa: E402
 
 DIM = 64
 # (n_vectors, lsh planes, run brute force too?) — brute force is skipped
-# past 20k where the O(N^2) expression join stops being worth the wall time
-TIERS = [(2_000, 10, True), (20_000, 14, True), (100_000, 18, False)]
+# past 20k where the O(N^2) expression join stops being worth the wall time.
+# 400k (round-11 directive: one tier past 100k) keeps the planes-up-with-N
+# discipline: P=20 holds the expected candidate fraction roughly flat.
+TIERS = [
+    (2_000, 10, True), (20_000, 14, True), (100_000, 18, False),
+    (400_000, 20, False),
+]
 
 
 def synth(spark, work: Path, n: int):

@@ -290,9 +290,11 @@ def clustered_recall(spark, work: Path) -> dict:
         "refined stack (the whole corpus fits one broadcast pass); the "
         "refine's per-batch cost is ADC (flat in corpus floats, see the "
         "tier section) + ONE shortlist-id hash join over a pruned corpus "
-        "scan, vs exact's Q x N vector scoring — the crossover is where "
-        "the tier section already shows exact losing (1.8x at 300k and "
-        "widening), and the recall column is what the refine buys there"
+        "scan, vs exact's Q x N vector scoring — the clustered_tiers "
+        "section holds the definitive fast-AND-accurate rows (refine@400 "
+        "beats exact 1.81x at 300k / 2.67x at 1M at recall 0.96/0.975), "
+        "and BENCH_IVFPQ_FRONTIER.json the knee the serving default "
+        "ships"
     )
     print(json.dumps(out), flush=True)
     return out
