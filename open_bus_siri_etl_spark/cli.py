@@ -131,6 +131,21 @@ def main(argv: list[str] | None = None) -> int:
         "operator's clean-drain claim",
     )
 
+    ci = sub.add_parser(
+        "compact-ivf-store",
+        help="beyond-reference maintenance: fold a streaming IVF-PQ "
+        "store's per-batch partitions into the ingest_batch=-1 base "
+        "(pure relayout — code rows are immutable; bounds the "
+        "partition/file count of a long-running indexer daemon)",
+    )
+    ci.add_argument("index_path")
+    ci.add_argument(
+        "--checkpoint",
+        default=None,
+        help="the stream's checkpointLocation; when given, refuses on "
+        "offsets without commits (an uncommitted batch that will replay)",
+    )
+
     ex = sub.add_parser(
         "export-training-shards",
         help="beyond-reference: materialize a parquet table as N "
@@ -172,6 +187,17 @@ def main(argv: list[str] | None = None) -> int:
             spark, args.state_root, checkpoint_dir=args.checkpoint
         )
         print(json.dumps({"state_root": args.state_root, **stats}))
+        return 0
+
+    if args.cmd == "compact-ivf-store":
+        from .session import get_spark
+        from .streaming.delta_dedup import compact_ivf_pq_store
+
+        spark = get_spark(app_name="siri-etl-compact-ivf")
+        stats = compact_ivf_pq_store(
+            spark, args.index_path, checkpoint_dir=args.checkpoint
+        )
+        print(json.dumps({"index_path": args.index_path, **stats}))
         return 0
 
     if args.cmd == "export-training-shards":

@@ -718,6 +718,49 @@ def start_text_curation_stream(
     return writer.start()
 
 
+def compact_ivf_pq_store(
+    spark: SparkSession,
+    index_path: str,
+    checkpoint_dir: str | None = None,
+) -> dict:
+    """Fold a streaming IVF-PQ store's per-batch partitions into the
+    ``ingest_batch=-1`` base — the small-file maintenance job for
+    ``start_ivf_pq_index_stream`` (a daemon at 1,440 batches/day grows
+    1,440 partitions/day; code rows are immutable per-row functions of
+    (vector, frozen codebook), so unlike the curation logs there is
+    nothing to resolve: compaction is a pure relayout, row multiset
+    unchanged — test-asserted).  Staged under the ``._compacting``
+    marker like ``_compact_log``; pass ``checkpoint_dir`` for the
+    programmatic clean-drain guard (an uncommitted batch's partition
+    must not be folded where its replay's read exclusion cannot see it).
+    The resumed stream appends new batch partitions after the base
+    exactly as after a log compaction.  (Cluster-pruned SERVING layout
+    remains the batch builder's ``partitionBy("cluster")`` store —
+    ``retrain_ivf_pq_store`` rewrites into that shape when codebooks
+    rotate; this job only bounds the partition/file count of the
+    append store.)"""
+    if checkpoint_dir is not None:
+        _assert_drained_checkpoint(spark, checkpoint_dir)
+    log = _read_or_none(spark, index_path)
+    if log is None:
+        return {"rows": 0, "partitions_before": 0}
+    n_parts = log.select("ingest_batch").distinct().count()
+    stage = index_path + "._compact_staging"
+    log.withColumn(
+        "ingest_batch", F.lit(_COMPACTED_BASE_BATCH).cast("long")
+    ).write.mode("overwrite").parquet(stage)
+    staged = spark.read.parquet(stage)
+    n_rows = staged.count()
+    marker = index_path + "._compacting"
+    _fs_mkdirs(spark, marker)
+    staged.write.mode("overwrite").option(
+        "partitionOverwriteMode", "static"
+    ).partitionBy("ingest_batch").parquet(index_path)
+    _fs_delete(spark, marker)
+    _fs_delete(spark, stage)
+    return {"rows": n_rows, "partitions_before": n_parts}
+
+
 def retrain_ivf_pq_store(
     spark: SparkSession,
     corpus: DataFrame,

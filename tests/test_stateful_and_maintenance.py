@@ -2220,3 +2220,72 @@ def test_compact_log_keep_batch_preserves_replay_partition(spark, tmp_path):
     )
     assert parts == ["ingest_batch=-1"]
     assert view() == before
+
+
+def test_compact_ivf_pq_store_pure_relayout_and_stream_resumes(spark, tmp_path):
+    """The streaming IVF-PQ store's small-file maintenance: compaction
+    folds the per-batch partitions into the ingest_batch=-1 base as a
+    PURE RELAYOUT (code rows are immutable — row multiset unchanged,
+    serve identical), guarded by the same drained-checkpoint refusal,
+    and the resumed stream appends new batch partitions after the base
+    exactly as before."""
+    from pyspark.sql import functions as F
+
+    from open_bus_siri_etl_spark.operators.similarity import (
+        build_ivf_pq_index,
+        ivf_pq_topk_serve,
+    )
+    from open_bus_siri_etl_spark.streaming.delta_dedup import (
+        compact_ivf_pq_store,
+        start_ivf_pq_index_stream,
+    )
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+    )
+    landing = tmp_path / "landing"
+    for k in range(3):
+        emb.filter(F.col("vec_id") % 4 == k).coalesce(1).write.parquet(
+            str(landing / f"b{k}")
+        )
+    index_path = str(tmp_path / "index")
+    cents_path = str(tmp_path / "cents")
+    ckpt = str(tmp_path / "ckpt")
+    q = start_ivf_pq_index_stream(
+        spark, str(landing), index_path, cents_path, ckpt,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(300)
+
+    def multiset(df):
+        return sorted(tuple(str(v) for v in r) for r in df.collect())
+
+    before = multiset(spark.read.parquet(index_path).drop("ingest_batch"))
+    stats = compact_ivf_pq_store(spark, index_path, checkpoint_dir=ckpt)
+    assert stats["partitions_before"] == 3
+    parts = sorted(
+        p.name for p in (tmp_path / "index").glob("ingest_batch=*")
+    )
+    assert parts == ["ingest_batch=-1"]
+    assert multiset(
+        spark.read.parquet(index_path).drop("ingest_batch")
+    ) == before
+
+    # resumed stream appends after the base; drained store == batch build
+    emb.filter(F.col("vec_id") % 4 == 3).coalesce(1).write.parquet(
+        str(landing / "b3")
+    )
+    q2 = start_ivf_pq_index_stream(
+        spark, str(landing), index_path, cents_path, ckpt,
+        max_files_per_trigger=1,
+    )
+    q2.awaitTermination(300)
+    cents = spark.read.parquet(cents_path).drop("cb_kind")
+    rebuilt = build_ivf_pq_index(emb, cents=cents)
+    store = spark.read.parquet(index_path).select(*rebuilt.columns)
+    assert multiset(store) == multiset(rebuilt)
+    qs = emb.filter("vec_id BETWEEN 8 AND 15")
+    assert multiset(ivf_pq_topk_serve(store, cents, qs, k=5)) == multiset(
+        ivf_pq_topk_serve(rebuilt, cents, qs, k=5)
+    )
