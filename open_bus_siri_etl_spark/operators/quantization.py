@@ -1,0 +1,216 @@
+"""Scalar quantization (SQ8) — FAISS ``IndexScalarQuantizer(QT_8bit)``
+inside an IVF, re-expressed as DataFrame ops.
+
+The third compression point on the ANN memory/recall frontier the repo
+already prices (float32 exact > SQ8 > PQ): each dimension is quantized
+independently to one byte against TRAINED per-dimension (min, max)
+bounds, so a 64-d float32 vector stores as 64 bytes (4x smaller) while
+keeping ~8 bits of per-coordinate resolution — in practice near-exact
+recall, where PQ's 8-bytes-per-vector trades recall for another 8x.
+This is exactly FAISS's QT_8bit contract: ``train()`` learns vmin/vdiff
+per dimension, ``encode`` is an affine clamp to [0, 255], search decodes
+on the fly per candidate (SIMD there, ``transform``/``zip_with`` inside
+whole-stage codegen here — no Python UDF anywhere).
+
+Determinism discipline (what keeps the approximate index oracle-exact,
+the family rule from ``similarity.py``): bounds are exact min/max
+aggregates (no summation), the encode rounds the scaled coordinate to
+6dp BEFORE flooring so the engine boundary cannot flip a code, distances
+round to 6dp before ranking, and ties go to the smaller id everywhere.
+
+Scale shape: train is one melt + groupBy(dim) aggregate collecting
+``dim`` rows to the driver (the kmeans codebook precedent — bounded by
+dimensionality, never data-sized); encode is MAP-ONLY against broadcast
+literal bounds; serving is the IVF probe equi-join on ``cluster`` (the
+partition-prunable key) with per-candidate decode-and-score, so the
+stored index carries no float vectors at all.
+
+Reference parity: the reference ETL (open-bus-siri-etl) has no vector
+search; this module belongs to the training-data operator families the
+brief layers on top (SURVEY §2 scope note).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .similarity import _nearest_centroids, _topk_per_query
+
+# FAISS QT_8bit: codes are floor(x01 * 256) clamped to [0, 255], decoded
+# at the cell midpoint (code + 0.5) / 256.
+SQ8_LEVELS = 256
+
+
+def sq8_train(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+) -> list[tuple[float, float]]:
+    """Per-dimension (min, max) bounds — FAISS QT_8bit ``train()``.
+
+    One posexplode + groupBy(dim) min/max; the collect is bounded by the
+    dimensionality (k x dim codebook-collect precedent), and min/max are
+    exact aggregates so the trained bounds are engine-identical to the
+    oracle's ``GROUP BY i`` CTE.
+    """
+    rows = (
+        corpus.select(
+            F.posexplode(
+                F.transform(F.col(vec_col), lambda x: x.cast("double"))
+            ).alias("i", "v")
+        )
+        .groupBy("i")
+        .agg(F.min("v").alias("mn"), F.max("v").alias("mx"))
+        .collect()
+    )
+    by_dim = sorted(rows, key=lambda r: r["i"])
+    if [r["i"] for r in by_dim] != list(range(len(by_dim))):
+        raise ValueError(
+            "sq8_train: ragged embedding column — dimensions "
+            f"{sorted(r['i'] for r in by_dim)} are not contiguous from 0"
+        )
+    return [(float(r["mn"]), float(r["mx"])) for r in by_dim]
+
+
+def _bounds_arrays(bounds: list[tuple[float, float]]) -> tuple[Column, Column]:
+    """Broadcast-literal (mn, span) arrays — dim doubles each, folded into
+    the task binary like the kmeans centroid literals."""
+    mn = F.array(*[F.lit(float(m)) for m, _ in bounds])
+    span = F.array(*[F.lit(float(x) - float(m)) for m, x in bounds])
+    return mn, span
+
+
+def sq8_encode(
+    df: DataFrame,
+    bounds: list[tuple[float, float]],
+    vec_col: str = "embedding",
+    out: str = "sq8_code",
+) -> DataFrame:
+    """Map-only SQ8 encode: ``code_j = clamp(floor(round(x01_j * 256, 6)),
+    0, 255)`` with ``x01_j = (v_j - mn_j) / span_j`` (0.0 on a degenerate
+    constant dimension).
+
+    The 6dp round BEFORE the floor is the engine-boundary guard: both
+    engines compute the affine scale on identical IEEE operands, and the
+    round collapses any last-ulp noise before the only discontinuous op.
+    The max of a dimension lands exactly on 256 and clamps back to 255 —
+    same as FAISS's upper-edge handling.
+    """
+    mn, span = _bounds_arrays(bounds)
+
+    def _code(v: Column, j: Column) -> Column:
+        m = F.element_at(mn, j + 1)
+        s = F.element_at(span, j + 1)
+        x01 = F.when(s == 0.0, F.lit(0.0)).otherwise(
+            (v.cast("double") - m) / s
+        )
+        return (
+            F.least(
+                F.lit(255),
+                F.greatest(
+                    F.lit(0), F.floor(F.round(x01 * F.lit(256.0), 6))
+                ),
+            )
+        ).cast("int")
+
+    return df.withColumn(out, F.transform(F.col(vec_col), _code))
+
+
+def sq8_decode_expr(
+    code_col: Column, bounds: list[tuple[float, float]]
+) -> Column:
+    """Midpoint decode ``mn_j + (code_j + 0.5) * span_j / 256`` as an
+    array<double> expression — evaluated per candidate inside codegen, the
+    decode-on-the-fly FAISS SQ search does in SIMD."""
+    mn, span = _bounds_arrays(bounds)
+    return F.transform(
+        code_col,
+        lambda c, j: F.element_at(mn, j + 1)
+        + (c.cast("double") + F.lit(0.5))
+        * F.element_at(span, j + 1)
+        / F.lit(256.0),
+    )
+
+
+def sq8_ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """IVF-SQ8 top-k — FAISS ``IndexIVFScalarQuantizer`` as joins: the
+    coarse stage is the ANN family's shared quantizer spec (max-cosine to
+    the ``n_centroids`` lowest-id stand-in centroids via
+    ``_nearest_centroids``, ties to the smaller centroid id — identical
+    to ``ivf_topk``/``ivf_pq_topk``), the fine stage stores candidates as
+    SQ8 CODES ONLY (1 byte/dim, no float vectors in the index frame) and
+    scores each probed candidate by decode-on-the-fly squared L2 against
+    the float query.
+
+    Sits between exact re-rank IVF (``ivf_topk``: full float vectors,
+    exact cosine) and IVF-PQ (``ivf_pq_topk``: n_sub bytes/vector, table
+    lookups) on the memory/recall frontier — 4x compression at
+    near-exact recall vs 32x at shortlist-grade recall.
+
+    Deterministic end to end (exact min/max bounds, round-before-floor
+    encode, 6dp distances, ties to smaller neighbor id), so the entry
+    carries an exact DuckDB oracle like the rest of the family.
+
+    Output: (query_id, neighbor_id, rank, sq8_d2); self-matches excluded.
+    """
+    cents = (
+        corpus.orderBy(id_col)
+        .limit(n_centroids)
+        .select(
+            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
+        )
+    )
+    bounds = sq8_train(corpus, vec_col)
+    corp = corpus.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")
+    )
+    assigned = _nearest_centroids(corp, cents, "cluster", keep=1, dim=dim)
+    # the stored index: (id, cluster, codes) — the float vector is DROPPED,
+    # which is the whole point of the family (64 B/vector at dim=64)
+    index = sq8_encode(assigned, bounds, vec_col="_vec", out="sq8_code").select(
+        F.col("_id").alias("neighbor_id"), "cluster", "sq8_code"
+    )
+    probes = _nearest_centroids(
+        queries.select(
+            F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")
+        ),
+        cents,
+        "cluster",
+        keep=n_probe,
+        dim=dim,
+    ).select(
+        F.col("_id").alias("query_id"),
+        F.col("_vec").alias("_q_vec"),
+        "cluster",
+    )
+    decoded = sq8_decode_expr(F.col("sq8_code"), bounds)
+    scored = (
+        probes.join(index, "cluster")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "sq8_d2",
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("_q_vec"),
+                        decoded,
+                        lambda a, b: (a.cast("double") - b)
+                        * (a.cast("double") - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ),
+        )
+    )
+    return _topk_per_query(scored, k, ["sq8_d2"], extra_cols=("sq8_d2",))

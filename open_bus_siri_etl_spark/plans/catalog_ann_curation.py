@@ -3073,3 +3073,109 @@ def neardup_components_dispatch_q(spark: SparkSession, sf_dir: str) -> DataFrame
     return connected_components_delta(
         labels, delta.select("doc_id"), dpairs, dispatch="batch"
     )
+
+
+# Round-11 (cont.): the SQ8 rung of the compression frontier.  Shares the
+# coarse quantizer CTE verbatim with ivf_topk/ivf_pq_topk (the
+# _LSH_ANN_CTE discipline) so the three index families differ ONLY in
+# their fine stage: float re-rank (ivf), 1 byte/dim scalar codes (sq8),
+# n_sub codes + lookup table (pq).
+@register(
+    "sq8_ivf_topk",
+    f"""
+    WITH {_IVF_QUANTIZER_CTE},
+    sqb AS (SELECT i, min(v) AS mn, max(v) AS mx FROM f GROUP BY i),
+    codes AS (
+        SELECT f.vec_id, f.i,
+               least(255, greatest(0, CAST(floor(round(
+                   (CASE WHEN b.mx = b.mn THEN 0.0
+                         ELSE (f.v - b.mn) / (b.mx - b.mn) END) * 256.0,
+                   6)) AS INTEGER))) AS code
+        FROM f JOIN sqb b ON b.i = f.i
+    ),
+    dqv AS (
+        SELECT c.vec_id, c.i,
+               b.mn + (c.code + 0.5) * (b.mx - b.mn) / 256.0 AS v
+        FROM codes c JOIN sqb b ON b.i = c.i
+    ),
+    qprobe AS (
+        SELECT vec_id AS query_id, cent_id AS cluster FROM (
+            SELECT vec_id, cent_id, row_number() OVER (
+                PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS r
+            FROM vc WHERE vec_id BETWEEN 8 AND 15) WHERE r <= 2
+    ),
+    adc AS (
+        SELECT p.query_id, a.vec_id AS neighbor_id,
+               round(sum((q.v - d.v) * (q.v - d.v)), 6) AS sq8_d2
+        FROM assigned a
+        JOIN qprobe p ON p.cluster = a.cluster
+        JOIN dqv d ON d.vec_id = a.vec_id
+        JOIN f q ON q.vec_id = p.query_id AND q.i = d.i
+        WHERE a.vec_id <> p.query_id
+        GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, rank, sq8_d2 FROM (
+        SELECT query_id, neighbor_id, sq8_d2, row_number() OVER (
+            PARTITION BY query_id ORDER BY sq8_d2, neighbor_id) AS rank
+        FROM adc) WHERE rank <= 5
+    """,
+    note="IVF-SQ8 — FAISS IndexIVFScalarQuantizer(QT_8bit) as joins: the "
+    "family's shared coarse quantizer (max-cosine stand-in centroids, "
+    "_IVF_QUANTIZER_CTE verbatim) over a fine stage that stores "
+    "candidates as 1-byte-per-dimension scalar codes against TRAINED "
+    "per-dimension (min, max) bounds and scores by decode-on-the-fly "
+    "squared L2 (midpoint decode, exactly FAISS's QT_8bit cell rule).  "
+    "The third point on the memory/recall frontier the catalog already "
+    "prices: 4x compression at near-exact recall, between ivf_topk "
+    "(float32, exact re-rank) and ivf_pq_topk (32x, shortlist-grade).  "
+    "Train is a dim-bounded min/max aggregate (exact, no summation -> "
+    "engine-identical bounds), encode rounds to 6dp BEFORE the floor so "
+    "the engine boundary cannot flip a code, and the index frame drops "
+    "the float vectors entirely — codes only, the point of the family.  "
+    "Scale: encode is map-only against broadcast literal bounds; serving "
+    "is the probe equi-join on cluster (partition-prunable) with the "
+    "decode inside whole-stage codegen, no Python anywhere",
+)
+def sq8_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quantization import sq8_ivf_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    return sq8_ivf_topk(
+        emb,
+        emb.filter(F.col("vec_id").between(8, 15)),
+        k=5,
+        n_centroids=8,
+        n_probe=2,
+    )
+
+
+# Compose the SQ8 recall oracle FROM the registered serving entry (the
+# ivf_pq_recall_eval discipline): the eval cannot drift from the path it
+# measures.
+_SQ8_IVF_SQL = REGISTRY["sq8_ivf_topk"].sql
+
+
+@register(
+    "sq8_recall_eval",
+    f"""
+    WITH approx AS ({_SQ8_IVF_SQL}),
+    {_RECALL_EVAL_TAIL}
+    """,
+    note="recall@5 of the IVF-SQ8 path against brute-force cosine top-5 "
+    "on the standard 8-query set — the measured 'near-exact' claim for "
+    "the 4x-compression rung: at identical n_probe/n_centroids this "
+    "should sit at the candidate-recall ceiling (8-bit decode error is "
+    "orders below the inter-neighbor distance gaps), where "
+    "ivf_pq_recall_eval at the same pruning shows the ADC resolution "
+    "cost.  The approx list's SQL is the registered sq8_ivf_topk oracle "
+    "string verbatim, so the eval cannot drift from the serving path",
+)
+def sq8_recall_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quantization import sq8_ivf_topk
+    from ..operators.similarity import ann_recall, cosine_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id").between(8, 15))
+    exact = cosine_topk(emb, qs, k=5)
+    approx = sq8_ivf_topk(emb, qs, k=5, n_centroids=8, n_probe=2)
+    return ann_recall(exact, approx, k=5)

@@ -1,0 +1,121 @@
+"""SQ8 scalar-quantization family: encode/decode contracts, the
+codes-only index claim, and the frontier position (near-exact recall at
+4x compression vs PQ's shortlist-grade at the same pruning)."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from open_bus_siri_etl_spark.operators.quantization import (
+    sq8_decode_expr,
+    sq8_encode,
+    sq8_ivf_topk,
+    sq8_train,
+)
+from open_bus_siri_etl_spark.plans.catalog import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet")
+
+
+def test_sq8_train_bounds_are_exact_min_max(spark):
+    emb = _emb(spark)
+    bounds = sq8_train(emb)
+    dim = len(emb.select(F.size("embedding")).first()[0:1]) and emb.select(
+        F.size("embedding")
+    ).first()[0]
+    assert len(bounds) == dim
+    # dimension 0's bounds equal the column's actual extrema
+    mn0, mx0 = (
+        emb.select(
+            F.min(F.element_at("embedding", 1).cast("double")),
+            F.max(F.element_at("embedding", 1).cast("double")),
+        ).first()
+    )
+    assert bounds[0] == (mn0, mx0)
+    assert all(mx >= mn for mn, mx in bounds)
+
+
+def test_sq8_encode_contract(spark):
+    """Codes clamp to [0, 255], the per-dim max encodes to 255 and the min
+    to 0 (the FAISS upper-edge rule), and midpoint decode lands within
+    half a cell of the original value."""
+    emb = _emb(spark)
+    bounds = sq8_train(emb)
+    enc = sq8_encode(emb, bounds)
+    stats = enc.select(
+        F.min(F.array_min("sq8_code")).alias("lo"),
+        F.max(F.array_max("sq8_code")).alias("hi"),
+    ).first()
+    assert stats["lo"] == 0 and stats["hi"] == 255
+
+    # codes of the extreme values per dim: re-encode the bounds themselves
+    row = enc.select("embedding", "sq8_code").first()
+    for j, (code, v) in enumerate(zip(row["sq8_code"], row["embedding"])):
+        mn, mx = bounds[j]
+        assert 0 <= code <= 255
+        span = mx - mn
+        dq = mn + (code + 0.5) * span / 256.0
+        # half-cell reconstruction bound (+ rounding slack from the 6dp
+        # pre-floor round)
+        assert abs(dq - float(v)) <= span / 512.0 + 1e-5 * max(1.0, span)
+
+
+def test_sq8_degenerate_dimension(spark):
+    """A constant dimension must encode to 0 and decode back to exactly
+    its value (span 0: no division, midpoint collapses to mn)."""
+    df = spark.createDataFrame(
+        [(i, [float(i), 7.5]) for i in range(10)], "vec_id long, embedding array<double>"
+    )
+    bounds = sq8_train(df)
+    assert bounds[1] == (7.5, 7.5)
+    enc = sq8_encode(df, bounds)
+    codes = [r["sq8_code"][1] for r in enc.collect()]
+    assert codes == [0] * 10
+    dec = enc.select(sq8_decode_expr(F.col("sq8_code"), bounds).alias("dq"))
+    assert all(abs(r["dq"][1] - 7.5) < 1e-12 for r in dec.collect())
+
+
+def test_sq8_matches_pure_python_reference(spark):
+    """The Spark encode must equal an independent scalar implementation of
+    the QT_8bit rule on every coordinate of a sample — the engine-neutral
+    statement of the encode spec (the DuckDB oracle is the cross-engine
+    one; this pins the rule itself)."""
+    emb = _emb(spark).limit(20)
+    bounds = sq8_train(_emb(spark))
+    rows = sq8_encode(emb, bounds).select("embedding", "sq8_code").collect()
+    for r in rows:
+        for j, (v, code) in enumerate(zip(r["embedding"], r["sq8_code"])):
+            mn, mx = bounds[j]
+            x01 = 0.0 if mx == mn else (float(v) - mn) / (mx - mn)
+            expected = min(255, max(0, math.floor(round(x01 * 256.0, 6))))
+            assert code == expected, (j, v, code, expected)
+
+
+def test_sq8_index_frame_is_codes_only(spark):
+    """The stored index must NOT carry float vectors — that is the 4x
+    memory claim.  Asserted structurally: the serving plan's index arm is
+    built from (neighbor_id, cluster, sq8_code) alone (see
+    quantization.sq8_ivf_topk), so the joined output schema exposes codes
+    and never a candidate-side vector column."""
+    emb = _emb(spark)
+    out = sq8_ivf_topk(emb, emb.filter(F.col("vec_id") < 4), k=3)
+    assert set(out.columns) == {"query_id", "neighbor_id", "rank", "sq8_d2"}
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    assert "BatchEvalPython" not in plan
+
+
+def test_sq8_recall_at_or_above_pq_at_same_pruning(spark):
+    """The frontier claim: at identical coarse quantizer + n_probe, SQ8's
+    8-bit-per-dim decode must recall at least as much as PQ's
+    8-bytes-per-vector codes — compression is the only difference."""
+    sq8 = REGISTRY["sq8_recall_eval"].fn(spark, SF)
+    pq = REGISTRY["ivf_pq_recall_eval"].fn(spark, SF)
+    sq8_mean = sq8.agg(F.avg("recall")).first()[0]
+    pq_mean = pq.agg(F.avg("recall")).first()[0]
+    assert sq8_mean >= pq_mean
