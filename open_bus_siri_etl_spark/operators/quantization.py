@@ -132,6 +132,100 @@ def sq8_decode_expr(
     )
 
 
+def build_sq8_index(
+    corpus: DataFrame,
+    cents: DataFrame,
+    bounds: list[tuple[float, float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    coarse_metric: str = "cosine",
+    n_cents: int | None = None,
+) -> DataFrame:
+    """The persisted IVF-SQ8 store: (id, cluster, sq8_code) — coarse
+    assignment against ``cents`` (cosine for the lowest-id stand-in
+    family, "l2" for trained ``kmeans_codebook`` frames, riding the
+    matmul fast path when ``n_cents`` crosses MATMUL_ASSIGN_MIN_K) plus
+    the map-only SQ8 encode.  Write it ``partitionBy("cluster")`` and the
+    serve probe partition-prunes, exactly like ``build_ivf_pq_index``.
+    No float vectors in the store: 1 byte/dim + id."""
+    corp = corpus.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")
+    )
+    assigned = _nearest_centroids(
+        corp, cents, "cluster", keep=1, dim=dim, metric=coarse_metric,
+        n_cents=n_cents,
+    )
+    return sq8_encode(assigned, bounds, vec_col="_vec", out="sq8_code").select(
+        F.col("_id").alias(id_col), "cluster", "sq8_code"
+    )
+
+
+def sq8_topk_serve(
+    index: DataFrame,
+    cents: DataFrame,
+    queries: DataFrame,
+    bounds: list[tuple[float, float]],
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    coarse_metric: str = "cosine",
+) -> DataFrame:
+    """Serve top-k from a persisted SQ8 store: the query batch probes its
+    ``n_probe`` nearest coarse cells (tiny frame), equi-joins the store on
+    ``cluster`` (partition-pruned when the store is written partitioned by
+    it) and scores candidates by decode-on-the-fly squared L2 — the
+    decode runs inside whole-stage codegen against broadcast literal
+    bounds, no corpus float vectors anywhere in the serve plan.
+
+    Output: (query_id, neighbor_id, rank, sq8_d2); self-matches excluded.
+    """
+    probes = _nearest_centroids(
+        queries.select(
+            F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")
+        ),
+        cents,
+        "cluster",
+        keep=n_probe,
+        dim=dim,
+        metric=coarse_metric,
+    ).select(
+        F.col("_id").alias("query_id"),
+        F.col("_vec").alias("_q_vec"),
+        "cluster",
+    )
+    decoded = sq8_decode_expr(F.col("sq8_code"), bounds)
+    scored = (
+        F.broadcast(probes)
+        .join(
+            index.select(
+                F.col(id_col).alias("neighbor_id"), "cluster", "sq8_code"
+            ),
+            "cluster",
+        )
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "sq8_d2",
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("_q_vec"),
+                        decoded,
+                        lambda a, b: (a.cast("double") - b)
+                        * (a.cast("double") - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ),
+        )
+    )
+    return _topk_per_query(scored, k, ["sq8_d2"], extra_cols=("sq8_d2",))
+
+
 def sq8_ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -170,47 +264,11 @@ def sq8_ivf_topk(
         )
     )
     bounds = sq8_train(corpus, vec_col)
-    corp = corpus.select(
-        F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")
+    # this batch form IS the persisted pipeline run inline (the
+    # ivf_pq_topk discipline): build the codes-only store, serve from it
+    # — the inline result and the persisted-index result cannot drift
+    index = build_sq8_index(corpus, cents, bounds, id_col, vec_col, dim)
+    return sq8_topk_serve(
+        index, cents, queries, bounds, k=k, n_probe=n_probe,
+        id_col=id_col, vec_col=vec_col, dim=dim,
     )
-    assigned = _nearest_centroids(corp, cents, "cluster", keep=1, dim=dim)
-    # the stored index: (id, cluster, codes) — the float vector is DROPPED,
-    # which is the whole point of the family (64 B/vector at dim=64)
-    index = sq8_encode(assigned, bounds, vec_col="_vec", out="sq8_code").select(
-        F.col("_id").alias("neighbor_id"), "cluster", "sq8_code"
-    )
-    probes = _nearest_centroids(
-        queries.select(
-            F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")
-        ),
-        cents,
-        "cluster",
-        keep=n_probe,
-        dim=dim,
-    ).select(
-        F.col("_id").alias("query_id"),
-        F.col("_vec").alias("_q_vec"),
-        "cluster",
-    )
-    decoded = sq8_decode_expr(F.col("sq8_code"), bounds)
-    scored = (
-        probes.join(index, "cluster")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn(
-            "sq8_d2",
-            F.round(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("_q_vec"),
-                        decoded,
-                        lambda a, b: (a.cast("double") - b)
-                        * (a.cast("double") - b),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ),
-                6,
-            ),
-        )
-    )
-    return _topk_per_query(scored, k, ["sq8_d2"], extra_cols=("sq8_d2",))

@@ -119,3 +119,35 @@ def test_sq8_recall_at_or_above_pq_at_same_pruning(spark):
     sq8_mean = sq8.agg(F.avg("recall")).first()[0]
     pq_mean = pq.agg(F.avg("recall")).first()[0]
     assert sq8_mean >= pq_mean
+
+
+def test_sq8_persisted_store_equals_inline(spark, tmp_path):
+    """Write the codes-only store partitioned by cluster, serve from the
+    read-back — must equal the inline batch form row-for-row (the
+    ivf_pq persisted==inline contract)."""
+    from open_bus_siri_etl_spark.operators.quantization import (
+        build_sq8_index,
+        sq8_topk_serve,
+    )
+
+    emb = _emb(spark)
+    qs = emb.filter(F.col("vec_id").between(8, 15))
+    cents = (
+        emb.orderBy("vec_id")
+        .limit(8)
+        .select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").alias("cent_vec"),
+        )
+    )
+    bounds = sq8_train(emb)
+    path = str(tmp_path / "sq8_store")
+    build_sq8_index(emb, cents, bounds).write.partitionBy("cluster").parquet(
+        path
+    )
+    store = spark.read.parquet(path)
+    assert set(store.columns) == {"vec_id", "cluster", "sq8_code"}
+    served = sq8_topk_serve(store, cents, qs, bounds, k=5, n_probe=2)
+    inline = sq8_ivf_topk(emb, qs, k=5, n_centroids=8, n_probe=2)
+    key = lambda df: sorted(map(tuple, df.collect()))
+    assert key(served) == key(inline)

@@ -30,6 +30,11 @@ degrades) and query probes stop aligning with the cells that hold the
 relevant drifted docs (candidate recall degrades) — both columns are
 reported per epoch.
 
+Round-11 addendum: before the retrains, the ZERO-RETRAIN serving knobs
+(shortlist 2x/4x, n_probe 2x) are priced on the same final-epoch
+queries, so the artifact answers the operational question — turn the
+per-query-cost knob first, or pay the reindex.
+
 Writes one JSON line (and BENCH_CODEBOOK_DRIFT.json with --write).
 Run: python tools/bench_codebook_drift.py [--write]
 """
@@ -127,7 +132,8 @@ def main() -> None:
     ).parquet(index_path)
 
     def serve_and_recall(epoch_queries, corpus_now, cents_f, fine_f,
-                         n_cent=N_CENT, n_probe=N_PROBE):
+                         n_cent=N_CENT, n_probe=N_PROBE,
+                         shortlist=SHORTLIST):
         skw = dict(n_centroids=n_cent, n_sub=N_SUB, sub_dim=SUB_DIM,
                    pq_centroids=PQ_CENTROIDS, dim=DIM)
         exact = cosine_topk(corpus_now, epoch_queries, k=K)
@@ -137,7 +143,7 @@ def main() -> None:
         t0 = time.time()
         short = ivf_pq_topk_serve(
             spark.read.parquet(index_path), cents_f, epoch_queries,
-            k=SHORTLIST, n_probe=n_probe, fine_cents=fine_f,
+            k=shortlist, n_probe=n_probe, fine_cents=fine_f,
             coarse_metric="l2", residual=True, **skw,
         )
         from open_bus_siri_etl_spark.operators.similarity import (
@@ -202,6 +208,32 @@ def main() -> None:
         )
         print(json.dumps(epochs[-1]), flush=True)
 
+    # Before touching the codebooks: price the ZERO-RETRAIN serving knobs
+    # at the final drifted epoch.  Drift decay is shortlist-recall-driven
+    # (drifted residuals are large, so ADC ranking pushes true neighbors
+    # out of the refine shortlist) — widening the shortlist or probing
+    # more cells are pure per-query-cost knobs a deployment can turn
+    # instantly, vs the retrain's minutes of reindex.  Reported side by
+    # side so the artifact answers "which knob first".
+    knobs = []
+    for np_, sl in [(N_PROBE, 2 * SHORTLIST), (N_PROBE, 4 * SHORTLIST),
+                    (2 * N_PROBE, SHORTLIST), (2 * N_PROBE, 2 * SHORTLIST)]:
+        r, s = serve_and_recall(
+            last_queries, corpus, coarse, fine, n_probe=np_, shortlist=sl
+        )
+        knobs.append(
+            {
+                "n_probe": np_,
+                "shortlist": sl,
+                "recall_at_10": r,
+                "serve_sec": s,
+                "recovered_vs_epoch_final": round(
+                    r - epochs[-1]["recall_at_10"], 4
+                ),
+            }
+        )
+        print(json.dumps({"serving_knob": knobs[-1]}), flush=True)
+
     # retrain on the accumulated corpus: new codebooks, full re-encode,
     # fingerprint rotation — then the SAME final-epoch queries.  TWO
     # retrains, isolating the two causes a deployment must tell apart:
@@ -250,6 +282,7 @@ def main() -> None:
         "pq": {"n_sub": N_SUB, "sub_dim": SUB_DIM,
                "pq_centroids": PQ_CENTROIDS, "residual": True},
         "epochs": epochs,
+        "serving_knobs_at_final_epoch": knobs,
         "post_retrain_same_capacity": post_same,
         "post_retrain_retuned": post_retuned,
     }

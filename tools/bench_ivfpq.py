@@ -527,6 +527,62 @@ def clustered_tiers(spark, work: Path, tiers) -> list:
                 }
             )
             print(json.dumps({"tier": n, **tier["rungs"][-1]}), flush=True)
+
+        # SQ8 rung (round-11 cont.): same coarse assignments as the PQ
+        # store (reused from the persisted index), codes-only store at
+        # DIM bytes/vector.  Unlike the refine rungs — which must read
+        # candidate FLOAT vectors back from the corpus for the exact
+        # re-rank — the SQ8 serve touches no corpus floats at all, so
+        # it prices the "no float corpus online" deployment point:
+        # recall at the candidate ceiling, 4x memory vs exact, vs PQ's
+        # 8 bytes + refine I/O.
+        import os
+
+        from open_bus_siri_etl_spark.operators.quantization import (
+            sq8_encode,
+            sq8_topk_serve,
+            sq8_train,
+        )
+
+        t0 = time.time()
+        bounds = sq8_train(corpus)
+        sq8_train_sec = round(time.time() - t0, 3)
+        sq8_path = str(work / f"sq8_ix_{tag}")
+        if not os.path.isdir(sq8_path):
+            t0 = time.time()
+            sq8_encode(
+                index.select("vec_id", "cluster").join(corpus, "vec_id"),
+                bounds,
+            ).select("vec_id", "cluster", "sq8_code").write.partitionBy(
+                "cluster"
+            ).parquet(sq8_path)
+            sq8_build_sec = round(time.time() - t0, 3)
+        else:
+            sq8_build_sec = 0.0
+        sq8_ix = spark.read.parquet(sq8_path)
+        t0 = time.time()
+        served = sq8_topk_serve(
+            sq8_ix, _slice_codebook(tc, n_cent, "coarse", "tiers"),
+            queries, bounds, k=K, n_probe=n_probe, dim=DIM,
+            coarse_metric="l2",
+        )
+        n_rows = served.count()
+        sq8_serve_sec = round(time.time() - t0, 3)
+        served = _pin(spark, served)
+        sq8_recall = (
+            ann_recall(exact, served, k=K)
+            .agg(F.avg("recall").alias("r")).collect()[0]["r"]
+        )
+        tier["sq8"] = {
+            "bytes_per_vector": DIM,
+            "train_sec": sq8_train_sec,
+            "build_sec": sq8_build_sec,
+            "serve_sec": sq8_serve_sec,
+            "serve_speedup_vs_exact": round(exact_sec / sq8_serve_sec, 2),
+            "recall_at_10": round(sq8_recall, 4),
+            "rows_served": n_rows,
+        }
+        print(json.dumps({"tier": n, "sq8": tier["sq8"]}), flush=True)
         out.append(tier)
         print(json.dumps(tier), flush=True)
     return out
