@@ -2117,6 +2117,119 @@ def ivf_pq_topk(
     )
 
 
+def pq_balanced_perm(
+    corpus: DataFrame,
+    n_sub: int = 4,
+    sub_dim: int = 16,
+    vec_col: str = "embedding",
+) -> list[int]:
+    """Variance-balanced dimension allocation — the OPQ idea (Ge et al.,
+    CVPR'13: rotate so subspaces carry equal variance) restricted to its
+    PERMUTATION special case, which is the part that stays oracle-exact:
+    rank dimensions by per-dim variance (desc, ties to the lower dim) and
+    deal them round-robin across the ``n_sub`` subspaces, so no subspace
+    hoards the high-variance coordinates while another quantizes noise
+    with the same code budget.  Contiguous slicing (plain PQ) is the
+    identity layout this replaces when the data's variance is
+    position-structured.
+
+    Determinism across engines: the moments are DECIMAL(28,14) sums
+    (exact, order-independent — the catalog's TPC-H aggregation rule),
+    the variance is rounded to 6dp before ranking, ties go to the lower
+    dimension index.  One dim-bounded collect (d rows), the codebook
+    precedent.
+
+    Returns the permutation as a 1-based gather list: output position
+    ``p`` (0-based) reads input dimension ``perm[p]``, where position
+    ``(r-1) % n_sub`` subspace / ``(r-1) // n_sub`` slot holds the
+    rank-``r`` dimension.
+    """
+    f = corpus.select(
+        F.posexplode(
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        ).alias("i0", "v")
+    ).select((F.col("i0") + 1).alias("i"), "v")
+    stats = f.groupBy("i").agg(
+        F.sum((F.col("v") * F.col("v")).cast("decimal(28,14)"))
+        .cast("double")
+        .alias("ss"),
+        F.sum(F.col("v").cast("decimal(28,14)")).cast("double").alias("s1"),
+        F.count(F.lit(1)).alias("cnt"),
+    )
+    rows = stats.select(
+        "i",
+        F.round(
+            F.col("ss") / F.col("cnt")
+            - (F.col("s1") / F.col("cnt")) * (F.col("s1") / F.col("cnt")),
+            6,
+        ).alias("v6"),
+    ).collect()
+    dim = len(rows)
+    if dim != n_sub * sub_dim:
+        raise ValueError(
+            f"pq_balanced_perm: dim {dim} != n_sub*sub_dim "
+            f"{n_sub}*{sub_dim}"
+        )
+    ranked = sorted(rows, key=lambda r: (-r["v6"], r["i"]))
+    perm = [0] * dim
+    for r0, row in enumerate(ranked):  # r0 = rank-1
+        new_pos = (r0 % n_sub) * sub_dim + (r0 // n_sub)
+        perm[new_pos] = int(row["i"])
+    return perm
+
+
+def apply_dim_permutation(
+    df: DataFrame, perm: list[int], vec_col: str, out: str
+) -> DataFrame:
+    """Gather ``vec_col``'s dimensions into ``out`` by the 1-based
+    ``perm`` list — an unrolled array constructor, map-only inside
+    whole-stage codegen (the permutation analogue of OPQ's rotation
+    matmul, free at any scale)."""
+    return df.withColumn(
+        out,
+        F.array(*[F.element_at(F.col(vec_col), p) for p in perm]),
+    )
+
+
+def ivf_pq_topk_balanced(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    n_sub: int = 4,
+    sub_dim: int = 16,
+    pq_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ over the variance-balanced layout: compute the round-robin
+    permutation (``pq_balanced_perm``), gather every vector through it,
+    and run the UNCHANGED ``ivf_pq_topk`` composition on the permuted
+    column — coarse assignment, codes, ADC table and serve are all the
+    verified plain-PQ machinery, because a permutation commutes with
+    every distance PQ computes per subspace.  This is exactly how OPQ
+    deploys in FAISS (OPQMatrix pre-transform chained in front of an
+    untouched IndexPQ), with the transform restricted to the
+    oracle-exact permutation case.
+
+    Output: (query_id, neighbor_id, rank, adc_d2) — adc_d2 is the ADC
+    distance in the permuted (= original, per-subspace re-bucketed)
+    coordinate system."""
+    perm = pq_balanced_perm(corpus, n_sub, sub_dim, vec_col)
+    c2 = apply_dim_permutation(corpus, perm, vec_col, "_bvec").select(
+        id_col, "_bvec"
+    )
+    q2 = apply_dim_permutation(queries, perm, vec_col, "_bvec").select(
+        id_col, "_bvec"
+    )
+    return ivf_pq_topk(
+        c2, q2, k=k, n_centroids=n_centroids, n_probe=n_probe,
+        n_sub=n_sub, sub_dim=sub_dim, pq_centroids=pq_centroids,
+        id_col=id_col, vec_col="_bvec", dim=len(perm),
+    )
+
+
 def pq_adc_topk(
     corpus: DataFrame,
     queries: DataFrame,

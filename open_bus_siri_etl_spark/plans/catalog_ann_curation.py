@@ -2141,8 +2141,10 @@ def neardup_survivors_delta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # subspace distances -> argmin codes) shared between ivf_pq_topk and
 # ivf_pq_index — the _LSH_ANN_CTE reuse discipline: the persisted-index
 # entry cannot drift from the serving entry's code spec.
-_PQ_CODES_CTES = """sub AS (SELECT vec_id, (i - 1) // 16 AS m, i, v FROM f),
-    pqc AS (
+# The chain after the subspace melt, shared with the balanced-layout
+# entry (which swaps only the melt's source relation): codebook -> 6dp
+# subspace distances -> argmin codes.
+_PQ_CODES_TAIL = """pqc AS (
         SELECT s.vec_id AS cent_id, s.m, s.i, s.v
         FROM sub s WHERE s.vec_id < 8
     ),
@@ -2158,6 +2160,11 @@ _PQ_CODES_CTES = """sub AS (SELECT vec_id, (i - 1) // 16 AS m, i, v FROM f),
                 PARTITION BY vec_id, m ORDER BY d2, cent_id) AS r
             FROM d) WHERE r = 1
     )"""
+
+_PQ_CODES_CTES = (
+    "sub AS (SELECT vec_id, (i - 1) // 16 AS m, i, v FROM f),\n    "
+    + _PQ_CODES_TAIL
+)
 
 
 @register(
@@ -3178,4 +3185,129 @@ def sq8_recall_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = emb.filter(F.col("vec_id").between(8, 15))
     exact = cosine_topk(emb, qs, k=5)
     approx = sq8_ivf_topk(emb, qs, k=5, n_centroids=8, n_probe=2)
+    return ann_recall(exact, approx, k=5)
+
+
+# Variance-balanced PQ layout (OPQ's permutation special case).  The
+# moment sums are DECIMAL (exact, order-independent — the catalog's
+# TPC-H aggregation rule), the variance ranks at 6dp with ties to the
+# lower dim, and the permuted relation pf feeds the UNCHANGED PQ chain
+# (_PQ_CODES_TAIL verbatim) — the SQL mirror of the Python composition,
+# which gathers through the permutation and calls plain ivf_pq_topk.
+_BALANCED_PF_CTES = """stats AS (
+        SELECT i, CAST(sum(CAST(v * v AS DECIMAL(28,14))) AS DOUBLE) AS ss,
+               CAST(sum(CAST(v AS DECIMAL(28,14))) AS DOUBLE) AS s1,
+               count(*) AS cnt
+        FROM f GROUP BY i
+    ),
+    rnk AS (
+        SELECT i, row_number() OVER (
+            ORDER BY round(ss / cnt - (s1 / cnt) * (s1 / cnt), 6) DESC, i
+        ) AS r
+        FROM stats
+    ),
+    pf AS (
+        SELECT f.vec_id,
+               ((p.r - 1) % 4) * 16 + ((p.r - 1) // 4) + 1 AS i,
+               f.v
+        FROM f JOIN rnk p ON p.i = f.i
+    )"""
+
+
+@register(
+    "ivf_pq_balanced_topk",
+    f"""
+    WITH {_IVF_QUANTIZER_CTE},
+    {_BALANCED_PF_CTES},
+    sub AS (SELECT vec_id, (i - 1) // 16 AS m, i, v FROM pf),
+    {_PQ_CODES_TAIL},
+    qprobe AS (
+        SELECT vec_id AS query_id, cent_id AS cluster FROM (
+            SELECT vec_id, cent_id, row_number() OVER (
+                PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS r
+            FROM vc WHERE vec_id BETWEEN 8 AND 15) WHERE r <= 2
+    ),
+    qtab AS (
+        SELECT vec_id AS query_id, m, cent_id AS code, d2 AS dist
+        FROM d WHERE vec_id BETWEEN 8 AND 15
+    ),
+    adc AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               round(sum(q.dist), 6) AS adc_d2
+        FROM codes c
+        JOIN assigned a ON a.vec_id = c.vec_id
+        JOIN qprobe p ON p.cluster = a.cluster
+        JOIN qtab q ON q.query_id = p.query_id
+                   AND q.m = c.m AND q.code = c.code
+        WHERE c.vec_id <> q.query_id
+        GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, rank, adc_d2 FROM (
+        SELECT query_id, neighbor_id, adc_d2, row_number() OVER (
+            PARTITION BY query_id ORDER BY adc_d2, neighbor_id) AS rank
+        FROM adc) WHERE rank <= 5
+    """,
+    note="IVF-PQ over the VARIANCE-BALANCED dimension layout — OPQ (Ge "
+    "et al., CVPR'13: transform so subspaces carry equal variance) "
+    "restricted to its permutation special case, the part that stays "
+    "oracle-exact: dims rank by 6dp variance (DECIMAL moment sums — "
+    "exact and order-independent) and deal round-robin across "
+    "subspaces, so no subspace hoards the high-variance coordinates "
+    "while another spends the same code budget on noise.  Deploys "
+    "exactly like FAISS's OPQMatrix pre-transform: the permutation "
+    "gathers up front (map-only, free) and the verified plain-PQ "
+    "machinery runs UNCHANGED behind it — the Spark side literally "
+    "calls ivf_pq_topk on the gathered column, the SQL side feeds the "
+    "permuted relation into _PQ_CODES_TAIL verbatim.  Coarse stage "
+    "untouched (cosine is permutation-invariant)",
+)
+def ivf_pq_balanced_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import ivf_pq_topk_balanced
+
+    emb = t(spark, sf_dir, "embeddings")
+    return ivf_pq_topk_balanced(
+        emb,
+        emb.filter(F.col("vec_id").between(8, 15)),
+        k=5,
+        n_centroids=8,
+        n_probe=2,
+        n_sub=4,
+        sub_dim=16,
+        pq_centroids=8,
+    )
+
+
+_BALANCED_SQL = REGISTRY["ivf_pq_balanced_topk"].sql
+
+
+@register(
+    "pq_balanced_recall_eval",
+    f"""
+    WITH approx AS ({_BALANCED_SQL}),
+    {_RECALL_EVAL_TAIL}
+    """,
+    note="recall@5 of the balanced-layout IVF-PQ against brute-force "
+    "cosine top-5 on the standard 8-query set — read next to "
+    "ivf_pq_recall_eval (contiguous slicing, identical "
+    "n_probe/n_sub/codebook spec): the delta is what the layout alone "
+    "buys on this corpus.  On position-structured variance the balanced "
+    "layout wins (pinned by the anisotropic test in "
+    "test_quantization.py); on isotropic data the two coincide to "
+    "noise.  Approx list = the registered ivf_pq_balanced_topk SQL "
+    "verbatim, so the eval cannot drift from the serving path",
+)
+def pq_balanced_recall_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.similarity import (
+        ann_recall,
+        cosine_topk,
+        ivf_pq_topk_balanced,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id").between(8, 15))
+    exact = cosine_topk(emb, qs, k=5)
+    approx = ivf_pq_topk_balanced(
+        emb, qs, k=5, n_centroids=8, n_probe=2, n_sub=4, sub_dim=16,
+        pq_centroids=8,
+    )
     return ann_recall(exact, approx, k=5)
