@@ -226,6 +226,108 @@ def sq8_topk_serve(
     return _topk_per_query(scored, k, ["sq8_d2"], extra_cols=("sq8_d2",))
 
 
+def sq8_residual_ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """IVF-SQ8 over RESIDUALS — the FAISS ``IndexIVFScalarQuantizer``
+    default (``by_residual=True``): each vector is re-centered on its
+    coarse cell before encoding, so the 8 bits per dimension describe
+    within-cell variation instead of re-describing the coarse structure
+    the cluster id already names.  Residual coordinates span a far
+    narrower range than raw ones, so the same 256 levels land on a finer
+    grid — the same argument ``ivf_residuals`` makes for PQ, applied to
+    the scalar family.  The query is re-centered per probed cluster
+    (``(q - c) - (x - c) = q - x`` exactly, so the scored quantity is
+    unchanged; only the quantization grid moves).
+
+    Same determinism spec as ``sq8_ivf_topk`` (exact bounds over the
+    residual frame, round-before-floor encode, 6dp distances, smaller-id
+    ties), so the entry keeps an exact oracle.
+
+    Output: (query_id, neighbor_id, rank, sq8_d2); self-matches excluded.
+    """
+    cents = (
+        corpus.orderBy(id_col)
+        .limit(n_centroids)
+        .select(
+            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
+        )
+    )
+    cent_cols = F.broadcast(
+        cents.select(
+            F.col("cent_id").alias("cluster"), F.col("cent_vec").alias("_cent")
+        )
+    )
+    corp = corpus.select(
+        F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")
+    )
+    res = (
+        _nearest_centroids(corp, cents, "cluster", keep=1, dim=dim)
+        .join(cent_cols, "cluster")
+        .select(
+            "_id",
+            "cluster",
+            F.zip_with(
+                "_vec", "_cent",
+                lambda x, y: x.cast("double") - y.cast("double"),
+            ).alias("_rvec"),
+        )
+    )
+    bounds = sq8_train(res, vec_col="_rvec")
+    index = sq8_encode(res, bounds, vec_col="_rvec", out="sq8_code").select(
+        F.col("_id").alias("neighbor_id"), "cluster", "sq8_code"
+    )
+    qres = (
+        _nearest_centroids(
+            queries.select(
+                F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")
+            ),
+            cents,
+            "cluster",
+            keep=n_probe,
+            dim=dim,
+        )
+        .join(cent_cols, "cluster")
+        .select(
+            F.col("_id").alias("query_id"),
+            "cluster",
+            F.zip_with(
+                "_vec", "_cent",
+                lambda x, y: x.cast("double") - y.cast("double"),
+            ).alias("_q_res"),
+        )
+    )
+    decoded = sq8_decode_expr(F.col("sq8_code"), bounds)
+    scored = (
+        F.broadcast(qres)
+        .join(index, "cluster")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "sq8_d2",
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("_q_res"),
+                        decoded,
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ),
+        )
+    )
+    return _topk_per_query(scored, k, ["sq8_d2"], extra_cols=("sq8_d2",))
+
+
 def sq8_ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,

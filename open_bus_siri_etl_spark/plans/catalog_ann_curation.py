@@ -3311,3 +3311,102 @@ def pq_balanced_recall_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_centroids=8,
     )
     return ann_recall(exact, approx, k=5)
+
+
+@register(
+    "sq8_residual_topk",
+    f"""
+    WITH {_IVF_QUANTIZER_CTE},
+    rf AS (
+        SELECT f.vec_id, a.cluster, f.i, f.v - cf.v AS v
+        FROM f JOIN assigned a ON a.vec_id = f.vec_id
+               JOIN f cf ON cf.vec_id = a.cluster AND cf.i = f.i
+    ),
+    sqb AS (SELECT i, min(v) AS mn, max(v) AS mx FROM rf GROUP BY i),
+    codes AS (
+        SELECT r.vec_id, r.cluster, r.i,
+               least(255, greatest(0, CAST(floor(round(
+                   (CASE WHEN b.mx = b.mn THEN 0.0
+                         ELSE (r.v - b.mn) / (b.mx - b.mn) END) * 256.0,
+                   6)) AS INTEGER))) AS code
+        FROM rf r JOIN sqb b ON b.i = r.i
+    ),
+    dqv AS (
+        SELECT c.vec_id, c.cluster, c.i,
+               b.mn + (c.code + 0.5) * (b.mx - b.mn) / 256.0 AS v
+        FROM codes c JOIN sqb b ON b.i = c.i
+    ),
+    qprobe AS (
+        SELECT vec_id AS query_id, cent_id AS cluster FROM (
+            SELECT vec_id, cent_id, row_number() OVER (
+                PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS r
+            FROM vc WHERE vec_id BETWEEN 8 AND 15) WHERE r <= 2
+    ),
+    qrf AS (
+        SELECT p.query_id, p.cluster, f.i, f.v - cf.v AS v
+        FROM qprobe p JOIN f ON f.vec_id = p.query_id
+                      JOIN f cf ON cf.vec_id = p.cluster AND cf.i = f.i
+    ),
+    adc AS (
+        SELECT q.query_id, d.vec_id AS neighbor_id,
+               round(sum((q.v - d.v) * (q.v - d.v)), 6) AS sq8_d2
+        FROM dqv d
+        JOIN qrf q ON q.cluster = d.cluster AND q.i = d.i
+        WHERE d.vec_id <> q.query_id
+        GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, rank, sq8_d2 FROM (
+        SELECT query_id, neighbor_id, sq8_d2, row_number() OVER (
+            PARTITION BY query_id ORDER BY sq8_d2, neighbor_id) AS rank
+        FROM adc) WHERE rank <= 5
+    """,
+    note="IVF-SQ8 over RESIDUALS — FAISS IndexIVFScalarQuantizer's "
+    "by_residual=True default: vectors re-center on their coarse cell "
+    "before encoding, so the 256 levels per dimension land on the "
+    "narrow within-cell range instead of the full corpus spread (the "
+    "ivf_pq_residual_topk argument applied to the scalar family).  The "
+    "query re-centers per probed cluster — (q-c)-(x-c) = q-x exactly, "
+    "so only the quantization grid moves, not the scored quantity.  "
+    "Stand-in centroids are corpus vectors, so the residual subtraction "
+    "is an exact IEEE op on identical operands in both engines; bounds "
+    "train on the residual frame (exact min/max), keeping the entry "
+    "oracle-exact end to end",
+)
+def sq8_residual_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quantization import sq8_residual_ivf_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    return sq8_residual_ivf_topk(
+        emb,
+        emb.filter(F.col("vec_id").between(8, 15)),
+        k=5,
+        n_centroids=8,
+        n_probe=2,
+    )
+
+
+_SQ8_RESIDUAL_SQL = REGISTRY["sq8_residual_topk"].sql
+
+
+@register(
+    "sq8_residual_recall_eval",
+    f"""
+    WITH approx AS ({_SQ8_RESIDUAL_SQL}),
+    {_RECALL_EVAL_TAIL}
+    """,
+    note="recall@5 of residual IVF-SQ8 against brute-force cosine top-5 "
+    "on the standard 8-query set — read next to sq8_recall_eval (raw "
+    "encoding, identical pruning): the delta is what residual "
+    "re-centering alone buys the scalar family, the same comparison "
+    "ivf_pq_residual_recall_eval makes for PQ.  Approx list = the "
+    "registered sq8_residual_topk SQL verbatim",
+)
+def sq8_residual_recall_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quantization import sq8_residual_ivf_topk
+    from ..operators.similarity import ann_recall, cosine_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id").between(8, 15))
+    exact = cosine_topk(emb, qs, k=5)
+    approx = sq8_residual_ivf_topk(emb, qs, k=5, n_centroids=8, n_probe=2)
+    return ann_recall(exact, approx, k=5)

@@ -151,3 +151,112 @@ def test_sq8_persisted_store_equals_inline(spark, tmp_path):
     inline = sq8_ivf_topk(emb, qs, k=5, n_centroids=8, n_probe=2)
     key = lambda df: sorted(map(tuple, df.collect()))
     assert key(served) == key(inline)
+
+
+def _clustered(spark, n_extra=200, seed=11):
+    """Ids 0..7 ARE the topic centers (so the stand-in coarse quantizer
+    is the true one); everything else is a center plus small noise —
+    the regime where residual re-centering provably tightens the grid."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.RandomState(seed)
+    centers = (rng.randn(8, 16) * 5.0).astype("float64")
+    topic = rng.randint(0, 8, n_extra)
+    rows = np.vstack([centers, centers[topic] + 0.1 * rng.randn(n_extra, 16)])
+    df = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "vec_id": np.arange(len(rows)),
+                "embedding": list(rows.astype("float32")),
+            }
+        )
+    )
+    return spark.createDataFrame(df.collect(), df.schema)
+
+
+def test_sq8_residual_grid_is_finer_on_clustered_data(spark):
+    """The reason residual encoding exists: per-dim bounds over residuals
+    span the WITHIN-cell range, so the same 256 levels land on a much
+    finer grid than raw encoding's corpus-wide bounds."""
+    from open_bus_siri_etl_spark.operators.similarity import (
+        _nearest_centroids,
+    )
+
+    df = _clustered(spark)
+    raw_bounds = sq8_train(df)
+    cents = (
+        df.orderBy("vec_id")
+        .limit(8)
+        .select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").alias("cent_vec"),
+        )
+    )
+    res = (
+        _nearest_centroids(
+            df.select(
+                F.col("vec_id").alias("_id"), F.col("embedding").alias("_vec")
+            ),
+            cents,
+            "cluster",
+            keep=1,
+        )
+        .join(
+            cents.select(
+                F.col("cent_id").alias("cluster"),
+                F.col("cent_vec").alias("_cent"),
+            ),
+            "cluster",
+        )
+        .select(
+            F.zip_with(
+                "_vec", "_cent",
+                lambda x, y: x.cast("double") - y.cast("double"),
+            ).alias("_rvec")
+        )
+    )
+    res_bounds = sq8_train(res, vec_col="_rvec")
+    raw_span = sum(mx - mn for mn, mx in raw_bounds) / len(raw_bounds)
+    res_span = sum(mx - mn for mn, mx in res_bounds) / len(res_bounds)
+    assert res_span < 0.5 * raw_span, (res_span, raw_span)
+
+
+def test_sq8_residual_recall_at_least_raw_on_clustered_data(spark):
+    """End-to-end corollary on the same frame: the finer grid must not
+    rank worse than raw SQ8 at identical pruning."""
+    from open_bus_siri_etl_spark.operators.quantization import (
+        sq8_residual_ivf_topk,
+    )
+    from open_bus_siri_etl_spark.operators.similarity import (
+        ann_recall,
+        cosine_topk,
+    )
+
+    df = _clustered(spark)
+    qs = df.filter(F.col("vec_id").between(8, 15))
+    exact = cosine_topk(df, qs, k=5)
+    kw = dict(k=5, n_centroids=8, n_probe=2)
+    r_raw = (
+        ann_recall(exact, sq8_ivf_topk(df, qs, **kw), 5)
+        .agg(F.avg("recall")).first()[0]
+    )
+    r_res = (
+        ann_recall(exact, sq8_residual_ivf_topk(df, qs, **kw), 5)
+        .agg(F.avg("recall")).first()[0]
+    )
+    assert r_res >= r_raw, (r_res, r_raw)
+
+
+def test_sq8_residual_output_contract(spark):
+    from open_bus_siri_etl_spark.operators.quantization import (
+        sq8_residual_ivf_topk,
+    )
+
+    emb = _emb(spark)
+    qs = emb.filter(F.col("vec_id").between(8, 15))
+    out = sq8_residual_ivf_topk(emb, qs, k=5)
+    rows = out.collect()
+    assert set(out.columns) == {"query_id", "neighbor_id", "rank", "sq8_d2"}
+    assert len(rows) == 8 * 5
+    assert all(r["query_id"] != r["neighbor_id"] for r in rows)
