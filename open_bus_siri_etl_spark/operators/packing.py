@@ -120,3 +120,58 @@ def greedy_pack(
         lambda _key, pdf: pack_stream(pdf),
         "doc_id bigint, stream bigint, pack_id bigint, n_tokens bigint",
     )
+
+
+def sliding_window_chunks(
+    docs: DataFrame,
+    window: int = 32,
+    stride: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document sliding-window chunking: token windows of ``window``
+    starting every ``stride`` tokens (overlap = window - stride) — the
+    long-document preparation step for context-bounded training and for
+    retrieval-chunk embedding, distinct from ``concat_chunk_pack`` (which
+    chunks the concatenated STREAM; this chunks WITHIN each document and
+    never mixes documents in a chunk).
+
+    Contract: chunk starts are 0, stride, 2*stride, ... strictly below
+    the document's token count; the final chunks may be shorter than
+    ``window`` (they carry their true token count).  Deterministic in
+    the text alone — no RNG, no state.
+
+    Scale shape: MAP-ONLY — split, ``sequence`` of starts, ``slice`` per
+    start, one ``posexplode``; no shuffle at any size, output rows ~
+    n_tokens/stride per document.  The whitespace tokenizer is the
+    repo-wide token convention (``textstats.token_count``).
+
+    Output: (doc_id, chunk_id, chunk_text, n_tokens); chunk_id is the
+    0-based window ordinal within the document.
+    """
+    if stride <= 0 or window <= 0:
+        raise ValueError("sliding_window_chunks: window and stride must be > 0")
+    starts = F.sequence(
+        F.lit(0), F.size(F.col("_toks")) - 1, F.lit(stride)
+    )
+    return (
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.split(F.col(text_col), " ").alias("_toks"),
+        )
+        .select(
+            "doc_id",
+            "_toks",
+            F.posexplode(starts).alias("chunk_id", "_start"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("bigint").alias("chunk_id"),
+            F.array_join(
+                F.slice(F.col("_toks"), F.col("_start") + 1, window), " "
+            ).alias("chunk_text"),
+            F.least(
+                F.lit(window), F.size("_toks") - F.col("_start")
+            ).cast("bigint").alias("n_tokens"),
+        )
+    )

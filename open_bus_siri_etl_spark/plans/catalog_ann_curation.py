@@ -3410,3 +3410,40 @@ def sq8_residual_recall_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = cosine_topk(emb, qs, k=5)
     approx = sq8_residual_ivf_topk(emb, qs, k=5, n_centroids=8, n_probe=2)
     return ann_recall(exact, approx, k=5)
+
+
+@register(
+    "sliding_window_chunks",
+    """
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    st AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(0, len(toks) - 1, 16)) AS start
+        FROM tok
+    )
+    SELECT doc_id,
+           start // 16 AS chunk_id,
+           array_to_string(list_slice(toks, start + 1, start + 32), ' ')
+               AS chunk_text,
+           least(32, len(toks) - start) AS n_tokens
+    FROM st
+    """,
+    note="Per-document sliding-window chunking (window 32, stride 16 — "
+    "half overlap): the long-document preparation step for "
+    "context-bounded training and retrieval-chunk embedding.  Distinct "
+    "from sequence_packing's concat-then-chunk (which cuts the "
+    "concatenated stream and lets documents straddle): these windows "
+    "never mix documents, and overlapping starts preserve cross-boundary "
+    "context the way RAG chunkers and long-doc pretraining splits do.  "
+    "MAP-ONLY at any scale — split, sequence of starts, slice per "
+    "start, one posexplode; no shuffle, ~n_tokens/stride rows per "
+    "document; the whitespace tokenizer is the repo-wide convention",
+)
+def sliding_window_chunks_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.packing import sliding_window_chunks
+
+    return sliding_window_chunks(
+        t(spark, sf_dir, "documents"), window=32, stride=16
+    )
