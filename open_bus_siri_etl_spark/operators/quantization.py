@@ -132,6 +132,47 @@ def sq8_decode_expr(
     )
 
 
+def _cent_vec_frame(cents: DataFrame):
+    return F.broadcast(
+        cents.select(
+            F.col("cent_id").alias("cluster"), F.col("cent_vec").alias("_cent")
+        )
+    )
+
+
+def sq8_residual_frame(
+    corpus: DataFrame,
+    cents: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    coarse_metric: str = "cosine",
+    n_cents: int | None = None,
+) -> DataFrame:
+    """(_id, cluster, _rvec) — each vector re-centered on its coarse
+    cell, the frame residual SQ8 both TRAINS its bounds on and encodes
+    (the ``ivf_residuals`` role for the scalar family).  Exact IEEE
+    subtraction on identical operands in both engines."""
+    return (
+        _nearest_centroids(
+            corpus.select(
+                F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")
+            ),
+            cents, "cluster", keep=1, dim=dim, metric=coarse_metric,
+            n_cents=n_cents,
+        )
+        .join(_cent_vec_frame(cents), "cluster")
+        .select(
+            "_id",
+            "cluster",
+            F.zip_with(
+                "_vec", "_cent",
+                lambda x, y: x.cast("double") - y.cast("double"),
+            ).alias("_rvec"),
+        )
+    )
+
+
 def build_sq8_index(
     corpus: DataFrame,
     cents: DataFrame,
@@ -141,19 +182,31 @@ def build_sq8_index(
     dim: int | None = None,
     coarse_metric: str = "cosine",
     n_cents: int | None = None,
+    residual: bool = False,
 ) -> DataFrame:
     """The persisted IVF-SQ8 store: (id, cluster, sq8_code) — coarse
     assignment against ``cents`` (cosine for the lowest-id stand-in
     family, "l2" for trained ``kmeans_codebook`` frames, riding the
     matmul fast path when ``n_cents`` crosses MATMUL_ASSIGN_MIN_K) plus
-    the map-only SQ8 encode.  Write it ``partitionBy("cluster")`` and the
-    serve probe partition-prunes, exactly like ``build_ivf_pq_index``.
-    No float vectors in the store: 1 byte/dim + id."""
-    corp = corpus.select(
-        F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")
-    )
+    the map-only SQ8 encode.  ``residual=True`` re-centers each vector
+    on its cell before encoding (FAISS IndexIVFScalarQuantizer's
+    by_residual default) — ``bounds`` must then be trained on the
+    residual frame (``sq8_residual_frame`` + ``sq8_train``).  Write it
+    ``partitionBy("cluster")`` and the serve probe partition-prunes,
+    exactly like ``build_ivf_pq_index``.  No float vectors in the
+    store: 1 byte/dim + id."""
+    if residual:
+        res = sq8_residual_frame(
+            corpus, cents, id_col, vec_col, dim, coarse_metric, n_cents
+        )
+        return sq8_encode(res, bounds, vec_col="_rvec", out="sq8_code").select(
+            F.col("_id").alias(id_col), "cluster", "sq8_code"
+        )
     assigned = _nearest_centroids(
-        corp, cents, "cluster", keep=1, dim=dim, metric=coarse_metric,
+        corpus.select(
+            F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")
+        ),
+        cents, "cluster", keep=1, dim=dim, metric=coarse_metric,
         n_cents=n_cents,
     )
     return sq8_encode(assigned, bounds, vec_col="_vec", out="sq8_code").select(
@@ -172,6 +225,7 @@ def sq8_topk_serve(
     vec_col: str = "embedding",
     dim: int | None = None,
     coarse_metric: str = "cosine",
+    residual: bool = False,
 ) -> DataFrame:
     """Serve top-k from a persisted SQ8 store: the query batch probes its
     ``n_probe`` nearest coarse cells (tiny frame), equi-joins the store on
@@ -179,6 +233,9 @@ def sq8_topk_serve(
     it) and scores candidates by decode-on-the-fly squared L2 — the
     decode runs inside whole-stage codegen against broadcast literal
     bounds, no corpus float vectors anywhere in the serve plan.
+    ``residual=True``: the query re-centers per probed cluster before
+    scoring ((q-c)-(x-c) = q-x exactly; only the quantization grid
+    moves), matching a store built with ``residual=True``.
 
     Output: (query_id, neighbor_id, rank, sq8_d2); self-matches excluded.
     """
@@ -191,11 +248,22 @@ def sq8_topk_serve(
         keep=n_probe,
         dim=dim,
         metric=coarse_metric,
-    ).select(
-        F.col("_id").alias("query_id"),
-        F.col("_vec").alias("_q_vec"),
-        "cluster",
     )
+    if residual:
+        probes = probes.join(_cent_vec_frame(cents), "cluster").select(
+            F.col("_id").alias("query_id"),
+            "cluster",
+            F.zip_with(
+                "_vec", "_cent",
+                lambda x, y: x.cast("double") - y.cast("double"),
+            ).alias("_q_vec"),
+        )
+    else:
+        probes = probes.select(
+            F.col("_id").alias("query_id"),
+            F.col("_vec").alias("_q_vec"),
+            "cluster",
+        )
     decoded = sq8_decode_expr(F.col("sq8_code"), bounds)
     scored = (
         F.broadcast(probes)
@@ -260,72 +328,20 @@ def sq8_residual_ivf_topk(
             F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
         )
     )
-    cent_cols = F.broadcast(
-        cents.select(
-            F.col("cent_id").alias("cluster"), F.col("cent_vec").alias("_cent")
-        )
+    # bounds train on the residual frame, then the persisted pipeline
+    # (build + serve, residual=True) runs inline — same composition
+    # discipline as sq8_ivf_topk
+    bounds = sq8_train(
+        sq8_residual_frame(corpus, cents, id_col, vec_col, dim),
+        vec_col="_rvec",
     )
-    corp = corpus.select(
-        F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")
+    index = build_sq8_index(
+        corpus, cents, bounds, id_col, vec_col, dim, residual=True
     )
-    res = (
-        _nearest_centroids(corp, cents, "cluster", keep=1, dim=dim)
-        .join(cent_cols, "cluster")
-        .select(
-            "_id",
-            "cluster",
-            F.zip_with(
-                "_vec", "_cent",
-                lambda x, y: x.cast("double") - y.cast("double"),
-            ).alias("_rvec"),
-        )
+    return sq8_topk_serve(
+        index, cents, queries, bounds, k=k, n_probe=n_probe,
+        id_col=id_col, vec_col=vec_col, dim=dim, residual=True,
     )
-    bounds = sq8_train(res, vec_col="_rvec")
-    index = sq8_encode(res, bounds, vec_col="_rvec", out="sq8_code").select(
-        F.col("_id").alias("neighbor_id"), "cluster", "sq8_code"
-    )
-    qres = (
-        _nearest_centroids(
-            queries.select(
-                F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")
-            ),
-            cents,
-            "cluster",
-            keep=n_probe,
-            dim=dim,
-        )
-        .join(cent_cols, "cluster")
-        .select(
-            F.col("_id").alias("query_id"),
-            "cluster",
-            F.zip_with(
-                "_vec", "_cent",
-                lambda x, y: x.cast("double") - y.cast("double"),
-            ).alias("_q_res"),
-        )
-    )
-    decoded = sq8_decode_expr(F.col("sq8_code"), bounds)
-    scored = (
-        F.broadcast(qres)
-        .join(index, "cluster")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn(
-            "sq8_d2",
-            F.round(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("_q_res"),
-                        decoded,
-                        lambda a, b: (a - b) * (a - b),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ),
-                6,
-            ),
-        )
-    )
-    return _topk_per_query(scored, k, ["sq8_d2"], extra_cols=("sq8_d2",))
 
 
 def sq8_ivf_topk(

@@ -1,0 +1,241 @@
+"""Streaming IVF-SQ8 indexer — the scalar-quantized sibling of
+``start_ivf_pq_index_stream`` (delta_dedup.py): FAISS train-then-add for
+the SQ8 family inside Structured Streaming.
+
+Frozen artifacts, both written once from the FIRST micro-batch and both
+deterministic in its content (so crash replays recompute identical
+frames and the overwrite-when-unreadable rule keeps partial writes
+recoverable):
+
+- the coarse codebook at ``cents_path`` (lowest-id stand-in, or trained
+  ``kmeans_codebook`` with ``trained=True``), tagged ``cb_kind`` exactly
+  like the PQ stream so family-flipped adoptions fail loudly;
+- the SQ8 BOUNDS at ``bounds_path`` — per-dimension (min, max) from the
+  first batch (over residuals when ``residual=True``), tagged with the
+  ``family`` they were trained on.  Later batches whose values fall
+  outside the trained range CLAMP to code 0/255 — exactly what FAISS's
+  ``IndexScalarQuantizer`` does when ``add()`` sees data beyond its
+  ``train()`` range, and the reason drifted appends degrade gracefully
+  instead of failing.
+
+Every batch encodes against the frozen pair (``build_sq8_index``) and
+lands as its own ``ingest_batch`` partition (dynamic overwrite — a
+replayed batch replaces exactly itself).  Codes are per-row functions of
+(vector, codebook, bounds), so the drained store equals the batch build
+over everything landed: append IS the rebuild, test-asserted, and
+``sq8_topk_serve`` reads the store directly (extra columns ignored).
+
+Scale: per-batch work is delta-sized (one assignment pass + map-only
+encode); the store is codes-only (1 byte/dim), partitioned by
+``ingest_batch`` — run ``sq8_topk_serve`` against it as-is, or relayout
+by ``cluster`` for partition-pruned serving like the PQ store's
+compaction does.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.quantization import (
+    build_sq8_index,
+    sq8_residual_frame,
+    sq8_train,
+)
+from ..operators.similarity import ivf_pq_centroids
+from .delta_dedup import _read_or_none, _write_partition
+
+
+def _sq8_params_tag(
+    n_centroids: int, metric: str, residual: bool, dim: int
+) -> str:
+    """The family tag stamped on every index row — same role as
+    ``_ivf_pq_params_tag``: a serve/append against a store built with
+    different flags must fail loudly at startup, not return wrong
+    neighbors."""
+    return f"sq8:c{n_centroids}:{metric}:res{int(residual)}:d{dim}"
+
+
+def write_sq8_bounds(
+    spark: SparkSession,
+    bounds: list[tuple[float, float]],
+    path: str,
+    family: str,
+) -> None:
+    """Persist trained bounds as a (i, mn, mx, family) frame —
+    ``family`` is provenance ('raw' | 'residual'), the bounds-side
+    ``cb_kind``: a residual stream must never adopt raw bounds (the
+    grids differ by the coarse spread) and vice versa."""
+    spark.createDataFrame(
+        [(i, float(mn), float(mx), family) for i, (mn, mx) in enumerate(bounds)],
+        "i int, mn double, mx double, family string",
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def read_sq8_bounds(
+    spark: SparkSession, path: str, expect_family: str
+) -> list[tuple[float, float]]:
+    """Read persisted bounds back into the driver-side list the encode
+    expressions fold in, refusing a family mismatch."""
+    rows = sorted(
+        spark.read.parquet(path).collect(), key=lambda r: r["i"]
+    )
+    fams = sorted({r["family"] for r in rows})
+    if fams != [expect_family]:
+        raise ValueError(
+            f"read_sq8_bounds: the bounds at {path} were trained on the "
+            f"'{fams}' frame but this deployment expects "
+            f"'{expect_family}' — raw and residual grids are not "
+            "interchangeable (the residual range excludes the coarse "
+            "spread); retrain or point bounds_path elsewhere"
+        )
+    if [r["i"] for r in rows] != list(range(len(rows))):
+        raise ValueError(
+            f"read_sq8_bounds: non-contiguous dimensions at {path}"
+        )
+    return [(r["mn"], r["mx"]) for r in rows]
+
+
+def start_sq8_index_stream(
+    spark: SparkSession,
+    landing_root: str,
+    index_path: str,
+    cents_path: str,
+    bounds_path: str,
+    checkpoint_dir: str,
+    n_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    trained: bool = False,
+    residual: bool = False,
+    iters: int = 2,
+    dim: int | None = None,
+    max_files_per_trigger: int | None = None,
+    trigger: dict | None = None,
+    schema=None,
+):
+    """Start the streaming IVF-SQ8 indexer (module docstring has the
+    contract).  Returns the StreamingQuery."""
+    from ..operators.clustering import kmeans_codebook
+
+    if schema is None:
+        schema = (
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(landing_root).schema
+        )
+    coarse_metric = "l2" if trained else "cosine"
+    family = "residual" if residual else "raw"
+    kind_tag = "trained" if trained else "standin"
+
+    # family guard at START (the PQ stream's rule): appending a
+    # different-family encoding into an existing store would only fail
+    # at some later serve, with partition surgery as the fix
+    existing = _read_or_none(spark, index_path)
+    if existing is not None and "params" in existing.columns:
+        tags = [
+            r["params"] for r in existing.select("params").distinct().collect()
+        ]
+        if tags and not all(
+            t.startswith(f"sq8:c{n_centroids}:{coarse_metric}:res{int(residual)}:")
+            for t in tags
+        ):
+            raise ValueError(
+                f"start_sq8_index_stream: the persisted store at "
+                f"{index_path} carries params {sorted(set(tags))} but this "
+                f"stream would append sq8:c{n_centroids}:{coarse_metric}:"
+                f"res{int(residual)}:* — the trained=/residual=/geometry "
+                "flags must match the deployment the store was built as "
+                "(rebuild the store to change family)"
+            )
+
+    def _write_once_cents(frame: DataFrame) -> DataFrame:
+        frame.withColumn("cb_kind", F.lit(kind_tag)).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(cents_path)
+        return spark.read.parquet(cents_path)
+
+    def _adopt_cents(frame: DataFrame) -> DataFrame:
+        kinds = (
+            [r[0] for r in frame.select("cb_kind").distinct().collect()]
+            if "cb_kind" in frame.columns
+            else []
+        )
+        if trained and kinds != ["trained"]:
+            raise ValueError(
+                f"start_sq8_index_stream: the frame at {cents_path} is not "
+                f"a trained codebook (cb_kind={kinds or 'absent'}) — a "
+                "trained=True stream must not adopt a stand-in codebook"
+            )
+        if not trained and kinds == ["trained"]:
+            raise ValueError(
+                f"start_sq8_index_stream: the frame at {cents_path} is a "
+                "TRAINED codebook but this stream runs trained=False — "
+                "adopting it would assign with the wrong family"
+            )
+        return frame.drop("cb_kind")
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.select(id_col, vec_col).localCheckpoint(eager=True)
+        if batch.isEmpty():
+            return
+        cents = _read_or_none(spark, cents_path)
+        if cents is None:
+            if trained:
+                frame = kmeans_codebook(
+                    batch, n_centroids, iters, id_col, vec_col
+                )
+            else:
+                frame = ivf_pq_centroids(batch, n_centroids, id_col, vec_col)
+                if frame.count() < n_centroids:
+                    raise ValueError(
+                        "start_sq8_index_stream: first batch smaller than "
+                        f"n_centroids={n_centroids} — refusing to freeze a "
+                        "truncated coarse codebook"
+                    )
+            cents = _write_once_cents(frame).drop("cb_kind")
+        else:
+            cents = _adopt_cents(cents)
+        if _read_or_none(spark, bounds_path) is None:
+            train_frame = (
+                sq8_residual_frame(
+                    batch, cents, id_col, vec_col, dim, coarse_metric,
+                    n_centroids,
+                ).withColumnRenamed("_rvec", "_tvec")
+                if residual
+                else batch.select(F.col(vec_col).alias("_tvec"))
+            )
+            write_sq8_bounds(
+                spark,
+                sq8_train(train_frame, vec_col="_tvec"),
+                bounds_path,
+                family,
+            )
+        bounds = read_sq8_bounds(spark, bounds_path, family)
+        tag = _sq8_params_tag(
+            n_centroids, coarse_metric, residual, len(bounds)
+        )
+        _write_partition(
+            build_sq8_index(
+                batch, cents, bounds, id_col, vec_col, dim,
+                coarse_metric=coarse_metric, n_cents=n_centroids,
+                residual=residual,
+            ).withColumn("params", F.lit(tag)),
+            batch_id,
+            index_path,
+        )
+
+    reader = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(landing_root)
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    writer = writer.trigger(**(trigger or {"availableNow": True}))
+    return writer.start()

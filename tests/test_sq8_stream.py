@@ -1,0 +1,171 @@
+"""Streaming IVF-SQ8 indexer: frozen-artifact train-then-add semantics —
+append equals rebuild, family guards fail loudly, out-of-range appends
+clamp instead of failing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from open_bus_siri_etl_spark.operators.quantization import (
+    build_sq8_index,
+    sq8_topk_serve,
+)
+from open_bus_siri_etl_spark.streaming.sq8_index import (
+    read_sq8_bounds,
+    start_sq8_index_stream,
+    write_sq8_bounds,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _emb(spark):
+    return spark.read.parquet(f"{SF}/embeddings.parquet").select(
+        "vec_id", "embedding"
+    )
+
+
+def _land(emb, landing, n_batches=3):
+    for k in range(n_batches):
+        emb.filter(F.col("vec_id") % n_batches == k).coalesce(1).write.parquet(
+            str(landing / f"batch_{k}")
+        )
+
+
+def _multiset(df):
+    return sorted(tuple(str(v) for v in r) for r in df.collect())
+
+
+@pytest.mark.parametrize("residual", [False, True])
+def test_sq8_stream_append_is_rebuild(spark, tmp_path, residual):
+    """Drained availableNow over 3 landed batches: codebook AND bounds
+    freeze from the first batch, the accumulated store equals the batch
+    build over everything landed against the same frozen pair, and
+    sq8_topk_serve answers identically from both."""
+    emb = _emb(spark)
+    landing = tmp_path / "landing"
+    _land(emb, landing)
+    index_path = str(tmp_path / "index")
+    cents_path = str(tmp_path / "cents")
+    bounds_path = str(tmp_path / "bounds")
+    q = start_sq8_index_stream(
+        spark, str(landing), index_path, cents_path, bounds_path,
+        str(tmp_path / "ckpt"), max_files_per_trigger=1, residual=residual,
+    )
+    q.awaitTermination(180)
+
+    family = "residual" if residual else "raw"
+    bounds = read_sq8_bounds(spark, bounds_path, family)
+    cents = spark.read.parquet(cents_path).drop("cb_kind")
+    # codebook froze on the first processed batch's lowest ids
+    assert cents.count() == 8
+    first = spark.read.parquet(index_path).select(
+        F.min("ingest_batch").alias("b")
+    ).collect()[0]["b"]
+    assert first == 0
+    streamed = spark.read.parquet(index_path).drop("ingest_batch", "params")
+    batch_built = build_sq8_index(emb, cents, bounds, residual=residual)
+    assert _multiset(streamed) == _multiset(batch_built)
+    qs = emb.filter("vec_id BETWEEN 8 AND 15")
+    assert _multiset(
+        sq8_topk_serve(streamed, cents, qs, bounds, k=5, residual=residual)
+    ) == _multiset(
+        sq8_topk_serve(batch_built, cents, qs, bounds, k=5, residual=residual)
+    )
+
+
+def test_sq8_stream_family_flip_refused(spark, tmp_path):
+    """Restarting over an existing store with residual flipped must fail
+    at START (the params-tag guard), not at some later serve."""
+    emb = _emb(spark)
+    landing = tmp_path / "landing"
+    _land(emb, landing, n_batches=1)
+    args = [
+        str(landing), str(tmp_path / "index"), str(tmp_path / "cents"),
+        str(tmp_path / "bounds"),
+    ]
+    q = start_sq8_index_stream(
+        spark, *args, str(tmp_path / "ckpt"), residual=False
+    )
+    q.awaitTermination(120)
+    with pytest.raises(ValueError, match="params"):
+        start_sq8_index_stream(
+            spark, *args, str(tmp_path / "ckpt2"), residual=True
+        )
+
+
+def test_sq8_stream_refuses_wrong_family_bounds(spark, tmp_path):
+    """A residual stream must not adopt raw-trained bounds: the raw grid
+    spans the coarse spread the residual grid deliberately excludes."""
+    emb = _emb(spark)
+    landing = tmp_path / "landing"
+    _land(emb, landing, n_batches=1)
+    bounds_path = str(tmp_path / "bounds")
+    write_sq8_bounds(spark, [(0.0, 1.0)] * 64, bounds_path, "raw")
+    # the foreachBatch ValueError surfaces through awaitTermination as a
+    # StreamingQueryException wrapping the family-mismatch message
+    with pytest.raises(Exception, match="residual"):
+        q = start_sq8_index_stream(
+            spark, str(landing), str(tmp_path / "index"),
+            str(tmp_path / "cents"), bounds_path, str(tmp_path / "ckpt"),
+            residual=True,
+        )
+        q.awaitTermination(120)
+        if q.exception() is not None:
+            raise q.exception()
+        raise AssertionError("stream adopted wrong-family bounds")
+
+
+def test_sq8_stream_out_of_range_append_clamps(spark, tmp_path):
+    """FAISS add()-beyond-train() semantics: a second batch far outside
+    the first batch's trained range encodes to clamped edge codes (0 /
+    255) and the drained store still serves — graceful degradation, not
+    an error."""
+    emb = _emb(spark)
+    landing = tmp_path / "landing"
+    base = emb.filter(F.col("vec_id") < 300)
+    scaled = (
+        emb.filter(F.col("vec_id") >= 300)
+        .select(
+            "vec_id",
+            F.transform(
+                "embedding", lambda x: (x * F.lit(10.0)).cast("float")
+            ).alias("embedding"),
+        )
+    )
+    base.coalesce(1).write.parquet(str(landing / "batch_0"))
+    index_path = str(tmp_path / "index")
+    cents_path = str(tmp_path / "cents")
+    bounds_path = str(tmp_path / "bounds")
+    ckpt = str(tmp_path / "ckpt")
+    q = start_sq8_index_stream(
+        spark, str(landing), index_path, cents_path, bounds_path, ckpt
+    )
+    q.awaitTermination(120)
+    scaled.coalesce(1).write.parquet(str(landing / "batch_1"))
+    q = start_sq8_index_stream(
+        spark, str(landing), index_path, cents_path, bounds_path, ckpt
+    )
+    q.awaitTermination(120)
+    assert q.exception() is None
+    store = spark.read.parquet(index_path)
+    late = store.filter(F.col("ingest_batch") == 1)
+    assert late.count() == scaled.count()
+    stats = late.select(
+        F.min(F.array_min("sq8_code")).alias("lo"),
+        F.max(F.array_max("sq8_code")).alias("hi"),
+        F.avg(
+            F.size(
+                F.filter(
+                    "sq8_code", lambda c: (c == 0) | (c == 255)
+                )
+            )
+        ).alias("edge"),
+    ).first()
+    assert stats["lo"] >= 0 and stats["hi"] <= 255
+    # 10x-scaled vectors overwhelmingly clamp to the edges
+    assert stats["edge"] > 32
+    bounds = read_sq8_bounds(spark, bounds_path, "raw")
+    cents = spark.read.parquet(cents_path).drop("cb_kind")
+    qs = emb.filter("vec_id BETWEEN 8 AND 15")
+    served = sq8_topk_serve(store, cents, qs, bounds, k=5)
+    assert served.count() == 8 * 5
