@@ -738,7 +738,13 @@ def compact_ivf_pq_store(
     remains the batch builder's ``partitionBy("cluster")`` store —
     ``retrain_ivf_pq_store`` rewrites into that shape when codebooks
     rotate; this job only bounds the partition/file count of the
-    append store.)"""
+    append store.)
+
+    Schema-agnostic on purpose: it folds whatever columns the store
+    carries, so the same job maintains the streaming IVF-SQ8 store
+    (``sq8_index.start_sq8_index_stream`` — codes there are equally
+    immutable per-row functions of (vector, frozen codebook, frozen
+    bounds)); test-asserted in test_sq8_stream.py."""
     if checkpoint_dir is not None:
         _assert_drained_checkpoint(spark, checkpoint_dir)
     log = _read_or_none(spark, index_path)

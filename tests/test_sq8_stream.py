@@ -169,3 +169,43 @@ def test_sq8_stream_out_of_range_append_clamps(spark, tmp_path):
     qs = emb.filter("vec_id BETWEEN 8 AND 15")
     served = sq8_topk_serve(store, cents, qs, bounds, k=5)
     assert served.count() == 8 * 5
+
+
+def test_sq8_store_compaction_multiset_and_serve_unchanged(spark, tmp_path):
+    """compact_ivf_pq_store is schema-agnostic small-file maintenance:
+    folding the SQ8 store's per-batch partitions into the base changes
+    neither the row multiset nor what sq8_topk_serve answers."""
+    from open_bus_siri_etl_spark.streaming.delta_dedup import (
+        compact_ivf_pq_store,
+    )
+
+    emb = _emb(spark)
+    landing = tmp_path / "landing"
+    _land(emb, landing)
+    index_path = str(tmp_path / "index")
+    cents_path = str(tmp_path / "cents")
+    bounds_path = str(tmp_path / "bounds")
+    ckpt = str(tmp_path / "ckpt")
+    q = start_sq8_index_stream(
+        spark, str(landing), index_path, cents_path, bounds_path, ckpt,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(180)
+    bounds = read_sq8_bounds(spark, bounds_path, "raw")
+    cents = spark.read.parquet(cents_path).drop("cb_kind")
+    qs = emb.filter("vec_id BETWEEN 8 AND 15")
+    before_rows = _multiset(
+        spark.read.parquet(index_path).drop("ingest_batch")
+    )
+    before_serve = _multiset(
+        sq8_topk_serve(spark.read.parquet(index_path), cents, qs, bounds, k=5)
+    )
+    out = compact_ivf_pq_store(spark, index_path, checkpoint_dir=ckpt)
+    assert out["partitions_before"] == 3
+    store = spark.read.parquet(index_path)
+    assert store.select("ingest_batch").distinct().collect()[0][0] == -1
+    assert _multiset(store.drop("ingest_batch")) == before_rows
+    assert (
+        _multiset(sq8_topk_serve(store, cents, qs, bounds, k=5))
+        == before_serve
+    )
