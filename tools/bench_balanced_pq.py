@@ -1,0 +1,185 @@
+"""Variance-balanced PQ evidence: what the OPQ-permutation layout buys
+over contiguous slicing when the data's variance is position-structured
+— the regime real embedding spectra live in (PCA-rotated or otherwise
+energy-ordered dimensions decay across positions, so contiguous slicing
+hands subspace 0 all the signal and lets the rest quantize noise with
+the same code budget).
+
+Corpus: 100k vectors, dim 64, per-dimension sd halving every 8
+positions (sd_j = 2^-(j//8)) — a decaying spectrum laid out
+contiguously, the adversarial-but-realistic case.  Queries are jittered
+twins of corpus rows (the bench_ivfpq convention).  Both layouts get
+identically-trained per-subspace codebooks (kmeans_subspace_codebook,
+2 Lloyd iterations, matmul kernel); the ONLY difference is which
+dimensions share a subspace.
+
+Reported per layout:
+- subspace variance balance (max/mean share — 1.0 is perfectly dealt)
+- mean PQ reconstruction error (the direct quantity the layout moves)
+- ADC recall@10 vs exact cosine (the serving consequence)
+
+Writes one JSON line (and BENCH_BALANCED_PQ.json with --write).
+Run: python tools/bench_balanced_pq.py [--write]
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+import numpy as np
+
+ROOT = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(ROOT))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from open_bus_siri_etl_spark.operators.clustering import (  # noqa: E402
+    kmeans_subspace_codebook,
+)
+from open_bus_siri_etl_spark.operators.similarity import (  # noqa: E402
+    _pq_code_long,
+    _pq_query_table,
+    _topk_per_query,
+    ann_recall,
+    apply_dim_permutation,
+    cosine_topk,
+    pq_balanced_perm,
+    pq_codes_df,
+)
+from open_bus_siri_etl_spark.session import get_spark  # noqa: E402
+
+DIM, N, N_QUERIES, K = 64, 100_000, 64, 10
+N_SUB, SUB_DIM, PQ_CENTROIDS = 8, 8, 64
+
+
+def main() -> None:
+    spark = get_spark(app_name="siri-etl-bench-balanced-pq")
+    spark.sparkContext.setLogLevel("ERROR")
+    work = Path(tempfile.mkdtemp(prefix="bench_balpq_"))
+    import pandas as pd
+
+    rng = np.random.RandomState(17)
+    sd = np.array([2.0 ** -(j // 8) for j in range(DIM)])
+    vecs = (rng.randn(N, DIM) * sd).astype("float32")
+    stride = N // N_QUERIES
+    qvecs = vecs[::stride][:N_QUERIES] + (
+        0.15 * sd * rng.randn(N_QUERIES, DIM)
+    ).astype("float32")
+
+    def frame(ids, rows, path):
+        pdf = pd.DataFrame({"vec_id": ids, "embedding": list(rows)})
+        spark.createDataFrame(pdf).repartition(8).write.mode(
+            "overwrite"
+        ).parquet(path)
+        return spark.read.parquet(path)
+
+    corpus = frame(np.arange(N, dtype="int64"), vecs, str(work / "c"))
+    queries = frame(
+        np.arange(N, N + N_QUERIES, dtype="int64"),
+        qvecs.astype("float32"),
+        str(work / "q"),
+    )
+    exact = cosine_topk(corpus, queries, k=K)
+    exact.write.mode("overwrite").parquet(str(work / "x"))
+    exact = spark.read.parquet(str(work / "x"))
+
+    perm = pq_balanced_perm(corpus, N_SUB, SUB_DIM)
+
+    def variance_balance(vec_frame, col):
+        v = (
+            vec_frame.select(
+                F.posexplode(
+                    F.transform(F.col(col), lambda x: x.cast("double"))
+                ).alias("i", "v")
+            )
+            .groupBy((F.col("i") / SUB_DIM).cast("int").alias("m"))
+            .agg(F.sum(F.col("v") * F.col("v")).alias("e"))
+            .collect()
+        )
+        shares = np.array([r["e"] for r in sorted(v, key=lambda r: r["m"])])
+        return float(shares.max() / shares.mean())
+
+    def measure(corp, qfr, col, tag):
+        t0 = time.time()
+        fine = kmeans_subspace_codebook(
+            corp, n_sub=N_SUB, sub_dim=SUB_DIM, k=PQ_CENTROIDS, iters=2,
+            kernel="matmul", vec_col=col,
+        )
+        fp = str(work / f"fine_{tag}")
+        fine.coalesce(1).write.mode("overwrite").parquet(fp)
+        fine = spark.read.parquet(fp)
+        train_sec = round(time.time() - t0, 3)
+        recon = (
+            pq_codes_df(
+                corp, N_SUB, SUB_DIM, PQ_CENTROIDS, vec_col=col, cents=fine
+            )
+            .agg(F.avg("recon_d2").alias("r")).collect()[0]["r"]
+        )
+        t0 = time.time()
+        code_long = _pq_code_long(
+            corp, N_SUB, SUB_DIM, PQ_CENTROIDS, "vec_id", col, cents=fine
+        )
+        dtab = _pq_query_table(fine, qfr, N_SUB, SUB_DIM, "vec_id", col)
+        adc = (
+            code_long.join(F.broadcast(dtab), ["m", "code"])
+            .groupBy("query_id", "vec_id")
+            .agg(F.round(F.sum("d"), 6).alias("adc_d2"))
+            .withColumnRenamed("vec_id", "neighbor_id")
+        )
+        topk = _topk_per_query(adc, K, ["adc_d2"])
+        topk = spark.createDataFrame(topk.collect(), topk.schema)
+        adc_sec = round(time.time() - t0, 3)
+        recall = (
+            ann_recall(exact, topk, k=K)
+            .agg(F.avg("recall").alias("r")).collect()[0]["r"]
+        )
+        return {
+            "variance_balance_max_over_mean": round(
+                variance_balance(corp, col), 3
+            ),
+            "train_sec": train_sec,
+            "mean_recon_d2": round(recon, 6),
+            "adc_sec": adc_sec,
+            "recall_at_10": round(recall, 4),
+        }
+
+    plain = measure(corpus, queries, "embedding", "plain")
+    balanced = measure(
+        apply_dim_permutation(corpus, perm, "embedding", "_bvec").select(
+            "vec_id", "_bvec"
+        ),
+        apply_dim_permutation(queries, perm, "embedding", "_bvec").select(
+            "vec_id", "_bvec"
+        ),
+        "_bvec",
+        "balanced",
+    )
+    out = {
+        "metric": "balanced_pq_recall_gain_vs_contiguous",
+        "value": round(balanced["recall_at_10"] - plain["recall_at_10"], 4),
+        "unit": "recall@10",
+        "n_vectors": N, "dim": DIM,
+        "spectrum": "sd halves every 8 dims (2^-(j//8))",
+        "pq": {"n_sub": N_SUB, "sub_dim": SUB_DIM,
+               "pq_centroids": PQ_CENTROIDS, "trained_iters": 2},
+        "plain_contiguous": plain,
+        "balanced_round_robin": balanced,
+        "recon_improvement": round(
+            plain["mean_recon_d2"] / balanced["mean_recon_d2"], 3
+        ),
+    }
+    shutil.rmtree(work, ignore_errors=True)
+    print(json.dumps(out))
+    if "--write" in sys.argv:
+        (ROOT / "BENCH_BALANCED_PQ.json").write_text(
+            json.dumps(out, indent=2) + "\n"
+        )
+
+
+if __name__ == "__main__":
+    main()
