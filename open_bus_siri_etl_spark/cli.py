@@ -134,9 +134,10 @@ def main(argv: list[str] | None = None) -> int:
     ci = sub.add_parser(
         "compact-ivf-store",
         help="beyond-reference maintenance: fold a streaming IVF-PQ "
-        "store's per-batch partitions into the ingest_batch=-1 base "
-        "(pure relayout — code rows are immutable; bounds the "
-        "partition/file count of a long-running indexer daemon)",
+        "or IVF-SQ8 store's per-batch partitions into the "
+        "ingest_batch=-1 base (pure relayout — code rows are immutable; "
+        "bounds the partition/file count of a long-running indexer "
+        "daemon; schema-agnostic, so it serves both index families)",
     )
     ci.add_argument("index_path")
     ci.add_argument(

@@ -739,6 +739,15 @@ FULL_REGISTRY_ORDER = [
     "ivf_pq_refine_recall_eval",
     "kmeans_clusters_deep",
     "neardup_components_dispatch",
+    # round-11 continuation: SQ8 family, balanced PQ, chunking, bloom join
+    "sq8_ivf_topk",
+    "sq8_recall_eval",
+    "ivf_pq_balanced_topk",
+    "pq_balanced_recall_eval",
+    "sq8_residual_topk",
+    "sq8_residual_recall_eval",
+    "sliding_window_chunks",
+    "bloom_prefiltered_join",
 ]
 
 
