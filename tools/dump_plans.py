@@ -159,6 +159,14 @@ SHOWCASE = {
     "ivf_pq_refine_topk": "exact-refine stage: the shortlist (|Q| x 20"
     " ids) reaches the corpus through a broadcast hash join — one pruned"
     " corpus scan, never a corpus shuffle or cross join",
+    "sq8_ivf_topk": "IVF-SQ8: the index arm carries (id, cluster, codes)"
+    " ONLY — no float vector column past the encode; probe side"
+    " broadcast; decode + distance are transform/zip_with expressions in"
+    " codegen, no Python anywhere",
+    "bloom_prefiltered_join": "the Bloom probe (3 xxhash64 substring"
+    " lookups, a literal bitset) sits as a Filter BELOW the join's"
+    " exchange — non-candidate rows never shuffle; no UDF, no extra"
+    " join for the filter",
 }
 
 
