@@ -189,7 +189,12 @@ def main() -> None:
         plan = df._sc._jvm.PythonSQLUtils.explainString(
             df._jdf.queryExecution(), "formatted"
         )
-        lines = plan.rstrip().splitlines()
+        # giant literal operands (the bloom bitset, broadcast centroid
+        # arrays) are noise for a human plan review — elide mid-line
+        lines = [
+            ln if len(ln) <= 400 else ln[:400] + " ... [literal elided]"
+            for ln in plan.rstrip().splitlines()
+        ]
         if len(lines) > MAX_LINES:
             lines = lines[:MAX_LINES] + [
                 f"... ({len(plan.splitlines()) - MAX_LINES} detail lines omitted)"
