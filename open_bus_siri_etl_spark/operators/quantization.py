@@ -116,6 +116,52 @@ def sq8_encode(
     return df.withColumn(out, F.transform(F.col(vec_col), _code))
 
 
+def _sq8_d2_expr(
+    q_col: Column,
+    code_col: Column,
+    bounds: list[tuple[float, float]],
+    dim: int | None = None,
+) -> Column:
+    """The serve-side squared distance between a float query array and a
+    code array, 6dp-rounded.  Two bodies, ONE value: the default is the
+    compact ``transform`` + ``zip_with`` + ``aggregate`` fold; passing
+    ``dim`` unrolls the same per-dimension term chain into a flat
+    left-to-right sum — term math and addition order are identical
+    (IEEE: both add j=1..d in sequence), so the two forms are
+    bit-identical (parity-tested).  The unroll is the ``_dot(dim=...)``
+    precedent applied to the decode chain — measured ~equal at the
+    300k/1M tiers (the serve is scan/probe-join bound there, and Spark
+    4's higher-order functions evaluate efficiently enough that the
+    decode is not the bottleneck), so the knob exists for environments
+    where HOF fallback binds, not as a default."""
+    if dim is None:
+        decoded = sq8_decode_expr(code_col, bounds)
+        return F.round(
+            F.aggregate(
+                F.zip_with(
+                    q_col,
+                    decoded,
+                    lambda a, b: (a.cast("double") - b)
+                    * (a.cast("double") - b),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        )
+    total = None
+    for j in range(1, dim + 1):
+        mn, mx = bounds[j - 1]
+        span = float(mx) - float(mn)
+        dq = F.lit(float(mn)) + (
+            code_col[j - 1].cast("double") + F.lit(0.5)
+        ) * F.lit(span) / F.lit(256.0)
+        d = F.element_at(q_col, j).cast("double") - dq
+        term = d * d
+        total = term if total is None else total + term
+    return F.round(total, 6)
+
+
 def sq8_decode_expr(
     code_col: Column, bounds: list[tuple[float, float]]
 ) -> Column:
@@ -264,7 +310,6 @@ def sq8_topk_serve(
             F.col("_vec").alias("_q_vec"),
             "cluster",
         )
-    decoded = sq8_decode_expr(F.col("sq8_code"), bounds)
     scored = (
         F.broadcast(probes)
         .join(
@@ -276,18 +321,8 @@ def sq8_topk_serve(
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn(
             "sq8_d2",
-            F.round(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("_q_vec"),
-                        decoded,
-                        lambda a, b: (a.cast("double") - b)
-                        * (a.cast("double") - b),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ),
-                6,
+            _sq8_d2_expr(
+                F.col("_q_vec"), F.col("sq8_code"), bounds, dim=dim
             ),
         )
     )

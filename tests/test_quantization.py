@@ -260,3 +260,33 @@ def test_sq8_residual_output_contract(spark):
     assert set(out.columns) == {"query_id", "neighbor_id", "rank", "sq8_d2"}
     assert len(rows) == 8 * 5
     assert all(r["query_id"] != r["neighbor_id"] for r in rows)
+
+
+def test_sq8_d2_unrolled_equals_fold(spark):
+    """_sq8_d2_expr's two bodies must be BIT-identical: same per-term
+    math, same left-to-right addition order (IEEE 0.0 + x == x makes the
+    fold's seed transparent) — so serving with dim= (codegen unroll) and
+    without (compact fold) return the same rows and distances."""
+    from open_bus_siri_etl_spark.operators.quantization import (
+        build_sq8_index,
+        sq8_topk_serve,
+    )
+
+    emb = _emb(spark)
+    qs = emb.filter(F.col("vec_id").between(8, 15))
+    cents = (
+        emb.orderBy("vec_id")
+        .limit(8)
+        .select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").alias("cent_vec"),
+        )
+    )
+    bounds = sq8_train(emb)
+    index = build_sq8_index(emb, cents, bounds)
+    key = lambda df: sorted(map(tuple, df.collect()))
+    fold = sq8_topk_serve(index, cents, qs, bounds, k=5, n_probe=2)
+    unrolled = sq8_topk_serve(
+        index, cents, qs, bounds, k=5, n_probe=2, dim=64
+    )
+    assert key(fold) == key(unrolled)
