@@ -25,11 +25,35 @@ because the oracle never sees the filter.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 BLOOM_BITS_DEFAULT = 4096
 BLOOM_HASHES_DEFAULT = 3
+
+# Auto-sizing cap: the bitset rides the plan as a string literal, so its
+# size is paid in every task binary — 2^22 bits is a 512 KiB constant,
+# about the broadcast budget of a small dim table and far below the
+# point where shipping the literal costs more than the shuffle rows it
+# prunes.  Beyond the cap the sizer keeps the cap and re-derives the
+# hash count for the degraded bits-per-key ratio (FPR rises smoothly;
+# correctness is unaffected — false positives die in the real join).
+BLOOM_AUTO_MAX_BITS = 1 << 22
+
+
+def _validate_bloom_geometry(n_hashes: int, n_bits: int) -> None:
+    """Shared guard: a zero-hash probe never runs its AND loop and
+    returns None (an opaque crash inside filter()), and a non-positive
+    bitset makes pmod misbehave — fail at the API boundary instead."""
+    if n_hashes < 1:
+        raise ValueError(
+            f"bloom filter needs n_hashes >= 1, got {n_hashes} — a "
+            "0-hash probe tests nothing and returns NULL inside filter()"
+        )
+    if n_bits < 1:
+        raise ValueError(f"bloom filter needs n_bits >= 1, got {n_bits}")
 
 
 def _positions(key: Column, n_hashes: int, n_bits: int) -> list[Column]:
@@ -37,6 +61,48 @@ def _positions(key: Column, n_hashes: int, n_bits: int) -> list[Column]:
         F.pmod(F.xxhash64(key, F.lit(h)), F.lit(n_bits))
         for h in range(n_hashes)
     ]
+
+
+def bloom_auto_size(
+    dim: DataFrame,
+    key_col: str,
+    target_fpr: float = 0.01,
+    max_bits: int = BLOOM_AUTO_MAX_BITS,
+) -> tuple[int, int]:
+    """Size (n_bits, n_hashes) for a target false-positive rate from a
+    cheap ``approx_count_distinct`` of the dim side's keys — the missing
+    knob at 100 TB, where "the small side" spans orders of magnitude and
+    a fixed 4096-bit set saturates (every probe passes) the moment the
+    key count crosses a few thousand.
+
+    Standard Bloom calculus: ``m = -n ln p / (ln 2)^2`` bits and
+    ``k = (m / n) ln 2`` hashes minimize FPR at the target; both are
+    derived from the approximate distinct count (±~2% — amply good, the
+    FPR curve is flat in n around the optimum).  ``m`` is clamped to
+    ``max_bits`` (the literal-size budget; see BLOOM_AUTO_MAX_BITS) and
+    ``k`` is re-derived AFTER clamping so an over-cap dim side degrades
+    to the best achievable FPR at the cap instead of a mis-tuned one.
+    Returns geometry only — feed it to ``bloom_prefiltered_join``;
+    measured pass-through fractions vs key count are pinned in
+    tests/test_bloom_join.py and BENCH_BLOOM_SIZING.json.
+    """
+    if not (0.0 < target_fpr < 1.0):
+        raise ValueError(
+            f"bloom_auto_size: target_fpr must be in (0, 1), got {target_fpr}"
+        )
+    n_keys = max(
+        1,
+        int(
+            dim.agg(
+                F.approx_count_distinct(key_col).alias("n")
+            ).first()["n"]
+        ),
+    )
+    ln2 = math.log(2.0)
+    m = math.ceil(-n_keys * math.log(target_fpr) / (ln2 * ln2))
+    n_bits = max(64, min(int(m), int(max_bits)))
+    n_hashes = max(1, round((n_bits / n_keys) * ln2))
+    return n_bits, n_hashes
 
 
 def bloom_bits(
@@ -48,6 +114,7 @@ def bloom_bits(
     """Build the bitset from the small side's keys as a '0'/'1' string of
     length ``n_bits`` — the driver collect is bounded by ``n_bits``
     distinct positions (the bitset size, never the key count)."""
+    _validate_bloom_geometry(n_hashes, n_bits)
     rows = (
         dim.select(
             F.explode(
@@ -73,6 +140,7 @@ def bloom_might_contain(
     bits set means "might match", any clear bit means "provably no
     match".  Stays in whole-stage codegen: no UDF, no join."""
     n_bits = len(bits) if n_bits is None else n_bits
+    _validate_bloom_geometry(n_hashes, n_bits)
     probe = None
     for pos in _positions(key, n_hashes, n_bits):
         hit = F.substr(F.lit(bits), pos + 1, F.lit(1)) == "1"
@@ -87,11 +155,20 @@ def bloom_prefiltered_join(
     dim_key: str,
     n_hashes: int = BLOOM_HASHES_DEFAULT,
     n_bits: int = BLOOM_BITS_DEFAULT,
+    target_fpr: float | None = None,
 ) -> DataFrame:
     """Inner-join ``big`` to ``dim`` with a Bloom pre-filter on the big
     side: rows whose key provably misses ``dim`` never reach the join's
     exchange.  Row-identical to ``big.join(dim, ...)`` by construction
-    (no false negatives; false positives die in the join)."""
+    (no false negatives; false positives die in the join).
+
+    Pass ``target_fpr`` to AUTO-SIZE the bitset from an
+    ``approx_count_distinct`` of the dim keys (``bloom_auto_size``)
+    instead of the fixed defaults — the right call whenever the dim
+    side's key count is not known to sit near the few-hundred-key regime
+    the 4096-bit default is tuned for."""
+    if target_fpr is not None:
+        n_bits, n_hashes = bloom_auto_size(dim, dim_key, target_fpr)
     bits = bloom_bits(dim, dim_key, n_hashes, n_bits)
     pruned = big.filter(
         bloom_might_contain(F.col(big_key), bits, n_hashes, n_bits)

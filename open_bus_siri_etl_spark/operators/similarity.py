@@ -2163,12 +2163,29 @@ def pq_balanced_perm(
             - (F.col("s1") / F.col("cnt")) * (F.col("s1") / F.col("cnt")),
             6,
         ).alias("v6"),
+        "cnt",
     ).collect()
     dim = len(rows)
     if dim != n_sub * sub_dim:
         raise ValueError(
             f"pq_balanced_perm: dim {dim} != n_sub*sub_dim "
             f"{n_sub}*{sub_dim}"
+        )
+    # ragged-input guard (sq8_train's contiguity check): a ragged
+    # embedding column whose DISTINCT dim count happens to equal
+    # n_sub*sub_dim would otherwise pass and silently rank per-dim
+    # variances computed over differing row counts
+    if sorted(r["i"] for r in rows) != list(range(1, dim + 1)):
+        raise ValueError(
+            "pq_balanced_perm: ragged embedding column — dimensions "
+            f"{sorted(r['i'] for r in rows)} are not contiguous from 1"
+        )
+    if len({r["cnt"] for r in rows}) != 1:
+        raise ValueError(
+            "pq_balanced_perm: ragged embedding column — per-dimension "
+            "row counts differ "
+            f"({sorted({r['cnt'] for r in rows})}); variances over "
+            "unequal populations are not comparable"
         )
     ranked = sorted(rows, key=lambda r: (-r["v6"], r["i"]))
     perm = [0] * dim
@@ -2215,7 +2232,19 @@ def ivf_pq_topk_balanced(
 
     Output: (query_id, neighbor_id, rank, adc_d2) — adc_d2 is the ADC
     distance in the permuted (= original, per-subspace re-bucketed)
-    coordinate system."""
+    coordinate system.
+
+    Coarse-stage boundary assumption (documented, regression-pinned): the
+    probe ranks UNROUNDED cosine summed in PERMUTED dimension order,
+    while the oracle's vc CTE sums the unpermuted relation in engine
+    order — mathematically identical, IEEE-identical only up to addend
+    reorder (~1 ulp).  Like ``_exact_cosine``'s no-ulp-ties rule, the
+    entry therefore assumes no two (query, centroid) cosines within ~1
+    ulp of each other; the testdata corpora satisfy it, and
+    ``test_balanced_pq.py::test_balanced_coarse_assignment_permutation_
+    invariant`` pins that the permuted-order assignment equals the
+    engine-order one on both SFs (the check that would catch a corpus
+    where the assumption breaks)."""
     perm = pq_balanced_perm(corpus, n_sub, sub_dim, vec_col)
     c2 = apply_dim_permutation(corpus, perm, vec_col, "_bvec").select(
         id_col, "_bvec"

@@ -79,6 +79,63 @@ def test_balanced_layout_cuts_reconstruction_error(spark):
     assert balanced < plain * 0.95, (balanced, plain)
 
 
+def test_balanced_perm_rejects_ragged_input(spark):
+    """A ragged embedding column whose DISTINCT dim count equals
+    n_sub*sub_dim must fail the contiguity/count guard instead of
+    silently ranking variances over differing row counts (the sq8_train
+    discipline applied here)."""
+    import pytest
+
+    # row 1 has dims 1..64, row 2 has dims 1..63 -> dim 64's cnt differs
+    df = spark.createDataFrame(
+        [(1, [float(i) for i in range(64)]), (2, [float(i) for i in range(63)])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="ragged"):
+        pq_balanced_perm(df, N_SUB, SUB_DIM)
+
+
+def test_balanced_coarse_assignment_permutation_invariant(spark):
+    """The documented ulp boundary assumption of ivf_pq_topk_balanced:
+    ranking by cosine summed in PERMUTED dimension order must assign the
+    same coarse cells as engine order on the testdata corpora (both SFs)
+    — the regression that would catch a corpus with ~1-ulp cosine ties,
+    where the assumption (and the entry's oracle-exactness) breaks."""
+    from open_bus_siri_etl_spark.operators.similarity import (
+        _nearest_centroids,
+    )
+
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+        perm = pq_balanced_perm(emb, N_SUB, SUB_DIM)
+        permuted = apply_dim_permutation(emb, perm, "embedding", "_bvec")
+        cents_raw = (
+            emb.orderBy("vec_id").limit(8)
+            .select(F.col("vec_id").alias("cent_id"),
+                    F.col("embedding").alias("cent_vec"))
+        )
+        cents_perm = (
+            permuted.orderBy("vec_id").limit(8)
+            .select(F.col("vec_id").alias("cent_id"),
+                    F.col("_bvec").alias("cent_vec"))
+        )
+        a_raw = sorted(
+            map(tuple, _nearest_centroids(
+                emb.select(F.col("vec_id").alias("_id"),
+                           F.col("embedding").alias("_vec")),
+                cents_raw, "cluster", keep=2,
+            ).select("_id", "cluster").collect())
+        )
+        a_perm = sorted(
+            map(tuple, _nearest_centroids(
+                permuted.select(F.col("vec_id").alias("_id"),
+                                F.col("_bvec").alias("_vec")),
+                cents_perm, "cluster", keep=2,
+            ).select("_id", "cluster").collect())
+        )
+        assert a_raw == a_perm, sf
+
+
 def test_balanced_recall_not_below_plain_on_aniso(spark):
     """Ranking-level corollary (noisier than distortion, so asserted
     weakly): on the adversarial variance layout the balanced ADC recall
