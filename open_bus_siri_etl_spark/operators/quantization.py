@@ -32,6 +32,8 @@ brief layers on top (SURVEY §2 scope note).
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -40,6 +42,52 @@ from .similarity import _nearest_centroids, _topk_per_query
 # FAISS QT_8bit: codes are floor(x01 * 256) clamped to [0, 255], decoded
 # at the cell midpoint (code + 0.5) / 256.
 SQ8_LEVELS = 256
+
+
+def sq8_params_tag(
+    n_centroids: int, metric: str, residual: bool, dim: int
+) -> str:
+    """The family tag stamped on every index row by ``build_sq8_index``
+    — same role as ``_ivf_pq_params_tag``: a serve/append against a
+    store built with different flags (trained=/residual=/geometry) must
+    fail loudly, not return wrong neighbors."""
+    return f"sq8:c{n_centroids}:{metric}:res{int(residual)}:d{dim}"
+
+
+def _bounds_content_hash(bounds: list[tuple[float, float]]) -> int:
+    """Deterministic small integer over the exact bound VALUES —
+    ``repr`` round-trips IEEE doubles exactly, so the same bounds list
+    (in memory or parquet-round-tripped) always hashes identically and
+    any retrained/substituted bounds differ.  Truncated to 32 bits so
+    the fingerprint sum below stays far inside bigint range."""
+    payload = ";".join(
+        f"{float(mn)!r},{float(mx)!r}" for mn, mx in bounds
+    ).encode()
+    return int.from_bytes(hashlib.sha256(payload).digest()[:4], "big")
+
+
+def sq8_fingerprint(
+    cents: DataFrame, bounds: list[tuple[float, float]], out: str
+) -> DataFrame:
+    """One-row content fingerprint over BOTH halves of the SQ8 quantizer
+    — the coarse codebook frame (order-independent per-row hash sum, the
+    ``_codebook_fingerprint`` formula salted for this family) and the
+    trained bounds (driver-side content hash folded in as a literal).
+    Persisted with every index row at build time and recomputed from the
+    serve call's (cents, bounds); a mismatch on either half means the
+    serve would silently decode against the wrong grid or probe the
+    wrong cell geometry — exactly the staleness the params tag alone
+    cannot see (same counts, different content)."""
+    return cents.select(
+        F.pmod(
+            F.xxhash64(F.lit("sq8"), "cent_id", "cent_vec"), F.lit(2**31)
+        ).alias("_h")
+    ).agg(
+        (
+            F.coalesce(F.sum("_h"), F.lit(-1))
+            + F.lit(_bounds_content_hash(bounds))
+        ).alias(out)
+    )
 
 
 def sq8_train(
@@ -240,23 +288,40 @@ def build_sq8_index(
     residual frame (``sq8_residual_frame`` + ``sq8_train``).  Write it
     ``partitionBy("cluster")`` and the serve probe partition-prunes,
     exactly like ``build_ivf_pq_index``.  No float vectors in the
-    store: 1 byte/dim + id."""
+    store: 1 byte/dim + id.
+
+    PROVENANCE (the ivf_pq contract, r12): every row carries ``params``
+    (the ``sq8_params_tag`` build-family tag) and ``sq8_fp`` (the
+    codebook+bounds content fingerprint) — ``sq8_topk_serve`` refuses a
+    store whose tag or fingerprint does not match the (cents, bounds,
+    flags) presented at serve time, so a residual store served raw, or
+    bounds from a different training, fail loudly instead of silently
+    returning wrong neighbors."""
+    n_c = n_cents if n_cents is not None else cents.count()
+    tag = sq8_params_tag(n_c, coarse_metric, residual, len(bounds))
+    fp = sq8_fingerprint(cents, bounds, "sq8_fp")
     if residual:
         res = sq8_residual_frame(
             corpus, cents, id_col, vec_col, dim, coarse_metric, n_cents
         )
-        return sq8_encode(res, bounds, vec_col="_rvec", out="sq8_code").select(
-            F.col("_id").alias(id_col), "cluster", "sq8_code"
+        encoded = sq8_encode(
+            res, bounds, vec_col="_rvec", out="sq8_code"
         )
-    assigned = _nearest_centroids(
-        corpus.select(
-            F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")
-        ),
-        cents, "cluster", keep=1, dim=dim, metric=coarse_metric,
-        n_cents=n_cents,
-    )
-    return sq8_encode(assigned, bounds, vec_col="_vec", out="sq8_code").select(
-        F.col("_id").alias(id_col), "cluster", "sq8_code"
+    else:
+        assigned = _nearest_centroids(
+            corpus.select(
+                F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")
+            ),
+            cents, "cluster", keep=1, dim=dim, metric=coarse_metric,
+            n_cents=n_cents,
+        )
+        encoded = sq8_encode(
+            assigned, bounds, vec_col="_vec", out="sq8_code"
+        )
+    return (
+        encoded.select(F.col("_id").alias(id_col), "cluster", "sq8_code")
+        .crossJoin(F.broadcast(fp))
+        .withColumn("params", F.lit(tag))
     )
 
 
@@ -272,6 +337,7 @@ def sq8_topk_serve(
     dim: int | None = None,
     coarse_metric: str = "cosine",
     residual: bool = False,
+    n_centroids: int | None = None,
 ) -> DataFrame:
     """Serve top-k from a persisted SQ8 store: the query batch probes its
     ``n_probe`` nearest coarse cells (tiny frame), equi-joins the store on
@@ -283,8 +349,62 @@ def sq8_topk_serve(
     scoring ((q-c)-(x-c) = q-x exactly; only the quantization grid
     moves), matching a store built with ``residual=True``.
 
+    Staleness is fail-loud in BOTH directions (the ``ivf_pq_topk_serve``
+    guard, r12): a store lacking the ``params``/``sq8_fp`` provenance
+    columns is refused outright (rebuild with ``build_sq8_index``), the
+    store's tag is checked in-plan against this call's
+    (n_centroids, coarse_metric, residual, dim-of-bounds), and the
+    persisted content fingerprint is checked against one recomputed from
+    THIS call's (cents, bounds) — serving a residual store raw, or with
+    bounds/centroids from a different training, raises instead of
+    silently decoding against the wrong grid.  ``n_centroids`` defaults
+    to the presented codebook's row count.
+
     Output: (query_id, neighbor_id, rank, sq8_d2); self-matches excluded.
     """
+    op = "sq8_topk_serve"
+    if "params" not in index.columns or "sq8_fp" not in index.columns:
+        raise ValueError(
+            f"{op}: index lacks the params/sq8_fp provenance columns — "
+            "rebuild it with build_sq8_index (format: id, cluster, "
+            "sq8_code, sq8_fp, params)"
+        )
+    n_c = n_centroids if n_centroids is not None else cents.count()
+    expected = sq8_params_tag(n_c, coarse_metric, residual, len(bounds))
+    live_fp = sq8_fingerprint(cents, bounds, "_live_fp")
+    index = index.crossJoin(F.broadcast(live_fp)).select(
+        F.when(
+            F.col("params") != expected,
+            F.raise_error(
+                F.concat(
+                    F.lit(f"{op}: store was built with params "),
+                    F.col("params"),
+                    F.lit(
+                        f" but this call expects {expected} — the "
+                        "residual/metric/geometry flags must match the "
+                        "family the store was built as (rebuild the store "
+                        "to change family)"
+                    ),
+                )
+            ),
+        )
+        .when(
+            F.col("sq8_fp") != F.col("_live_fp"),
+            F.raise_error(
+                F.lit(
+                    f"{op}: quantizer fingerprint mismatch — the "
+                    "(cents, bounds) presented at serve are not the pair "
+                    "the store was encoded against (retrained bounds or "
+                    "regenerated codebook); rebuild/retrain the store or "
+                    "serve with the persisted pair"
+                )
+            ),
+        )
+        .otherwise(F.col(id_col))
+        .alias(id_col),
+        "cluster",
+        "sq8_code",
+    )
     probes = _nearest_centroids(
         queries.select(
             F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")
@@ -371,11 +491,113 @@ def sq8_residual_ivf_topk(
         vec_col="_rvec",
     )
     index = build_sq8_index(
-        corpus, cents, bounds, id_col, vec_col, dim, residual=True
+        corpus, cents, bounds, id_col, vec_col, dim, residual=True,
+        n_cents=n_centroids,
     )
     return sq8_topk_serve(
         index, cents, queries, bounds, k=k, n_probe=n_probe,
         id_col=id_col, vec_col=vec_col, dim=dim, residual=True,
+        n_centroids=n_centroids,
+    )
+
+
+def sq8_refine_serve(
+    index: DataFrame,
+    cents: DataFrame,
+    queries: DataFrame,
+    bounds: list[tuple[float, float]],
+    corpus: DataFrame,
+    k: int = 5,
+    shortlist: int = 20,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    coarse_metric: str = "cosine",
+    residual: bool = False,
+    n_centroids: int | None = None,
+) -> DataFrame:
+    """SQ8 shortlist + EXACT REFINE from the persisted store — FAISS's
+    IndexRefineFlat stage over IndexIVFScalarQuantizer: the SQ8 serve
+    produces a per-query ``shortlist`` (top candidates by
+    decode-on-the-fly squared L2 over codes only), then exact cosine
+    re-ranks just those and returns the top ``k``.
+
+    Why this rung exists (the round-11 frontier finding): SQ8's
+    8-bit-per-dim shortlist already ranks near-exactly (recall@10 ~0.93
+    unrefined at the measured tiers, vs PQ-ADC's shortlist-grade
+    ordering), so the refine reaches a given recall with a much SMALLER
+    shortlist than PQ-refine needs (refine@400 at the PQ knee) — and the
+    refine's cost is exactly the shortlist-sized float read.  Measured
+    next to the PQ rungs in BENCH_IVFPQ.json clustered_tiers.
+
+    Scale shape: everything upstream is the codes-only SQ8 serve
+    (partition-pruned probe join, no corpus floats); the refine is the
+    ONE stage touching corpus vectors — a |Q| x shortlist id set
+    broadcast against one pruned-column corpus scan, never a corpus
+    shuffle (the ``ivf_pq_refine_topk`` shape).
+
+    Output: (query_id, neighbor_id, rank) — the cosine_topk contract
+    (rank by exact cosine desc, ties to the smaller neighbor id;
+    self-matches excluded by the SQ8 stage).
+    """
+    from .similarity import _exact_cosine
+
+    short = sq8_topk_serve(
+        index, cents, queries, bounds, k=shortlist, n_probe=n_probe,
+        id_col=id_col, vec_col=vec_col, dim=dim,
+        coarse_metric=coarse_metric, residual=residual,
+        n_centroids=n_centroids,
+    ).select("query_id", "neighbor_id")
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    sim = (
+        short.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .withColumn(
+            "cosine", _exact_cosine(F.col("q_vec"), F.col("c_vec"), dim)
+        )
+    )
+    return _topk_per_query(sim, k, [F.desc("cosine")])
+
+
+def sq8_refine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    shortlist: int = 20,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Inline IVF-SQ8 + exact refine — the batch form of
+    ``sq8_refine_serve`` (build the codes-only store, serve a
+    ``shortlist``, exact-cosine re-rank), the SQ8 sibling of
+    ``ivf_pq_refine_topk``.  Deterministic end to end (the SQ8 stage's
+    exact-bounds/round-before-floor/6dp spec + the refine family's
+    no-ulp-ties cosine), so it carries an exact SQL oracle.  Output:
+    (query_id, neighbor_id, rank)."""
+    cents = (
+        corpus.orderBy(id_col)
+        .limit(n_centroids)
+        .select(
+            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
+        )
+    )
+    bounds = sq8_train(corpus, vec_col)
+    index = build_sq8_index(
+        corpus, cents, bounds, id_col, vec_col, dim, n_cents=n_centroids
+    )
+    return sq8_refine_serve(
+        index, cents, queries, bounds, corpus, k=k, shortlist=shortlist,
+        n_probe=n_probe, id_col=id_col, vec_col=vec_col, dim=dim,
+        n_centroids=n_centroids,
     )
 
 
@@ -420,8 +642,10 @@ def sq8_ivf_topk(
     # this batch form IS the persisted pipeline run inline (the
     # ivf_pq_topk discipline): build the codes-only store, serve from it
     # — the inline result and the persisted-index result cannot drift
-    index = build_sq8_index(corpus, cents, bounds, id_col, vec_col, dim)
+    index = build_sq8_index(
+        corpus, cents, bounds, id_col, vec_col, dim, n_cents=n_centroids
+    )
     return sq8_topk_serve(
         index, cents, queries, bounds, k=k, n_probe=n_probe,
-        id_col=id_col, vec_col=vec_col, dim=dim,
+        id_col=id_col, vec_col=vec_col, dim=dim, n_centroids=n_centroids,
     )

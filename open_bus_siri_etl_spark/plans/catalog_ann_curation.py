@@ -3087,9 +3087,12 @@ def neardup_components_dispatch_q(spark: SparkSession, sf_dir: str) -> DataFrame
 # _LSH_ANN_CTE discipline) so the three index families differ ONLY in
 # their fine stage: float re-rank (ivf), 1 byte/dim scalar codes (sq8),
 # n_sub codes + lookup table (pq).
-@register(
-    "sq8_ivf_topk",
-    f"""
+def _sq8_ivf_sql(limit: int) -> str:
+    """The registered IVF-SQ8 chain at an arbitrary rank cutoff — the
+    ``_residual_ivfpq_sql`` discipline: the refine entry's shortlist is
+    THIS template at rank<=shortlist, so the two stages cannot drift
+    (limit=5 is the registered sq8_ivf_topk entry verbatim)."""
+    return f"""
     WITH {_IVF_QUANTIZER_CTE},
     sqb AS (SELECT i, min(v) AS mn, max(v) AS mx FROM f GROUP BY i),
     codes AS (
@@ -3124,8 +3127,13 @@ def neardup_components_dispatch_q(spark: SparkSession, sf_dir: str) -> DataFrame
     SELECT query_id, neighbor_id, rank, sq8_d2 FROM (
         SELECT query_id, neighbor_id, sq8_d2, row_number() OVER (
             PARTITION BY query_id ORDER BY sq8_d2, neighbor_id) AS rank
-        FROM adc) WHERE rank <= 5
-    """,
+        FROM adc) WHERE rank <= {limit}
+    """
+
+
+@register(
+    "sq8_ivf_topk",
+    _sq8_ivf_sql(5),
     note="IVF-SQ8 — FAISS IndexIVFScalarQuantizer(QT_8bit) as joins: the "
     "family's shared coarse quantizer (max-cosine stand-in centroids, "
     "_IVF_QUANTIZER_CTE verbatim) over a fine stage that stores "

@@ -39,21 +39,16 @@ from pyspark.sql import functions as F
 
 from ..operators.quantization import (
     build_sq8_index,
+    sq8_params_tag,
     sq8_residual_frame,
     sq8_train,
 )
 from ..operators.similarity import ivf_pq_centroids
 from .delta_dedup import _read_or_none, _write_partition
 
-
-def _sq8_params_tag(
-    n_centroids: int, metric: str, residual: bool, dim: int
-) -> str:
-    """The family tag stamped on every index row — same role as
-    ``_ivf_pq_params_tag``: a serve/append against a store built with
-    different flags must fail loudly at startup, not return wrong
-    neighbors."""
-    return f"sq8:c{n_centroids}:{metric}:res{int(residual)}:d{dim}"
+# The family tag lives with the builder now (r12 provenance move):
+# build_sq8_index stamps it on every row itself.
+_sq8_params_tag = sq8_params_tag
 
 
 def write_sq8_bounds(
@@ -129,23 +124,43 @@ def start_sq8_index_stream(
 
     # family guard at START (the PQ stream's rule): appending a
     # different-family encoding into an existing store would only fail
-    # at some later serve, with partition surgery as the fix
+    # at some later serve, with partition surgery as the fix.  The check
+    # is the FULL tag including the :d{dim} suffix (dim = row count of
+    # the frozen bounds — they must exist if the store does), and a
+    # store without a params column is refused rather than skipped: a
+    # provenance-free store cannot prove it is this family (r12, per
+    # ADVICE — a dim-mismatched append used to slip past the prefix).
     existing = _read_or_none(spark, index_path)
-    if existing is not None and "params" in existing.columns:
+    if existing is not None:
+        if "params" not in existing.columns:
+            raise ValueError(
+                f"start_sq8_index_stream: the persisted store at "
+                f"{index_path} has no params column, so its build family "
+                "cannot be verified — rebuild it with build_sq8_index "
+                "(which stamps provenance) before appending"
+            )
+        persisted_bounds = _read_or_none(spark, bounds_path)
+        if persisted_bounds is None:
+            raise ValueError(
+                f"start_sq8_index_stream: the store at {index_path} "
+                f"exists but its bounds at {bounds_path} are unreadable — "
+                "inconsistent deployment state; restore the bounds the "
+                "store was encoded against (or rebuild both)"
+            )
+        expect = sq8_params_tag(
+            n_centroids, coarse_metric, residual, persisted_bounds.count()
+        )
         tags = [
             r["params"] for r in existing.select("params").distinct().collect()
         ]
-        if tags and not all(
-            t.startswith(f"sq8:c{n_centroids}:{coarse_metric}:res{int(residual)}:")
-            for t in tags
-        ):
+        if tags and set(tags) != {expect}:
             raise ValueError(
                 f"start_sq8_index_stream: the persisted store at "
                 f"{index_path} carries params {sorted(set(tags))} but this "
-                f"stream would append sq8:c{n_centroids}:{coarse_metric}:"
-                f"res{int(residual)}:* — the trained=/residual=/geometry "
-                "flags must match the deployment the store was built as "
-                "(rebuild the store to change family)"
+                f"stream would append {expect} — the trained=/residual=/"
+                "geometry flags (and dimensionality) must match the "
+                "deployment the store was built as (rebuild the store to "
+                "change family)"
             )
 
     def _write_once_cents(frame: DataFrame) -> DataFrame:
@@ -211,15 +226,13 @@ def start_sq8_index_stream(
                 family,
             )
         bounds = read_sq8_bounds(spark, bounds_path, family)
-        tag = _sq8_params_tag(
-            n_centroids, coarse_metric, residual, len(bounds)
-        )
+        # build_sq8_index stamps params + sq8_fp itself (r12 provenance)
         _write_partition(
             build_sq8_index(
                 batch, cents, bounds, id_col, vec_col, dim,
                 coarse_metric=coarse_metric, n_cents=n_centroids,
                 residual=residual,
-            ).withColumn("params", F.lit(tag)),
+            ),
             batch_id,
             index_path,
         )

@@ -146,11 +146,73 @@ def test_sq8_persisted_store_equals_inline(spark, tmp_path):
         path
     )
     store = spark.read.parquet(path)
-    assert set(store.columns) == {"vec_id", "cluster", "sq8_code"}
+    # codes + provenance (params tag, content fingerprint) — still no
+    # float vectors anywhere in the store
+    assert set(store.columns) == {
+        "vec_id", "cluster", "sq8_code", "params", "sq8_fp"
+    }
     served = sq8_topk_serve(store, cents, qs, bounds, k=5, n_probe=2)
     inline = sq8_ivf_topk(emb, qs, k=5, n_centroids=8, n_probe=2)
     key = lambda df: sorted(map(tuple, df.collect()))
     assert key(served) == key(inline)
+
+
+def test_sq8_serve_refuses_unprovenanced_store(spark):
+    """ADVICE r11 (medium): sq8_topk_serve must refuse a store lacking
+    the params/sq8_fp provenance columns outright."""
+    import pytest
+
+    from open_bus_siri_etl_spark.operators.quantization import (
+        build_sq8_index,
+        sq8_topk_serve,
+    )
+
+    emb = _emb(spark)
+    cents = (
+        emb.orderBy("vec_id").limit(8)
+        .select(F.col("vec_id").alias("cent_id"),
+                F.col("embedding").alias("cent_vec"))
+    )
+    bounds = sq8_train(emb)
+    bare = build_sq8_index(emb, cents, bounds).drop("params", "sq8_fp")
+    with pytest.raises(ValueError, match="params"):
+        sq8_topk_serve(bare, cents, emb.limit(2), bounds, k=3)
+
+
+def test_sq8_serve_refuses_family_and_fingerprint_mismatch(spark):
+    """The two staleness directions: a residual-built store served with
+    residual=False must raise (params tag), and a store served with
+    bounds from a DIFFERENT training must raise (content fingerprint) —
+    both used to silently return wrong neighbors."""
+    import pytest
+
+    from open_bus_siri_etl_spark.operators.quantization import (
+        build_sq8_index,
+        sq8_residual_frame,
+        sq8_topk_serve,
+    )
+
+    emb = _emb(spark)
+    qs = emb.filter(F.col("vec_id").between(8, 11))
+    cents = (
+        emb.orderBy("vec_id").limit(8)
+        .select(F.col("vec_id").alias("cent_id"),
+                F.col("embedding").alias("cent_vec"))
+    )
+    res_bounds = sq8_train(
+        sq8_residual_frame(emb, cents), vec_col="_rvec"
+    )
+    res_store = build_sq8_index(emb, cents, res_bounds, residual=True)
+    with pytest.raises(Exception, match="params|family"):
+        sq8_topk_serve(
+            res_store, cents, qs, res_bounds, k=3, residual=False
+        ).collect()
+
+    raw_bounds = sq8_train(emb)
+    raw_store = build_sq8_index(emb, cents, raw_bounds)
+    drifted = [(mn - 1.0, mx + 1.0) for mn, mx in raw_bounds]
+    with pytest.raises(Exception, match="fingerprint"):
+        sq8_topk_serve(raw_store, cents, qs, drifted, k=3).collect()
 
 
 def _clustered(spark, n_extra=200, seed=11):

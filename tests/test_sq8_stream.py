@@ -62,7 +62,7 @@ def test_sq8_stream_append_is_rebuild(spark, tmp_path, residual):
         F.min("ingest_batch").alias("b")
     ).collect()[0]["b"]
     assert first == 0
-    streamed = spark.read.parquet(index_path).drop("ingest_batch", "params")
+    streamed = spark.read.parquet(index_path).drop("ingest_batch")
     batch_built = build_sq8_index(emb, cents, bounds, residual=residual)
     assert _multiset(streamed) == _multiset(batch_built)
     qs = emb.filter("vec_id BETWEEN 8 AND 15")
@@ -90,6 +90,50 @@ def test_sq8_stream_family_flip_refused(spark, tmp_path):
     with pytest.raises(ValueError, match="params"):
         start_sq8_index_stream(
             spark, *args, str(tmp_path / "ckpt2"), residual=True
+        )
+
+
+def test_sq8_stream_refuses_dim_mismatched_append(spark, tmp_path):
+    """ADVICE r11: the append guard must compare the FULL tag including
+    the :d{dim} suffix — a store encoded against 64-dim bounds must not
+    accept appends after the bounds file is swapped for a 32-dim one of
+    the same family."""
+    emb = _emb(spark)
+    landing = tmp_path / "landing"
+    _land(emb, landing, n_batches=1)
+    args = [
+        str(landing), str(tmp_path / "index"), str(tmp_path / "cents"),
+        str(tmp_path / "bounds"),
+    ]
+    q = start_sq8_index_stream(spark, *args, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+    write_sq8_bounds(
+        spark, [(0.0, 1.0)] * 32, str(tmp_path / "bounds"), "raw"
+    )
+    with pytest.raises(ValueError, match="d32"):
+        start_sq8_index_stream(spark, *args, str(tmp_path / "ckpt2"))
+
+
+def test_sq8_stream_refuses_unprovenanced_store(spark, tmp_path):
+    """A store without a params column cannot prove its family — the
+    guard must FAIL rather than skip the check (the pre-r12 behavior)."""
+    emb = _emb(spark)
+    landing = tmp_path / "landing"
+    _land(emb, landing, n_batches=1)
+    index_path = str(tmp_path / "index")
+    # a provenance-free store: plausible rows, no params column
+    emb.limit(10).select(
+        "vec_id", F.lit(0).alias("cluster"),
+        F.array(F.lit(1)).alias("sq8_code"),
+        F.lit(0).cast("long").alias("ingest_batch"),
+    ).write.partitionBy("ingest_batch").parquet(index_path)
+    write_sq8_bounds(
+        spark, [(0.0, 1.0)] * 64, str(tmp_path / "bounds"), "raw"
+    )
+    with pytest.raises(ValueError, match="no params column"):
+        start_sq8_index_stream(
+            spark, str(landing), index_path, str(tmp_path / "cents"),
+            str(tmp_path / "bounds"), str(tmp_path / "ckpt"),
         )
 
 

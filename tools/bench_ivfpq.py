@@ -540,6 +540,8 @@ def clustered_tiers(spark, work: Path, tiers) -> list:
 
         from open_bus_siri_etl_spark.operators.quantization import (
             sq8_encode,
+            sq8_fingerprint,
+            sq8_params_tag,
             sq8_topk_serve,
             sq8_train,
         )
@@ -547,24 +549,35 @@ def clustered_tiers(spark, work: Path, tiers) -> list:
         t0 = time.time()
         bounds = sq8_train(corpus)
         sq8_train_sec = round(time.time() - t0, 3)
+        sq8_cents = _slice_codebook(tc, n_cent, "coarse", "tiers")
         sq8_path = str(work / f"sq8_ix_{tag}")
         if not os.path.isdir(sq8_path):
             t0 = time.time()
+            # coarse assignments reused from the persisted PQ index (one
+            # assignment pass per tier, not two); provenance stamped the
+            # way build_sq8_index does so the r12 serve guard accepts it
             sq8_encode(
                 index.select("vec_id", "cluster").join(corpus, "vec_id"),
                 bounds,
-            ).select("vec_id", "cluster", "sq8_code").write.partitionBy(
-                "cluster"
-            ).parquet(sq8_path)
+            ).select("vec_id", "cluster", "sq8_code").crossJoin(
+                F.broadcast(sq8_fingerprint(sq8_cents, bounds, "sq8_fp"))
+            ).withColumn(
+                "params",
+                F.lit(sq8_params_tag(n_cent, "l2", False, len(bounds))),
+            ).write.partitionBy("cluster").parquet(sq8_path)
             sq8_build_sec = round(time.time() - t0, 3)
         else:
             sq8_build_sec = 0.0
         sq8_ix = spark.read.parquet(sq8_path)
+        if "params" not in sq8_ix.columns:
+            raise SystemExit(
+                f"stale pre-provenance SQ8 store at {sq8_path} — delete "
+                "the work dir (or this path) and re-run"
+            )
         t0 = time.time()
         served = sq8_topk_serve(
-            sq8_ix, _slice_codebook(tc, n_cent, "coarse", "tiers"),
-            queries, bounds, k=K, n_probe=n_probe, dim=DIM,
-            coarse_metric="l2",
+            sq8_ix, sq8_cents, queries, bounds, k=K, n_probe=n_probe,
+            dim=DIM, coarse_metric="l2", n_centroids=n_cent,
         )
         n_rows = served.count()
         sq8_serve_sec = round(time.time() - t0, 3)
