@@ -122,6 +122,75 @@ def greedy_pack(
     )
 
 
+def chunk_then_pack(
+    docs: DataFrame,
+    window: int = 32,
+    stride: int = 16,
+    budget: int = 2048,
+    n_streams: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """``sliding_window_chunks`` -> ``greedy_pack`` composed into ONE
+    scan — the actual long-document pretraining prep path: cut each
+    document into overlapping token windows, then greedily fill fixed
+    token-budget training sequences with whole chunks (a chunk never
+    straddles a pack; documents already never straddle a chunk).
+
+    Composition economics (the reason this is one operator, not two
+    catalog calls): the chunker computes each chunk's ``n_tokens`` as it
+    slices, and the packer consumes that column directly (the
+    ``tokens_col`` reuse seam) — text is tokenized ONCE, and
+    ``chunk_text`` itself never travels through the pack shuffle (the
+    packer works on (doc_id, chunk_id, n_tokens) alone; re-join chunk
+    text by (doc_id, chunk_id) downstream if the trainer needs it).
+
+    Ordering contract: streams are keyed by ``doc_id % n_streams`` (a
+    document's chunks stay in ONE stream, in (doc_id, chunk_id) order),
+    so consecutive windows of a document land adjacently in packs —
+    what a curriculum that wants intra-document continuity expects.
+    Deterministic in the text alone, like both parents.
+
+    Scale shape: chunking is MAP-ONLY (no shuffle at any size); the
+    pack is the one shuffle — (doc_id, chunk_id, n_tokens) triples to
+    ``n_streams`` tasks, each an ordered linear pass (parallel across
+    streams).  The matching DuckDB oracle walks the same reset-on-
+    overflow recurrence as a linear recursive CTE over the chunk
+    relation, so the composition stays EXACTLY checked end to end.
+
+    Output: (doc_id, chunk_id, stream, pack_id, n_tokens).
+    """
+    chunks = sliding_window_chunks(docs, window, stride, id_col, text_col)
+    base = chunks.select(
+        "doc_id",
+        "chunk_id",
+        (F.col("doc_id") % n_streams).cast("bigint").alias("stream"),
+        "n_tokens",
+    )
+
+    def pack_stream(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["doc_id", "chunk_id"], ignore_index=True)
+        packs = []
+        acc = pack = 0
+        for i, n in enumerate(pdf["n_tokens"]):
+            if i == 0:
+                acc = n
+            elif acc + n > budget:
+                pack += 1
+                acc = n
+            else:
+                acc += n
+            packs.append(pack)
+        pdf["pack_id"] = pd.Series(packs, dtype="int64")
+        return pdf[["doc_id", "chunk_id", "stream", "pack_id", "n_tokens"]]
+
+    return base.groupBy("stream").applyInPandas(
+        lambda _key, pdf: pack_stream(pdf),
+        "doc_id bigint, chunk_id bigint, stream bigint, pack_id bigint, "
+        "n_tokens bigint",
+    )
+
+
 def sliding_window_chunks(
     docs: DataFrame,
     window: int = 32,

@@ -2259,6 +2259,140 @@ def ivf_pq_topk_balanced(
     )
 
 
+def ivf_pq_balanced_residual_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    shortlist: int = 20,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    n_sub: int = 4,
+    sub_dim: int = 16,
+    pq_centroids: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Balanced permutation x RESIDUAL encoding x exact REFINE — the
+    full composition the round-11 frontier implied: the variance-
+    balanced layout (``pq_balanced_perm``) commutes with residual
+    re-centering (a permutation of x - c IS perm(x) - perm(c)) and with
+    the refine stage (which scores original vectors), so all three
+    verified pieces stack without changing any one's spec.
+
+    Stage layout (each choice is a determinism choice):
+
+    - COARSE assignment and probing run on the ORIGINAL coordinates —
+      cosine is permutation-invariant, and staying unpermuted keeps the
+      IEEE summation order identical to the oracle's ``vc`` CTE, closing
+      for this entry the ulp boundary assumption ``ivf_pq_topk_balanced``
+      documents (ADVICE r11).
+    - PQ codes are taken on PERMUTED residuals: gather x and the
+      assigned stand-in centroid through the permutation, subtract
+      (exact IEEE on identical operands), encode with the fine codebook
+      = the ``pq_centroids`` lowest-id residual rows (the
+      ``_PQ_CODES_TAIL`` spec applied to the residual relation).
+    - ADC shortlists per (query, probed cluster) with the residual
+      distance table (``_pq_query_table_residual``), then exact cosine
+      over ORIGINAL vectors re-ranks the ``shortlist`` — the
+      ``ivf_pq_refine_topk`` tail verbatim.
+
+    Scale shape unchanged from the residual+refine stack: the
+    permutation is a map-only gather, codes-only store upstream, and the
+    refine is the one broadcast-joined float read.  Output: (query_id,
+    neighbor_id, rank) — the refine contract.
+    """
+    perm = pq_balanced_perm(corpus, n_sub, sub_dim, vec_col)
+    dim = len(perm)
+    cents = (
+        corpus.orderBy(id_col)
+        .limit(n_centroids)
+        .select(
+            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
+        )
+    )
+    assigned = _nearest_centroids(
+        corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")),
+        F.broadcast(cents), "cluster", 1, dim,
+    ).select(F.col("_id").alias(id_col), "cluster")
+    probes = _nearest_centroids(
+        queries.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")),
+        F.broadcast(cents), "cluster", n_probe, dim,
+    ).select(F.col("_id").alias("query_id"), "cluster")
+
+    cperm = apply_dim_permutation(corpus, perm, vec_col, "_bvec").select(
+        id_col, "_bvec"
+    )
+    cent_perm = F.broadcast(
+        apply_dim_permutation(cents, perm, "cent_vec", "_bcent").select(
+            F.col("cent_id").alias("cluster"), "_bcent"
+        )
+    )
+    res = (
+        assigned.join(cperm, id_col)
+        .join(cent_perm, "cluster")
+        .select(
+            id_col,
+            "cluster",
+            F.zip_with(
+                "_bvec", "_bcent",
+                lambda x, y: x.cast("double") - y.cast("double"),
+            ).alias("_rvec"),
+        )
+    )
+    fine = (
+        res.orderBy(id_col)
+        .limit(pq_centroids)
+        .select(
+            F.col(id_col).alias("cent_id"), F.col("_rvec").alias("cent_vec")
+        )
+    )
+    codes = _pq_code_long(
+        res.select(id_col, "_rvec"), n_sub, sub_dim, pq_centroids,
+        id_col, "_rvec", cents=fine,
+    )
+    qperm = apply_dim_permutation(queries, perm, vec_col, "_bvec").select(
+        F.col(id_col).alias("query_id"), "_bvec"
+    )
+    probed_res = (
+        probes.join(qperm, "query_id")
+        .join(cent_perm, "cluster")
+        .select(
+            "query_id",
+            "cluster",
+            F.zip_with(
+                "_bvec", "_bcent",
+                lambda x, y: x.cast("double") - y.cast("double"),
+            ).alias("q_vec"),
+        )
+    )
+    dtab_long = _pq_query_table_residual(probed_res, fine, n_sub, sub_dim)
+    adc = (
+        codes.join(assigned, id_col)
+        .join(F.broadcast(dtab_long), ["cluster", "m", "code"])
+        .filter(F.col(id_col) != F.col("query_id"))
+        .groupBy("query_id", id_col)
+        .agg(F.round(F.sum("d"), 6).alias("adc_d2"))
+        .withColumnRenamed(id_col, "neighbor_id")
+    )
+    short = _topk_per_query(adc, shortlist, ["adc_d2"]).select(
+        "query_id", "neighbor_id"
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    sim = (
+        short.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .withColumn(
+            "cosine", _exact_cosine(F.col("q_vec"), F.col("c_vec"))
+        )
+    )
+    return _topk_per_query(sim, k, [F.desc("cosine")])
+
+
 def pq_adc_topk(
     corpus: DataFrame,
     queries: DataFrame,

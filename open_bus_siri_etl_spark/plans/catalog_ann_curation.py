@@ -3493,3 +3493,278 @@ def bloom_prefiltered_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bloom_prefiltered_join(
         orders, dim, big_key="o_custkey", dim_key="c_custkey"
     ).select("o_orderkey", "o_custkey", "c_name")
+
+
+@register(
+    "sq8_refine_topk",
+    f"""
+    WITH short AS ({_sq8_ivf_sql(20)}),
+    fx AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+               unnest(embedding)::DOUBLE AS v
+        FROM embeddings
+    ),
+    nx AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM fx GROUP BY vec_id),
+    dd AS (
+        SELECT s.query_id, s.neighbor_id, sum(q.v * c.v) AS dot
+        FROM short s JOIN fx q ON q.vec_id = s.query_id
+                     JOIN fx c ON c.vec_id = s.neighbor_id AND c.i = q.i
+        GROUP BY 1, 2
+    ),
+    ss AS (
+        SELECT query_id, neighbor_id, dot / (nq.nrm * nc.nrm) AS cosine
+        FROM dd JOIN nx nq ON query_id = nq.vec_id
+                JOIN nx nc ON neighbor_id = nc.vec_id
+    )
+    SELECT query_id, neighbor_id, rank FROM (
+        SELECT query_id, neighbor_id, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM ss) WHERE rank <= 5
+    """,
+    note="IVF-SQ8 + EXACT REFINE — the round-11 frontier finding made a "
+    "rung (FAISS IndexRefineFlat over IndexIVFScalarQuantizer): the SQ8 "
+    "serve produces a top-20 shortlist from 1-byte-per-dim codes only, "
+    "then exact cosine re-ranks just those candidates.  The economics "
+    "vs PQ-refine: SQ8's shortlist already ranks near-exactly "
+    "(recall@10 ~0.93 unrefined at the measured tiers), so a SMALL "
+    "shortlist reaches the recall PQ-refine needs 400-row shortlists "
+    "for — and the refine cost IS the shortlist-sized float read "
+    "(measured rows in BENCH_IVFPQ.json clustered_tiers).  Shortlist "
+    "SQL = the registered sq8_ivf_topk template at rank<=20 "
+    "(_sq8_ivf_sql — same string, different limit), refine tail = the "
+    "ivf_pq_refine_topk tail verbatim, so neither stage can drift from "
+    "its standalone entry.  Scale shape: codes-only partition-pruned "
+    "probe upstream; the refine is ONE broadcast of |Q| x 20 ids "
+    "against a pruned-column corpus scan, never a corpus shuffle",
+)
+def sq8_refine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quantization import sq8_refine_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    return sq8_refine_topk(
+        emb,
+        emb.filter(F.col("vec_id").between(8, 15)),
+        k=5, shortlist=20, n_centroids=8, n_probe=2,
+    )
+
+
+@register(
+    "sq8_refine_recall_eval",
+    f"""
+    WITH approx AS ({REGISTRY["sq8_refine_topk"].sql}),
+    {_RECALL_EVAL_TAIL}
+    """,
+    note="recall@5 of the refined SQ8 path against brute-force cosine "
+    "top-5 on the standard 8-query set — completes the SQ8 ladder "
+    "(raw -> residual -> refine) the way the PQ ladder reads "
+    "(stand-in -> trained -> residual -> refine), each eval composed "
+    "from its registered serving SQL verbatim.  Read next to "
+    "sq8_recall_eval (unrefined) for what the exact re-rank buys at "
+    "identical pruning, and next to ivf_pq_refine_recall_eval for the "
+    "frontier comparison the serving default quotes",
+)
+def sq8_refine_recall_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.quantization import sq8_refine_topk
+    from ..operators.similarity import ann_recall, cosine_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id").between(8, 15))
+    exact = cosine_topk(emb, qs, k=5)
+    approx = sq8_refine_topk(
+        emb, qs, k=5, shortlist=20, n_centroids=8, n_probe=2
+    )
+    return ann_recall(exact, approx, k=5)
+
+
+@register(
+    "ivf_pq_balanced_residual_topk",
+    f"""
+    WITH {_IVF_QUANTIZER_CTE},
+    {_BALANCED_PF_CTES},
+    rfp AS (
+        SELECT p.vec_id, a.cluster, p.i, p.v - cp.v AS v
+        FROM pf p JOIN assigned a ON a.vec_id = p.vec_id
+                  JOIN pf cp ON cp.vec_id = a.cluster AND cp.i = p.i
+    ),
+    sub AS (SELECT vec_id, (i - 1) // 16 AS m, i, v FROM rfp),
+    {_PQ_CODES_TAIL},
+    qprobe AS (
+        SELECT vec_id AS query_id, cent_id AS cluster FROM (
+            SELECT vec_id, cent_id, row_number() OVER (
+                PARTITION BY vec_id ORDER BY cos DESC, cent_id) AS r
+            FROM vc WHERE vec_id BETWEEN 8 AND 15) WHERE r <= 2
+    ),
+    qrf AS (
+        SELECT p.query_id, p.cluster, qf.i, qf.v - cp.v AS v
+        FROM qprobe p JOIN pf qf ON qf.vec_id = p.query_id
+                      JOIN pf cp ON cp.vec_id = p.cluster AND cp.i = qf.i
+    ),
+    qd AS (
+        SELECT q.query_id, q.cluster, c.m, c.cent_id AS code,
+               round(sum((q.v - c.v) * (q.v - c.v)), 6) AS dist
+        FROM qrf q JOIN pqc c ON c.i = q.i
+        GROUP BY 1, 2, 3, 4
+    ),
+    adc AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               round(sum(q.dist), 6) AS adc_d2
+        FROM codes c
+        JOIN assigned a ON a.vec_id = c.vec_id
+        JOIN qd q ON q.cluster = a.cluster AND q.m = c.m AND q.code = c.code
+        WHERE c.vec_id <> q.query_id
+        GROUP BY 1, 2
+    ),
+    short AS (
+        SELECT query_id, neighbor_id FROM (
+            SELECT query_id, neighbor_id, row_number() OVER (
+                PARTITION BY query_id ORDER BY adc_d2, neighbor_id) AS rank
+            FROM adc) WHERE rank <= 20
+    ),
+    fx AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+               unnest(embedding)::DOUBLE AS v
+        FROM embeddings
+    ),
+    nx AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM fx GROUP BY vec_id),
+    dd AS (
+        SELECT s.query_id, s.neighbor_id, sum(q.v * c.v) AS dot
+        FROM short s JOIN fx q ON q.vec_id = s.query_id
+                     JOIN fx c ON c.vec_id = s.neighbor_id AND c.i = q.i
+        GROUP BY 1, 2
+    ),
+    ss AS (
+        SELECT query_id, neighbor_id, dot / (nq.nrm * nc.nrm) AS cosine
+        FROM dd JOIN nx nq ON query_id = nq.vec_id
+                JOIN nx nc ON neighbor_id = nc.vec_id
+    )
+    SELECT query_id, neighbor_id, rank FROM (
+        SELECT query_id, neighbor_id, row_number() OVER (
+            PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+        FROM ss) WHERE rank <= 5
+    """,
+    note="Balanced permutation x RESIDUAL encoding x exact REFINE — the "
+    "three verified deals stacked (round-11 VERDICT item 3): the "
+    "variance-balanced layout commutes with residual re-centering "
+    "(perm(x - c) = perm(x) - perm(c), exact IEEE on identical "
+    "operands) and with the refine (which scores ORIGINAL vectors), so "
+    "the oracle composes _BALANCED_PF_CTES -> residual relation -> "
+    "_PQ_CODES_TAIL verbatim -> the ivf_pq_refine tail verbatim.  The "
+    "coarse stage runs on UNPERMUTED coordinates (cosine is "
+    "permutation-invariant; engine summation order then matches the vc "
+    "CTE exactly, closing the ulp assumption ivf_pq_topk_balanced "
+    "documents).  What it buys ON TOP of residual+refine on a "
+    "decaying-spectrum corpus is measured in BENCH_BALANCED_PQ.json; "
+    "scale shape unchanged (map-only gather, codes-only store, one "
+    "broadcast float read at the refine)",
+)
+def ivf_pq_balanced_residual_topk_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.similarity import ivf_pq_balanced_residual_topk
+
+    emb = t(spark, sf_dir, "embeddings")
+    return ivf_pq_balanced_residual_topk(
+        emb,
+        emb.filter(F.col("vec_id").between(8, 15)),
+        k=5, shortlist=20, n_centroids=8, n_probe=2, n_sub=4,
+        sub_dim=16, pq_centroids=8,
+    )
+
+
+@register(
+    "pq_balanced_residual_recall_eval",
+    f"""
+    WITH approx AS ({REGISTRY["ivf_pq_balanced_residual_topk"].sql}),
+    {_RECALL_EVAL_TAIL}
+    """,
+    note="recall@5 of the balanced+residual+refine stack against "
+    "brute-force cosine top-5 on the standard 8-query set — read next "
+    "to pq_balanced_recall_eval (layout alone, plain ADC) and "
+    "ivf_pq_refine_recall_eval (residual+refine, contiguous layout): "
+    "the deltas decompose what each deal contributes at identical "
+    "pruning.  Approx SQL = the registered serving entry verbatim",
+)
+def pq_balanced_residual_recall_eval_q(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from ..operators.similarity import (
+        ann_recall,
+        cosine_topk,
+        ivf_pq_balanced_residual_topk,
+    )
+
+    emb = t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id").between(8, 15))
+    exact = cosine_topk(emb, qs, k=5)
+    approx = ivf_pq_balanced_residual_topk(
+        emb, qs, k=5, shortlist=20, n_centroids=8, n_probe=2, n_sub=4,
+        sub_dim=16, pq_centroids=8,
+    )
+    return ann_recall(exact, approx, k=5)
+
+
+@register(
+    "chunk_then_pack",
+    f"""
+    WITH RECURSIVE tok AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    st AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(0, len(toks) - 1, 16)) AS start
+        FROM tok
+    ),
+    ch AS (
+        SELECT doc_id,
+               start // 16 AS chunk_id,
+               doc_id % 64 AS stream,
+               least(32, len(toks) - start) AS n_tokens
+        FROM st
+    ),
+    o AS (
+        SELECT doc_id, chunk_id, stream, n_tokens,
+               row_number() OVER (
+                   PARTITION BY stream ORDER BY doc_id, chunk_id) AS rn
+        FROM ch
+    ),
+    r AS (
+        SELECT doc_id, chunk_id, stream, n_tokens, rn,
+               n_tokens AS acc, CAST(0 AS BIGINT) AS pack_id
+        FROM o WHERE rn = 1
+        UNION ALL
+        SELECT o.doc_id, o.chunk_id, o.stream, o.n_tokens, o.rn,
+               CASE WHEN r.acc + o.n_tokens > 256
+                    THEN o.n_tokens ELSE r.acc + o.n_tokens END,
+               CASE WHEN r.acc + o.n_tokens > 256
+                    THEN r.pack_id + 1 ELSE r.pack_id END
+        FROM r JOIN o ON o.stream = r.stream AND o.rn = r.rn + 1
+    )
+    SELECT doc_id, chunk_id, stream, pack_id, n_tokens FROM r
+    """,
+    note="Chunk-THEN-pack — sliding_window_chunks composed into "
+    "greedy_pack in one scan (round-11 VERDICT item 4), the actual "
+    "long-document pretraining prep path: overlapping 32-token windows "
+    "(stride 16) become the pack units, greedily filled into 256-token "
+    "training sequences.  Tokenized ONCE: the chunker's n_tokens column "
+    "feeds the packer directly (the tokens_col reuse seam) and "
+    "chunk_text never travels through the pack shuffle.  A document's "
+    "chunks stay in one stream in (doc_id, chunk_id) order, so "
+    "consecutive windows pack adjacently (intra-document continuity).  "
+    "Plan shape: MAP-ONLY chunking (split + sequence + slice + one "
+    "posexplode, no shuffle) + a single shuffle of (doc_id, chunk_id, "
+    "n_tokens) triples to the stream tasks (plan-asserted); the oracle "
+    "walks the identical reset-on-overflow recurrence as a linear "
+    "recursive CTE over the same chunk relation, so the fused pipeline "
+    "stays exactly checked",
+)
+def chunk_then_pack_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.packing import chunk_then_pack
+
+    # 64 streams (vs the operator's default 8): the entry's DuckDB twin
+    # walks one recursion level per chunk within a stream, and Spark's
+    # recursive-CTE conformance run caps at 100 levels — more streams =
+    # shallower recursion, and at scale MORE parallelism, not less
+    return chunk_then_pack(
+        t(spark, sf_dir, "documents"), window=32, stride=16, budget=256,
+        n_streams=64,
+    )

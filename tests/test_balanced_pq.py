@@ -79,6 +79,38 @@ def test_balanced_layout_cuts_reconstruction_error(spark):
     assert balanced < plain * 0.95, (balanced, plain)
 
 
+def test_balanced_residual_refine_contract_and_recall(spark):
+    """The stacked composition: refine-contract output, and recall on
+    the adversarial variance layout must be >= the plain balanced ADC
+    (residual grid + exact re-rank can only help at identical pruning)."""
+    from open_bus_siri_etl_spark.operators.similarity import (
+        ann_recall,
+        cosine_topk,
+        ivf_pq_balanced_residual_topk,
+    )
+
+    df = _aniso(spark)
+    qs = df.filter(F.col("vec_id").between(8, 15))
+    out = ivf_pq_balanced_residual_topk(
+        df, qs, k=5, shortlist=20, n_centroids=8, n_probe=4,
+        n_sub=N_SUB, sub_dim=SUB_DIM, pq_centroids=8,
+    )
+    assert out.columns == ["query_id", "neighbor_id", "rank"]
+    exact = cosine_topk(df, qs, k=5)
+    r_stack = ann_recall(exact, out, 5).agg(F.avg("recall")).first()[0]
+    r_plain = (
+        ann_recall(
+            exact,
+            ivf_pq_topk_balanced(
+                df, qs, k=5, n_centroids=8, n_probe=4, n_sub=N_SUB,
+                sub_dim=SUB_DIM, pq_centroids=8,
+            ),
+            5,
+        ).agg(F.avg("recall")).first()[0]
+    )
+    assert r_stack >= r_plain, (r_stack, r_plain)
+
+
 def test_balanced_perm_rejects_ragged_input(spark):
     """A ragged embedding column whose DISTINCT dim count equals
     n_sub*sub_dim must fail the contiguity/count guard instead of

@@ -63,3 +63,54 @@ def test_chunking_is_map_only(spark):
     )
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_chunk_then_pack_contract(spark):
+    """The fused pipeline: chunk multiset identical to the standalone
+    chunker's, no pack exceeds the budget (chunks are never oversized
+    here: window <= budget), and a document's chunks pack contiguously
+    in (doc_id, chunk_id) order within their stream."""
+    from open_bus_siri_etl_spark.operators.packing import chunk_then_pack
+
+    texts = [" ".join(f"w{d}_{i}" for i in range(n)) for d, n in
+             enumerate([3, 40, 17, 64, 9, 100, 31, 8])]
+    out = chunk_then_pack(
+        _df(spark, texts), window=8, stride=4, budget=20, n_streams=2
+    ).collect()
+    std = sliding_window_chunks(
+        _df(spark, texts), window=8, stride=4
+    ).collect()
+    assert sorted((r["doc_id"], r["chunk_id"], r["n_tokens"]) for r in out) \
+        == sorted((r["doc_id"], r["chunk_id"], r["n_tokens"]) for r in std)
+    # budget respected per (stream, pack)
+    import collections
+    fill = collections.Counter()
+    for r in out:
+        fill[(r["stream"], r["pack_id"])] += r["n_tokens"]
+    assert all(v <= 20 for v in fill.values()), fill
+    # stream keying + in-stream order: chunks sorted by (doc_id,
+    # chunk_id) see non-decreasing pack ids
+    for r in out:
+        assert r["stream"] == r["doc_id"] % 2
+    by_stream = collections.defaultdict(list)
+    for r in sorted(out, key=lambda r: (r["doc_id"], r["chunk_id"])):
+        by_stream[r["stream"]].append(r["pack_id"])
+    for packs in by_stream.values():
+        assert packs == sorted(packs)
+
+
+def test_chunk_then_pack_single_shuffle(spark):
+    """Plan shape: map-only chunking + exactly ONE exchange (the stream
+    repartition feeding applyInPandas) — the composition must not pay a
+    second shuffle for the chunk stage."""
+    from open_bus_siri_etl_spark.operators.packing import chunk_then_pack
+
+    import re
+
+    out = chunk_then_pack(_df(spark, ["a b c d e f g h"]), n_streams=2)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    # formatted plans list each node twice (tree + detail section) —
+    # count the numbered detail entries, one per physical node
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan

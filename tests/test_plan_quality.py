@@ -748,6 +748,12 @@ FULL_REGISTRY_ORDER = [
     "sq8_residual_recall_eval",
     "sliding_window_chunks",
     "bloom_prefiltered_join",
+    # round 12: SQ8 refine rung, balanced residual+refine, chunk-then-pack
+    "sq8_refine_topk",
+    "sq8_refine_recall_eval",
+    "ivf_pq_balanced_residual_topk",
+    "pq_balanced_residual_recall_eval",
+    "chunk_then_pack",
 ]
 
 

@@ -324,6 +324,65 @@ def test_sq8_residual_output_contract(spark):
     assert all(r["query_id"] != r["neighbor_id"] for r in rows)
 
 
+def test_sq8_refine_contract_and_recall(spark):
+    """The refine rung: output is the cosine-refine contract (query_id,
+    neighbor_id, rank — no distance column), and on clustered data the
+    refined recall must be >= the unrefined SQ8 recall at identical
+    pruning (the refine can only fix ranking within the shortlist)."""
+    from open_bus_siri_etl_spark.operators.quantization import (
+        sq8_refine_topk,
+    )
+    from open_bus_siri_etl_spark.operators.similarity import (
+        ann_recall,
+        cosine_topk,
+    )
+
+    df = _clustered(spark)
+    qs = df.filter(F.col("vec_id").between(8, 15))
+    out = sq8_refine_topk(df, qs, k=5, shortlist=20, n_probe=2)
+    assert out.columns == ["query_id", "neighbor_id", "rank"]
+    exact = cosine_topk(df, qs, k=5)
+    r_plain = (
+        ann_recall(exact, sq8_ivf_topk(df, qs, k=5, n_probe=2), 5)
+        .agg(F.avg("recall")).first()[0]
+    )
+    r_ref = (
+        ann_recall(exact, out, 5).agg(F.avg("recall")).first()[0]
+    )
+    assert r_ref >= r_plain, (r_ref, r_plain)
+
+
+def test_sq8_refine_serve_from_persisted_store(spark, tmp_path):
+    """sq8_refine_serve over a written-and-read-back store equals the
+    inline sq8_refine_topk row-for-row (persisted == inline, the family
+    contract)."""
+    from open_bus_siri_etl_spark.operators.quantization import (
+        build_sq8_index,
+        sq8_refine_serve,
+        sq8_refine_topk,
+    )
+
+    emb = _emb(spark)
+    qs = emb.filter(F.col("vec_id").between(8, 15))
+    cents = (
+        emb.orderBy("vec_id").limit(8)
+        .select(F.col("vec_id").alias("cent_id"),
+                F.col("embedding").alias("cent_vec"))
+    )
+    bounds = sq8_train(emb)
+    path = str(tmp_path / "store")
+    build_sq8_index(emb, cents, bounds, n_cents=8).write.partitionBy(
+        "cluster"
+    ).parquet(path)
+    served = sq8_refine_serve(
+        spark.read.parquet(path), cents, qs, bounds, emb,
+        k=5, shortlist=20, n_probe=2, n_centroids=8,
+    )
+    inline = sq8_refine_topk(emb, qs, k=5, shortlist=20, n_probe=2)
+    key = lambda df: sorted(map(tuple, df.collect()))
+    assert key(served) == key(inline)
+
+
 def test_sq8_d2_unrolled_equals_fold(spark):
     """_sq8_d2_expr's two bodies must be BIT-identical: same per-term
     math, same left-to-right addition order (IEEE 0.0 + x == x makes the
