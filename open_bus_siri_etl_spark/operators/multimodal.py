@@ -341,14 +341,128 @@ def decode_wav(blob: bytes) -> dict:
     }
 
 
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+# color type -> samples per pixel (palette type 3 needs PLTE expansion —
+# loud-fail below, the module contract)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def decode_png(blob: bytes) -> dict:
+    """Full pure-Python PNG decode — IHDR parse, IDAT inflate (zlib is
+    stdlib — the reason PNG can decode natively here next to BMP/WAV),
+    and per-scanline UNFILTERING (all five filter types: None/Sub/Up/
+    Average/Paeth, the spec's defilter recurrences) back to raw
+    row-major pixel bytes.
+
+    Coverage: 8-bit depth, color types 0/2/4/6 (gray, RGB, gray+alpha,
+    RGBA), non-interlaced — the overwhelming majority of real PNGs.
+    Palette (type 3), 1/2/4/16-bit depths and Adam7 interlace keep the
+    loud-fail NotImplementedError contract; chunk CRCs are verified so
+    corruption fails loudly instead of decoding garbage.
+
+    Returns {kind, width, height, n_channels, pixels} — ``pixels`` is
+    ``height * width * n_channels`` bytes (filter bytes stripped)."""
+    import struct
+    import zlib
+
+    if len(blob) < 8 or blob[:8] != PNG_SIGNATURE:
+        raise ValueError("not a PNG container")
+    pos, ihdr, idat = 8, None, []
+    while pos + 8 <= len(blob):
+        (clen,) = struct.unpack_from(">I", blob, pos)
+        ctype = blob[pos + 4 : pos + 8]
+        data = blob[pos + 8 : pos + 8 + clen]
+        if len(data) < clen or pos + 12 + clen > len(blob):
+            raise ValueError(
+                f"PNG truncated: chunk {ctype!r} declares {clen} bytes"
+            )
+        (crc,) = struct.unpack_from(">I", blob, pos + 8 + clen)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            w, h, depth, color, comp, filt, interlace = struct.unpack(
+                ">IIBBBBB", data
+            )
+            if comp != 0 or filt != 0:
+                raise ValueError(
+                    "PNG declares a non-zero compression/filter method"
+                )
+            if depth != 8 or color not in _PNG_CHANNELS or interlace != 0:
+                raise NotImplementedError(
+                    f"PNG bit depth {depth} / color type {color} / "
+                    f"interlace {interlace} — only 8-bit non-interlaced "
+                    "gray/RGB/gray+alpha/RGBA decode here (palette needs "
+                    "PLTE expansion; Adam7 needs the 7-pass reassembly)"
+                )
+            ihdr = (w, h, _PNG_CHANNELS[color])
+        elif ctype == b"IDAT":
+            idat.append(data)
+        elif ctype == b"IEND":
+            break
+        pos += 12 + clen
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT chunk")
+    w, h, nch = ihdr
+    raw = zlib.decompress(b"".join(idat))
+    stride = w * nch
+    if len(raw) != h * (1 + stride):
+        raise ValueError(
+            f"PNG pixel payload is {len(raw)} bytes, expected "
+            f"{h * (1 + stride)} for {w}x{h}x{nch}"
+        )
+    out = bytearray(h * stride)
+    prev = bytearray(stride)  # the spec's zero row above the first
+    for y in range(h):
+        ftype = raw[y * (1 + stride)]
+        line = bytearray(
+            raw[y * (1 + stride) + 1 : (y + 1) * (1 + stride)]
+        )
+        if ftype == 1:  # Sub
+            for i in range(nch, stride):
+                line[i] = (line[i] + line[i - nch]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = line[i - nch] if i >= nch else 0
+                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - nch] if i >= nch else 0
+                b = prev[i]
+                c = prev[i - nch] if i >= nch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"PNG scanline declares filter type {ftype}")
+        out[y * stride : (y + 1) * stride] = line
+        prev = line
+    return {
+        "kind": "png",
+        "width": w,
+        "height": h,
+        "n_channels": nch,
+        "pixels": bytes(out),
+    }
+
+
 def _decode_meta(blob: bytes) -> dict:
     if blob[:2] == b"BM":
         return decode_bmp(blob)
     if blob[:4] == b"RIFF":
         return decode_wav(blob)
+    if blob[:8] == PNG_SIGNATURE:
+        meta = decode_png(blob)
+        meta.pop("pixels")  # metadata path: dimensions only
+        return meta
     raise NotImplementedError(
-        "no codec for this container in this environment (BMP and WAV "
-        "decode natively; PIL/ffmpeg formats need a real codec library)"
+        "no codec for this container in this environment (BMP, WAV and "
+        "PNG decode natively; PIL/ffmpeg formats need a real codec "
+        "library)"
     )
 
 

@@ -91,6 +91,135 @@ def read_sq8_bounds(
     return [(r["mn"], r["mx"]) for r in rows]
 
 
+def retrain_sq8_store(
+    spark: SparkSession,
+    corpus: DataFrame,
+    index_path: str,
+    cents_path: str,
+    bounds_path: str,
+    n_centroids: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    trained: bool = True,
+    residual: bool = False,
+    dim: int | None = None,
+    checkpoint_dir: str | None = None,
+) -> dict:
+    """Retrain-and-reindex for a streaming SQ8 store — the FAISS
+    train-then-add other half the SQ8 stream was missing (the
+    ``retrain_ivf_pq_store`` mirror): frozen bounds are exact for the
+    distribution they were trained on, and drifted appends CLAMP to the
+    edge codes (measured degradation: BENCH_CODEBOOK_DRIFT.json sq8
+    section) — this maintenance job retrains the bounds (and, for
+    ``trained=True`` deployments, the coarse kmeans codebook) on
+    ``corpus`` (the landing tree re-read — the store holds only codes),
+    re-encodes everything, and swaps the store:
+
+    1. the new coarse codebook (kmeans when ``trained``; a stand-in
+       deployment keeps its frozen lowest-id codebook — there is nothing
+       to retrain there but the bounds) and the new bounds (trained on
+       the residual frame when ``residual``) are staged next to their
+       final paths;
+    2. the full re-encode against the new pair is staged likewise;
+    3. under a ``._compacting`` marker on ``index_path`` (readers refuse
+       mid-swap), codebook, bounds and index are overwritten from the
+       staged copies — the index lands in the ``ingest_batch=-1`` base,
+       so the resumed stream's appends (which re-read bounds every
+       batch and therefore ADOPT the new grid) compose exactly as after
+       a compaction.
+
+    Provenance rotates BY CONTENT: every re-encoded row carries the new
+    (codebook, bounds) ``sq8_fp``, so serving the new store with the
+    stale bounds list — or the old store with the new bounds — raises
+    in-plan via the ``sq8_topk_serve`` fingerprint guard; no version
+    counter to forget.  A crash between swaps leaves the marker with the
+    staged copies intact as recovery.
+
+    Run only while the stream is stopped; pass ``checkpoint_dir`` to
+    enforce the clean drain programmatically.  Post-retrain the store
+    equals a from-scratch ``build_sq8_index`` against the new pair
+    row-for-row (test-asserted in test_sq8_stream.py).
+    """
+    from ..operators.clustering import kmeans_codebook
+    from .delta_dedup import (
+        _COMPACTED_BASE_BATCH,
+        _assert_drained_checkpoint,
+        _fs_delete,
+        _fs_mkdirs,
+    )
+
+    if checkpoint_dir is not None:
+        _assert_drained_checkpoint(spark, checkpoint_dir)
+    coarse_metric = "l2" if trained else "cosine"
+    family = "residual" if residual else "raw"
+
+    def _stage(frame: DataFrame, final: str, single: bool = True) -> DataFrame:
+        stage = final + "._compact_staging"
+        w = frame.coalesce(1) if single else frame
+        w.write.mode("overwrite").parquet(stage)
+        return spark.read.parquet(stage)
+
+    if trained:
+        coarse = _stage(
+            kmeans_codebook(corpus, n_centroids, iters, id_col, vec_col)
+            .withColumn("cb_kind", F.lit("trained")),
+            cents_path,
+        )
+    else:
+        existing_cents = _read_or_none(spark, cents_path)
+        if existing_cents is None:
+            raise ValueError(
+                f"retrain_sq8_store: no codebook at {cents_path} — a "
+                "stand-in deployment retrains bounds against its FROZEN "
+                "codebook, which must already exist"
+            )
+        coarse = _stage(existing_cents, cents_path)
+    cents_frame = coarse.drop("cb_kind")
+    train_frame = (
+        sq8_residual_frame(
+            corpus, cents_frame, id_col, vec_col, dim, coarse_metric,
+            n_centroids,
+        ).withColumnRenamed("_rvec", "_tvec")
+        if residual
+        else corpus.select(F.col(vec_col).alias("_tvec"))
+    )
+    new_bounds = sq8_train(train_frame, vec_col="_tvec")
+    bounds_stage = bounds_path + "._compact_staging"
+    write_sq8_bounds(spark, new_bounds, bounds_stage, family)
+    staged_bounds = read_sq8_bounds(spark, bounds_stage, family)
+    reencoded = _stage(
+        build_sq8_index(
+            corpus, cents_frame, staged_bounds, id_col, vec_col, dim,
+            coarse_metric=coarse_metric, n_cents=n_centroids,
+            residual=residual,
+        ).withColumn("ingest_batch", F.lit(_COMPACTED_BASE_BATCH)),
+        index_path,
+        single=False,
+    )
+    n_rows = reencoded.count()
+    marker = index_path + "._compacting"
+    _fs_mkdirs(spark, marker)
+    coarse.write.mode("overwrite").parquet(cents_path)
+    spark.read.parquet(bounds_stage).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(bounds_path)
+    reencoded.write.mode("overwrite").option(
+        "partitionOverwriteMode", "static"
+    ).partitionBy("ingest_batch").parquet(index_path)
+    _fs_delete(spark, marker)
+    for p in (cents_path, index_path):
+        _fs_delete(spark, p + "._compact_staging")
+    _fs_delete(spark, bounds_stage)
+    return {
+        "rows_reencoded": n_rows,
+        "n_centroids": n_centroids,
+        "trained": trained,
+        "residual": residual,
+        "dim": len(new_bounds),
+    }
+
+
 def start_sq8_index_stream(
     spark: SparkSession,
     landing_root: str,

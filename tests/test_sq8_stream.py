@@ -253,3 +253,122 @@ def test_sq8_store_compaction_multiset_and_serve_unchanged(spark, tmp_path):
         _multiset(sq8_topk_serve(store, cents, qs, bounds, k=5))
         == before_serve
     )
+
+
+def test_sq8_retrain_recovers_bounds_and_rotates_provenance(spark, tmp_path):
+    """The retrain job the clamp-degradation number was missing: after a
+    drifted (10x-scaled) append clamps, retrain_sq8_store re-trains the
+    bounds on the full landing corpus, re-encodes into the ingest_batch=-1
+    base, and rotates provenance — the store equals a fresh build against
+    the new pair, serving with the STALE bounds raises the fingerprint
+    guard, and a resumed stream adopts the new grid (append == rebuild
+    still holds)."""
+    from open_bus_siri_etl_spark.streaming.sq8_index import (
+        retrain_sq8_store,
+    )
+
+    emb = _emb(spark)
+    landing = tmp_path / "landing"
+    base = emb.filter(F.col("vec_id") < 300)
+    scaled = emb.filter(F.col("vec_id").between(300, 450)).select(
+        "vec_id",
+        F.transform(
+            "embedding", lambda x: (x * F.lit(10.0)).cast("float")
+        ).alias("embedding"),
+    )
+    base.coalesce(1).write.parquet(str(landing / "batch_0"))
+    index_path = str(tmp_path / "index")
+    cents_path = str(tmp_path / "cents")
+    bounds_path = str(tmp_path / "bounds")
+    ckpt = str(tmp_path / "ckpt")
+    args = [str(landing), index_path, cents_path, bounds_path, ckpt]
+    q = start_sq8_index_stream(spark, *args)
+    q.awaitTermination(120)
+    scaled.coalesce(1).write.parquet(str(landing / "batch_1"))
+    q = start_sq8_index_stream(spark, *args)
+    q.awaitTermination(120)
+    old_bounds = read_sq8_bounds(spark, bounds_path, "raw")
+
+    corpus = spark.read.option("recursiveFileLookup", "true").parquet(
+        str(landing)
+    )
+    out = retrain_sq8_store(
+        spark, corpus, index_path, cents_path, bounds_path,
+        trained=False, checkpoint_dir=ckpt,
+    )
+    assert out["rows_reencoded"] == corpus.count()
+    new_bounds = read_sq8_bounds(spark, bounds_path, "raw")
+    assert new_bounds != old_bounds  # the drifted range widened them
+    cents = spark.read.parquet(cents_path).drop("cb_kind")
+    store = spark.read.parquet(index_path)
+    assert store.select("ingest_batch").distinct().collect()[0][0] == -1
+    fresh = build_sq8_index(corpus, cents, new_bounds, n_cents=8)
+    assert _multiset(store.drop("ingest_batch")) == _multiset(fresh)
+
+    qs = emb.filter("vec_id BETWEEN 8 AND 15")
+    # stale bounds now fail loudly (provenance rotated by content)
+    with pytest.raises(Exception, match="fingerprint"):
+        sq8_topk_serve(
+            store, cents, qs, old_bounds, k=5, n_centroids=8
+        ).collect()
+    assert sq8_topk_serve(
+        store, cents, qs, new_bounds, k=5, n_centroids=8
+    ).count() == 8 * 5
+
+    # the resumed stream adopts the new grid: a third batch appends and
+    # the accumulated store still equals the batch rebuild
+    emb.filter(F.col("vec_id") > 450).coalesce(1).write.parquet(
+        str(landing / "batch_2")
+    )
+    q = start_sq8_index_stream(spark, *args)
+    q.awaitTermination(120)
+    assert q.exception() is None
+    corpus2 = spark.read.option("recursiveFileLookup", "true").parquet(
+        str(landing)
+    )
+    streamed = spark.read.parquet(index_path).drop("ingest_batch")
+    rebuilt = build_sq8_index(corpus2, cents, new_bounds, n_cents=8)
+    assert _multiset(streamed) == _multiset(rebuilt)
+
+
+def test_sq8_retrain_trained_codebook(spark, tmp_path):
+    """trained=True retrain: the coarse kmeans codebook retrains too,
+    the staged pair swaps atomically, and the re-encoded store equals a
+    fresh build against the NEW codebook + bounds (l2 family)."""
+    from open_bus_siri_etl_spark.streaming.sq8_index import (
+        retrain_sq8_store,
+    )
+
+    emb = _emb(spark)
+    landing = tmp_path / "landing"
+    _land(emb, landing, n_batches=1)
+    index_path = str(tmp_path / "index")
+    cents_path = str(tmp_path / "cents")
+    bounds_path = str(tmp_path / "bounds")
+    ckpt = str(tmp_path / "ckpt")
+    q = start_sq8_index_stream(
+        spark, str(landing), index_path, cents_path, bounds_path, ckpt,
+        trained=True, iters=2,
+    )
+    q.awaitTermination(180)
+    corpus = spark.read.option("recursiveFileLookup", "true").parquet(
+        str(landing)
+    )
+    retrain_sq8_store(
+        spark, corpus, index_path, cents_path, bounds_path,
+        trained=True, iters=2, checkpoint_dir=ckpt,
+    )
+    cents = spark.read.parquet(cents_path)
+    assert cents.select("cb_kind").distinct().collect()[0][0] == "trained"
+    bounds = read_sq8_bounds(spark, bounds_path, "raw")
+    fresh = build_sq8_index(
+        corpus, cents.drop("cb_kind"), bounds, coarse_metric="l2",
+        n_cents=8,
+    )
+    store = spark.read.parquet(index_path).drop("ingest_batch")
+    assert _multiset(store) == _multiset(fresh)
+    qs = emb.filter("vec_id BETWEEN 8 AND 15")
+    assert sq8_topk_serve(
+        store, cents.drop("cb_kind"), qs, bounds, k=5,
+        coarse_metric="l2", n_centroids=8,
+    ).count() == 8 * 5

@@ -1305,6 +1305,126 @@ def test_multimodal_real_codecs(spark):
         extract_media_meta(bad).collect()
 
 
+def _tiny_png(
+    width: int, height: int, nch: int, pixels: bytes, filters: list[int]
+) -> bytes:
+    """Well-formed PNG built by hand: IHDR + one IDAT + IEND with real
+    CRCs, scanlines FORWARD-filtered per ``filters`` (so the decoder
+    must invert each recurrence to recover ``pixels``)."""
+    import struct
+    import zlib
+
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[nch]
+    stride = width * nch
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        line = pixels[y * stride : (y + 1) * stride]
+        f = filters[y]
+        enc = bytearray(line)
+        if f == 1:
+            for i in range(stride - 1, nch - 1, -1):
+                enc[i] = (enc[i] - line[i - nch]) & 0xFF
+        elif f == 2:
+            for i in range(stride):
+                enc[i] = (enc[i] - prev[i]) & 0xFF
+        elif f == 3:
+            for i in range(stride):
+                left = line[i - nch] if i >= nch else 0
+                enc[i] = (enc[i] - ((left + prev[i]) >> 1)) & 0xFF
+        elif f == 4:
+            for i in range(stride):
+                a = line[i - nch] if i >= nch else 0
+                b = prev[i]
+                c = prev[i - nch] if i >= nch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[i] = (enc[i] - pred) & 0xFF
+        raw += bytes([f]) + bytes(enc)
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_png_decode_golden_pixels_all_filters():
+    """decode_png recovers the exact pixel bytes through every filter
+    type (None/Sub/Up/Average/Paeth, one per scanline) — the defilter
+    recurrences pinned against a hand-encoded golden image."""
+    from open_bus_siri_etl_spark.operators.multimodal import decode_png
+
+    w, h, nch = 4, 5, 3
+    pixels = bytes((y * 37 + x * 11 + c * 5) & 0xFF
+                   for y in range(h) for x in range(w) for c in range(nch))
+    blob = _tiny_png(w, h, nch, pixels, filters=[0, 1, 2, 3, 4])
+    out = decode_png(blob)
+    assert (out["width"], out["height"], out["n_channels"]) == (w, h, nch)
+    assert out["pixels"] == pixels
+    # grayscale+alpha variant, Paeth everywhere
+    pixels2 = bytes((y * 3 + x * 7) & 0xFF
+                    for y in range(3) for x in range(6) for _ in range(2))
+    out2 = decode_png(_tiny_png(6, 3, 2, pixels2, filters=[4, 4, 4]))
+    assert out2["pixels"] == pixels2 and out2["n_channels"] == 2
+
+
+def test_png_decode_loud_failures():
+    """CRC corruption, palette color type, and truncation all fail
+    loudly — never a fabricated pixel buffer."""
+    import pytest
+
+    from open_bus_siri_etl_spark.operators.multimodal import decode_png
+
+    blob = bytearray(_tiny_png(2, 2, 3, bytes(12), filters=[0, 0]))
+    blob[20] ^= 0xFF  # flip an IHDR byte under its CRC
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(blob))
+    # palette (color type 3) is a loud NotImplementedError
+    import struct
+    import zlib as _z
+
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
+    pal = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+        + struct.pack(">I", _z.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+    )
+    with pytest.raises(NotImplementedError, match="palette|color type 3"):
+        decode_png(pal)
+    with pytest.raises(ValueError, match="truncated|missing"):
+        decode_png(_tiny_png(2, 2, 3, bytes(12), filters=[0, 0])[:30])
+
+
+def test_png_through_media_meta_plumbing(spark):
+    """extract_media_meta dispatches PNG next to BMP/WAV: dimensions and
+    channel count land in the typed row, audio fields stay NULL."""
+    from open_bus_siri_etl_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_media_meta,
+    )
+
+    blob = _tiny_png(9, 4, 4, bytes(9 * 4 * 4), filters=[0, 1, 2, 4])
+    media = spark.createDataFrame(
+        [(7, blob, {"format": "file/png", "n_bytes": len(blob)})],
+        MEDIA_SCHEMA,
+    )
+    row = extract_media_meta(media).collect()[0]
+    assert row["kind"] == "png"
+    assert (row["width"], row["height"], row["n_channels"]) == (9, 4, 4)
+    assert row["sample_rate"] is None and row["duration_ms"] is None
+
+
 def test_minhash_index_params_and_disjointness_guards(spark):
     """Round-8 symmetry hardening: the TEXT band index gets the same
     fail-loud contract as the embedding bucket index — a persisted index

@@ -596,6 +596,45 @@ def clustered_tiers(spark, work: Path, tiers) -> list:
             "rows_served": n_rows,
         }
         print(json.dumps({"tier": n, "sq8": tier["sq8"]}), flush=True)
+
+        # SQ8 + exact-refine rungs (round-12 frontier item 1): SQ8's
+        # shortlist already ranks near-exactly, so a SMALL refine
+        # shortlist should reach refine@400's recall at lower serve
+        # cost — the candidate new frontier row.  Same refine mechanics
+        # as the PQ rungs (broadcast shortlist ids against one corpus
+        # float scan), shortlist swept well below PQ's 400.
+        from open_bus_siri_etl_spark.operators.quantization import (
+            sq8_refine_serve,
+        )
+
+        tier["sq8_refine"] = []
+        for short_k in (50, 100):
+            t0 = time.time()
+            served = sq8_refine_serve(
+                sq8_ix, sq8_cents, queries, bounds, corpus, k=K,
+                shortlist=short_k, n_probe=n_probe, dim=DIM,
+                coarse_metric="l2", n_centroids=n_cent,
+            )
+            n_rows = served.count()
+            ssec = round(time.time() - t0, 3)
+            served = _pin(spark, served)
+            rec = (
+                ann_recall(exact, served, k=K)
+                .agg(F.avg("recall").alias("r")).collect()[0]["r"]
+            )
+            tier["sq8_refine"].append(
+                {
+                    "shortlist": short_k,
+                    "serve_sec": ssec,
+                    "serve_speedup_vs_exact": round(exact_sec / ssec, 2),
+                    "recall_at_10": round(rec, 4),
+                    "rows_served": n_rows,
+                }
+            )
+            print(
+                json.dumps({"tier": n, "sq8_refine": tier["sq8_refine"][-1]}),
+                flush=True,
+            )
         out.append(tier)
         print(json.dumps(tier), flush=True)
     return out
