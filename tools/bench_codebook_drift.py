@@ -78,10 +78,201 @@ N_TOPICS, SIGMA, DRIFT_STEP = 256, 0.8, 0.6
 N_CENT, N_PROBE, SHORTLIST = 128, 8, 200
 
 
+def sq8_drift(spark, work: Path) -> dict:
+    """The SQ8 twin of the PQ drift story (round-12 item 2): frozen
+    per-dimension bounds are FAISS train-then-add for the scalar family
+    — appends beyond the trained range CLAMP to code 0/255 (graceful
+    degradation, test-pinned), and this section MEASURES that
+    degradation per drift epoch (recall@10 + the clamped-byte fraction,
+    the direct mechanism number) and then what each retrain recovers:
+    a BOUNDS-ONLY retrain (``retrain_sq8_store(trained=False)`` — the
+    frozen coarse codebook stays, isolating bounds freshness) vs the
+    FULL retrain (new kmeans codebook + new bounds), both via the
+    shipped staged-swap job.  Same corpus constants and seed as the PQ
+    half, so the two sections read side by side."""
+    import pandas as pd
+
+    from open_bus_siri_etl_spark.operators.quantization import (
+        build_sq8_index,
+        sq8_topk_serve,
+        sq8_train,
+    )
+    from open_bus_siri_etl_spark.streaming.sq8_index import (
+        read_sq8_bounds,
+        retrain_sq8_store,
+        write_sq8_bounds,
+    )
+
+    rng = np.random.RandomState(47)
+    centers = rng.randn(N_TOPICS, DIM).astype("float64")
+    dirs = rng.randn(N_TOPICS, DIM)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+
+    def write_vecs(ids, vecs, path):
+        pdf = pd.DataFrame({"vec_id": ids, "embedding": list(vecs)})
+        spark.createDataFrame(pdf).repartition(8).write.mode(
+            "overwrite"
+        ).parquet(path)
+        return spark.read.parquet(path)
+
+    def sample(n, epoch, id_start):
+        c = centers + epoch * DRIFT_STEP * dirs
+        topic_of = rng.randint(0, N_TOPICS, n)
+        vecs = (c[topic_of] + SIGMA * rng.randn(n, DIM)).astype("float32")
+        return np.arange(id_start, id_start + n, dtype="int64"), vecs
+
+    ids, vecs = sample(N_BASE, 0, 0)
+    base = write_vecs(ids, vecs, str(work / "s_base"))
+    corpus = base
+
+    coarse = kmeans_codebook(base, k=N_CENT, iters=2, kernel="matmul")
+    cents_path = str(work / "s_cents")
+    coarse.withColumn("cb_kind", F.lit("trained")).coalesce(1).write.parquet(
+        cents_path
+    )
+    coarse = spark.read.parquet(cents_path).drop("cb_kind")
+    bounds_path = str(work / "s_bounds")
+    write_sq8_bounds(spark, sq8_train(base), bounds_path, "raw")
+    bounds = read_sq8_bounds(spark, bounds_path, "raw")
+
+    index_path = str(work / "s_index")
+    build_sq8_index(
+        base, coarse, bounds, dim=DIM, coarse_metric="l2", n_cents=N_CENT
+    ).withColumn("ingest_batch", F.lit(0)).write.partitionBy(
+        "ingest_batch"
+    ).parquet(index_path)
+
+    def serve_and_recall(epoch_queries, corpus_now, cents_f, bnds):
+        exact = cosine_topk(corpus_now, epoch_queries, k=K)
+        xp = str(work / "s_exact_tmp")
+        exact.write.mode("overwrite").parquet(xp)
+        exact = spark.read.parquet(xp)
+        t0 = time.time()
+        served = sq8_topk_serve(
+            spark.read.parquet(index_path), cents_f, epoch_queries, bnds,
+            k=K, n_probe=N_PROBE, dim=DIM, coarse_metric="l2",
+            n_centroids=N_CENT,
+        )
+        served = spark.createDataFrame(served.collect(), served.schema)
+        serve_sec = round(time.time() - t0, 3)
+        recall = (
+            ann_recall(exact, served, k=K)
+            .agg(F.avg("recall").alias("r")).collect()[0]["r"]
+        )
+        return round(recall, 4), serve_sec
+
+    def clamp_frac(batch_frame) -> float:
+        return round(
+            batch_frame.select(
+                F.avg(
+                    F.size(
+                        F.filter(
+                            "sq8_code", lambda c: (c == 0) | (c == 255)
+                        )
+                    )
+                    / F.size("sq8_code")
+                ).alias("f")
+            ).collect()[0]["f"],
+            4,
+        )
+
+    epochs = []
+    qid = 10**9
+    last_queries = None
+    for e in range(1, K_EPOCHS + 1):
+        ids, vecs = sample(N_BATCH, e, N_BASE + (e - 1) * N_BATCH)
+        batch = write_vecs(ids, vecs, str(work / f"s_b{e}"))
+        corpus = corpus.unionByName(batch)
+        cpath = str(work / f"s_corpus_{e}")
+        corpus.write.parquet(cpath)
+        corpus = spark.read.parquet(cpath)
+        enc = build_sq8_index(
+            batch, coarse, bounds, dim=DIM, coarse_metric="l2",
+            n_cents=N_CENT,
+        )
+        enc.withColumn("ingest_batch", F.lit(e)).write.mode(
+            "append"
+        ).partitionBy("ingest_batch").parquet(index_path)
+        qids, qvecs = sample(N_QUERIES, e, qid)
+        qid += N_QUERIES
+        last_queries = write_vecs(qids, qvecs, str(work / f"s_q{e}"))
+        recall, serve_sec = serve_and_recall(
+            last_queries, corpus, coarse, bounds
+        )
+        epochs.append(
+            {
+                "epoch": e,
+                "drift_dist_sigma": round(e * DRIFT_STEP / SIGMA, 2),
+                "n_corpus": N_BASE + e * N_BATCH,
+                "recall_at_10": recall,
+                "serve_sec": serve_sec,
+                "clamped_byte_frac": clamp_frac(
+                    spark.read.parquet(index_path).filter(
+                        F.col("ingest_batch") == e
+                    )
+                ),
+            }
+        )
+        print(json.dumps({"sq8_epoch": epochs[-1]}), flush=True)
+
+    def retrain_and_measure(trained: bool) -> dict:
+        t0 = time.time()
+        retrain_sq8_store(
+            spark, corpus, index_path, cents_path, bounds_path,
+            n_centroids=N_CENT, iters=2, trained=trained, dim=DIM,
+        )
+        retrain_sec = round(time.time() - t0, 3)
+        nc = spark.read.parquet(cents_path).drop("cb_kind")
+        nb = read_sq8_bounds(spark, bounds_path, "raw")
+        recall, serve_sec = serve_and_recall(last_queries, corpus, nc, nb)
+        return {
+            "trained_codebook_retrained": trained,
+            "retrain_sec": retrain_sec,
+            "recall_at_10": recall,
+            "serve_sec": serve_sec,
+            "clamped_byte_frac": clamp_frac(spark.read.parquet(index_path)),
+            "recovered_vs_epoch_final": round(
+                recall - epochs[-1]["recall_at_10"], 4
+            ),
+        }
+
+    post_bounds_only = retrain_and_measure(trained=False)
+    print(json.dumps({"sq8_post_bounds_only": post_bounds_only}), flush=True)
+    post_full = retrain_and_measure(trained=True)
+    print(json.dumps({"sq8_post_full": post_full}), flush=True)
+    return {
+        "note": "frozen SQ8 bounds under the same six-epoch drift corpus "
+        "as the PQ section (seed 47): appends beyond the trained range "
+        "clamp to edge codes (clamped_byte_frac is the mechanism), "
+        "recall decays with it; retrain_sq8_store recovers — bounds-only "
+        "(frozen codebook kept) vs full (kmeans codebook + bounds)",
+        "n_centroids": N_CENT, "n_probe": N_PROBE,
+        "bytes_per_vector": DIM,
+        "epochs": epochs,
+        "post_retrain_bounds_only": post_bounds_only,
+        "post_retrain_full": post_full,
+    }
+
+
 def main() -> None:
     spark = get_spark(app_name="siri-etl-bench-codebook-drift")
     spark.sparkContext.setLogLevel("ERROR")
     work = Path(tempfile.mkdtemp(prefix="bench_drift_"))
+    if "--sq8-only" in sys.argv:
+        # refresh just the SQ8 section of the existing artifact (the PQ
+        # half is deterministic in code+seed unchanged since round 11)
+        artifact = ROOT / "BENCH_CODEBOOK_DRIFT.json"
+        if not artifact.exists():
+            sys.exit("--sq8-only refreshes an existing artifact; none found")
+        out = json.loads(artifact.read_text())
+        try:
+            out["sq8"] = sq8_drift(spark, work)
+        finally:
+            shutil.rmtree(work, ignore_errors=True)
+        print(json.dumps(out))
+        if "--write" in sys.argv:
+            artifact.write_text(json.dumps(out, indent=2) + "\n")
+        return
     import pandas as pd
 
     rng = np.random.RandomState(47)
@@ -285,6 +476,7 @@ def main() -> None:
         "serving_knobs_at_final_epoch": knobs,
         "post_retrain_same_capacity": post_same,
         "post_retrain_retuned": post_retuned,
+        "sq8": sq8_drift(spark, work),
     }
     shutil.rmtree(work, ignore_errors=True)
     print(json.dumps(out))

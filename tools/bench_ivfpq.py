@@ -640,6 +640,172 @@ def clustered_tiers(spark, work: Path, tiers) -> list:
     return out
 
 
+def sq8_scale_tier(spark, work: Path, n: int = 10_000_000,
+                   n_topics: int = 4096, n_cent: int = 4096,
+                   n_probe: int = 64, train_mod: int = 41) -> dict:
+    """The 10M-vector SQ8 tier (round-12 item 5) — the scale where the
+    codes-only store's memory argument BITES: 10M x 64d float32 is
+    ~2.5 GB of vectors, the SQ8 store is ~640 MB of codes (measured
+    byte sizes carried in the row), and the serve touches neither —
+    it scans n_probe/nlist of the code rows, partition-pruned.
+
+    FAISS-at-scale practice throughout: nlist 4096 (~2.4k vectors/cell),
+    kmeans trained on a 1-in-41 subsample (train() on a sample, add()
+    everything; 41 is coprime with the 4096 topics — the train_mod=9
+    lesson), probe fraction held at the 1M tier's 16/1024.  The coarse
+    assignment of all 10M rides the Arrow matmul kernel (the r11
+    reroute — the crossJoin plan would put 10M x 4096 rows through an
+    exchange), encode is map-only, and the store partitions by cluster
+    so the serve reads 1/64 of it per query batch."""
+    import os
+
+    from open_bus_siri_etl_spark.operators.quantization import (
+        sq8_refine_serve,
+        sq8_topk_serve,
+        sq8_train,
+    )
+    from open_bus_siri_etl_spark.operators.similarity import (
+        _nearest_centroids,
+    )
+
+    tag = f"{n}"
+    corpus, queries = synth_clustered(
+        spark, work, n, tag, n_topics=n_topics, chunk=500_000
+    )
+    corpus.count()
+
+    def _dir_bytes(path: str) -> int:
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                total += os.path.getsize(os.path.join(root, f))
+        return total
+
+    tcp = str(work / f"sq8s_tc_{tag}")
+    if not os.path.isdir(tcp):
+        t0 = time.time()
+        tc = kmeans_codebook(
+            corpus.filter(F.col("vec_id") % train_mod == 0),
+            k=n_cent, iters=2, kernel="matmul",
+        )
+        tc.coalesce(1).write.mode("overwrite").parquet(tcp)
+        train_sec = round(time.time() - t0, 3)
+    else:
+        train_sec = 0.0
+    tc = spark.read.parquet(tcp)
+    cents = tc.select("cent_id", "cent_vec")
+
+    t0 = time.time()
+    bounds = sq8_train(corpus)
+    bounds_sec = round(time.time() - t0, 3)
+
+    from open_bus_siri_etl_spark.operators.quantization import (
+        build_sq8_index,
+    )
+
+    ipath = str(work / f"sq8s_ix_{tag}")
+    if not os.path.isdir(ipath):
+        t0 = time.time()
+        build_sq8_index(
+            corpus, cents, bounds, dim=DIM, coarse_metric="l2",
+            n_cents=n_cent,
+        ).write.partitionBy("cluster").parquet(ipath)
+        build_sec = round(time.time() - t0, 3)
+    else:
+        build_sec = 0.0
+    index = spark.read.parquet(ipath)
+    if "params" not in index.columns:
+        raise SystemExit(f"stale pre-provenance store at {ipath} — delete it")
+
+    expath = str(work / f"sq8s_exact_{tag}")
+    if not os.path.isdir(expath):
+        t0 = time.time()
+        cosine_topk(corpus, queries, k=K, dim=DIM).write.mode(
+            "overwrite"
+        ).parquet(expath)
+        exact_sec = round(time.time() - t0, 3)
+    else:
+        exact_sec = 0.0
+    exact = spark.read.parquet(expath)
+
+    # candidate ceiling from the persisted assignments
+    asg = index.select(F.col("vec_id").alias("neighbor_id"), "cluster")
+    qprobe = _nearest_centroids(
+        queries.select(
+            F.col("vec_id").alias("_id"), F.col("embedding").alias("_vec")
+        ),
+        F.broadcast(cents), "cluster", n_probe, DIM, metric="l2",
+    ).select(F.col("_id").alias("query_id"), "cluster")
+    ceiling = (
+        exact.join(asg, "neighbor_id")
+        .join(qprobe, ["query_id", "cluster"], "left_semi")
+        .count()
+    ) / (N_QUERIES * K)
+
+    out = {
+        "n_vectors": n, "n_topics": n_topics, "sigma": 0.8,
+        "n_centroids": n_cent, "n_probe": n_probe,
+        "pruning_frac": round(n_probe / n_cent, 4),
+        "train_mod": train_mod,
+        "train_sec": train_sec, "bounds_sec": bounds_sec,
+        "build_sec": build_sec, "exact_sec": exact_sec,
+        "candidate_recall_ceiling": round(ceiling, 4),
+        "corpus_parquet_bytes": _dir_bytes(str(work / f"clc_{tag}")),
+        "sq8_store_parquet_bytes": _dir_bytes(ipath),
+        "bytes_per_vector": DIM,
+    }
+    t0 = time.time()
+    served = sq8_topk_serve(
+        index, cents, queries, bounds, k=K, n_probe=n_probe, dim=DIM,
+        coarse_metric="l2", n_centroids=n_cent,
+    )
+    n_rows = served.count()
+    ssec = round(time.time() - t0, 3)
+    served = _pin(spark, served)
+    rec = (
+        ann_recall(exact, served, k=K)
+        .agg(F.avg("recall").alias("r")).collect()[0]["r"]
+    )
+    out["sq8"] = {
+        "serve_sec": ssec,
+        "serve_speedup_vs_exact": (
+            round(exact_sec / ssec, 2) if exact_sec else None
+        ),
+        "recall_at_10": round(rec, 4),
+        "rows_served": n_rows,
+    }
+    print(json.dumps({"sq8_scale": out["sq8"]}), flush=True)
+    out["sq8_refine"] = []
+    for short_k in (50, 100):
+        t0 = time.time()
+        served = sq8_refine_serve(
+            index, cents, queries, bounds, corpus, k=K,
+            shortlist=short_k, n_probe=n_probe, dim=DIM,
+            coarse_metric="l2", n_centroids=n_cent,
+        )
+        n_rows = served.count()
+        ssec = round(time.time() - t0, 3)
+        served = _pin(spark, served)
+        rec = (
+            ann_recall(exact, served, k=K)
+            .agg(F.avg("recall").alias("r")).collect()[0]["r"]
+        )
+        out["sq8_refine"].append(
+            {
+                "shortlist": short_k,
+                "serve_sec": ssec,
+                "serve_speedup_vs_exact": (
+                    round(exact_sec / ssec, 2) if exact_sec else None
+                ),
+                "recall_at_10": round(rec, 4),
+                "rows_served": n_rows,
+            }
+        )
+        print(json.dumps({"sq8_scale_refine": out["sq8_refine"][-1]}),
+              flush=True)
+    return out
+
+
 def epoch_appends(spark, work: Path) -> dict:
     """The append half of the serving story, measured the way production
     runs it (the BENCH_DELTA_EPOCHS discipline, extended to the fourth
@@ -754,6 +920,7 @@ def main() -> None:
             "clustered_tiers",
             lambda s, w: clustered_tiers(s, w, CLUSTERED_TIERS),
         ),
+        "--sq8-scale-only": ("sq8_scale_10m", sq8_scale_tier),
     }
     hit = [f for f in only_flags if f in sys.argv]
     if hit:
