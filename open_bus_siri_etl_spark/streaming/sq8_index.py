@@ -105,6 +105,7 @@ def retrain_sq8_store(
     residual: bool = False,
     dim: int | None = None,
     checkpoint_dir: str | None = None,
+    retrain_codebook: bool | None = None,
 ) -> dict:
     """Retrain-and-reindex for a streaming SQ8 store — the FAISS
     train-then-add other half the SQ8 stream was missing (the
@@ -140,6 +141,16 @@ def retrain_sq8_store(
     enforce the clean drain programmatically.  Post-retrain the store
     equals a from-scratch ``build_sq8_index`` against the new pair
     row-for-row (test-asserted in test_sq8_stream.py).
+
+    ``trained`` names the DEPLOYMENT's coarse family (l2 kmeans vs
+    cosine stand-in — it must match how the store streams/serves);
+    ``retrain_codebook`` names what THIS job retrains: bounds-only
+    (False — the frozen codebook is kept, isolating bounds freshness)
+    or codebook+bounds (True).  Defaults to ``trained`` — a stand-in
+    codebook is deterministic in the corpus ids and has nothing to
+    retrain (the provenance guard itself caught the earlier conflation:
+    a bounds-only retrain of an l2 deployment must NOT re-encode with
+    the cosine stand-in family).
     """
     from ..operators.clustering import kmeans_codebook
     from .delta_dedup import (
@@ -151,6 +162,15 @@ def retrain_sq8_store(
 
     if checkpoint_dir is not None:
         _assert_drained_checkpoint(spark, checkpoint_dir)
+    if retrain_codebook is None:
+        retrain_codebook = trained
+    if retrain_codebook and not trained:
+        raise ValueError(
+            "retrain_sq8_store: retrain_codebook=True needs trained=True "
+            "— a stand-in codebook is deterministic in the corpus ids, "
+            "there is nothing to retrain (rebuild the deployment as "
+            "trained to move to kmeans cells)"
+        )
     coarse_metric = "l2" if trained else "cosine"
     family = "residual" if residual else "raw"
 
@@ -160,7 +180,7 @@ def retrain_sq8_store(
         w.write.mode("overwrite").parquet(stage)
         return spark.read.parquet(stage)
 
-    if trained:
+    if retrain_codebook:
         coarse = _stage(
             kmeans_codebook(corpus, n_centroids, iters, id_col, vec_col)
             .withColumn("cb_kind", F.lit("trained")),
@@ -171,8 +191,20 @@ def retrain_sq8_store(
         if existing_cents is None:
             raise ValueError(
                 f"retrain_sq8_store: no codebook at {cents_path} — a "
-                "stand-in deployment retrains bounds against its FROZEN "
+                "bounds-only retrain re-encodes against the FROZEN "
                 "codebook, which must already exist"
+            )
+        kinds = (
+            [r[0] for r in existing_cents.select("cb_kind").distinct().collect()]
+            if "cb_kind" in existing_cents.columns
+            else []
+        )
+        if trained and kinds != ["trained"]:
+            raise ValueError(
+                f"retrain_sq8_store: the codebook at {cents_path} is not "
+                f"a trained kmeans frame (cb_kind={kinds or 'absent'}) but "
+                "trained=True — the re-encode would assign with the wrong "
+                "family"
             )
         coarse = _stage(existing_cents, cents_path)
     cents_frame = coarse.drop("cb_kind")
@@ -215,6 +247,7 @@ def retrain_sq8_store(
         "rows_reencoded": n_rows,
         "n_centroids": n_centroids,
         "trained": trained,
+        "codebook_retrained": retrain_codebook,
         "residual": residual,
         "dim": len(new_bounds),
     }

@@ -372,3 +372,30 @@ def test_sq8_retrain_trained_codebook(spark, tmp_path):
         store, cents.drop("cb_kind"), qs, bounds, k=5,
         coarse_metric="l2", n_centroids=8,
     ).count() == 8 * 5
+
+    # bounds-only retrain of the TRAINED deployment: the frozen kmeans
+    # codebook must be KEPT and the re-encode must stay in the l2
+    # family (the conflation the serve provenance guard caught: a
+    # bounds-only retrain used to re-encode with the cosine stand-in)
+    before_cents = _multiset(spark.read.parquet(cents_path))
+    retrain_sq8_store(
+        spark, corpus, index_path, cents_path, bounds_path,
+        trained=True, retrain_codebook=False, iters=2, checkpoint_dir=ckpt,
+    )
+    assert _multiset(spark.read.parquet(cents_path)) == before_cents
+    bounds2 = read_sq8_bounds(spark, bounds_path, "raw")
+    store2 = spark.read.parquet(index_path).drop("ingest_batch")
+    cents2 = spark.read.parquet(cents_path).drop("cb_kind")
+    fresh2 = build_sq8_index(
+        corpus, cents2, bounds2, coarse_metric="l2", n_cents=8
+    )
+    assert _multiset(store2) == _multiset(fresh2)
+    assert sq8_topk_serve(
+        store2, cents2, qs, bounds2, k=5, coarse_metric="l2", n_centroids=8,
+    ).count() == 8 * 5
+    # and the invalid combination is refused
+    with pytest.raises(ValueError, match="retrain_codebook"):
+        retrain_sq8_store(
+            spark, corpus, index_path, cents_path, bounds_path,
+            trained=False, retrain_codebook=True,
+        )

@@ -215,18 +215,21 @@ def sq8_drift(spark, work: Path) -> dict:
         )
         print(json.dumps({"sq8_epoch": epochs[-1]}), flush=True)
 
-    def retrain_and_measure(trained: bool) -> dict:
+    def retrain_and_measure(codebook: bool) -> dict:
+        # the deployment is a trained (l2) one throughout; `codebook`
+        # picks bounds-only vs codebook+bounds retrain
         t0 = time.time()
         retrain_sq8_store(
             spark, corpus, index_path, cents_path, bounds_path,
-            n_centroids=N_CENT, iters=2, trained=trained, dim=DIM,
+            n_centroids=N_CENT, iters=2, trained=True,
+            retrain_codebook=codebook, dim=DIM,
         )
         retrain_sec = round(time.time() - t0, 3)
         nc = spark.read.parquet(cents_path).drop("cb_kind")
         nb = read_sq8_bounds(spark, bounds_path, "raw")
         recall, serve_sec = serve_and_recall(last_queries, corpus, nc, nb)
         return {
-            "trained_codebook_retrained": trained,
+            "codebook_retrained": codebook,
             "retrain_sec": retrain_sec,
             "recall_at_10": recall,
             "serve_sec": serve_sec,
@@ -236,9 +239,9 @@ def sq8_drift(spark, work: Path) -> dict:
             ),
         }
 
-    post_bounds_only = retrain_and_measure(trained=False)
+    post_bounds_only = retrain_and_measure(codebook=False)
     print(json.dumps({"sq8_post_bounds_only": post_bounds_only}), flush=True)
-    post_full = retrain_and_measure(trained=True)
+    post_full = retrain_and_measure(codebook=True)
     print(json.dumps({"sq8_post_full": post_full}), flush=True)
     return {
         "note": "frozen SQ8 bounds under the same six-epoch drift corpus "
