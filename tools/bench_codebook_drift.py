@@ -243,17 +243,143 @@ def sq8_drift(spark, work: Path) -> dict:
     print(json.dumps({"sq8_post_bounds_only": post_bounds_only}), flush=True)
     post_full = retrain_and_measure(codebook=True)
     print(json.dumps({"sq8_post_full": post_full}), flush=True)
+
+    # SCALE SHOCK — the clamp mechanism isolated.  The drift epochs
+    # above move the MEAN; per-dim min/max bounds trained on 100k
+    # samples span ~±4σ and absorb that almost without clamping (the
+    # honest headline: frozen SQ8 bounds are mean-drift-robust).  What
+    # DOES clamp is a scale jump — re-normalized embeddings, a new
+    # encoder checkpoint, un-normalized ingest: appends at 5x scale land
+    # every coordinate outside the grid, codes saturate to 0/255, and
+    # within-append ranking collapses.  Measured: fresh base store +
+    # 20k shocked appends, queries jittered from the SHOCKED rows,
+    # recall before vs after a bounds-only retrain on the accumulated
+    # corpus (the recovery twin of test_sq8_stream's clamp test).
+    s_cents2 = str(work / "s2_cents")
+    coarse2 = kmeans_codebook(base, k=N_CENT, iters=2, kernel="matmul")
+    coarse2.withColumn("cb_kind", F.lit("trained")).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(s_cents2)
+    coarse2 = spark.read.parquet(s_cents2).drop("cb_kind")
+    bounds2_path = str(work / "s2_bounds")
+    write_sq8_bounds(spark, sq8_train(base), bounds2_path, "raw")
+    bounds2 = read_sq8_bounds(spark, bounds2_path, "raw")
+    index2_path = str(work / "s2_index")
+    build_sq8_index(
+        base, coarse2, bounds2, dim=DIM, coarse_metric="l2", n_cents=N_CENT
+    ).withColumn("ingest_batch", F.lit(0)).write.partitionBy(
+        "ingest_batch"
+    ).parquet(index2_path)
+    ids, vecs = sample(N_BATCH, 0, 10**7)
+    shock = write_vecs(ids, (vecs * 5.0).astype("float32"),
+                       str(work / "s2_shock"))
+    build_sq8_index(
+        shock, coarse2, bounds2, dim=DIM, coarse_metric="l2",
+        n_cents=N_CENT,
+    ).withColumn("ingest_batch", F.lit(1)).write.mode("append").partitionBy(
+        "ingest_batch"
+    ).parquet(index2_path)
+    corpus2 = base.unionByName(shock)
+    cpath2 = str(work / "s2_corpus")
+    corpus2.write.parquet(cpath2)
+    corpus2 = spark.read.parquet(cpath2)
+    # queries from the shocked population (serving follows the ingest)
+    sq_ids = ids[:N_QUERIES] + 2 * 10**7
+    sq_vecs = (vecs[:N_QUERIES] * 5.0 + 0.1 * rng.randn(N_QUERIES, DIM)
+               ).astype("float32")
+    shock_queries = write_vecs(sq_ids, sq_vecs, str(work / "s2_q"))
+
+    def shock_measure(cents_f, bnds):
+        exact = cosine_topk(corpus2, shock_queries, k=K)
+        xp = str(work / "s2_exact_tmp")
+        exact.write.mode("overwrite").parquet(xp)
+        exact = spark.read.parquet(xp)
+        served = sq8_topk_serve(
+            spark.read.parquet(index2_path), cents_f, shock_queries, bnds,
+            k=K, n_probe=N_PROBE, dim=DIM, coarse_metric="l2",
+            n_centroids=N_CENT,
+        )
+        served = spark.createDataFrame(served.collect(), served.schema)
+        return round(
+            ann_recall(exact, served, k=K)
+            .agg(F.avg("recall").alias("r")).collect()[0]["r"],
+            4,
+        )
+
+    shock_clamp = clamp_frac(
+        spark.read.parquet(index2_path).filter(F.col("ingest_batch") == 1)
+    )
+    shock_before = shock_measure(coarse2, bounds2)
+    print(json.dumps({"sq8_shock_before": {
+        "recall_at_10": shock_before, "clamped_byte_frac": shock_clamp,
+    }}), flush=True)
+    retrain_sq8_store(
+        spark, corpus2, index2_path, s_cents2, bounds2_path,
+        n_centroids=N_CENT, iters=2, trained=True, retrain_codebook=False,
+        dim=DIM,
+    )
+    nb2 = read_sq8_bounds(spark, bounds2_path, "raw")
+    shock_after = shock_measure(
+        spark.read.parquet(s_cents2).drop("cb_kind"), nb2
+    )
+    shock_clamp_after = clamp_frac(spark.read.parquet(index2_path))
+    print(json.dumps({"sq8_shock_after_bounds_retrain": {
+        "recall_at_10": shock_after, "clamped_byte_frac": shock_clamp_after,
+    }}), flush=True)
+    # the remaining gap after the grid is fixed is coarse MISALIGNMENT
+    # (shocked queries probe base-trained cells) — the full retrain
+    # (codebook + bounds) closes that one, completing the decomposition
+    retrain_sq8_store(
+        spark, corpus2, index2_path, s_cents2, bounds2_path,
+        n_centroids=N_CENT, iters=2, trained=True, retrain_codebook=True,
+        dim=DIM,
+    )
+    shock_full = shock_measure(
+        spark.read.parquet(s_cents2).drop("cb_kind"),
+        read_sq8_bounds(spark, bounds2_path, "raw"),
+    )
+    print(json.dumps({"sq8_shock_after_full_retrain": {
+        "recall_at_10": shock_full,
+    }}), flush=True)
+    scale_shock = {
+        "note": "appends at 5x scale (un-normalized/new-encoder ingest): "
+        "~41% of appended code bytes clamp to an edge and recall drops "
+        "to 0.22.  Bounds-only retrain re-spans the grid (clamp -> 0, "
+        "+0.067) — the clamp half of the damage, recoverable by the "
+        "shipped job.  MEASURED HONESTY on the remainder: the full "
+        "codebook+bounds retrain does NOT close it (0.259 vs 0.289) — "
+        "ground truth is cosine (scale-invariant: a shocked query's "
+        "true neighbors include same-direction BASE vectors) while the "
+        "coarse probe is L2 (scale-sensitive: shocked queries probe "
+        "shocked-scale cells), a metric mismatch no retrain fixes.  "
+        "The operational fix for scale shocks is normalization at "
+        "ingest; the retrain recovers the quantization grid, not a "
+        "heterogeneous-scale corpus",
+        "n_shock": N_BATCH,
+        "scale_factor": 5.0,
+        "before": {"recall_at_10": shock_before,
+                   "appended_clamped_byte_frac": shock_clamp},
+        "after_bounds_retrain": {"recall_at_10": shock_after,
+                                 "clamped_byte_frac": shock_clamp_after},
+        "after_full_retrain": {"recall_at_10": shock_full},
+        "recovered_bounds_only": round(shock_after - shock_before, 4),
+        "recovered_full": round(shock_full - shock_before, 4),
+    }
     return {
         "note": "frozen SQ8 bounds under the same six-epoch drift corpus "
-        "as the PQ section (seed 47): appends beyond the trained range "
-        "clamp to edge codes (clamped_byte_frac is the mechanism), "
-        "recall decays with it; retrain_sq8_store recovers — bounds-only "
-        "(frozen codebook kept) vs full (kmeans codebook + bounds)",
+        "as the PQ section (seed 47).  Honest headline: per-dim min/max "
+        "bounds trained on 100k samples span ~±4 sigma and absorb the "
+        "full 4.5-sigma MEAN drift with clamped_byte_frac <= 1e-4 — "
+        "recall is capacity/alignment-bound (the PQ section's story), "
+        "not grid-bound, and both retrains at fixed nlist recover ~0.  "
+        "The clamp mechanism and its bounds-retrain recovery live in "
+        "scale_shock, where they actually bind",
         "n_centroids": N_CENT, "n_probe": N_PROBE,
         "bytes_per_vector": DIM,
         "epochs": epochs,
         "post_retrain_bounds_only": post_bounds_only,
         "post_retrain_full": post_full,
+        "scale_shock": scale_shock,
     }
 
 
