@@ -167,6 +167,20 @@ SHOWCASE = {
     " lookups, a literal bitset) sits as a Filter BELOW the join's"
     " exchange — non-candidate rows never shuffle; no UDF, no extra"
     " join for the filter",
+    "sq8_refine_topk": "SQ8 + exact refine: everything upstream of the"
+    " refine is the codes-only SQ8 serve (no corpus floats); the refine"
+    " is ONE broadcast of the |Q| x 20 shortlist ids against a"
+    " pruned-column corpus scan — never a corpus shuffle",
+    "ivf_pq_balanced_residual_topk": "balanced+residual+refine stack:"
+    " coarse probe on UNPERMUTED vectors (broadcast), permuted-residual"
+    " codes joined to the broadcast per-(query,cluster) distance table,"
+    " refine as one broadcast float read; the permutation is a map-only"
+    " array gather — no extra shuffle anywhere",
+    "chunk_then_pack": "fused chunk->pack: map-only chunking (split +"
+    " sequence + slice + one posexplode, NO shuffle) then exactly one"
+    " Exchange — (doc_id, chunk_id, n_tokens) triples hashed to stream"
+    " tasks for the applyInPandas pack; chunk_text never enters the"
+    " exchange",
 }
 
 
