@@ -43,6 +43,22 @@ from .similarity import _nearest_centroids, _topk_per_query
 # at the cell midpoint (code + 0.5) / 256.
 SQ8_LEVELS = 256
 
+#: The measured serving default for the SQ8 + exact-refine stack — the
+#: IVF_PQ_SERVING_DEFAULTS discipline applied to the scalar family:
+#: the smallest refine shortlist clearing recall@10 >= recall_bar at
+#: EVERY measured tier of BENCH_IVFPQ.json (clustered_tiers 300k/1M +
+#: sq8_scale_10m — a test pins this dict against the artifact, so a
+#: re-measure moves the constant, never the other way).  shortlist=50
+#: already hits 1.0 at 300k/1M but drops to 0.886 at 10M (the wider
+#: 10M min/max grid); 100 clears everywhere at serve cost within run
+#: noise of 50.  pruning_frac = n_probe/n_centroids, held constant
+#: across tiers (4/256 = 16/1024 = 64/4096).
+SQ8_SERVING_DEFAULTS = {
+    "shortlist": 100,
+    "pruning_frac": 0.015625,
+    "recall_bar": 0.9,
+}
+
 
 def sq8_params_tag(
     n_centroids: int, metric: str, residual: bool, dim: int

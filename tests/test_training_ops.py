@@ -2646,6 +2646,40 @@ def test_ivf_pq_serving_defaults_pinned_to_frontier_artifact():
     assert knee["serve_sec"] == min(r["serve_sec"] for r in clearing)
 
 
+def test_sq8_serving_defaults_pinned_to_tier_artifact():
+    """Round-12: the SQ8-refine serving default must BE the measurement —
+    the smallest refine shortlist clearing the recall bar at EVERY
+    measured tier (clustered_tiers 300k/1M + the 10M scale tier) in the
+    committed BENCH_IVFPQ.json, at the shared pruning fraction.  A
+    re-measure that moves the knee fails this and the constant follows."""
+    import json
+    import os
+
+    from open_bus_siri_etl_spark.operators.quantization import (
+        SQ8_SERVING_DEFAULTS as D,
+    )
+
+    path = os.path.join(os.path.dirname(__file__), "..", "BENCH_IVFPQ.json")
+    art = json.load(open(path))
+    tiers = list(art["clustered_tiers"]) + [art["sq8_scale_10m"]]
+    per_tier = []
+    for t in tiers:
+        assert abs(t["n_probe"] / t["n_centroids"] - D["pruning_frac"]) < 1e-9
+        rows = {r["shortlist"]: r for r in t["sq8_refine"]}
+        assert rows[D["shortlist"]]["recall_at_10"] >= D["recall_bar"], t[
+            "n_vectors"
+        ]
+        per_tier.append(rows)
+    # the default is genuinely the smallest measured shortlist clearing
+    # the bar at ALL tiers
+    shortlists = sorted(per_tier[0])
+    clearing = [
+        s for s in shortlists
+        if all(rows[s]["recall_at_10"] >= D["recall_bar"] for rows in per_tier)
+    ]
+    assert clearing and D["shortlist"] == min(clearing), clearing
+
+
 def test_nearest_centroids_matmul_path_equals_crossjoin(spark):
     """Round-11 scale fix: the keep-1 L2 coarse assignment above
     MATMUL_ASSIGN_MIN_K routes through the Arrow matmul kernel (one scan
