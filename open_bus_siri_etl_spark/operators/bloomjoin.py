@@ -166,11 +166,17 @@ def bloom_prefiltered_join(
     ``approx_count_distinct`` of the dim keys (``bloom_auto_size``)
     instead of the fixed defaults — the right call whenever the dim
     side's key count is not known to sit near the few-hundred-key regime
-    the 4096-bit default is tuned for."""
+    the 4096-bit default is tuned for.
+
+    Output columns: ``big``'s columns then ``dim``'s minus ``dim_key``
+    (on an inner equi-join the dim key duplicates ``big_key``
+    value-for-value — the r11 both-keys wart, fixed r12)."""
     if target_fpr is not None:
         n_bits, n_hashes = bloom_auto_size(dim, dim_key, target_fpr)
     bits = bloom_bits(dim, dim_key, n_hashes, n_bits)
     pruned = big.filter(
         bloom_might_contain(F.col(big_key), bits, n_hashes, n_bits)
     )
-    return pruned.join(dim, pruned[big_key] == dim[dim_key])
+    return pruned.join(dim, pruned[big_key] == dim[dim_key]).drop(
+        dim[dim_key]
+    )
