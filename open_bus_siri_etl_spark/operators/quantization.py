@@ -539,13 +539,19 @@ def sq8_refine_serve(
     decode-on-the-fly squared L2 over codes only), then exact cosine
     re-ranks just those and returns the top ``k``.
 
-    Why this rung exists (the round-11 frontier finding): SQ8's
-    8-bit-per-dim shortlist already ranks near-exactly (recall@10 ~0.93
-    unrefined at the measured tiers, vs PQ-ADC's shortlist-grade
+    Why this rung exists (the round-11 frontier finding, measured r12):
+    SQ8's 8-bit-per-dim shortlist already ranks near-exactly (recall@10
+    ~0.93 unrefined at the 300k/1M tiers, vs PQ-ADC's shortlist-grade
     ordering), so the refine reaches a given recall with a much SMALLER
-    shortlist than PQ-refine needs (refine@400 at the PQ knee) — and the
-    refine's cost is exactly the shortlist-sized float read.  Measured
-    next to the PQ rungs in BENCH_IVFPQ.json clustered_tiers.
+    shortlist than PQ-refine needs — shortlist 50 hits 1.0 where
+    refine@400 sits at 0.96-0.975 — and the refine's cost is exactly
+    the shortlist-sized float read.  At the 10M tier the rung becomes
+    load-bearing rather than optional: min/max bounds over 10M samples
+    span wider extremes, the coarser grid drops unrefined recall to
+    ~0.57 (candidate ceiling 1.0 — resolution, not pruning), and
+    refine@100 recovers 0.95 at cost parity.  Measured next to the PQ
+    rungs in BENCH_IVFPQ.json clustered_tiers + sq8_scale_10m; the
+    artifact-pinned default is SQ8_SERVING_DEFAULTS.
 
     Scale shape: everything upstream is the codes-only SQ8 serve
     (partition-pruned probe join, no corpus floats); the refine is the
