@@ -767,6 +767,62 @@ def compact_ivf_pq_store(
     return {"rows": n_rows, "partitions_before": n_parts}
 
 
+def relayout_store_by_cluster(
+    spark: SparkSession,
+    index_path: str,
+    serving_path: str,
+    checkpoint_dir: str | None = None,
+) -> dict:
+    """Materialize the SERVING layout of a streaming index store — the
+    job the stream docstrings promise ("relayout by cluster for
+    partition-pruned serving") made real, schema-agnostic like
+    ``compact_ivf_pq_store`` so one job maintains both the IVF-PQ and
+    IVF-SQ8 streaming stores.
+
+    The append store is partitioned by ``ingest_batch`` because that is
+    what replay idempotency needs (a replayed micro-batch overwrites
+    exactly itself); the serve probe wants ``cluster`` partitioning so
+    the n_probe/n_centroids read is PARTITION-PRUNED instead of a full
+    scan + filter.  Those two layouts serve different masters, so this
+    job writes a serving COPY at ``serving_path`` (one relayout shuffle,
+    row multiset = the append store minus ``ingest_batch``) and leaves
+    the append store untouched — the stream keeps appending, and the
+    next relayout refreshes the copy.  Staged under a ``._compacting``
+    marker on the serving path (readers of a half-written copy fail
+    loudly); pass ``checkpoint_dir`` to require a drained stream so the
+    copy is a consistent prefix of the log.
+
+    Serve calls read ``serving_path`` directly (``ivf_pq_topk_serve`` /
+    ``sq8_topk_serve`` ignore the extra partitioning column's absence —
+    the relayout drops ``ingest_batch``); freshness is the caller's
+    trade — batches landed after the relayout are only in the append
+    store.  Returns {rows, n_clusters}."""
+    if checkpoint_dir is not None:
+        _assert_drained_checkpoint(spark, checkpoint_dir)
+    log = _read_or_none(spark, index_path)
+    if log is None:
+        return {"rows": 0, "n_clusters": 0}
+    if "cluster" not in log.columns:
+        raise ValueError(
+            f"relayout_store_by_cluster: the store at {index_path} has no "
+            "cluster column — this job relays out IVF-family index stores"
+        )
+    serving = log.drop("ingest_batch")
+    stage = serving_path + "._compact_staging"
+    serving.write.mode("overwrite").parquet(stage)
+    staged = spark.read.parquet(stage)
+    n_rows = staged.count()
+    n_clusters = staged.select("cluster").distinct().count()
+    marker = serving_path + "._compacting"
+    _fs_mkdirs(spark, marker)
+    staged.write.mode("overwrite").partitionBy("cluster").parquet(
+        serving_path
+    )
+    _fs_delete(spark, marker)
+    _fs_delete(spark, stage)
+    return {"rows": n_rows, "n_clusters": n_clusters}
+
+
 def retrain_ivf_pq_store(
     spark: SparkSession,
     corpus: DataFrame,

@@ -27,9 +27,10 @@ over everything landed: append IS the rebuild, test-asserted, and
 
 Scale: per-batch work is delta-sized (one assignment pass + map-only
 encode); the store is codes-only (1 byte/dim), partitioned by
-``ingest_batch`` — run ``sq8_topk_serve`` against it as-is, or relayout
-by ``cluster`` for partition-pruned serving like the PQ store's
-compaction does.
+``ingest_batch`` — run ``sq8_topk_serve`` against it as-is, or
+materialize the cluster-partitioned serving copy with
+``delta_dedup.relayout_store_by_cluster`` so the probe partition-prunes
+(test-asserted in test_sq8_stream.py).
 """
 
 from __future__ import annotations

@@ -399,3 +399,62 @@ def test_sq8_retrain_trained_codebook(spark, tmp_path):
             spark, corpus, index_path, cents_path, bounds_path,
             trained=False, retrain_codebook=True,
         )
+
+
+def test_sq8_store_relayout_by_cluster_prunes_partitions(spark, tmp_path):
+    """relayout_store_by_cluster materializes the SERVING layout: row
+    multiset = the append store minus ingest_batch, sq8_topk_serve
+    answers identically from the copy, and the copy's cluster
+    partitioning actually PRUNES — a single-cluster read shows a
+    partition filter and touches one cluster's files."""
+    from open_bus_siri_etl_spark.streaming.delta_dedup import (
+        relayout_store_by_cluster,
+    )
+
+    emb = _emb(spark)
+    landing = tmp_path / "landing"
+    _land(emb, landing)
+    index_path = str(tmp_path / "index")
+    cents_path = str(tmp_path / "cents")
+    bounds_path = str(tmp_path / "bounds")
+    ckpt = str(tmp_path / "ckpt")
+    q = start_sq8_index_stream(
+        spark, str(landing), index_path, cents_path, bounds_path, ckpt,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(180)
+    serving_path = str(tmp_path / "serving")
+    out = relayout_store_by_cluster(
+        spark, index_path, serving_path, checkpoint_dir=ckpt
+    )
+    append_store = spark.read.parquet(index_path)
+    serving = spark.read.parquet(serving_path)
+    assert out["rows"] == append_store.count()
+    # partitionBy read-back reorders columns (partition col last) —
+    # compare under a canonical column order
+    cols = sorted(serving.columns)
+    assert set(cols) == set(append_store.drop("ingest_batch").columns)
+    assert _multiset(serving.select(cols)) == _multiset(
+        append_store.drop("ingest_batch").select(cols)
+    )
+
+    bounds = read_sq8_bounds(spark, bounds_path, "raw")
+    cents = spark.read.parquet(cents_path).drop("cb_kind")
+    qs = emb.filter("vec_id BETWEEN 8 AND 15")
+    assert _multiset(
+        sq8_topk_serve(serving, cents, qs, bounds, k=5, n_centroids=8)
+    ) == _multiset(
+        sq8_topk_serve(append_store, cents, qs, bounds, k=5, n_centroids=8)
+    )
+
+    # partition pruning: a one-cluster read carries a PartitionFilters
+    # entry on cluster (the reason the serving layout exists)
+    one = serving.filter(F.col("cluster") == 0)
+    plan = one._sc._jvm.PythonSQLUtils.explainString(
+        one._jdf.queryExecution(), "formatted"
+    )
+    assert "PartitionFilters" in plan
+    import re
+
+    pf = re.search(r"PartitionFilters: \[(.*?)\]", plan).group(1)
+    assert "cluster" in pf, plan
