@@ -343,32 +343,70 @@ def decode_wav(blob: bytes) -> dict:
 
 PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
 
-# color type -> samples per pixel (palette type 3 needs PLTE expansion —
-# loud-fail below, the module contract)
-_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+# color type -> SAMPLES per pixel in the coded stream (palette type 3 is
+# one index sample; it expands through PLTE to 3-4 output channels)
+_PNG_SAMPLES = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+# depths the spec allows per color type (decode supports the byte-aligned
+# ones everywhere plus sub-byte palette; Adam7 stays loud-fail)
+_PNG_DEPTHS = {0: (8, 16), 2: (8, 16), 3: (1, 2, 4, 8), 4: (8, 16), 6: (8, 16)}
+
+# decoded pixel buffers are bounded before any allocation: a crafted IHDR
+# (or a zlib bomb in IDAT) must not be able to exhaust executor memory
+_PNG_MAX_PIXEL_BYTES = 1 << 28  # 256 MiB per image
+
+
+def _png_parse_ihdr(data: bytes) -> tuple[int, int, int, int]:
+    """Validate an IHDR payload; returns (w, h, depth, color). Shared by
+    the full decoder and the header-only metadata path so both enforce
+    the same loud-fail coverage contract."""
+    import struct
+
+    w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", data)
+    if comp != 0 or filt != 0:
+        raise ValueError("PNG declares a non-zero compression/filter method")
+    if (
+        color not in _PNG_SAMPLES
+        or depth not in _PNG_DEPTHS.get(color, ())
+        or interlace != 0
+    ):
+        raise NotImplementedError(
+            f"PNG bit depth {depth} / color type {color} / interlace "
+            f"{interlace} — gray/RGB/gray+alpha/RGBA at 8/16-bit and "
+            "palette at 1/2/4/8-bit decode here (Adam7 needs the "
+            "7-pass reassembly)"
+        )
+    if w == 0 or h == 0:
+        raise ValueError("PNG declares a zero dimension")
+    return w, h, depth, color
 
 
 def decode_png(blob: bytes) -> dict:
-    """Full pure-Python PNG decode — IHDR parse, IDAT inflate (zlib is
-    stdlib — the reason PNG can decode natively here next to BMP/WAV),
-    and per-scanline UNFILTERING (all five filter types: None/Sub/Up/
-    Average/Paeth, the spec's defilter recurrences) back to raw
-    row-major pixel bytes.
+    """Full pure-Python PNG decode — IHDR parse, bounded IDAT inflate
+    (zlib is stdlib — the reason PNG can decode natively here next to
+    BMP/WAV), per-scanline UNFILTERING (all five filter types:
+    None/Sub/Up/Average/Paeth, the spec's defilter recurrences), and
+    palette expansion back to raw row-major pixel bytes.
 
-    Coverage: 8-bit depth, color types 0/2/4/6 (gray, RGB, gray+alpha,
-    RGBA), non-interlaced — the overwhelming majority of real PNGs.
-    Palette (type 3), 1/2/4/16-bit depths and Adam7 interlace keep the
-    loud-fail NotImplementedError contract; chunk CRCs are verified so
-    corruption fails loudly instead of decoding garbage.
+    Coverage: color types 0/2/4/6 (gray, RGB, gray+alpha, RGBA) at 8- and
+    16-bit depth, and palette (type 3) at 1/2/4/8-bit with PLTE expansion
+    (+ optional tRNS alpha → RGBA), non-interlaced.  Adam7 interlace keeps
+    the loud-fail NotImplementedError contract; chunk CRCs are verified so
+    corruption fails loudly instead of decoding garbage.  The inflate is
+    CAPPED at the exact payload size IHDR implies (decompressobj +
+    max_length), so a crafted zlib bomb fails loudly before it can
+    exhaust executor memory — as does any IHDR declaring more than
+    ``_PNG_MAX_PIXEL_BYTES`` of output.
 
-    Returns {kind, width, height, n_channels, pixels} — ``pixels`` is
-    ``height * width * n_channels`` bytes (filter bytes stripped)."""
+    Returns {kind, width, height, n_channels, bit_depth, pixels} —
+    ``pixels`` is ``height * width * n_channels`` samples, 1 byte per
+    sample at ``bit_depth`` 8 (palette expands to 8), big-endian 2 bytes
+    per sample at 16."""
     import struct
     import zlib
 
     if len(blob) < 8 or blob[:8] != PNG_SIGNATURE:
         raise ValueError("not a PNG container")
-    pos, ihdr, idat = 8, None, []
+    pos, ihdr, idat, plte, trns = 8, None, [], None, None
     while pos + 8 <= len(blob):
         (clen,) = struct.unpack_from(">I", blob, pos)
         ctype = blob[pos + 4 : pos + 8]
@@ -381,21 +419,13 @@ def decode_png(blob: bytes) -> dict:
         if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
             raise ValueError(f"PNG chunk {ctype!r} CRC mismatch")
         if ctype == b"IHDR":
-            w, h, depth, color, comp, filt, interlace = struct.unpack(
-                ">IIBBBBB", data
-            )
-            if comp != 0 or filt != 0:
-                raise ValueError(
-                    "PNG declares a non-zero compression/filter method"
-                )
-            if depth != 8 or color not in _PNG_CHANNELS or interlace != 0:
-                raise NotImplementedError(
-                    f"PNG bit depth {depth} / color type {color} / "
-                    f"interlace {interlace} — only 8-bit non-interlaced "
-                    "gray/RGB/gray+alpha/RGBA decode here (palette needs "
-                    "PLTE expansion; Adam7 needs the 7-pass reassembly)"
-                )
-            ihdr = (w, h, _PNG_CHANNELS[color])
+            ihdr = _png_parse_ihdr(data)
+        elif ctype == b"PLTE":
+            if clen % 3 or clen == 0 or clen > 768:
+                raise ValueError(f"PNG PLTE length {clen} is not a 1-256 RGB table")
+            plte = data
+        elif ctype == b"tRNS":
+            trns = data
         elif ctype == b"IDAT":
             idat.append(data)
         elif ctype == b"IEND":
@@ -403,13 +433,32 @@ def decode_png(blob: bytes) -> dict:
         pos += 12 + clen
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT chunk")
-    w, h, nch = ihdr
-    raw = zlib.decompress(b"".join(idat))
-    stride = w * nch
-    if len(raw) != h * (1 + stride):
+    w, h, depth, color = ihdr
+    spp = _PNG_SAMPLES[color]
+    # coded-stream geometry: filtering works on raw bytes, one filter byte
+    # per scanline; left-neighbor offset is the byte-aligned pixel size
+    stride = (w * spp * depth + 7) // 8
+    bpp = max(1, (spp * depth) // 8)
+    expected = h * (1 + stride)
+    if expected > _PNG_MAX_PIXEL_BYTES:
         raise ValueError(
-            f"PNG pixel payload is {len(raw)} bytes, expected "
-            f"{h * (1 + stride)} for {w}x{h}x{nch}"
+            f"PNG declares {expected} bytes of pixel payload for {w}x{h} — "
+            f"over the {_PNG_MAX_PIXEL_BYTES}-byte decode cap"
+        )
+    # bounded inflate: never produce more than expected+1 bytes no matter
+    # what the deflate stream claims, and fail loudly on both short and
+    # long payloads instead of allocating a bomb's worth of output
+    dobj = zlib.decompressobj()
+    raw = dobj.decompress(b"".join(idat), expected + 1)
+    if len(raw) > expected or dobj.unconsumed_tail:
+        raise ValueError(
+            f"PNG pixel payload exceeds the {expected} bytes implied by "
+            f"IHDR for {w}x{h} at depth {depth} (zlib bomb?)"
+        )
+    if len(raw) != expected:
+        raise ValueError(
+            f"PNG pixel payload is {len(raw)} bytes, expected {expected} "
+            f"for {w}x{h} at depth {depth}"
         )
     out = bytearray(h * stride)
     prev = bytearray(stride)  # the spec's zero row above the first
@@ -419,20 +468,20 @@ def decode_png(blob: bytes) -> dict:
             raw[y * (1 + stride) + 1 : (y + 1) * (1 + stride)]
         )
         if ftype == 1:  # Sub
-            for i in range(nch, stride):
-                line[i] = (line[i] + line[i - nch]) & 0xFF
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
         elif ftype == 2:  # Up
             for i in range(stride):
                 line[i] = (line[i] + prev[i]) & 0xFF
         elif ftype == 3:  # Average
             for i in range(stride):
-                left = line[i - nch] if i >= nch else 0
+                left = line[i - bpp] if i >= bpp else 0
                 line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
         elif ftype == 4:  # Paeth
             for i in range(stride):
-                a = line[i - nch] if i >= nch else 0
+                a = line[i - bpp] if i >= bpp else 0
                 b = prev[i]
-                c = prev[i - nch] if i >= nch else 0
+                c = prev[i - bpp] if i >= bpp else 0
                 p = a + b - c
                 pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
                 pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
@@ -441,12 +490,106 @@ def decode_png(blob: bytes) -> dict:
             raise ValueError(f"PNG scanline declares filter type {ftype}")
         out[y * stride : (y + 1) * stride] = line
         prev = line
+    if color == 3:
+        return _png_expand_palette(out, w, h, depth, stride, plte, trns)
+    return {
+        "kind": "png",
+        "width": w,
+        "height": h,
+        "n_channels": spp,
+        "bit_depth": depth,
+        "pixels": bytes(out),
+    }
+
+
+def _png_expand_palette(
+    defiltered: bytearray,
+    w: int,
+    h: int,
+    depth: int,
+    stride: int,
+    plte: bytes | None,
+    trns: bytes | None,
+) -> dict:
+    """PLTE expansion: defiltered index samples (1/2/4/8-bit, MSB-first
+    packing per the spec) → RGB bytes via the palette table, or RGBA when
+    a tRNS chunk supplies per-entry alpha (entries past its end are
+    opaque, per spec)."""
+    if plte is None:
+        raise ValueError("PNG color type 3 without a PLTE chunk")
+    n_entries = len(plte) // 3
+    nch = 4 if trns is not None else 3
+    out = bytearray(h * w * nch)
+    per_byte = 8 // depth
+    mask = (1 << depth) - 1
+    o = 0
+    for y in range(h):
+        row = defiltered[y * stride : (y + 1) * stride]
+        for x in range(w):
+            if depth == 8:
+                idx = row[x]
+            else:
+                b = row[x // per_byte]
+                shift = 8 - depth * (x % per_byte + 1)
+                idx = (b >> shift) & mask
+            if idx >= n_entries:
+                raise ValueError(
+                    f"PNG palette index {idx} outside the {n_entries}-entry PLTE"
+                )
+            out[o : o + 3] = plte[idx * 3 : idx * 3 + 3]
+            if nch == 4:
+                out[o + 3] = trns[idx] if idx < len(trns) else 255
+            o += nch
     return {
         "kind": "png",
         "width": w,
         "height": h,
         "n_channels": nch,
+        "bit_depth": 8,
         "pixels": bytes(out),
+    }
+
+
+def png_header_meta(blob: bytes) -> dict:
+    """Header-only PNG metadata: parse + CRC-verify IHDR (the spec pins it
+    as the first chunk) and length-hop the remaining chunk list to learn
+    whether a palette image carries tRNS alpha — NO inflate, NO per-byte
+    defilter.  This is the metadata-plumbing path: O(chunk count) instead
+    of O(h*stride) Python per row, returning exactly what
+    ``extract_media_meta`` needs (``decode_png`` stays the pixel path)."""
+    import struct
+    import zlib
+
+    if len(blob) < 33 or blob[:8] != PNG_SIGNATURE:
+        raise ValueError("not a PNG container")
+    (clen,) = struct.unpack_from(">I", blob, 8)
+    if blob[12:16] != b"IHDR" or clen != 13:
+        raise ValueError("PNG first chunk is not a 13-byte IHDR")
+    data = blob[16:29]
+    (crc,) = struct.unpack_from(">I", blob, 29)
+    if zlib.crc32(b"IHDR" + data) & 0xFFFFFFFF != crc:
+        raise ValueError("PNG chunk b'IHDR' CRC mismatch")
+    w, h, depth, color = _png_parse_ihdr(data)
+    nch = _PNG_SAMPLES[color]
+    if color == 3:
+        # palette expands to RGB, or RGBA when tRNS is present: hop the
+        # chunk headers (length fields only — no payload reads) to check
+        nch, pos = 3, 33
+        while pos + 8 <= len(blob):
+            (clen,) = struct.unpack_from(">I", blob, pos)
+            ctype = blob[pos + 4 : pos + 8]
+            if ctype == b"tRNS":
+                nch = 4
+                break
+            if ctype in (b"IDAT", b"IEND"):  # tRNS must precede IDAT
+                break
+            pos += 12 + clen
+    return {
+        "kind": "png",
+        "width": w,
+        "height": h,
+        "n_channels": nch,
+        "bit_depth": depth if color != 3 else 8,
     }
 
 
@@ -456,9 +599,10 @@ def _decode_meta(blob: bytes) -> dict:
     if blob[:4] == b"RIFF":
         return decode_wav(blob)
     if blob[:8] == PNG_SIGNATURE:
-        meta = decode_png(blob)
-        meta.pop("pixels")  # metadata path: dimensions only
-        return meta
+        # header-only: dimensions come from IHDR alone; inflating +
+        # defiltering the pixels just to discard them would cost
+        # O(h*stride) Python per row in the metadata hot path
+        return png_header_meta(blob)
     raise NotImplementedError(
         "no codec for this container in this environment (BMP, WAV and "
         "PNG decode natively; PIL/ffmpeg formats need a real codec "

@@ -1380,7 +1380,7 @@ def test_png_decode_golden_pixels_all_filters():
 
 
 def test_png_decode_loud_failures():
-    """CRC corruption, palette color type, and truncation all fail
+    """CRC corruption, Adam7 interlace, and truncation all fail
     loudly — never a fabricated pixel buffer."""
     import pytest
 
@@ -1390,18 +1390,19 @@ def test_png_decode_loud_failures():
     blob[20] ^= 0xFF  # flip an IHDR byte under its CRC
     with pytest.raises(ValueError, match="CRC"):
         decode_png(bytes(blob))
-    # palette (color type 3) is a loud NotImplementedError
+    # Adam7 interlace stays a loud NotImplementedError (palette decodes
+    # since round 13 — its golden test lives below)
     import struct
     import zlib as _z
 
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
-    pal = (
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
+    adam7 = (
         b"\x89PNG\r\n\x1a\n"
         + struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
         + struct.pack(">I", _z.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
     )
-    with pytest.raises(NotImplementedError, match="palette|color type 3"):
-        decode_png(pal)
+    with pytest.raises(NotImplementedError, match="interlace|Adam7"):
+        decode_png(adam7)
     with pytest.raises(ValueError, match="truncated|missing"):
         decode_png(_tiny_png(2, 2, 3, bytes(12), filters=[0, 0])[:30])
 
@@ -1423,6 +1424,230 @@ def test_png_through_media_meta_plumbing(spark):
     assert row["kind"] == "png"
     assert (row["width"], row["height"], row["n_channels"]) == (9, 4, 4)
     assert row["sample_rate"] is None and row["duration_ms"] is None
+
+
+def _png_blob(
+    width: int,
+    height: int,
+    depth: int,
+    color: int,
+    rows: list[bytes],
+    filters: list[int],
+    plte: bytes | None = None,
+    trns: bytes | None = None,
+) -> bytes:
+    """Generic hand-built PNG: pre-packed coded scanlines (``rows``, each
+    exactly one stride of raw sample bytes) are FORWARD-filtered with the
+    byte-aligned bpp the spec prescribes, so the decoder must invert the
+    recurrences at the right left-neighbor offset for every depth."""
+    import struct
+    import zlib
+
+    spp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+    stride = (width * spp * depth + 7) // 8
+    bpp = max(1, (spp * depth) // 8)
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    raw = bytearray()
+    prev = bytes(stride)
+    for line, f in zip(rows, filters):
+        assert len(line) == stride
+        enc = bytearray(line)
+        if f == 1:
+            for i in range(stride - 1, bpp - 1, -1):
+                enc[i] = (enc[i] - line[i - bpp]) & 0xFF
+        elif f == 2:
+            for i in range(stride):
+                enc[i] = (enc[i] - prev[i]) & 0xFF
+        elif f == 3:
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                enc[i] = (enc[i] - ((left + prev[i]) >> 1)) & 0xFF
+        elif f == 4:
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                enc[i] = (enc[i] - pred) & 0xFF
+        raw += bytes([f]) + bytes(enc)
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", width, height, depth, color, 0, 0, 0)
+    blob = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if plte is not None:
+        blob += chunk(b"PLTE", plte)
+    if trns is not None:
+        blob += chunk(b"tRNS", trns)
+    return blob + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+
+
+def test_png_palette_decode_golden():
+    """PLTE expansion golden-pixel: 8-bit palette indices through every
+    filter type expand to the exact RGB triples, tRNS upgrades the output
+    to RGBA with spec defaulting (entries past tRNS's end are opaque),
+    and an out-of-range index fails loudly."""
+    import pytest
+
+    from open_bus_siri_etl_spark.operators.multimodal import decode_png
+
+    plte = bytes([255, 0, 0, 0, 255, 0, 0, 0, 255, 17, 34, 51])  # 4 entries
+    w, h = 5, 4
+    idx_rows = [bytes((x + y) % 4 for x in range(w)) for y in range(h)]
+    out = decode_png(_png_blob(w, h, 8, 3, idx_rows, [0, 1, 2, 4], plte=plte))
+    assert (out["width"], out["height"], out["n_channels"]) == (w, h, 3)
+    assert out["bit_depth"] == 8
+    expected = b"".join(
+        plte[i * 3 : i * 3 + 3] for row in idx_rows for i in row
+    )
+    assert out["pixels"] == expected
+    # tRNS alpha: entry 0 translucent, 1 opaque-by-value, 2/3 default 255
+    out2 = decode_png(
+        _png_blob(w, h, 8, 3, idx_rows, [0, 3, 1, 2], plte=plte, trns=bytes([7, 255]))
+    )
+    assert out2["n_channels"] == 4
+    alphas = {7: 0, 255: 1}
+    expected2 = b"".join(
+        plte[i * 3 : i * 3 + 3] + bytes([7 if i == 0 else 255])
+        for row in idx_rows
+        for i in row
+    )
+    assert out2["pixels"] == expected2 and alphas
+    # palette index outside PLTE: loud ValueError, no fabricated pixels
+    bad_rows = [bytes([0, 1, 2, 3, 9]) for _ in range(h)]
+    with pytest.raises(ValueError, match="palette index"):
+        decode_png(_png_blob(w, h, 8, 3, bad_rows, [0, 0, 0, 0], plte=plte))
+    # PLTE missing entirely
+    with pytest.raises(ValueError, match="PLTE"):
+        decode_png(_png_blob(w, h, 8, 3, idx_rows, [0, 0, 0, 0]))
+
+
+def test_png_palette_subbyte_depths():
+    """1/2/4-bit palette rows pack indices MSB-first with zero padding at
+    the row tail (the spec's packing) — the decoder unpacks exactly w
+    indices per row at every sub-byte depth."""
+    from open_bus_siri_etl_spark.operators.multimodal import decode_png
+
+    plte = bytes([10, 11, 12, 20, 21, 22, 30, 31, 32, 40, 41, 42])
+
+    def pack_row(indices: list[int], depth: int) -> bytes:
+        per = 8 // depth
+        row = bytearray((len(indices) + per - 1) // per)
+        for x, i in enumerate(indices):
+            row[x // per] |= i << (8 - depth * (x % per + 1))
+        return bytes(row)
+
+    for depth, w in [(1, 11), (2, 7), (4, 5)]:
+        h = 3
+        idx = [[(x + y) % min(1 << depth, 4) for x in range(w)] for y in range(h)]
+        rows = [pack_row(r, depth) for r in idx]
+        out = decode_png(_png_blob(w, h, depth, 3, rows, [0, 1, 2], plte=plte))
+        assert (out["width"], out["height"], out["n_channels"]) == (w, h, 3)
+        expected = b"".join(
+            plte[i * 3 : i * 3 + 3] for r in idx for i in r
+        )
+        assert out["pixels"] == expected, f"depth {depth}"
+
+
+def test_png_16bit_decode_golden():
+    """16-bit RGB and grayscale round-trip: the defilter left-neighbor
+    offset is bpp BYTES (6 for RGB16, 2 for gray16), pixels come back as
+    big-endian 2-byte samples, bit_depth reports 16."""
+    import struct
+
+    from open_bus_siri_etl_spark.operators.multimodal import decode_png
+
+    w, h = 3, 4
+    samples = [
+        [((y * 7 + x * 3 + c) * 4099) & 0xFFFF for x in range(w) for c in range(3)]
+        for y in range(h)
+    ]
+    rows = [struct.pack(f">{w * 3}H", *r) for r in samples]
+    out = decode_png(_png_blob(w, h, 16, 2, rows, [0, 1, 2, 4]))
+    assert (out["n_channels"], out["bit_depth"]) == (3, 16)
+    assert out["pixels"] == b"".join(rows)
+    gray = [struct.pack(f">{w}H", *[(y * 60000 + x) & 0xFFFF for x in range(w)])
+            for y in range(h)]
+    out_g = decode_png(_png_blob(w, h, 16, 0, gray, [4, 3, 2, 1]))
+    assert (out_g["n_channels"], out_g["bit_depth"]) == (1, 16)
+    assert out_g["pixels"] == b"".join(gray)
+
+
+def test_png_inflate_is_bounded():
+    """A zlib bomb in IDAT (deflate stream inflating far past the payload
+    IHDR implies) fails loudly WITHOUT materializing the bomb, and an
+    IHDR declaring a pixel buffer over the decode cap is rejected before
+    any allocation."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from open_bus_siri_etl_spark.operators.multimodal import decode_png
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    # 2x2 RGB declares 2*(1+6)=14 payload bytes; IDAT inflates to 64 MiB
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    bomb = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(64 * 1024 * 1024)))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="exceeds|bomb"):
+        decode_png(bomb)
+    # IHDR-declared geometry over the cap: rejected before inflate
+    huge = struct.pack(">IIBBBBB", 1 << 16, 1 << 16, 8, 6, 0, 0, 0)
+    capped = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", huge)
+        + chunk(b"IDAT", zlib.compress(b"\x00"))
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(ValueError, match="decode cap"):
+        decode_png(capped)
+
+
+def test_png_header_meta_skips_pixel_work():
+    """png_header_meta returns the same (kind, width, height, n_channels)
+    as the full decode for every supported variant — from the IHDR alone.
+    Proof it never inflates: a blob whose IDAT is corrupt (full decode
+    raises) still yields metadata."""
+    import pytest
+
+    from open_bus_siri_etl_spark.operators.multimodal import (
+        decode_png,
+        png_header_meta,
+    )
+
+    plte = bytes([1, 2, 3, 4, 5, 6])
+    variants = [
+        _tiny_png(4, 5, 3, bytes(60), filters=[0, 1, 2, 3, 4]),
+        _png_blob(5, 4, 8, 3, [bytes(5)] * 4, [0] * 4, plte=plte),
+        _png_blob(
+            5, 4, 8, 3, [bytes(5)] * 4, [0] * 4, plte=plte, trns=bytes([9])
+        ),
+    ]
+    for blob in variants:
+        full, hdr = decode_png(blob), png_header_meta(blob)
+        for k in ("kind", "width", "height", "n_channels", "bit_depth"):
+            assert hdr[k] == full.get(k, 8), k
+    corrupt = bytearray(variants[0])
+    corrupt[-20] ^= 0xFF  # scramble inside IDAT (under its CRC)
+    with pytest.raises(ValueError):
+        decode_png(bytes(corrupt))
+    assert png_header_meta(bytes(corrupt))["width"] == 4
 
 
 def test_minhash_index_params_and_disjointness_guards(spark):
