@@ -78,21 +78,36 @@ def main() -> None:
     # anchored even under background load (round-6/7 verdict directive)
     extra_repeat_names = {"kmeans_clusters_k32", "heavy_hitters_mg"}
     extra_repeats = max(repeats, 5)
-    # Idle gate (round-12 load-hygiene ritual): a committed close artifact
-    # should be captured idle — with SPARK_GRAFT_BENCH_REQUIRE_IDLE=1 the
-    # bench WAITS (up to SPARK_GRAFT_BENCH_IDLE_WAIT_SEC, default 600) for
-    # the 1-min loadavg to drop below the flag threshold before timing,
-    # and the artifact records how long it waited and whether the gate
-    # held.  Driver runs (no env) are unchanged; consumers still read
-    # load_flag to discount busy-box captures.
-    idle_waited = 0
-    if os.environ.get("SPARK_GRAFT_BENCH_REQUIRE_IDLE") == "1":
-        idle_budget = int(
-            os.environ.get("SPARK_GRAFT_BENCH_IDLE_WAIT_SEC", "600")
+    # Idle gate (round-12 load-hygiene ritual, SELF-GATING since round 13
+    # per the r12 verdict: driver runs don't set env vars, so the bench
+    # now waits on its own).  Two tiers:
+    #   - default: if the 1-min loadavg exceeds 8 (a genuinely busy box —
+    #     ~25% of this 32-core host before the bench's own threads), wait
+    #     up to SPARK_GRAFT_BENCH_IDLE_WAIT_SEC (default 300) for it to
+    #     drop, else proceed and record a timing_note in the artifact;
+    #   - SPARK_GRAFT_BENCH_REQUIRE_IDLE=1 (builder close ritual): the
+    #     stricter threshold 4 with a 600 s default budget.
+    # SPARK_GRAFT_BENCH_NO_GATE=1 disables all waiting (CI smoke runs).
+    require_idle = os.environ.get("SPARK_GRAFT_BENCH_REQUIRE_IDLE") == "1"
+    gate_threshold = 4.0 if require_idle else 8.0
+    idle_budget = int(
+        os.environ.get(
+            "SPARK_GRAFT_BENCH_IDLE_WAIT_SEC", "600" if require_idle else "300"
         )
-        while os.getloadavg()[0] > 4.0 and idle_waited < idle_budget:
-            time.sleep(15)
-            idle_waited += 15
+    )
+    if os.environ.get("SPARK_GRAFT_BENCH_NO_GATE") == "1":
+        idle_budget = 0
+    idle_waited = 0
+    while os.getloadavg()[0] > gate_threshold and idle_waited < idle_budget:
+        time.sleep(15)
+        idle_waited += 15
+    timing_note = None
+    if os.getloadavg()[0] > gate_threshold and idle_budget > 0:
+        timing_note = (
+            f"idle gate expired after {idle_waited}s with 1-min loadavg "
+            f"{os.getloadavg()[0]:.1f} > {gate_threshold:g}: timings below "
+            "are inflated by background load; trust per-query mins only"
+        )
     load_before = os.getloadavg()
     timings: dict[str, float] = {}
     per_repeat: dict[str, list[float]] = {}
@@ -136,7 +151,10 @@ def main() -> None:
         "loadavg_after": [round(x, 2) for x in load_after],
         "load_flag": load_flag,
         "idle_gate_waited_sec": idle_waited,
+        "idle_gate_threshold": gate_threshold,
     }
+    if timing_note:
+        out["timing_note"] = timing_note
 
     # Regression guard: compare against the committed standing baseline
     # (round-1 driver numbers) so a slower plan is mechanically visible.

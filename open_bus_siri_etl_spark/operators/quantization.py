@@ -37,7 +37,11 @@ import hashlib
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .similarity import _nearest_centroids, _topk_per_query
+from .similarity import (
+    _eager_provenance_check,
+    _nearest_centroids,
+    _topk_per_query,
+)
 
 # FAISS QT_8bit: codes are floor(x01 * 256) clamped to [0, 255], decoded
 # at the cell midpoint (code + 0.5) / 256.
@@ -373,8 +377,12 @@ def sq8_topk_serve(
     persisted content fingerprint is checked against one recomputed from
     THIS call's (cents, bounds) — serving a residual store raw, or with
     bounds/centroids from a different training, raises instead of
-    silently decoding against the wrong grid.  ``n_centroids`` defaults
-    to the presented codebook's row count.
+    silently decoding against the wrong grid.  Both checks run EAGERLY
+    on a bounded store sample at plan build (``_eager_provenance_check``,
+    r12 ADVICE — a mismatched store whose clusters miss every probed
+    cell raises instead of returning silently empty) and again in-plan
+    for every surviving row.  ``n_centroids`` defaults to the presented
+    codebook's row count.
 
     Output: (query_id, neighbor_id, rank, sq8_d2); self-matches excluded.
     """
@@ -388,6 +396,7 @@ def sq8_topk_serve(
     n_c = n_centroids if n_centroids is not None else cents.count()
     expected = sq8_params_tag(n_c, coarse_metric, residual, len(bounds))
     live_fp = sq8_fingerprint(cents, bounds, "_live_fp")
+    _eager_provenance_check(index, "sq8_fp", expected, live_fp, op)
     index = index.crossJoin(F.broadcast(live_fp)).select(
         F.when(
             F.col("params") != expected,

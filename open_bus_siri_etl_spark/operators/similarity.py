@@ -1705,6 +1705,47 @@ def _codebook_fingerprint(cents: DataFrame, out: str) -> DataFrame:
     ).agg(F.coalesce(F.sum("_h"), F.lit(-1)).alias(out))
 
 
+def _eager_provenance_check(
+    index: DataFrame,
+    fp_col: str,
+    expected_tag: str,
+    live_fp: DataFrame,
+    op: str,
+    sample_rows: int = 16,
+) -> None:
+    """Driver-side provenance pre-check run BEFORE a serve plan is built
+    (r12 ADVICE): the in-plan ``raise_error`` guards only fire for store
+    rows that survive partition pruning and the cluster-probe join, so a
+    mismatched store whose clusters don't overlap the probed cells would
+    return silently empty instead of raising.  This eager check collects
+    a BOUNDED sample of the store's (params, fingerprint) — ``limit``
+    stops the scan after a handful of rows, never data-sized — plus the
+    one-row live fingerprint, and raises on any mismatch at plan build.
+    The in-plan check stays as defense in depth: it covers EVERY
+    surviving row, catching a mixed-provenance store beyond the sample.
+    An empty store passes (nothing was encoded against anything — the
+    serve is legitimately empty)."""
+    sample = index.select("params", fp_col).limit(sample_rows).collect()
+    if not sample:
+        return
+    live = live_fp.collect()[0][0]
+    for r in sample:
+        if r["params"] != expected_tag:
+            raise ValueError(
+                f"{op}: store was built with params {r['params']} but this "
+                f"call expects {expected_tag} — the parameter family must "
+                "match the one the store was built as (rebuild the store "
+                "to change family)"
+            )
+        if r[fp_col] != live:
+            raise ValueError(
+                f"{op}: quantizer fingerprint mismatch — the codebook/"
+                "bounds presented at serve are not the pair the store was "
+                "encoded against (retrained or regenerated quantizer); "
+                "rebuild/retrain the store or serve with the persisted pair"
+            )
+
+
 def _codebook_fingerprint_pair(
     coarse: DataFrame, fine: DataFrame, out: str
 ) -> DataFrame:
@@ -1956,7 +1997,9 @@ def ivf_pq_topk_serve(
     (``cb_fp``) is checked against one recomputed from THIS call's
     ``cents`` frame — parameters alone cannot see a regenerated or
     re-embedded codebook with the same counts, and either mismatch
-    silently corrupts every ADC distance.  Serve with the SAME persisted
+    silently corrupts every ADC distance.  Both checks also run EAGERLY
+    on a bounded store sample at plan build (``_eager_provenance_check``)
+    so a mismatched store raises even when pruning would drop every row.  Serve with the SAME persisted
     codebook frame the build used (a superset frame with identical rows
     fingerprints identically only if it is row-identical — conservative
     by design).  An undersized or empty frozen-codebook frame raises via
@@ -1981,6 +2024,7 @@ def ivf_pq_topk_serve(
         if fine_cents is None
         else _codebook_fingerprint_pair(cents, fine_cents, "_live_fp")
     )
+    _eager_provenance_check(index, "cb_fp", expected, live_fp, op)
     idx = index.crossJoin(F.broadcast(live_fp)).select(
         F.when(
             F.col("params") != expected,

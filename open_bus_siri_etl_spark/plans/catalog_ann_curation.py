@@ -3768,3 +3768,72 @@ def chunk_then_pack_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         t(spark, sf_dir, "documents"), window=32, stride=16, budget=256,
         n_streams=64,
     )
+
+
+@register(
+    "pack_with_text",
+    """
+    WITH RECURSIVE tok AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    st AS (
+        SELECT doc_id, toks,
+               unnest(generate_series(0, len(toks) - 1, 16)) AS start
+        FROM tok
+    ),
+    ch AS (
+        SELECT doc_id,
+               start // 16 AS chunk_id,
+               doc_id % 64 AS stream,
+               least(32, len(toks) - start) AS n_tokens,
+               array_to_string(list_slice(toks, start + 1, start + 32), ' ')
+                   AS chunk_text
+        FROM st
+    ),
+    o AS (
+        SELECT doc_id, chunk_id, stream, n_tokens, chunk_text,
+               row_number() OVER (
+                   PARTITION BY stream ORDER BY doc_id, chunk_id) AS rn
+        FROM ch
+    ),
+    r AS (
+        SELECT doc_id, chunk_id, stream, n_tokens, rn,
+               n_tokens AS acc, CAST(0 AS BIGINT) AS pack_id
+        FROM o WHERE rn = 1
+        UNION ALL
+        SELECT o.doc_id, o.chunk_id, o.stream, o.n_tokens, o.rn,
+               CASE WHEN r.acc + o.n_tokens > 256
+                    THEN o.n_tokens ELSE r.acc + o.n_tokens END,
+               CASE WHEN r.acc + o.n_tokens > 256
+                    THEN r.pack_id + 1 ELSE r.pack_id END
+        FROM r JOIN o ON o.stream = r.stream AND o.rn = r.rn + 1
+    )
+    SELECT r.doc_id, r.chunk_id, r.stream, r.pack_id, r.n_tokens,
+           o.chunk_text
+    FROM r JOIN o ON o.stream = r.stream AND o.rn = r.rn
+    """,
+    note="chunk_then_pack WITH the chunk text re-materialized (r12 "
+    "verdict directive #7) — the re-join that operator's docstring told "
+    "callers to hand-roll, shipped as one operator so it can't be "
+    "hand-rolled wrong.  chunk_text STILL never travels through the "
+    "pack shuffle: the packer works on (doc_id, chunk_id, n_tokens) "
+    "int triples, then the packed side (five ints per chunk) "
+    "BROADCASTS into a map-side hash join against the map-only "
+    "re-derived chunk relation — tokenize (map), pack ints (one "
+    "n_streams shuffle of ints), join text back (map); the heavy text "
+    "side never shuffles at all (plan-asserted).  broadcast_packed="
+    "False falls back to a plain equi-join for corpora where even the "
+    "triples outgrow memory.  Oracle = the chunk_then_pack recursive "
+    "CTE with the chunk relation carrying its text, joined back on the "
+    "stream ordinal",
+)
+def pack_with_text_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.packing import pack_with_text
+
+    # 64 streams for the same recursion-depth reason as chunk_then_pack:
+    # the DuckDB twin walks one recursion level per chunk per stream and
+    # Spark's recursive-CTE conformance run caps at 100 levels
+    return pack_with_text(
+        t(spark, sf_dir, "documents"), window=32, stride=16, budget=256,
+        n_streams=64,
+    )

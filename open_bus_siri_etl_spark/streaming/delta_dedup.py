@@ -796,17 +796,41 @@ def relayout_store_by_cluster(
     ``sq8_topk_serve`` ignore the extra partitioning column's absence —
     the relayout drops ``ingest_batch``); freshness is the caller's
     trade — batches landed after the relayout are only in the append
-    store.  Returns {rows, n_clusters}."""
+    store (``serve_frame`` below unions the two for a fresh serve).
+    Returns {rows, n_clusters}.
+
+    Guarded against the easy misuse (r12 ADVICE): ``serving_path`` must
+    differ from ``index_path``, and must not already hold an
+    ``ingest_batch``-partitioned store — either would silently REPLACE
+    an append store with the batch-column-less serving layout, breaking
+    the stream's replay idempotency on its next start ("leaves the
+    append store untouched" is the contract)."""
     if checkpoint_dir is not None:
         _assert_drained_checkpoint(spark, checkpoint_dir)
+    if serving_path.rstrip("/") == index_path.rstrip("/"):
+        raise ValueError(
+            "relayout_store_by_cluster: serving_path must differ from "
+            "index_path — relaying out in place would replace the append "
+            "store and drop its ingest_batch partitioning (replay "
+            "idempotency breaks on the next stream start)"
+        )
+    target = _read_or_none(spark, serving_path)
+    if target is not None and "ingest_batch" in target.columns:
+        raise ValueError(
+            f"relayout_store_by_cluster: {serving_path} already holds an "
+            "ingest_batch-partitioned store (an append store, not a "
+            "serving copy) — refusing to overwrite it with the serving "
+            "layout"
+        )
     log = _read_or_none(spark, index_path)
     if log is None:
-        return {"rows": 0, "n_clusters": 0}
+        return {"rows": 0, "n_clusters": 0, "max_ingest_batch": None}
     if "cluster" not in log.columns:
         raise ValueError(
             f"relayout_store_by_cluster: the store at {index_path} has no "
             "cluster column — this job relays out IVF-family index stores"
         )
+    max_batch = log.agg(F.max("ingest_batch")).collect()[0][0]
     serving = log.drop("ingest_batch")
     stage = serving_path + "._compact_staging"
     serving.write.mode("overwrite").parquet(stage)
@@ -820,7 +844,63 @@ def relayout_store_by_cluster(
     )
     _fs_delete(spark, marker)
     _fs_delete(spark, stage)
-    return {"rows": n_rows, "n_clusters": n_clusters}
+    return {
+        "rows": n_rows,
+        "n_clusters": n_clusters,
+        # the copy's high-water mark: pass to serve_frame as since_batch
+        "max_ingest_batch": max_batch,
+    }
+
+
+def serve_frame(
+    spark: SparkSession,
+    serving_path: str,
+    index_path: str,
+    since_batch: int,
+) -> DataFrame:
+    """FRESH serve view over a relayed-out streaming index store — the
+    union that closes ``relayout_store_by_cluster``'s documented staleness
+    trade: the cluster-partitioned serving copy answers for everything up
+    to the relayout's high-water mark (``since_batch`` — returned by the
+    relayout as ``max_ingest_batch``), and only the APPEND-store
+    partitions landed after it (``ingest_batch > since_batch``) are
+    unioned on top.
+
+    Both sides stay partition-pruned: a downstream cluster-probe filter
+    pushes through the union into the copy's ``cluster`` PartitionFilters,
+    while the tail side reads only the post-relayout ``ingest_batch``
+    partitions (its own PartitionFilters) — so freshness costs one small
+    tail scan, never a second full-store read.  The result is
+    row-multiset-equal to the full append store minus ``ingest_batch``
+    (test-pinned), so ``sq8_topk_serve`` / ``ivf_pq_topk_serve`` answer
+    identically from it mid-stream.  Run the next relayout to fold the
+    tail back into the copy.
+
+    The serving copy must exist (relayout first); a mid-relayout read
+    fails loudly via the ``._compacting`` marker, same as every store
+    reader here."""
+    serving = _read_or_none(spark, serving_path)
+    if serving is None:
+        raise ValueError(
+            f"serve_frame: no serving copy at {serving_path} — run "
+            "relayout_store_by_cluster first (serve_frame unions a copy "
+            "with the append tail; it does not create the copy)"
+        )
+    if "ingest_batch" in serving.columns:
+        raise ValueError(
+            f"serve_frame: {serving_path} holds an ingest_batch-"
+            "partitioned store (an append store, not a serving copy) — "
+            "pass the relayout target as serving_path"
+        )
+    tail = _read_or_none(spark, index_path)
+    if tail is None:
+        return serving
+    tail = (
+        tail.filter(F.col("ingest_batch") > F.lit(since_batch))
+        .drop("ingest_batch")
+        .select(serving.columns)
+    )
+    return serving.unionByName(tail)
 
 
 def retrain_ivf_pq_store(

@@ -114,3 +114,55 @@ def test_chunk_then_pack_single_shuffle(spark):
     # formatted plans list each node twice (tree + detail section) —
     # count the numbered detail entries, one per physical node
     assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+
+
+def test_pack_with_text_row_parity_and_text(spark):
+    """pack_with_text == chunk_then_pack + the chunk's exact text: same
+    row set on the triple columns (parity pinned), and each row's
+    chunk_text equals the sliding_window_chunks text for its
+    (doc_id, chunk_id)."""
+    from open_bus_siri_etl_spark.operators.packing import (
+        chunk_then_pack,
+        pack_with_text,
+        sliding_window_chunks,
+    )
+
+    texts = [" ".join(f"w{d}_{i}" for i in range(5 + 3 * d)) for d in range(6)]
+    docs = _df(spark, texts)
+    kw = dict(window=4, stride=2, budget=10, n_streams=3)
+    packed = chunk_then_pack(docs, **kw)
+    with_text = pack_with_text(docs, **kw)
+    cols = ["doc_id", "chunk_id", "stream", "pack_id", "n_tokens"]
+    key = lambda df: sorted(map(tuple, df.select(cols).collect()))
+    assert key(with_text) == key(packed)
+    chunk_text = {
+        (r["doc_id"], r["chunk_id"]): r["chunk_text"]
+        for r in sliding_window_chunks(docs, window=4, stride=2).collect()
+    }
+    for r in with_text.collect():
+        assert r["chunk_text"] == chunk_text[(r["doc_id"], r["chunk_id"])]
+    # the fallback equi-join path answers identically
+    plain = pack_with_text(docs, broadcast_packed=False, **kw)
+    assert sorted(map(tuple, plain.collect())) == sorted(
+        map(tuple, with_text.collect())
+    )
+
+
+def test_pack_with_text_text_side_never_shuffles(spark):
+    """Plan shape (the operator's reason to exist): the ONLY exchange is
+    the int-triple stream repartition feeding the packer — the text side
+    re-materializes through a BroadcastHashJoin, so chunk text never
+    crosses a shuffle."""
+    import re
+
+    from open_bus_siri_etl_spark.operators.packing import pack_with_text
+
+    out = pack_with_text(_df(spark, ["a b c d e f g h"]), n_streams=2)
+    plan = out._sc._jvm.PythonSQLUtils.explainString(
+        out._jdf.queryExecution(), "formatted"
+    )
+    exchanges = re.findall(r"\(\d+\) Exchange", plan)
+    # one shuffle exchange (the stream repartition) + possibly broadcast
+    # exchanges, which carry 'BroadcastExchange' — count plain ones only
+    assert len(exchanges) == 1, plan
+    assert "BroadcastHashJoin" in plan, plan

@@ -754,6 +754,9 @@ FULL_REGISTRY_ORDER = [
     "ivf_pq_balanced_residual_topk",
     "pq_balanced_residual_recall_eval",
     "chunk_then_pack",
+    # round 13: text re-materialization for packed sequences, LSH-banded
+    # contamination screen
+    "pack_with_text",
 ]
 
 

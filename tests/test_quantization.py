@@ -411,3 +411,75 @@ def test_sq8_d2_unrolled_equals_fold(spark):
         index, cents, qs, bounds, k=5, n_probe=2, dim=64
     )
     assert key(fold) == key(unrolled)
+
+
+def test_sq8_serve_provenance_checked_eagerly(spark):
+    """r12 ADVICE: the provenance guard fires at PLAN BUILD (driver-side
+    bounded sample), not only in-plan for rows that survive partition
+    pruning and the probe join — so a mismatched store raises even when
+    its clusters don't overlap any probed cell, where the in-plan guard
+    alone would return silently empty.  An EMPTY store still serves
+    (legitimately) empty."""
+    import pytest
+
+    from open_bus_siri_etl_spark.operators.quantization import (
+        build_sq8_index,
+        sq8_topk_serve,
+    )
+
+    emb = _emb(spark)
+    qs = emb.filter(F.col("vec_id").between(8, 11))
+    cents = (
+        emb.orderBy("vec_id").limit(8)
+        .select(F.col("vec_id").alias("cent_id"),
+                F.col("embedding").alias("cent_vec"))
+    )
+    bounds = sq8_train(emb)
+    store = build_sq8_index(emb, cents, bounds)
+    # keep ONLY clusters no query can probe with n_probe=1 against a
+    # single-centroid codebook frame restricted to cent_id 0 — then
+    # drift the bounds: pre-r13 this returned empty, now it raises at
+    # the sq8_topk_serve CALL (note: no .collect() below)
+    drifted = [(mn - 1.0, mx + 1.0) for mn, mx in bounds]
+    with pytest.raises(ValueError, match="fingerprint"):
+        sq8_topk_serve(
+            store.filter(F.col("cluster") > 0), cents, qs, drifted, k=3,
+            n_probe=1, n_centroids=8,
+        )
+    # family mismatch is equally eager
+    with pytest.raises(ValueError, match="params"):
+        sq8_topk_serve(
+            store.filter(F.col("cluster") > 0), cents, qs, bounds, k=3,
+            residual=True, n_centroids=8,
+        )
+    # empty store: nothing was encoded against anything — serve is
+    # legitimately empty, not an error
+    assert (
+        sq8_topk_serve(
+            store.filter("false"), cents, qs, drifted, k=3, n_centroids=8
+        ).count() == 0
+    )
+
+
+def test_ivf_pq_serve_provenance_checked_eagerly(spark):
+    """Same eager plan-build guard for the PQ family: a store served with
+    a regenerated codebook raises at the ivf_pq_topk_serve call even if
+    every store row would be pruned before the in-plan check."""
+    import pytest
+
+    from open_bus_siri_etl_spark.operators.similarity import (
+        build_ivf_pq_index,
+        ivf_pq_topk_serve,
+    )
+
+    from open_bus_siri_etl_spark.operators.similarity import (
+        ivf_pq_centroids,
+    )
+
+    emb = _emb(spark)
+    qs = emb.filter(F.col("vec_id").between(8, 11))
+    cents = ivf_pq_centroids(emb, n_keep=8)
+    store = build_ivf_pq_index(emb, cents=cents)
+    other = ivf_pq_centroids(emb.filter("vec_id >= 100"), n_keep=8)
+    with pytest.raises(ValueError, match="fingerprint"):
+        ivf_pq_topk_serve(store.filter(F.col("cluster") > 0), other, qs, k=3)

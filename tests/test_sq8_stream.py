@@ -458,3 +458,114 @@ def test_sq8_store_relayout_by_cluster_prunes_partitions(spark, tmp_path):
 
     pf = re.search(r"PartitionFilters: \[(.*?)\]", plan).group(1)
     assert "cluster" in pf, plan
+
+
+def test_relayout_refuses_to_replace_the_append_store(spark, tmp_path):
+    """r12 ADVICE: relaying out in place (serving_path == index_path), or
+    onto a path that already holds an ingest_batch-partitioned append
+    store, would silently drop the batch partitioning and break replay
+    idempotency — both misuses are refused before any write."""
+    from open_bus_siri_etl_spark.streaming.delta_dedup import (
+        relayout_store_by_cluster,
+    )
+
+    emb = _emb(spark)
+    landing = tmp_path / "landing"
+    _land(emb, landing, n_batches=1)
+    index_path = str(tmp_path / "index")
+    q = start_sq8_index_stream(
+        spark, str(landing), index_path, str(tmp_path / "cents"),
+        str(tmp_path / "bounds"), str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(120)
+    with pytest.raises(ValueError, match="differ from"):
+        relayout_store_by_cluster(spark, index_path, index_path)
+    with pytest.raises(ValueError, match="differ from"):
+        relayout_store_by_cluster(spark, index_path, index_path + "/")
+    # a SECOND append store at the target: also refused
+    other = str(tmp_path / "other_append")
+    spark.read.parquet(index_path).write.partitionBy(
+        "ingest_batch"
+    ).parquet(other)
+    with pytest.raises(ValueError, match="append store"):
+        relayout_store_by_cluster(spark, index_path, other)
+    # the append store is untouched by the refused calls
+    assert "ingest_batch" in spark.read.parquet(index_path).columns
+
+
+def test_serve_frame_unions_fresh_tail_with_pruned_copy(spark, tmp_path):
+    """The relayout staleness trade, closed: batches landed AFTER the
+    relayout exist only in the append store; serve_frame unions the
+    cluster-partitioned copy with just those tail partitions, so a
+    mid-stream serve equals a serve over the full append store — while
+    the copy side of the plan keeps its cluster PartitionFilters and the
+    tail side prunes on ingest_batch."""
+    import re
+
+    from open_bus_siri_etl_spark.streaming.delta_dedup import (
+        relayout_store_by_cluster,
+        serve_frame,
+    )
+
+    emb = _emb(spark)
+    landing = tmp_path / "landing"
+    _land(emb.filter("vec_id % 2 = 0"), landing, n_batches=2)
+    index_path = str(tmp_path / "index")
+    cents_path = str(tmp_path / "cents")
+    bounds_path = str(tmp_path / "bounds")
+    ckpt = str(tmp_path / "ckpt")
+    serving_path = str(tmp_path / "serving")
+    q = start_sq8_index_stream(
+        spark, str(landing), index_path, cents_path, bounds_path, ckpt,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(180)
+    out = relayout_store_by_cluster(
+        spark, index_path, serving_path, checkpoint_dir=ckpt
+    )
+    assert out["max_ingest_batch"] is not None
+    # serve_frame refuses an append store passed as the copy, and a
+    # missing copy
+    with pytest.raises(ValueError, match="append store"):
+        serve_frame(spark, index_path, index_path, out["max_ingest_batch"])
+    with pytest.raises(ValueError, match="no serving copy"):
+        serve_frame(
+            spark, str(tmp_path / "nowhere"), index_path,
+            out["max_ingest_batch"],
+        )
+
+    # the stream keeps going: odd ids land post-relayout
+    emb.filter("vec_id % 2 = 1").coalesce(1).write.parquet(
+        str(landing / "batch_late")
+    )
+    q2 = start_sq8_index_stream(
+        spark, str(landing), index_path, cents_path, bounds_path, ckpt,
+        max_files_per_trigger=1,
+    )
+    q2.awaitTermination(180)
+
+    fresh = serve_frame(spark, serving_path, index_path, out["max_ingest_batch"])
+    append_store = spark.read.parquet(index_path)
+    assert append_store.count() > out["rows"]  # the tail actually landed
+    cols = sorted(fresh.columns)
+    assert _multiset(fresh.select(cols)) == _multiset(
+        append_store.drop("ingest_batch").select(cols)
+    )
+    # serve answers identically from the union and the full append store
+    bounds = read_sq8_bounds(spark, bounds_path, "raw")
+    cents = spark.read.parquet(cents_path).drop("cb_kind")
+    qs = emb.filter("vec_id BETWEEN 8 AND 15")
+    assert _multiset(
+        sq8_topk_serve(fresh, cents, qs, bounds, k=5, n_centroids=8)
+    ) == _multiset(
+        sq8_topk_serve(append_store, cents, qs, bounds, k=5, n_centroids=8)
+    )
+    # plan shape: a cluster filter pushes into the COPY's partition
+    # pruning, and the tail side prunes on ingest_batch > since_batch
+    one = fresh.filter(F.col("cluster") == 0)
+    plan = one._sc._jvm.PythonSQLUtils.explainString(
+        one._jdf.queryExecution(), "formatted"
+    )
+    pfs = re.findall(r"PartitionFilters: \[(.*?)\]", plan)
+    assert any("cluster" in pf for pf in pfs), plan
+    assert any("ingest_batch" in pf for pf in pfs), plan
