@@ -478,6 +478,100 @@ def contamination_overlap(
     )
 
 
+def contamination_lsh(
+    train: DataFrame,
+    evalset: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    min_common: int = 2,
+    perms: int = MINHASH_PERMS,
+    bands: int = MINHASH_BANDS,
+    eval_keys: DataFrame | None = None,
+) -> DataFrame:
+    """LSH-banded train/eval contamination screen — the n-gram-scale
+    sibling of ``contamination_overlap`` (r12 verdict directive #8).
+
+    Where the exact pass streams the train corpus's FULL posting list
+    past the broadcast eval postings (each train document explodes to
+    ~len(doc) shingle rows, every one of which probes the hash join), a
+    100 TB corpus screens via banding: the train side is SIGNED instead
+    — 64 minhashes folded to ``bands`` band keys, a CONSTANT ``bands``
+    rows per document regardless of length — and probes the eval set's
+    persisted band-key index (``build_minhash_index`` over the benchmark
+    suite, broadcast: benchmarks are tiny next to the corpus).  Only the
+    banded CANDIDATES are re-shingled for the exact-overlap verification
+    (a semi-join restriction — O(matches), the ``minhash_delta_dedup``
+    verification shape), so per-run work is O(|train| signatures +
+    candidates) with the one aggregation shuffle bounded by candidate
+    count, never corpus size.
+
+    Pass ``eval_keys`` (the persisted index) to skip re-signing the
+    benchmark suite per run; its ``params`` tag is checked in-plan
+    against this call's (n, perms, bands), the ``minhash_delta_dedup``
+    guard.
+
+    Output: the ``contamination_overlap`` contract — (doc_id, eval_id,
+    n_common >= min_common) — RESTRICTED to pairs sharing at least one
+    full band (the LSH family's standard banding recall curve: near-
+    verbatim contamination, the decontamination target, collides with
+    probability ~1)."""
+    expected = _minhash_params_tag(n, perms, bands)
+    if eval_keys is None:
+        eval_keys = build_minhash_index(evalset, text_col, n, perms, bands)
+    elif "params" not in eval_keys.columns:
+        raise ValueError(
+            "contamination_lsh: eval_keys lacks the params column — "
+            "rebuild it with build_minhash_index (format: doc_id, band, "
+            "band_key, params)"
+        )
+    eval_keys = eval_keys.select(
+        F.when(F.col("params") == expected, F.col("doc_id"))
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("contamination_lsh: eval_keys was built as "),
+                    F.col("params"),
+                    F.lit(
+                        f" but this call probes {expected} — a mismatched "
+                        "band family silently collapses recall; rebuild "
+                        "the eval index with matching (n, perms, bands)"
+                    ),
+                )
+            )
+        )
+        .alias("eval_id"),
+        "band",
+        "band_key",
+    )
+    train_keys = lsh_band_keys(
+        minhash_signatures(shingle_postings(train, text_col, n), perms),
+        bands,
+        perms,
+    )
+    cand = (
+        train_keys.join(F.broadcast(eval_keys), ["band", "band_key"])
+        .select("doc_id", "eval_id")
+        .distinct()
+    )
+    tp = shingle_postings(
+        train.join(
+            cand.select("doc_id").distinct(), "doc_id", "left_semi"
+        ),
+        text_col,
+        n,
+    )
+    ep = shingle_postings(evalset, text_col, n, spread=False).withColumnRenamed(
+        "doc_id", "eval_id"
+    )
+    return (
+        tp.join(F.broadcast(ep), "shingle")
+        .groupBy("doc_id", "eval_id")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+        .join(cand, ["doc_id", "eval_id"], "left_semi")
+        .filter(F.col("n_common") >= min_common)
+    )
+
+
 def minhash_delta_dedup(
     history: DataFrame,
     delta: DataFrame,

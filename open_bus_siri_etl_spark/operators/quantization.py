@@ -41,6 +41,7 @@ from .similarity import (
     _eager_provenance_check,
     _nearest_centroids,
     _topk_per_query,
+    l2_normalize_expr,
 )
 
 # FAISS QT_8bit: codes are floor(x01 * 256) clamped to [0, 255], decoded
@@ -65,13 +66,22 @@ SQ8_SERVING_DEFAULTS = {
 
 
 def sq8_params_tag(
-    n_centroids: int, metric: str, residual: bool, dim: int
+    n_centroids: int,
+    metric: str,
+    residual: bool,
+    dim: int,
+    l2_normalize: bool = False,
 ) -> str:
     """The family tag stamped on every index row by ``build_sq8_index``
     — same role as ``_ivf_pq_params_tag``: a serve/append against a
     store built with different flags (trained=/residual=/geometry) must
-    fail loudly, not return wrong neighbors."""
-    return f"sq8:c{n_centroids}:{metric}:res{int(residual)}:d{dim}"
+    fail loudly, not return wrong neighbors.  A normalized deployment
+    (``l2_normalize`` at ingest — the scale_shock fix) appends
+    ``:norm1``; existing stores' tags are unchanged (the suffix only
+    appears when the flag is set), and the suffix is what makes a
+    normalized store refuse un-normalized appends and vice versa."""
+    tag = f"sq8:c{n_centroids}:{metric}:res{int(residual)}:d{dim}"
+    return tag + (":norm1" if l2_normalize else "")
 
 
 def _bounds_content_hash(bounds: list[tuple[float, float]]) -> int:
@@ -297,6 +307,7 @@ def build_sq8_index(
     coarse_metric: str = "cosine",
     n_cents: int | None = None,
     residual: bool = False,
+    l2_normalize: bool = False,
 ) -> DataFrame:
     """The persisted IVF-SQ8 store: (id, cluster, sq8_code) — coarse
     assignment against ``cents`` (cosine for the lowest-id stand-in
@@ -318,7 +329,14 @@ def build_sq8_index(
     bounds from a different training, fail loudly instead of silently
     returning wrong neighbors."""
     n_c = n_cents if n_cents is not None else cents.count()
-    tag = sq8_params_tag(n_c, coarse_metric, residual, len(bounds))
+    if l2_normalize:
+        # map-only unit-sphere projection at ingest (the scale_shock
+        # fix): on the unit sphere the trained-L2 probe agrees with
+        # cosine truth regardless of the corpus's scale mixture.  The
+        # codebook and bounds must have been trained on normalized
+        # vectors; the :norm1 tag makes a mixed store fail loudly.
+        corpus = corpus.withColumn(vec_col, l2_normalize_expr(vec_col))
+    tag = sq8_params_tag(n_c, coarse_metric, residual, len(bounds), l2_normalize)
     fp = sq8_fingerprint(cents, bounds, "sq8_fp")
     if residual:
         res = sq8_residual_frame(
@@ -358,6 +376,7 @@ def sq8_topk_serve(
     coarse_metric: str = "cosine",
     residual: bool = False,
     n_centroids: int | None = None,
+    l2_normalize: bool = False,
 ) -> DataFrame:
     """Serve top-k from a persisted SQ8 store: the query batch probes its
     ``n_probe`` nearest coarse cells (tiny frame), equi-joins the store on
@@ -394,7 +413,13 @@ def sq8_topk_serve(
             "sq8_code, sq8_fp, params)"
         )
     n_c = n_centroids if n_centroids is not None else cents.count()
-    expected = sq8_params_tag(n_c, coarse_metric, residual, len(bounds))
+    if l2_normalize:
+        # unit-sphere store: queries enter the same space (map-only,
+        # mirroring the ingest side)
+        queries = queries.withColumn(vec_col, l2_normalize_expr(vec_col))
+    expected = sq8_params_tag(
+        n_c, coarse_metric, residual, len(bounds), l2_normalize
+    )
     live_fp = sq8_fingerprint(cents, bounds, "_live_fp")
     _eager_provenance_check(index, "sq8_fp", expected, live_fp, op)
     index = index.crossJoin(F.broadcast(live_fp)).select(
@@ -541,6 +566,7 @@ def sq8_refine_serve(
     coarse_metric: str = "cosine",
     residual: bool = False,
     n_centroids: int | None = None,
+    l2_normalize: bool = False,
 ) -> DataFrame:
     """SQ8 shortlist + EXACT REFINE from the persisted store — FAISS's
     IndexRefineFlat stage over IndexIVFScalarQuantizer: the SQ8 serve
@@ -574,11 +600,13 @@ def sq8_refine_serve(
     """
     from .similarity import _exact_cosine
 
+    # the refine's exact-cosine re-rank is scale-invariant, so only the
+    # SQ8 shortlist stage needs the l2_normalize flag (tag + query space)
     short = sq8_topk_serve(
         index, cents, queries, bounds, k=shortlist, n_probe=n_probe,
         id_col=id_col, vec_col=vec_col, dim=dim,
         coarse_metric=coarse_metric, residual=residual,
-        n_centroids=n_centroids,
+        n_centroids=n_centroids, l2_normalize=l2_normalize,
     ).select("query_id", "neighbor_id")
     qv = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")

@@ -1638,6 +1638,7 @@ def _ivf_pq_params_tag(
     pq_centroids: int,
     coarse_metric: str = "cosine",
     residual: bool = False,
+    l2_normalize: bool = False,
 ) -> str:
     """Build-parameter fingerprint persisted with every
     ``build_ivf_pq_index`` row — the IVF-PQ twin of ``_lsh_params_tag``.
@@ -1651,11 +1652,47 @@ def _ivf_pq_params_tag(
     is unchanged — it is part of the ivf_pq_index oracle contract).
     Likewise RESIDUAL codes (x - coarse centroid) are meaningless under a
     whole-vector distance table and vice versa — the residual family
-    appends ``R``."""
+    appends ``R``.  A NORMALIZED deployment (``l2_normalize`` at ingest,
+    the r12 scale_shock fix) appends ``N`` — unit-sphere codes probed by
+    un-normalized queries (or vice versa) are the exact mixed-scale
+    mismatch the knob exists to prevent; existing stores' tags are
+    unchanged (the flag only appends when set)."""
     tag = f"C{n_centroids}M{n_sub}S{sub_dim}K{pq_centroids}"
     return tag + ("L2" if coarse_metric == "l2" else "") + (
         "R" if residual else ""
+    ) + ("N" if l2_normalize else "")
+
+
+def l2_normalize_expr(vec: Column | str) -> Column:
+    """Map-only unit-L2 normalization of an embedding column — the
+    ingest knob the r12 ``scale_shock`` experiment called for: under
+    heterogeneous vector SCALE, an L2-cell probe disagrees with cosine
+    truth no matter how fresh the codebook (the measured residue in
+    BENCH_CODEBOOK_DRIFT.json), because the mismatch is metric, not
+    drift.  On the unit sphere L2 ordering IS cosine ordering
+    (||a-b||^2 = 2 - 2cos), so normalizing at ingest makes the trained
+    L2 family serve cosine-true.
+
+    Pure column expression (no shuffle, no Python): a left-fold sum of
+    squares (deterministic order) and one divide per coordinate, in
+    double.  A ZERO vector has no direction — it raises in-plan rather
+    than silently landing at the origin of someone's cell."""
+    v = F.transform(
+        F.col(vec) if isinstance(vec, str) else vec,
+        lambda x: x.cast("double"),
     )
+    nrm = F.sqrt(
+        F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return F.when(
+        nrm == 0.0,
+        F.raise_error(
+            F.lit(
+                "l2_normalize: zero vector cannot be normalized — drop or "
+                "impute zero embeddings before ingest"
+            )
+        ),
+    ).otherwise(F.transform(v, lambda x: x / nrm))
 
 
 def ivf_pq_centroids(
@@ -1877,6 +1914,7 @@ def build_ivf_pq_index(
     fine_cents: DataFrame | None = None,
     coarse_metric: str = "cosine",
     residual: bool = False,
+    l2_normalize: bool = False,
 ) -> DataFrame:
     """The persistable IVF-PQ index: (id, cluster, m, code, cb_fp,
     params) — ``n_sub`` rows per vector, each a 1-byte-equivalent code,
@@ -1914,6 +1952,12 @@ def build_ivf_pq_index(
     fails loudly.
     """
     corpus = _non_null_ids(corpus, id_col, "build_ivf_pq_index", "input")
+    if l2_normalize:
+        # map-only unit-sphere projection at ingest (the scale_shock
+        # fix); the codebooks must have been trained on normalized
+        # vectors — the N in the params tag makes a mixed store/serve
+        # fail loudly
+        corpus = corpus.withColumn(vec_col, l2_normalize_expr(vec_col))
     if cents is None:
         cents = ivf_pq_centroids(
             corpus, max(n_centroids, pq_centroids), id_col, vec_col
@@ -1958,7 +2002,7 @@ def build_ivf_pq_index(
             F.lit(
                 _ivf_pq_params_tag(
                     n_centroids, n_sub, sub_dim, pq_centroids,
-                    coarse_metric, residual,
+                    coarse_metric, residual, l2_normalize,
                 )
             ),
         )
@@ -1981,6 +2025,7 @@ def ivf_pq_topk_serve(
     fine_cents: DataFrame | None = None,
     coarse_metric: str = "cosine",
     residual: bool = False,
+    l2_normalize: bool = False,
 ) -> DataFrame:
     """Serve IVF-PQ top-k from the PERSISTED index — corpus vectors are
     never an input, so the per-query-batch cost is structurally
@@ -2017,8 +2062,13 @@ def ivf_pq_topk_serve(
             "params)"
         )
     expected = _ivf_pq_params_tag(
-        n_centroids, n_sub, sub_dim, pq_centroids, coarse_metric, residual
+        n_centroids, n_sub, sub_dim, pq_centroids, coarse_metric, residual,
+        l2_normalize,
     )
+    if l2_normalize:
+        # the store holds unit-sphere codes: the query must enter the
+        # same space before probing/ADC (map-only, like the ingest side)
+        queries = queries.withColumn(vec_col, l2_normalize_expr(vec_col))
     live_fp = (
         _codebook_fingerprint(cents, "_live_fp")
         if fine_cents is None

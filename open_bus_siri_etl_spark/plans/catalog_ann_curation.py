@@ -3837,3 +3837,54 @@ def pack_with_text_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         t(spark, sf_dir, "documents"), window=32, stride=16, budget=256,
         n_streams=64,
     )
+
+
+@register(
+    "contamination_lsh",
+    f"""
+    WITH {_POSTINGS_CTE},
+    sigs AS (
+        SELECT doc_id, seed, min(md5(seed || '|' || shingle)) AS sig
+        FROM post CROSS JOIN generate_series(0, 63) t(seed)
+        GROUP BY doc_id, seed
+    ),
+    bands AS (
+        SELECT doc_id, seed // 8 AS band,
+               md5(string_agg(sig, ',' ORDER BY seed)) AS band_key
+        FROM sigs GROUP BY doc_id, seed // 8
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS eval_id
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_key = b.band_key
+        WHERE a.doc_id % 10 <> 0 AND b.doc_id % 10 = 0
+    )
+    SELECT c.doc_id, c.eval_id, CAST(count(*) AS BIGINT) AS n_common
+    FROM cand c
+    JOIN post pa ON pa.doc_id = c.doc_id
+    JOIN post pb ON pb.doc_id = c.eval_id AND pb.shingle = pa.shingle
+    GROUP BY 1, 2
+    HAVING count(*) >= 2
+    """,
+    note="LSH-banded train/eval contamination screen (r12 directive #8) "
+    "— contamination_check at 100 TB shape: the train corpus is SIGNED "
+    "(64 minhashes -> 8 band keys, a constant 8 rows/doc instead of "
+    "~len(doc) posting rows) and probes the eval suite's broadcast "
+    "band-key index (build_minhash_index — persistable, appendable); "
+    "only banded candidates are re-shingled for the exact-overlap "
+    "verification, so the one shuffle is candidate-bounded.  Eval split "
+    "doc_id%10=0 (the minhash_delta_dedup split — the %100 split has "
+    "no banded collisions at the gate SF); oracle walks the "
+    "identical md5 minhash/banding and verifies candidates with the "
+    "exact shingle intersection "
+    "(operators/dedup.py:contamination_lsh)",
+)
+def contamination_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import contamination_lsh
+
+    docs = t(spark, sf_dir, "documents")
+    return contamination_lsh(
+        docs.filter(F.col("doc_id") % 10 != 0),
+        docs.filter(F.col("doc_id") % 10 == 0),
+        min_common=2,
+    )

@@ -1032,6 +1032,7 @@ def start_ivf_pq_index_stream(
     max_files_per_trigger: int | None = None,
     trigger: dict | None = None,
     schema=None,
+    l2_normalize: bool = False,
 ):
     """Streaming IVF-PQ indexer — the third index family wired into
     Structured Streaming (after the shingle-posting and LSH-bucket
@@ -1101,7 +1102,7 @@ def start_ivf_pq_index_stream(
 
     expected_tag = _ivf_pq_params_tag(
         n_centroids, n_sub, sub_dim, pq_centroids,
-        "l2" if trained else "cosine", residual,
+        "l2" if trained else "cosine", residual, l2_normalize,
     )
     existing = _read_or_none(spark, index_path)
     if existing is not None:
@@ -1167,9 +1168,19 @@ def start_ivf_pq_index_stream(
         return frame.drop("cb_kind")
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch = batch_df.select(id_col, vec_col).localCheckpoint(eager=True)
-        if batch.isEmpty():
+        raw = batch_df.select(id_col, vec_col).localCheckpoint(eager=True)
+        if raw.isEmpty():
             return
+        # l2_normalize (r12 scale_shock fix): codebooks train in
+        # NORMALIZED space; the build below gets the RAW batch + the
+        # flag so the projection runs exactly once inside
+        # build_ivf_pq_index (append == rebuild stays bit-exact)
+        if l2_normalize:
+            from ..operators.similarity import l2_normalize_expr
+
+            batch = raw.withColumn(vec_col, l2_normalize_expr(vec_col))
+        else:
+            batch = raw
         cents = _read_or_none(spark, cents_path)
         if cents is None:
             cents = _write_once(
@@ -1200,10 +1211,10 @@ def start_ivf_pq_index_stream(
                 fine = _checked_adopt(fine, fine_path, "fine")
         _write_partition(
             build_ivf_pq_index(
-                batch, n_centroids, n_sub, sub_dim, pq_centroids,
+                raw, n_centroids, n_sub, sub_dim, pq_centroids,
                 id_col, vec_col, cents=cents, fine_cents=fine,
                 coarse_metric="l2" if trained else "cosine",
-                residual=residual,
+                residual=residual, l2_normalize=l2_normalize,
             ),
             batch_id,
             index_path,

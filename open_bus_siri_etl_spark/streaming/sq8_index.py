@@ -107,6 +107,7 @@ def retrain_sq8_store(
     dim: int | None = None,
     checkpoint_dir: str | None = None,
     retrain_codebook: bool | None = None,
+    l2_normalize: bool = False,
 ) -> dict:
     """Retrain-and-reindex for a streaming SQ8 store — the FAISS
     train-then-add other half the SQ8 stream was missing (the
@@ -174,6 +175,17 @@ def retrain_sq8_store(
         )
     coarse_metric = "l2" if trained else "cosine"
     family = "residual" if residual else "raw"
+    raw_corpus = corpus
+    if l2_normalize:
+        # a normalized deployment retrains in normalized space — the
+        # corpus re-read from the landing tree is raw, so project it
+        # here (map-only) for codebook/bounds training; the re-encode
+        # below gets the RAW corpus + the flag so the projection runs
+        # exactly once inside build_sq8_index (bit-identical to a
+        # from-scratch normalized build)
+        from ..operators.similarity import l2_normalize_expr
+
+        corpus = corpus.withColumn(vec_col, l2_normalize_expr(vec_col))
 
     def _stage(frame: DataFrame, final: str, single: bool = True) -> DataFrame:
         stage = final + "._compact_staging"
@@ -223,9 +235,9 @@ def retrain_sq8_store(
     staged_bounds = read_sq8_bounds(spark, bounds_stage, family)
     reencoded = _stage(
         build_sq8_index(
-            corpus, cents_frame, staged_bounds, id_col, vec_col, dim,
+            raw_corpus, cents_frame, staged_bounds, id_col, vec_col, dim,
             coarse_metric=coarse_metric, n_cents=n_centroids,
-            residual=residual,
+            residual=residual, l2_normalize=l2_normalize,
         ).withColumn("ingest_batch", F.lit(_COMPACTED_BASE_BATCH)),
         index_path,
         single=False,
@@ -271,10 +283,21 @@ def start_sq8_index_stream(
     max_files_per_trigger: int | None = None,
     trigger: dict | None = None,
     schema=None,
+    l2_normalize: bool = False,
 ):
     """Start the streaming IVF-SQ8 indexer (module docstring has the
-    contract).  Returns the StreamingQuery."""
+    contract).  Returns the StreamingQuery.
+
+    ``l2_normalize`` (r12 scale_shock fix): every batch is projected to
+    the unit sphere at INGEST (map-only) before anything trains or
+    encodes — codebook, bounds and codes all live in normalized space,
+    so a trained-L2 probe agrees with cosine truth even when the corpus
+    mixes vector scales (the measured residue no amount of retraining
+    closed, BENCH_CODEBOOK_DRIFT.json).  The flag lands in the params
+    tag (``:norm1``) via ``build_sq8_index``, so a normalized store
+    refuses un-normalized appends at START and vice versa."""
     from ..operators.clustering import kmeans_codebook
+    from ..operators.similarity import l2_normalize_expr
 
     if schema is None:
         schema = (
@@ -311,7 +334,8 @@ def start_sq8_index_stream(
                 "store was encoded against (or rebuild both)"
             )
         expect = sq8_params_tag(
-            n_centroids, coarse_metric, residual, persisted_bounds.count()
+            n_centroids, coarse_metric, residual, persisted_bounds.count(),
+            l2_normalize,
         )
         tags = [
             r["params"] for r in existing.select("params").distinct().collect()
@@ -353,9 +377,19 @@ def start_sq8_index_stream(
         return frame.drop("cb_kind")
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        batch = batch_df.select(id_col, vec_col).localCheckpoint(eager=True)
-        if batch.isEmpty():
+        raw = batch_df.select(id_col, vec_col).localCheckpoint(eager=True)
+        if raw.isEmpty():
             return
+        # codebook and bounds train in NORMALIZED space when the knob is
+        # on; the build below gets the RAW batch + the flag so the
+        # projection happens exactly once there — bit-identical to the
+        # batch ``build_sq8_index(raw_corpus, ..., l2_normalize=True)``
+        # (append == rebuild stays exact, not just up-to-ulp)
+        batch = (
+            raw.withColumn(vec_col, l2_normalize_expr(vec_col))
+            if l2_normalize
+            else raw
+        )
         cents = _read_or_none(spark, cents_path)
         if cents is None:
             if trained:
@@ -392,9 +426,9 @@ def start_sq8_index_stream(
         # build_sq8_index stamps params + sq8_fp itself (r12 provenance)
         _write_partition(
             build_sq8_index(
-                batch, cents, bounds, id_col, vec_col, dim,
+                raw, cents, bounds, id_col, vec_col, dim,
                 coarse_metric=coarse_metric, n_cents=n_centroids,
-                residual=residual,
+                residual=residual, l2_normalize=l2_normalize,
             ),
             batch_id,
             index_path,

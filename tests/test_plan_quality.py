@@ -757,6 +757,7 @@ FULL_REGISTRY_ORDER = [
     # round 13: text re-materialization for packed sequences, LSH-banded
     # contamination screen
     "pack_with_text",
+    "contamination_lsh",
 ]
 
 
@@ -903,3 +904,17 @@ def test_ivf_pq_kmeans_serve_partition_prunes_the_index(spark, tmp_path):
     ]
     assert idx_scans and all("dynamicpruning" in ln for ln in idx_scans)
     assert "CartesianProduct" not in plan
+
+
+def test_contamination_lsh_broadcasts_eval_and_bounds_shuffle(spark):
+    """The banded screen's scale contract: the eval band-key index and
+    eval postings BROADCAST (benchmarks are tiny), the train side never
+    shuffles on shingle for candidate generation — its only wide
+    shuffles are the signature aggregation and the candidate-bounded
+    verification count."""
+    plan = explain_str(REGISTRY["contamination_lsh"].fn(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # verification re-shingles only candidates: the LeftSemi restriction
+    # must be in the plan
+    assert "LeftSemi" in plan

@@ -483,3 +483,88 @@ def test_ivf_pq_serve_provenance_checked_eagerly(spark):
     other = ivf_pq_centroids(emb.filter("vec_id >= 100"), n_keep=8)
     with pytest.raises(ValueError, match="fingerprint"):
         ivf_pq_topk_serve(store.filter(F.col("cluster") > 0), other, qs, k=3)
+
+
+def test_l2_normalize_build_equals_prenormalized_build(spark):
+    """The l2_normalize knob's exact semantics: build_sq8_index(raw,
+    l2_normalize=True) encodes the SAME codes as building over a
+    pre-normalized corpus (only the params tag differs — :norm1), and
+    the normalized deployment's serve refuses a flag mismatch EAGERLY
+    in both directions."""
+    import pytest
+
+    from open_bus_siri_etl_spark.operators.quantization import (
+        build_sq8_index,
+        sq8_topk_serve,
+    )
+    from open_bus_siri_etl_spark.operators.similarity import (
+        l2_normalize_expr,
+    )
+
+    emb = _emb(spark)
+    norm = emb.withColumn("embedding", l2_normalize_expr("embedding"))
+    cents = (
+        norm.orderBy("vec_id").limit(8)
+        .select(F.col("vec_id").alias("cent_id"),
+                F.col("embedding").alias("cent_vec"))
+    )
+    bounds = sq8_train(norm)
+    flagged = build_sq8_index(emb, cents, bounds, l2_normalize=True)
+    pre = build_sq8_index(norm, cents, bounds)
+    key = lambda df: sorted(
+        map(tuple, df.select("vec_id", "cluster", "sq8_code").collect())
+    )
+    assert key(flagged) == key(pre)
+    tags = flagged.select("params").distinct().collect()
+    assert len(tags) == 1 and tags[0][0].endswith(":norm1")
+    # serve agreement: the flagged store + flagged serve answers exactly
+    # like the pre-normalized store served plain
+    qs = emb.filter(F.col("vec_id").between(8, 15))
+    a = sorted(map(tuple, sq8_topk_serve(
+        flagged, cents, qs, bounds, k=5, n_centroids=8, l2_normalize=True
+    ).collect()))
+    qs_norm = norm.filter(F.col("vec_id").between(8, 15))
+    b = sorted(map(tuple, sq8_topk_serve(
+        pre, cents, qs_norm, bounds, k=5, n_centroids=8
+    ).collect()))
+    assert a == b
+    # flag mismatch fails loudly, eagerly, both directions
+    with pytest.raises(ValueError, match="params"):
+        sq8_topk_serve(flagged, cents, qs, bounds, k=5, n_centroids=8)
+    raw_store = build_sq8_index(emb, cents, bounds)
+    with pytest.raises(ValueError, match="params"):
+        sq8_topk_serve(
+            raw_store, cents, qs, bounds, k=5, n_centroids=8,
+            l2_normalize=True,
+        )
+
+
+def test_l2_normalize_pq_build_and_serve(spark):
+    """Same knob on the PQ family: flagged build == pre-normalized
+    build (codes + cluster), tag gains N, serve flag mismatch raises."""
+    import pytest
+
+    from open_bus_siri_etl_spark.operators.similarity import (
+        build_ivf_pq_index,
+        ivf_pq_centroids,
+        ivf_pq_topk_serve,
+        l2_normalize_expr,
+    )
+
+    emb = _emb(spark)
+    norm = emb.withColumn("embedding", l2_normalize_expr("embedding"))
+    cents = ivf_pq_centroids(norm, n_keep=8)
+    flagged = build_ivf_pq_index(emb, cents=cents, l2_normalize=True)
+    pre = build_ivf_pq_index(norm, cents=cents)
+    key = lambda df: sorted(
+        map(tuple, df.select("vec_id", "cluster", "m", "code").collect())
+    )
+    assert key(flagged) == key(pre)
+    assert flagged.select("params").distinct().collect()[0][0].endswith("N")
+    qs = emb.filter(F.col("vec_id").between(8, 11))
+    with pytest.raises(ValueError, match="params"):
+        ivf_pq_topk_serve(flagged, cents, qs, k=3)
+    # and the flagged serve works
+    assert ivf_pq_topk_serve(
+        flagged, cents, qs, k=3, l2_normalize=True
+    ).count() > 0

@@ -569,3 +569,74 @@ def test_serve_frame_unions_fresh_tail_with_pruned_copy(spark, tmp_path):
     pfs = re.findall(r"PartitionFilters: \[(.*?)\]", plan)
     assert any("cluster" in pf for pf in pfs), plan
     assert any("ingest_batch" in pf for pf in pfs), plan
+
+
+def test_sq8_stream_l2_normalize_append_is_rebuild_and_provenance(
+    spark, tmp_path
+):
+    """The l2_normalize deployment knob end-to-end (r12 directive #2):
+    a normalized stream's drained store equals the batch build with the
+    flag (bit-exact — the stream normalizes codebook/bounds training
+    but hands the RAW batch + flag to the builder), the tag carries
+    :norm1, and a RESTART with the flag off is refused at START — a
+    normalized store never accepts un-normalized appends (and vice
+    versa for a raw store probed by a normalized restart)."""
+    from open_bus_siri_etl_spark.operators.similarity import (
+        l2_normalize_expr,
+    )
+
+    emb = _emb(spark)
+    landing = tmp_path / "landing"
+    _land(emb, landing)
+    index_path = str(tmp_path / "index")
+    cents_path = str(tmp_path / "cents")
+    bounds_path = str(tmp_path / "bounds")
+    ckpt = str(tmp_path / "ckpt")
+    q = start_sq8_index_stream(
+        spark, str(landing), index_path, cents_path, bounds_path, ckpt,
+        max_files_per_trigger=1, l2_normalize=True,
+    )
+    q.awaitTermination(180)
+    bounds = read_sq8_bounds(spark, bounds_path, "raw")
+    cents = spark.read.parquet(cents_path).drop("cb_kind")
+    streamed = spark.read.parquet(index_path).drop("ingest_batch")
+    tags = [r[0] for r in streamed.select("params").distinct().collect()]
+    assert tags and all(t.endswith(":norm1") for t in tags)
+    batch_built = build_sq8_index(emb, cents, bounds, l2_normalize=True)
+    assert _multiset(streamed) == _multiset(batch_built)
+    # bounds were trained on the normalized first batch: every |mn|,|mx|
+    # inside [-1, 1]
+    assert all(-1.0 <= mn <= 1.0 and -1.0 <= mx <= 1.0 for mn, mx in bounds)
+    # serve from the streamed store with the flag == cosine-space serve
+    qs = emb.filter("vec_id BETWEEN 8 AND 15")
+    norm = emb.withColumn("embedding", l2_normalize_expr("embedding"))
+    a = _multiset(
+        sq8_topk_serve(
+            streamed, cents, qs, bounds, k=5, l2_normalize=True
+        )
+    )
+    b = _multiset(
+        sq8_topk_serve(
+            build_sq8_index(norm, cents, bounds), cents,
+            norm.filter("vec_id BETWEEN 8 AND 15"), bounds, k=5,
+        )
+    )
+    assert a == b
+    # restart with the flag OFF: refused at START (params tag)
+    with pytest.raises(ValueError, match="params"):
+        start_sq8_index_stream(
+            spark, str(landing), index_path, cents_path, bounds_path, ckpt,
+        )
+    # and a RAW store refuses a normalized restart
+    landing2 = tmp_path / "landing2"
+    _land(emb, landing2, n_batches=1)
+    args2 = [
+        str(landing2), str(tmp_path / "i2"), str(tmp_path / "c2"),
+        str(tmp_path / "b2"),
+    ]
+    q2 = start_sq8_index_stream(spark, *args2, str(tmp_path / "k2"))
+    q2.awaitTermination(120)
+    with pytest.raises(ValueError, match="params"):
+        start_sq8_index_stream(
+            spark, *args2, str(tmp_path / "k2"), l2_normalize=True
+        )

@@ -2953,3 +2953,38 @@ def test_nearest_centroids_matmul_path_equals_crossjoin(spark):
     }
     want = {r["_id"]: r["cluster"] for r in slow.collect()}
     assert asg == want
+
+
+def test_contamination_lsh_restricts_exact_overlap_to_banded_pairs(spark):
+    """contamination_lsh == contamination_overlap restricted to pairs
+    sharing >= 1 full band (the verification is EXACT, banding only
+    gates candidates); a persisted eval index serves the probe, and a
+    family-mismatched index raises in-plan."""
+    import pytest
+
+    from open_bus_siri_etl_spark.operators.dedup import (
+        build_minhash_index,
+        contamination_lsh,
+        contamination_overlap,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    ev = docs.filter(F.col("doc_id") % 10 == 0)
+    banded = contamination_lsh(train, ev, min_common=2)
+    exact = contamination_overlap(train, ev, min_common=2)
+    key = lambda df: sorted(map(tuple, df.collect()))
+    assert 0 < banded.count() <= exact.count()
+    # every banded row is an exact-overlap row with the same count
+    exact_rows = set(key(exact))
+    assert set(key(banded)) <= exact_rows
+    # persisted index path: same answer
+    idx = build_minhash_index(ev)
+    assert key(
+        contamination_lsh(train, ev, min_common=2, eval_keys=idx)
+    ) == key(banded)
+    # family mismatch (different perms/bands) raises in-plan
+    with pytest.raises(Exception, match="band family|params"):
+        contamination_lsh(
+            train, ev, min_common=2, perms=32, bands=4, eval_keys=idx
+        ).collect()

