@@ -58,6 +58,18 @@ SQ8_LEVELS = 256
 #: 10M min/max grid); 100 clears everywhere at serve cost within run
 #: noise of 50.  pruning_frac = n_probe/n_centroids, held constant
 #: across tiers (4/256 = 16/1024 = 64/4096).
+#:
+#: residual is DELIBERATELY ABSENT (r13 measurement): at the 10M tier
+#: residual-SQ8 recalls 0.5672 raw / 0.9469 refine@100 — statistically
+#: the raw family's 0.5703 / 0.9516 at strictly higher serve cost, so
+#: it does not move the knee (BENCH_IVFPQ.json sq8_scale_10m
+#: residual_note: with sigma-0.8 cells against unit-spread centers the
+#: within-cell range is barely tighter than the corpus range, so the
+#: 256-level grid gains nothing; residual's win lives in the
+#: tight-cluster regime, test-pinned at sigma=0.1).  The sync test
+#: asserts the residual rows never beat raw+refine at the measured
+#: shortlists — if a re-measure flips that, the default grows the
+#: residual flag then.
 SQ8_SERVING_DEFAULTS = {
     "shortlist": 100,
     "pruning_frac": 0.015625,

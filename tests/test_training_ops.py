@@ -2903,6 +2903,22 @@ def test_sq8_serving_defaults_pinned_to_tier_artifact():
         if all(rows[s]["recall_at_10"] >= D["recall_bar"] for rows in per_tier)
     ]
     assert clearing and D["shortlist"] == min(clearing), clearing
+    # r13: the residual family is measured at the 10M tier and must NOT
+    # beat raw+refine at any shared shortlist (the reason the default
+    # carries no residual flag — see SQ8_SERVING_DEFAULTS docstring and
+    # the artifact's residual_note).  A re-measure that flips this fails
+    # here and the default grows the flag then.
+    t10 = art["sq8_scale_10m"]
+    assert "residual" not in D
+    raw_rows = {r["shortlist"]: r for r in t10["sq8_refine"]}
+    res_rows = {r["shortlist"]: r for r in t10["sq8_residual_refine"]}
+    for s in set(raw_rows) & set(res_rows):
+        assert (
+            res_rows[s]["recall_at_10"] <= raw_rows[s]["recall_at_10"] + 0.005
+        ), s
+    assert t10["sq8_residual"]["recall_at_10"] <= (
+        t10["sq8"]["recall_at_10"] + 0.005
+    )
 
 
 def test_nearest_centroids_matmul_path_equals_crossjoin(spark):
