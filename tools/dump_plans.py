@@ -181,6 +181,14 @@ SHOWCASE = {
     " Exchange — (doc_id, chunk_id, n_tokens) triples hashed to stream"
     " tasks for the applyInPandas pack; chunk_text never enters the"
     " exchange",
+    "pack_with_text": "chunk_then_pack + text re-materialization: the"
+    " packed INT-TRIPLE side broadcasts into a map-side hash join"
+    " against the map-only re-derived chunk relation — still exactly one"
+    " (int-only) Exchange; the heavy text column never shuffles",
+    "contamination_lsh": "banded contamination screen: train side signed"
+    " to 8 band keys/doc, eval band-key index + eval postings BROADCAST,"
+    " candidates restricted via LeftSemi before the exact-overlap count"
+    " — no shingle-keyed shuffle of the train corpus anywhere",
 }
 
 
