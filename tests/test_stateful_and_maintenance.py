@@ -2289,3 +2289,70 @@ def test_compact_ivf_pq_store_pure_relayout_and_stream_resumes(spark, tmp_path):
     assert multiset(ivf_pq_topk_serve(store, cents, qs, k=5)) == multiset(
         ivf_pq_topk_serve(rebuilt, cents, qs, k=5)
     )
+
+
+def test_pq_store_serve_frame_union_matches_full_store(spark, tmp_path):
+    """serve_frame is schema-agnostic (r13): the same fresh-serve union
+    that closes the SQ8 relayout staleness trade works over the IVF-PQ
+    streaming store — copy ∪ post-relayout batches serves identically
+    to the full append store, with the copy side cluster-pruned."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from open_bus_siri_etl_spark.operators.similarity import (
+        ivf_pq_topk_serve,
+    )
+    from open_bus_siri_etl_spark.streaming.delta_dedup import (
+        relayout_store_by_cluster,
+        serve_frame,
+        start_ivf_pq_index_stream,
+    )
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+    )
+    landing = tmp_path / "landing"
+    emb.filter("vec_id % 2 = 0").coalesce(1).write.parquet(
+        str(landing / "b0")
+    )
+    index_path = str(tmp_path / "index")
+    cents_path = str(tmp_path / "cents")
+    ckpt = str(tmp_path / "ckpt")
+    q = start_ivf_pq_index_stream(
+        spark, str(landing), index_path, cents_path, ckpt,
+    )
+    q.awaitTermination(180)
+    serving_path = str(tmp_path / "serving")
+    out = relayout_store_by_cluster(
+        spark, index_path, serving_path, checkpoint_dir=ckpt
+    )
+    emb.filter("vec_id % 2 = 1").coalesce(1).write.parquet(
+        str(landing / "b1")
+    )
+    q2 = start_ivf_pq_index_stream(
+        spark, str(landing), index_path, cents_path, ckpt,
+    )
+    q2.awaitTermination(180)
+
+    fresh = serve_frame(
+        spark, serving_path, index_path, out["max_ingest_batch"]
+    )
+    full = spark.read.parquet(index_path)
+    assert full.count() > out["rows"]
+
+    def multiset(df):
+        return sorted(tuple(str(v) for v in r) for r in df.collect())
+
+    cents = spark.read.parquet(cents_path)
+    qs = emb.filter("vec_id BETWEEN 8 AND 15")
+    assert multiset(ivf_pq_topk_serve(fresh, cents, qs, k=5)) == multiset(
+        ivf_pq_topk_serve(full, cents, qs, k=5)
+    )
+    one = fresh.filter(F.col("cluster") == 0)
+    plan = one._sc._jvm.PythonSQLUtils.explainString(
+        one._jdf.queryExecution(), "formatted"
+    )
+    pfs = re.findall(r"PartitionFilters: \[(.*?)\]", plan)
+    assert any("cluster" in pf for pf in pfs), plan

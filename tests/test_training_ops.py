@@ -1638,6 +1638,7 @@ def test_png_header_meta_skips_pixel_work():
         _png_blob(
             5, 4, 8, 3, [bytes(5)] * 4, [0] * 4, plte=plte, trns=bytes([9])
         ),
+        _png_blob(3, 2, 16, 2, [bytes(18)] * 2, [0, 0]),  # 16-bit RGB
     ]
     for blob in variants:
         full, hdr = decode_png(blob), png_header_meta(blob)

@@ -898,6 +898,111 @@ def sq8_scale_tier(spark, work: Path, n: int = 10_000_000,
     return out
 
 
+def sq8_residual_regime(spark, work: Path, n: int = 1_000_000,
+                        n_topics: int = 1024, n_cent: int = 1024,
+                        n_probe: int = 16, sigma: float = 0.2) -> dict:
+    """The OTHER side of the round-13 honest finding, measured at scale
+    (r13 follow-through): the 10M rows show residual-SQ8 buying nothing
+    at sigma=0.8 (cells overlap — within-cell min/max over 10M samples
+    nearly spans the corpus range); the unit test pins that it DOES
+    tighten the grid at sigma=0.1.  This section measures the claim at
+    the 1M tier with sigma=0.2 (tight clusters, same geometry as the 1M
+    clustered tier otherwise) and records the MECHANISM number directly:
+    ``bounds_span_ratio`` = mean over dimensions of
+    (residual span / raw span) — the factor by which the 256-level grid
+    gets finer.  Expectation: span ratio well below 1 and residual
+    recall well above raw, completing the regime decomposition the
+    SQ8_SERVING_DEFAULTS docstring cites."""
+    import os
+
+    from open_bus_siri_etl_spark.operators.quantization import (
+        build_sq8_index,
+        sq8_residual_frame,
+        sq8_topk_serve,
+        sq8_train,
+    )
+
+    tag = f"rg{n}_s{sigma}"
+    corpus, queries = synth_clustered(
+        spark, work, n, tag, n_topics=n_topics, sigma=sigma, seed=37,
+        chunk=250_000,
+    )
+    corpus.count()
+    tcp = str(work / f"rg_tc_{tag}")
+    if not os.path.isdir(tcp):
+        kmeans_codebook(
+            corpus.filter(F.col("vec_id") % 9 == 0), k=n_cent, iters=2,
+            kernel="matmul",
+        ).coalesce(1).write.parquet(tcp)
+    cents = spark.read.parquet(tcp).select("cent_id", "cent_vec")
+
+    raw_bounds = sq8_train(corpus)
+    res_bounds = sq8_train(
+        sq8_residual_frame(
+            corpus, cents, dim=DIM, coarse_metric="l2", n_cents=n_cent
+        ),
+        vec_col="_rvec",
+    )
+    span_ratio = float(
+        np.mean(
+            [
+                (rmx - rmn) / (mx - mn)
+                for (mn, mx), (rmn, rmx) in zip(raw_bounds, res_bounds)
+                if mx > mn
+            ]
+        )
+    )
+
+    expath = str(work / f"rg_exact_{tag}")
+    if not os.path.isdir(expath):
+        cosine_topk(corpus, queries, k=K, dim=DIM).write.parquet(expath)
+    exact = spark.read.parquet(expath)
+
+    out = {
+        "n_vectors": n, "n_topics": n_topics, "sigma": sigma,
+        "n_centroids": n_cent, "n_probe": n_probe,
+        "pruning_frac": round(n_probe / n_cent, 4),
+        "bounds_span_ratio": round(span_ratio, 4),
+    }
+    for fam, bnds, residual in (
+        ("raw", raw_bounds, False), ("residual", res_bounds, True)
+    ):
+        ipath = str(work / f"rg_ix_{fam}_{tag}")
+        if not os.path.isdir(ipath):
+            t0 = time.time()
+            build_sq8_index(
+                corpus, cents, bnds, dim=DIM, coarse_metric="l2",
+                n_cents=n_cent, residual=residual,
+            ).write.partitionBy("cluster").parquet(ipath)
+            build_sec = round(time.time() - t0, 3)
+        else:
+            build_sec = 0.0
+        index = spark.read.parquet(ipath)
+        t0 = time.time()
+        served = sq8_topk_serve(
+            index, cents, queries, bnds, k=K, n_probe=n_probe, dim=DIM,
+            coarse_metric="l2", residual=residual, n_centroids=n_cent,
+        )
+        n_rows = served.count()
+        ssec = round(time.time() - t0, 3)
+        served = _pin(spark, served)
+        rec = (
+            ann_recall(exact, served, k=K)
+            .agg(F.avg("recall").alias("r")).collect()[0]["r"]
+        )
+        out[fam] = {
+            "build_sec": build_sec,
+            "serve_sec": ssec,
+            "recall_at_10": round(rec, 4),
+            "rows_served": n_rows,
+        }
+        print(json.dumps({f"sq8_regime_{fam}": out[fam]}), flush=True)
+    out["residual_gain"] = round(
+        out["residual"]["recall_at_10"] - out["raw"]["recall_at_10"], 4
+    )
+    return out
+
+
 def epoch_appends(spark, work: Path) -> dict:
     """The append half of the serving story, measured the way production
     runs it (the BENCH_DELTA_EPOCHS discipline, extended to the fourth
@@ -1013,6 +1118,7 @@ def main() -> None:
             lambda s, w: clustered_tiers(s, w, CLUSTERED_TIERS),
         ),
         "--sq8-scale-only": ("sq8_scale_10m", sq8_scale_tier),
+        "--sq8-regime-only": ("sq8_residual_regime", sq8_residual_regime),
     }
     hit = [f for f in only_flags if f in sys.argv]
     if hit:
