@@ -65,8 +65,11 @@ SQ8_LEVELS = 256
 #: it does not move the knee (BENCH_IVFPQ.json sq8_scale_10m
 #: residual_note: with sigma-0.8 cells against unit-spread centers the
 #: within-cell range is barely tighter than the corpus range, so the
-#: 256-level grid gains nothing; residual's win lives in the
-#: tight-cluster regime, test-pinned at sigma=0.1).  The sync test
+#: 256-level grid gains nothing; and per sq8_residual_regime, even in
+#: the tight-cluster regime where the grid genuinely gets 4x finer
+#: — bounds_span_ratio 0.2537 at 1M/sigma-0.2 — recall moves only
+#: +0.0062 at ceiling 1.0, because near-tie margins shrink with sigma
+#: faster than any grid can chase).  The sync test
 #: asserts the residual rows never beat raw+refine at the measured
 #: shortlists — if a re-measure flips that, the default grows the
 #: residual flag then.
