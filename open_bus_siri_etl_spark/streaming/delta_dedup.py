@@ -878,7 +878,18 @@ def serve_frame(
 
     The serving copy must exist (relayout first); a mid-relayout read
     fails loudly via the ``._compacting`` marker, same as every store
-    reader here."""
+    reader here.
+
+    STALE-COPY GUARD: a log compaction or a retrain run AFTER the
+    relayout rewrites every partition into the ``ingest_batch=-1`` base
+    — the tail filter would then match nothing while the copy no longer
+    reflects the (re-encoded or re-batched) log, silently serving stale
+    rows.  Detectable: the relayout's high-water mark must still exist
+    in the append store — if ``max(ingest_batch) < since_batch`` the
+    log was rewritten since the copy was cut, and this raises instead
+    of serving it (re-run ``relayout_store_by_cluster``).  A relayout
+    taken AFTER a compaction is fine: its ``max_ingest_batch`` is the
+    base itself, and later appends land above it."""
     serving = _read_or_none(spark, serving_path)
     if serving is None:
         raise ValueError(
@@ -895,6 +906,18 @@ def serve_frame(
     tail = _read_or_none(spark, index_path)
     if tail is None:
         return serving
+    # the relayout's high-water mark must still be in the log: a
+    # compaction/retrain since the relayout folds everything into the
+    # base partition, and the copy no longer reflects the store
+    cur_max = tail.agg(F.max("ingest_batch")).collect()[0][0]
+    if cur_max is not None and cur_max < since_batch:
+        raise ValueError(
+            f"serve_frame: the append store's max ingest_batch is "
+            f"{cur_max} but the serving copy was cut at since_batch="
+            f"{since_batch} — the log was compacted or retrained AFTER "
+            "the relayout, so the copy is stale (possibly re-encoded); "
+            "re-run relayout_store_by_cluster before serving from it"
+        )
     tail = (
         tail.filter(F.col("ingest_batch") > F.lit(since_batch))
         .drop("ingest_batch")

@@ -640,3 +640,44 @@ def test_sq8_stream_l2_normalize_append_is_rebuild_and_provenance(
         start_sq8_index_stream(
             spark, *args2, str(tmp_path / "k2"), l2_normalize=True
         )
+
+
+def test_serve_frame_refuses_stale_copy_after_compaction(spark, tmp_path):
+    """The serve_frame stale-copy guard: a compaction run AFTER the
+    relayout folds every batch into the ingest_batch=-1 base — the tail
+    filter would match nothing while the copy no longer reflects the
+    log.  serve_frame must raise (high-water mark gone), and a FRESH
+    relayout over the compacted store serves correctly again."""
+    from open_bus_siri_etl_spark.streaming.delta_dedup import (
+        compact_ivf_pq_store,
+        relayout_store_by_cluster,
+        serve_frame,
+    )
+
+    emb = _emb(spark)
+    landing = tmp_path / "landing"
+    _land(emb, landing)
+    index_path = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    q = start_sq8_index_stream(
+        spark, str(landing), index_path, str(tmp_path / "cents"),
+        str(tmp_path / "bounds"), ckpt, max_files_per_trigger=1,
+    )
+    q.awaitTermination(180)
+    serving = str(tmp_path / "serving")
+    out = relayout_store_by_cluster(spark, index_path, serving,
+                                    checkpoint_dir=ckpt)
+    assert out["max_ingest_batch"] >= 1  # 3 batches landed
+    compact_ivf_pq_store(spark, index_path, checkpoint_dir=ckpt)
+    with pytest.raises(ValueError, match="compacted or retrained"):
+        serve_frame(spark, serving, index_path, out["max_ingest_batch"])
+    # a fresh relayout over the compacted log restores the contract
+    serving2 = str(tmp_path / "serving2")
+    out2 = relayout_store_by_cluster(spark, index_path, serving2,
+                                     checkpoint_dir=ckpt)
+    assert out2["max_ingest_batch"] == -1  # everything in the base now
+    fresh = serve_frame(spark, serving2, index_path, out2["max_ingest_batch"])
+    cols = sorted(fresh.columns)
+    assert _multiset(fresh.select(cols)) == _multiset(
+        spark.read.parquet(index_path).drop("ingest_batch").select(cols)
+    )
