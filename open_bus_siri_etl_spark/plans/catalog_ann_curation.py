@@ -3876,7 +3876,9 @@ def pack_with_text_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_id%10=0 (the minhash_delta_dedup split — the %100 split has "
     "no banded collisions at the gate SF); oracle walks the "
     "identical md5 minhash/banding and verifies candidates with the "
-    "exact shingle intersection "
+    "exact shingle intersection.  Measured banding S-curve at sf0.01: "
+    "6/6 pairs with jaccard>=0.8 caught, 0/199 sub-0.2 pairs — the "
+    "(1/8)^(1/8)=0.77 threshold the 8x8 family promises "
     "(operators/dedup.py:contamination_lsh)",
 )
 def contamination_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
