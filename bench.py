@@ -97,15 +97,25 @@ def main() -> None:
     )
     if os.environ.get("SPARK_GRAFT_BENCH_NO_GATE") == "1":
         idle_budget = 0
+
+    # Gate on BOTH the 1-min and 5-min loadavg (round-14 directive: the r13
+    # artifact passed the 1-min gate at 6.79 while the 5-min average sat ~20,
+    # so load_flag came out true with no timing_note).  The 5-min average is
+    # what actually predicts contention over a multi-minute bench window.
+    def _gate_load() -> float:
+        la = os.getloadavg()
+        return max(la[0], la[1])
+
     idle_waited = 0
-    while os.getloadavg()[0] > gate_threshold and idle_waited < idle_budget:
+    while _gate_load() > gate_threshold and idle_waited < idle_budget:
         time.sleep(15)
         idle_waited += 15
     timing_note = None
-    if os.getloadavg()[0] > gate_threshold and idle_budget > 0:
+    if _gate_load() > gate_threshold and idle_budget > 0:
+        la = os.getloadavg()
         timing_note = (
-            f"idle gate expired after {idle_waited}s with 1-min loadavg "
-            f"{os.getloadavg()[0]:.1f} > {gate_threshold:g}: timings below "
+            f"idle gate expired after {idle_waited}s with 1/5-min loadavg "
+            f"{la[0]:.1f}/{la[1]:.1f} > {gate_threshold:g}: timings below "
             "are inflated by background load; trust per-query mins only"
         )
     load_before = os.getloadavg()
@@ -128,8 +138,19 @@ def main() -> None:
     # a busy box inflates every timing: flag the artifact itself when the
     # 1-min loadavg (beyond this bench's own ~32 worker threads' share,
     # which dominates load_after) was already high BEFORE the bench ran —
-    # consumers must discount regressions carrying load_flag=true
-    load_flag = load_before[0] > 4.0
+    # consumers must discount regressions carrying load_flag=true.  The flag
+    # consults both the 1- and 5-min averages (r14: a spike that just decayed
+    # below the 1-min bar still poisons a multi-minute window).
+    load_flag = max(load_before[0], load_before[1]) > 4.0
+    if load_flag and timing_note is None:
+        # the artifact must never carry load_flag=true silently (r13 gap):
+        # explain why the gate let the run proceed anyway
+        timing_note = (
+            f"load_flag=true: 1/5-min loadavg {load_before[0]:.1f}/"
+            f"{load_before[1]:.1f} at start exceeded 4.0 but sat under the "
+            f"gate threshold {gate_threshold:g} (waited {idle_waited}s); "
+            "per-query mins are the trustworthy numbers"
+        )
     out = {
         "metric": "catalog_headline_total",
         "value": total,

@@ -79,6 +79,58 @@ def windowed_dedup(
     )
 
 
+def paragraph_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n\n",
+) -> DataFrame:
+    """Cross-document PARAGRAPH dedup (r14 directive #6) — the standard
+    boilerplate-removal pass of public curation pipelines (headers,
+    cookie banners, license blocks repeated across millions of pages):
+    explode each document on ``sep``, keep the globally FIRST occurrence
+    of every distinct paragraph (first-wins by (doc_id, position), the
+    ``exact_dedup`` tiebreak), and reassemble each document from its
+    surviving paragraphs in original order.
+
+    Shape at 100 TB: one posexplode (map-only fan-out), one shuffle
+    keyed on the paragraph string for the first-wins window (paragraph
+    rows are bounded by paragraph length, never document length), and
+    one shuffle back on doc_id for the ordered reassembly —
+    ``array_join(transform(array_sort(collect_list(struct(pos, para))))``
+    so no per-document sort window is needed.  Documents whose every
+    paragraph was seen earlier disappear from the output (fully
+    boilerplate); callers wanting them back left-join on ``id_col``.
+
+    Output: (id_col, dedup_text, n_kept)."""
+    import re as _re
+
+    from pyspark.sql import Window
+
+    pos_para = docs.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), _re.escape(sep))).alias(
+            "ppos", "para"
+        ),
+    )
+    w = Window.partitionBy("para").orderBy(id_col, "ppos")
+    survivors = (
+        pos_para.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return survivors.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("ppos", "para"))),
+                lambda s: s["para"],
+            ),
+            sep,
+        ).alias("dedup_text"),
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # shingling + n-gram Jaccard
 # ---------------------------------------------------------------------------

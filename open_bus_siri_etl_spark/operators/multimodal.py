@@ -5,12 +5,15 @@ metadata struct; decode / feature-extract run as Arrow-batched
 ``mapInPandas`` — the ONLY sanctioned Python hot path in the engine, because
 codec work genuinely cannot be expressed in Spark SQL.
 
-The actual media codecs (PIL/ffmpeg/etc.) are NOT in this container, so the
-decode body is a clearly-marked deterministic STUB (``_fake_decode``): it
-produces stable per-blob features (byte length, first byte, md5 prefix) so the
-Spark-side plumbing — schema, batch iteration, partition parallelism, column
-pruning through mapInPandas — is real and tested end-to-end.  Swapping in a
-real codec changes only the inside of ``_fake_decode``.
+Real pure-Python codecs live here for the stdlib-decodable containers —
+BMP (header + 24/32-bit pixels), WAV (header + PCM/float samples), PNG
+(full decode: all five filters, palette, 16-bit, Adam7 interlace) and
+JPEG (header-only SOF walk) — and the feature/resize kernels route
+through them.  PIL/ffmpeg-class codecs are NOT in this container, so
+blobs DECLARED ``fake/blob`` (the ``documents_as_media`` test harness)
+take a clearly-marked deterministic STUB (``_fake_decode``: byte length,
+first byte, md5 prefix — SQL-recomputable, so the plumbing keeps a
+hash-exact oracle), and unknown containers fail loudly.
 """
 
 from __future__ import annotations
@@ -46,6 +49,20 @@ FEATURES_SCHEMA = T.StructType(
         T.StructField("first_byte", T.IntegerType()),
         T.StructField("checksum", T.LongType()),
         T.StructField("format", T.StringType()),
+        # r14: real-decode columns — populated from actual pixel/sample
+        # decode for the natively supported containers (PNG/BMP/WAV),
+        # NULL on the documented fake/blob harness path
+        T.StructField("kind", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+        T.StructField("mean_luma", T.DoubleType()),
+        T.StructField("max_luma", T.IntegerType()),
+        T.StructField("luma_hist", T.ArrayType(T.LongType())),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("rms", T.DoubleType()),
     ]
 )
 
@@ -122,24 +139,76 @@ def extract_features(media: DataFrame, batch_hint: int | None = None) -> DataFra
     emits one feature row per blob — the shape a real image-resize /
     frame-sample / spectrogram operator takes.  No shuffle: purely
     partition-local, so throughput scales with cores × IO.
+
+    r14: the kernel routes natively supported containers through the REAL
+    codecs in this module — PNG (``decode_png``) and BMP
+    (``decode_bmp_pixels``) emit actual pixel statistics (Rec.601
+    mean/max luma + 8-bin luma histogram), WAV (``decode_wav_samples``)
+    emits sample rate / sample count / duration and the RMS amplitude of
+    the decoded samples.  Blobs DECLARED ``fake/blob`` (the documented
+    test-harness seam — ``documents_as_media``) keep the deterministic
+    stub features with every real-decode column NULL; a blob with no
+    recognized magic and no fake/blob declaration fails the task loudly
+    (the module contract), never emits a fabricated row.
     """
+    import numpy as np
+
+    real_cols = [f.name for f in FEATURES_SCHEMA.fields[5:]]
+
+    def _one(blob: bytes, fmt: str) -> dict:
+        n, first, crc = _fake_decode(blob)
+        row = {
+            "n_bytes": n,
+            "first_byte": first,
+            "checksum": crc,
+            "format": fmt,
+            **{c: None for c in real_cols},
+        }
+        if fmt == "fake/blob":
+            row["kind"] = "opaque"
+            return row
+        if blob[:8] == PNG_SIGNATURE:
+            d = decode_png(blob)
+        elif blob[:2] == b"BM":
+            d = decode_bmp_pixels(blob)
+        elif blob[:4] == b"RIFF":
+            meta, samples = decode_wav_samples(blob)
+            row.update(
+                kind="wav",
+                n_channels=meta["n_channels"],
+                sample_rate=meta["sample_rate"],
+                n_samples=meta["n_samples"],
+                duration_ms=meta["duration_ms"],
+                rms=float(np.sqrt(np.mean(samples**2))) if samples.size else 0.0,
+            )
+            return row
+        else:
+            raise NotImplementedError(
+                "no codec for this container in this environment (PNG, "
+                "BMP and WAV decode natively; PIL/ffmpeg formats need a "
+                "real codec library)"
+            )
+        mean_l, max_l, hist = _pixel_luma(d)
+        row.update(
+            kind=d["kind"],
+            width=d["width"],
+            height=d["height"],
+            n_channels=d["n_channels"],
+            mean_luma=mean_l,
+            max_luma=max_l,
+            luma_hist=hist,
+        )
+        return row
 
     def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            n_bytes, first, crc = [], [], []
-            for blob in pdf["content"]:
-                b, f, c = _fake_decode(bytes(blob))
-                n_bytes.append(b)
-                first.append(f)
-                crc.append(c)
+            rows = []
+            for mid, blob, m in zip(pdf["media_id"], pdf["content"], pdf["meta"]):
+                rows.append(
+                    {"media_id": mid, **_one(bytes(blob), m["format"])}
+                )
             yield pd.DataFrame(
-                {
-                    "media_id": pdf["media_id"],
-                    "n_bytes": n_bytes,
-                    "first_byte": first,
-                    "checksum": crc,
-                    "format": [m["format"] for m in pdf["meta"]],
-                }
+                rows, columns=[f.name for f in FEATURES_SCHEMA.fields]
             )
 
     return media.mapInPandas(decode_batches, schema=FEATURES_SCHEMA)
@@ -171,35 +240,87 @@ FRAMES_SCHEMA = T.StructType(
 )
 
 
+def _box_resize(d: dict, width: int, height: int) -> bytes:
+    """Deterministic box-filter resample of a decoded pixel dict to
+    width×height: source rows/columns are partitioned by the integer
+    boundaries ``j*src//dst`` (each target pixel averages its box with
+    floor division, so goldens are hand-computable; upscale boxes
+    degenerate to single pixels = nearest neighbor).  16-bit sources
+    downshift to their high byte first — output is always 8-bit."""
+    import numpy as np
+
+    w, h, nch = d["width"], d["height"], d["n_channels"]
+    if d["bit_depth"] == 16:
+        arr = (np.frombuffer(d["pixels"], dtype=">u2") >> 8).astype(np.uint8)
+    else:
+        arr = np.frombuffer(d["pixels"], dtype=np.uint8)
+    arr = arr.reshape(h, w, nch).astype(np.int64)
+    out = np.zeros((height, width, nch), np.uint8)
+    for j in range(height):
+        y0 = j * h // height
+        y1 = max(y0 + 1, (j + 1) * h // height)
+        for i in range(width):
+            x0 = i * w // width
+            x1 = max(x0 + 1, (i + 1) * w // width)
+            box = arr[y0:y1, x0:x1].reshape(-1, nch)
+            out[j, i] = box.sum(axis=0) // box.shape[0]
+    return out.tobytes()
+
+
 def resize_images(media: DataFrame, width: int = 32, height: int = 32) -> DataFrame:
     """Resize via mapInPandas — 1 row in, 1 row out, binary in/binary out.
 
-    STUB kernel: deterministic truncate/cycle of the source bytes to
-    width×height (a real one calls PIL/libvips inside the loop body and
-    nothing else changes).  Partition-local, no shuffle; output carries the
-    new typed metadata so downstream operators never re-decode.
+    r14: a REAL box-filter downsample for the natively decodable image
+    containers — PNG and BMP blobs are pixel-decoded and area-averaged to
+    width×height raw 8-bit pixels (``raw/u8c{n}`` format tag, channel
+    count preserved), golden-tested against hand-computed boxes.  Blobs
+    DECLARED ``fake/blob`` (the test-harness seam) keep the deterministic
+    truncate/cycle stub; anything else — including audio — fails the task
+    loudly.  Partition-local, no shuffle; output carries the new typed
+    metadata so downstream operators never re-decode.
     """
     target = width * height
 
+    def _one(blob: bytes, fmt: str) -> tuple[bytes, dict]:
+        if fmt == "fake/blob":
+            if not blob:
+                raise NotImplementedError(
+                    "real codecs are not available in this environment"
+                )
+            reps = (target // len(blob)) + 1
+            return (blob * reps)[:target], {
+                "format": "fake/raw",
+                "width": width,
+                "height": height,
+            }
+        if blob[:8] == PNG_SIGNATURE:
+            d = decode_png(blob)
+        elif blob[:2] == b"BM":
+            d = decode_bmp_pixels(blob)
+        else:
+            raise NotImplementedError(
+                "resize_images: no pixel codec for this container (PNG "
+                "and BMP decode natively; PIL/ffmpeg formats need a real "
+                "codec library)"
+            )
+        return _box_resize(d, width, height), {
+            "format": f"raw/u8c{d['n_channels']}",
+            "width": width,
+            "height": height,
+        }
+
     def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = []
-            for blob in pdf["content"]:
-                b = bytes(blob)
-                if not b:
-                    raise NotImplementedError(
-                        "real codecs are not available in this environment"
-                    )
-                reps = (target // len(b)) + 1
-                out.append((b * reps)[:target])
+            out, metas = [], []
+            for blob, m in zip(pdf["content"], pdf["meta"]):
+                content, meta = _one(bytes(blob), m["format"])
+                out.append(content)
+                metas.append(meta)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "content": out,
-                    "meta": [
-                        {"format": "fake/raw", "width": width, "height": height}
-                        for _ in out
-                    ],
+                    "meta": metas,
                 }
             )
 
@@ -253,6 +374,9 @@ MEDIA_META_SCHEMA = T.StructType(
         T.StructField("sample_rate", T.IntegerType()),
         T.StructField("n_samples", T.LongType()),
         T.StructField("duration_ms", T.LongType()),
+        # r14: JPEG dispatch — NULL for every non-JPEG kind; true only
+        # for SOF2 progressive scans
+        T.StructField("progressive", T.BooleanType()),
     ]
 )
 
@@ -341,6 +465,124 @@ def decode_wav(blob: bytes) -> dict:
     }
 
 
+def decode_bmp_pixels(blob: bytes) -> dict:
+    """Full BMP pixel decode for the uncompressed (BI_RGB) 24/32-bit
+    case — the common layout.  Rows are 4-byte aligned and stored
+    bottom-up unless the header height is negative; stored BGR(A) order
+    is swapped to RGB(A) so every pixel decoder here emits the same
+    channel convention.  Anything else (RLE, bitfields, <=8-bit palette
+    BMPs) keeps the loud-fail NotImplementedError contract."""
+    import struct
+
+    import numpy as np
+
+    meta = decode_bmp(blob)  # validates signature + header family
+    w, h = meta["width"], meta["height"]
+    raw_h = struct.unpack_from("<i", blob, 22)[0]
+    top_down = raw_h < 0
+    (data_off,) = struct.unpack_from("<I", blob, 10)
+    (bpp,) = struct.unpack_from("<H", blob, 28)
+    (comp,) = struct.unpack_from("<I", blob, 30)
+    if comp != 0 or bpp not in (24, 32):
+        raise NotImplementedError(
+            f"BMP compression {comp} / {bpp}-bit pixels — uncompressed "
+            "24/32-bit BI_RGB decodes here"
+        )
+    if w <= 0:
+        raise ValueError(f"BMP declares width {w}")
+    nch = bpp // 8
+    if h * w * nch > _PNG_MAX_PIXEL_BYTES:
+        raise ValueError(
+            f"BMP declares {h * w * nch} bytes of pixels for {w}x{h} — "
+            f"over the {_PNG_MAX_PIXEL_BYTES}-byte decode cap"
+        )
+    stride = (w * nch + 3) // 4 * 4
+    if data_off + stride * h > len(blob):
+        raise ValueError(
+            f"BMP truncated: {stride * h} pixel bytes declared at offset "
+            f"{data_off} but the blob is {len(blob)} bytes"
+        )
+    arr = (
+        np.frombuffer(blob, np.uint8, count=stride * h, offset=data_off)
+        .reshape(h, stride)[:, : w * nch]
+        .reshape(h, w, nch)
+    )
+    if not top_down:
+        arr = arr[::-1]
+    order = [2, 1, 0] + ([3] if nch == 4 else [])
+    return {
+        "kind": "bmp",
+        "width": w,
+        "height": h,
+        "n_channels": nch,
+        "bit_depth": 8,
+        "pixels": arr[..., order].tobytes(),
+    }
+
+
+def decode_wav_samples(blob: bytes) -> tuple[dict, "object"]:
+    """WAV payload decode: ``decode_wav``'s validated metadata plus the
+    interleaved samples as a float64 numpy array — 8-bit PCM re-centered
+    by its 128 offset, 16/32-bit PCM sign-preserved, IEEE float 32/64
+    as-is.  24-bit PCM (3-byte samples) keeps the loud-fail contract."""
+    import struct
+
+    import numpy as np
+
+    meta = decode_wav(blob)  # validates chunks, format tag, sizes
+    pos, audio_fmt, bits, data = 12, None, None, b""
+    while pos + 8 <= len(blob):
+        cid = blob[pos : pos + 4]
+        (csize,) = struct.unpack_from("<I", blob, pos + 4)
+        if cid == b"fmt ":
+            audio_fmt, _, _, _, _, bits = struct.unpack_from(
+                "<HHIIHH", blob, pos + 8
+            )
+        elif cid == b"data":
+            data = blob[pos + 8 : pos + 8 + csize]
+        pos += 8 + csize + (csize & 1)
+    if audio_fmt == 3:
+        if bits == 32:
+            arr = np.frombuffer(data, "<f4").astype(np.float64)
+        elif bits == 64:
+            arr = np.frombuffer(data, "<f8").astype(np.float64)
+        else:
+            raise NotImplementedError(f"WAV IEEE-float at {bits} bits")
+    else:  # PCM (decode_wav already restricted to fmt 1 or 3)
+        if bits == 8:
+            arr = np.frombuffer(data, np.uint8).astype(np.float64) - 128.0
+        elif bits == 16:
+            arr = np.frombuffer(data, "<i2").astype(np.float64)
+        elif bits == 32:
+            arr = np.frombuffer(data, "<i4").astype(np.float64)
+        else:
+            raise NotImplementedError(f"WAV PCM at {bits} bits (3-byte samples)")
+    return meta, arr
+
+
+def _pixel_luma(d: dict) -> tuple[float, int, list[int]]:
+    """Luma statistics over a decoded pixel dict ({width, height,
+    n_channels, bit_depth, pixels}): (mean_luma, max_luma, 8-bin
+    histogram).  Integer Rec.601 luma ((299R + 587G + 114B) // 1000)
+    for >=3 channels, channel 0 for gray(+alpha); 16-bit samples
+    downshift to their high byte so the stats live on the 0-255 scale
+    regardless of source depth."""
+    import numpy as np
+
+    w, h, nch = d["width"], d["height"], d["n_channels"]
+    if d["bit_depth"] == 16:
+        arr = (np.frombuffer(d["pixels"], dtype=">u2") >> 8).astype(np.uint8)
+    else:
+        arr = np.frombuffer(d["pixels"], dtype=np.uint8)
+    arr = arr.reshape(h * w, nch).astype(np.int64)
+    if nch >= 3:
+        luma = (299 * arr[:, 0] + 587 * arr[:, 1] + 114 * arr[:, 2]) // 1000
+    else:
+        luma = arr[:, 0]
+    hist = np.bincount(luma // 32, minlength=8)
+    return float(luma.mean()), int(luma.max()), [int(x) for x in hist]
+
+
 PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
 
 # color type -> SAMPLES per pixel in the coded stream (palette type 3 is
@@ -355,29 +597,146 @@ _PNG_DEPTHS = {0: (8, 16), 2: (8, 16), 3: (1, 2, 4, 8), 4: (8, 16), 6: (8, 16)}
 _PNG_MAX_PIXEL_BYTES = 1 << 28  # 256 MiB per image
 
 
-def _png_parse_ihdr(data: bytes) -> tuple[int, int, int, int]:
-    """Validate an IHDR payload; returns (w, h, depth, color). Shared by
-    the full decoder and the header-only metadata path so both enforce
-    the same loud-fail coverage contract."""
+# Adam7 interlace pass geometry: (x_start, y_start, x_step, y_step) per
+# the spec's 8x8 pattern — each pass is an independently filtered
+# sub-image; the concatenation of all seven coded streams is the IDAT
+# payload
+_ADAM7_PASSES = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
+
+
+def _png_parse_ihdr(data: bytes) -> tuple[int, int, int, int, int]:
+    """Validate an IHDR payload; returns (w, h, depth, color, interlace).
+    Shared by the full decoder and the header-only metadata path so both
+    enforce the same loud-fail coverage contract."""
     import struct
 
+    if len(data) != 13:
+        # r13 ADVICE: a declared IHDR length != 13 must hit the module's
+        # loud ValueError contract, not a bare struct.error (the header-
+        # meta path already checks clen == 13; this covers the full
+        # decoder's chunk walk too)
+        raise ValueError(
+            f"PNG IHDR payload is {len(data)} bytes — the spec pins it at 13"
+        )
     w, h, depth, color, comp, filt, interlace = struct.unpack(">IIBBBBB", data)
     if comp != 0 or filt != 0:
         raise ValueError("PNG declares a non-zero compression/filter method")
-    if (
-        color not in _PNG_SAMPLES
-        or depth not in _PNG_DEPTHS.get(color, ())
-        or interlace != 0
-    ):
+    if interlace not in (0, 1):
+        raise ValueError(f"PNG declares interlace method {interlace}")
+    if color not in _PNG_SAMPLES or depth not in _PNG_DEPTHS.get(color, ()):
         raise NotImplementedError(
-            f"PNG bit depth {depth} / color type {color} / interlace "
-            f"{interlace} — gray/RGB/gray+alpha/RGBA at 8/16-bit and "
-            "palette at 1/2/4/8-bit decode here (Adam7 needs the "
-            "7-pass reassembly)"
+            f"PNG bit depth {depth} / color type {color} — gray/RGB/"
+            "gray+alpha/RGBA at 8/16-bit and palette at 1/2/4/8-bit "
+            "decode here"
         )
     if w == 0 or h == 0:
         raise ValueError("PNG declares a zero dimension")
-    return w, h, depth, color
+    return w, h, depth, color, interlace
+
+
+def _png_defilter(raw: bytes, h: int, stride: int, bpp: int) -> bytearray:
+    """Invert the five per-scanline filter recurrences
+    (None/Sub/Up/Average/Paeth) over ``h`` coded scanlines of
+    ``1 + stride`` bytes each; returns ``h * stride`` raw sample bytes.
+    Shared by the sequential path and each Adam7 sub-image."""
+    out = bytearray(h * stride)
+    prev = bytearray(stride)  # the spec's zero row above the first
+    for y in range(h):
+        ftype = raw[y * (1 + stride)]
+        line = bytearray(raw[y * (1 + stride) + 1 : (y + 1) * (1 + stride)])
+        if ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = prev[i]
+                c = prev[i - bpp] if i >= bpp else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                line[i] = (line[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"PNG scanline declares filter type {ftype}")
+        out[y * stride : (y + 1) * stride] = line
+        prev = line
+    return out
+
+
+def _adam7_geometry(
+    w: int, h: int, depth: int, spp: int
+) -> list[tuple[int, int, int, int, int, int]]:
+    """Non-empty Adam7 passes as (x0, y0, xs, ys, pass_w, pass_h) —
+    shared by the coded-size bound and the reassembly so both walk the
+    exact same byte layout."""
+    out = []
+    for x0, y0, xs, ys in _ADAM7_PASSES:
+        pw = (w - x0 + xs - 1) // xs
+        ph = (h - y0 + ys - 1) // ys
+        if pw > 0 and ph > 0:
+            out.append((x0, y0, xs, ys, pw, ph))
+    return out
+
+
+def _png_deinterlace(
+    raw: bytes, w: int, h: int, depth: int, spp: int
+) -> bytearray:
+    """Adam7 reassembly: defilter each of the seven sub-images with the
+    existing recurrence inverter (each pass is filtered against ITS OWN
+    previous scanline, never the full image's), then scatter the pass
+    pixels to their (x0 + i*xs, y0 + j*ys) home.  Byte-aligned depths
+    copy whole pixels; sub-byte palette depths set bits MSB-first into
+    the zero-initialized full-image rows."""
+    stride = (w * spp * depth + 7) // 8
+    bpp = max(1, (spp * depth) // 8)
+    out = bytearray(h * stride)
+    pos = 0
+    for x0, y0, xs, ys, pw, ph in _adam7_geometry(w, h, depth, spp):
+        pstride = (pw * spp * depth + 7) // 8
+        seg = raw[pos : pos + ph * (1 + pstride)]
+        pos += ph * (1 + pstride)
+        sub = _png_defilter(seg, ph, pstride, bpp)
+        if depth >= 8:
+            pb = (spp * depth) // 8
+            for py in range(ph):
+                row = sub[py * pstride : (py + 1) * pstride]
+                base = (y0 + py * ys) * stride
+                for px in range(pw):
+                    x = x0 + px * xs
+                    out[base + x * pb : base + (x + 1) * pb] = row[
+                        px * pb : (px + 1) * pb
+                    ]
+        else:
+            per_byte = 8 // depth
+            mask = (1 << depth) - 1
+            for py in range(ph):
+                row = sub[py * pstride : (py + 1) * pstride]
+                base = (y0 + py * ys) * stride
+                for px in range(pw):
+                    val = (
+                        row[px // per_byte]
+                        >> (8 - depth * (px % per_byte + 1))
+                    ) & mask
+                    x = x0 + px * xs
+                    out[base + x // per_byte] |= val << (
+                        8 - depth * (x % per_byte + 1)
+                    )
+    return out
 
 
 def decode_png(blob: bytes) -> dict:
@@ -389,8 +748,10 @@ def decode_png(blob: bytes) -> dict:
 
     Coverage: color types 0/2/4/6 (gray, RGB, gray+alpha, RGBA) at 8- and
     16-bit depth, and palette (type 3) at 1/2/4/8-bit with PLTE expansion
-    (+ optional tRNS alpha → RGBA), non-interlaced.  Adam7 interlace keeps
-    the loud-fail NotImplementedError contract; chunk CRCs are verified so
+    (+ optional tRNS alpha → RGBA), sequential AND Adam7-interlaced (r14
+    — the seven passes defilter independently through the same recurrence
+    inverter, then scatter; output pixels are identical to the sequential
+    encoding of the same image, test-pinned).  Chunk CRCs are verified so
     corruption fails loudly instead of decoding garbage.  The inflate is
     CAPPED at the exact payload size IHDR implies (decompressobj +
     max_length), so a crafted zlib bomb fails loudly before it can
@@ -433,14 +794,23 @@ def decode_png(blob: bytes) -> dict:
         pos += 12 + clen
     if ihdr is None or not idat:
         raise ValueError("PNG missing IHDR/IDAT chunk")
-    w, h, depth, color = ihdr
+    w, h, depth, color, interlace = ihdr
     spp = _PNG_SAMPLES[color]
     # coded-stream geometry: filtering works on raw bytes, one filter byte
-    # per scanline; left-neighbor offset is the byte-aligned pixel size
+    # per scanline; left-neighbor offset is the byte-aligned pixel size.
+    # Adam7 codes seven sub-images, each with its own (narrower) stride —
+    # the expected byte count walks the same pass geometry the reassembly
+    # will, so short/long payloads still fail loudly
     stride = (w * spp * depth + 7) // 8
     bpp = max(1, (spp * depth) // 8)
-    expected = h * (1 + stride)
-    if expected > _PNG_MAX_PIXEL_BYTES:
+    if interlace:
+        expected = sum(
+            ph * (1 + (pw * spp * depth + 7) // 8)
+            for _, _, _, _, pw, ph in _adam7_geometry(w, h, depth, spp)
+        )
+    else:
+        expected = h * (1 + stride)
+    if max(expected, h * stride) > _PNG_MAX_PIXEL_BYTES:
         raise ValueError(
             f"PNG declares {expected} bytes of pixel payload for {w}x{h} — "
             f"over the {_PNG_MAX_PIXEL_BYTES}-byte decode cap"
@@ -460,36 +830,10 @@ def decode_png(blob: bytes) -> dict:
             f"PNG pixel payload is {len(raw)} bytes, expected {expected} "
             f"for {w}x{h} at depth {depth}"
         )
-    out = bytearray(h * stride)
-    prev = bytearray(stride)  # the spec's zero row above the first
-    for y in range(h):
-        ftype = raw[y * (1 + stride)]
-        line = bytearray(
-            raw[y * (1 + stride) + 1 : (y + 1) * (1 + stride)]
-        )
-        if ftype == 1:  # Sub
-            for i in range(bpp, stride):
-                line[i] = (line[i] + line[i - bpp]) & 0xFF
-        elif ftype == 2:  # Up
-            for i in range(stride):
-                line[i] = (line[i] + prev[i]) & 0xFF
-        elif ftype == 3:  # Average
-            for i in range(stride):
-                left = line[i - bpp] if i >= bpp else 0
-                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
-            for i in range(stride):
-                a = line[i - bpp] if i >= bpp else 0
-                b = prev[i]
-                c = prev[i - bpp] if i >= bpp else 0
-                p = a + b - c
-                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
-                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
-                line[i] = (line[i] + pred) & 0xFF
-        elif ftype != 0:
-            raise ValueError(f"PNG scanline declares filter type {ftype}")
-        out[y * stride : (y + 1) * stride] = line
-        prev = line
+    if interlace:
+        out = _png_deinterlace(raw, w, h, depth, spp)
+    else:
+        out = _png_defilter(raw, h, stride, bpp)
     if color == 3:
         return _png_expand_palette(out, w, h, depth, stride, plte, trns)
     return {
@@ -519,6 +863,17 @@ def _png_expand_palette(
         raise ValueError("PNG color type 3 without a PLTE chunk")
     n_entries = len(plte) // 3
     nch = 4 if trns is not None else 3
+    # r13 ADVICE: the coded-stream cap alone does not bound THIS
+    # allocation — a 1-bit palette+tRNS image expands ~32× (1 bit/px →
+    # 4 B/px), so a ~140 KB coded stream passing the 256 MiB cap could
+    # otherwise allocate multi-GiB here; enforce the cap on the EXPANDED
+    # geometry before allocating
+    if h * w * nch > _PNG_MAX_PIXEL_BYTES:
+        raise ValueError(
+            f"PNG palette expansion would produce {h * w * nch} bytes for "
+            f"{w}x{h} at {nch} channels — over the "
+            f"{_PNG_MAX_PIXEL_BYTES}-byte decode cap"
+        )
     out = bytearray(h * w * nch)
     per_byte = 8 // depth
     mask = (1 << depth) - 1
@@ -569,7 +924,7 @@ def png_header_meta(blob: bytes) -> dict:
     (crc,) = struct.unpack_from(">I", blob, 29)
     if zlib.crc32(b"IHDR" + data) & 0xFFFFFFFF != crc:
         raise ValueError("PNG chunk b'IHDR' CRC mismatch")
-    w, h, depth, color = _png_parse_ihdr(data)
+    w, h, depth, color, _interlace = _png_parse_ihdr(data)
     nch = _PNG_SAMPLES[color]
     if color == 3:
         # palette expands to RGB, or RGBA when tRNS is present: hop the
@@ -593,6 +948,90 @@ def png_header_meta(blob: bytes) -> dict:
     }
 
 
+JPEG_SIGNATURE = b"\xff\xd8\xff"
+
+# SOF markers this header walk decodes: baseline (C0), extended
+# sequential (C1), progressive (C2).  Everything else in the CN family
+# that declares frame geometry (lossless C3/C7, arithmetic C9-CB/CF,
+# hierarchical) loud-fails — the module contract — while C4/C8/CC are
+# NOT SOFs (DHT / JPG / DAC) and are skipped like any table segment.
+_JPEG_SOF = {0xC0, 0xC1, 0xC2}
+_JPEG_NOT_SOF = {0xC4, 0xC8, 0xCC}
+
+
+def jpeg_header_meta(blob: bytes) -> dict:
+    """Header-only JPEG metadata (r14 directive): walk the marker
+    segments from SOI, length-hop every table/APPn/COM segment, and read
+    (precision, height, width, n_components) from the first SOF frame
+    header — no entropy decode, no DCT, the ``png_header_meta``
+    philosophy applied to the majority image format.  ``progressive``
+    is true for SOF2 scans.  Cost is O(segment count): each hop reads
+    one 2-byte big-endian length.
+
+    Loud-fail coverage: truncated streams, a missing SOF before SOS,
+    zero dimensions (a height of 0 in the header means "deferred to
+    DNL" — fabricating it would violate the module contract), and the
+    exotic SOF families (lossless / arithmetic / hierarchical) all
+    raise instead of emitting a plausible-looking row."""
+    import struct
+
+    if len(blob) < 4 or blob[:3] != JPEG_SIGNATURE:
+        raise ValueError("not a JPEG container")
+    pos = 2
+    while pos + 4 <= len(blob):
+        if blob[pos] != 0xFF:
+            raise ValueError(
+                f"JPEG marker expected at byte {pos}, found 0x{blob[pos]:02x}"
+            )
+        marker = blob[pos + 1]
+        if marker == 0xFF:  # fill bytes before a marker are legal
+            pos += 1
+            continue
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM / RSTn: no length
+            pos += 2
+            continue
+        if marker == 0xD9:  # EOI before any SOF
+            break
+        (seg_len,) = struct.unpack_from(">H", blob, pos + 2)
+        if seg_len < 2 or pos + 2 + seg_len > len(blob):
+            raise ValueError(
+                f"JPEG truncated: segment 0x{marker:02x} declares "
+                f"{seg_len} bytes at offset {pos}"
+            )
+        if marker in _JPEG_SOF:
+            if seg_len < 8:
+                raise ValueError(
+                    f"JPEG SOF segment declares {seg_len} bytes — the "
+                    "frame header needs at least 8"
+                )
+            precision, height, width, n_comp = struct.unpack_from(
+                ">BHHB", blob, pos + 4
+            )
+            if width == 0 or height == 0:
+                raise ValueError(
+                    "JPEG frame header declares a zero dimension "
+                    "(DNL-deferred height does not decode here)"
+                )
+            return {
+                "kind": "jpeg",
+                "width": width,
+                "height": height,
+                "n_channels": n_comp,
+                "bit_depth": precision,
+                "progressive": marker == 0xC2,
+            }
+        if 0xC0 <= marker <= 0xCF and marker not in _JPEG_NOT_SOF:
+            raise NotImplementedError(
+                f"JPEG SOF marker 0x{marker:02x} (lossless/arithmetic/"
+                "hierarchical family) — baseline, extended-sequential "
+                "and progressive frame headers decode here"
+            )
+        if marker == 0xDA:  # SOS without a frame header first
+            raise ValueError("JPEG scan starts before any SOF frame header")
+        pos += 2 + seg_len
+    raise ValueError("JPEG missing a SOF frame header")
+
+
 def _decode_meta(blob: bytes) -> dict:
     if blob[:2] == b"BM":
         return decode_bmp(blob)
@@ -603,10 +1042,12 @@ def _decode_meta(blob: bytes) -> dict:
         # defiltering the pixels just to discard them would cost
         # O(h*stride) Python per row in the metadata hot path
         return png_header_meta(blob)
+    if blob[:3] == JPEG_SIGNATURE:
+        return jpeg_header_meta(blob)
     raise NotImplementedError(
-        "no codec for this container in this environment (BMP, WAV and "
-        "PNG decode natively; PIL/ffmpeg formats need a real codec "
-        "library)"
+        "no codec for this container in this environment (BMP, WAV, PNG "
+        "and JPEG headers decode natively; PIL/ffmpeg formats need a "
+        "real codec library)"
     )
 
 
@@ -632,6 +1073,7 @@ def extract_media_meta(media: DataFrame) -> DataFrame:
                         "sample_rate": meta.get("sample_rate"),
                         "n_samples": meta.get("n_samples"),
                         "duration_ms": meta.get("duration_ms"),
+                        "progressive": meta.get("progressive"),
                     }
                 )
             yield pd.DataFrame(

@@ -1676,7 +1676,10 @@ def l2_normalize_expr(vec: Column | str) -> Column:
     Pure column expression (no shuffle, no Python): a left-fold sum of
     squares (deterministic order) and one divide per coordinate, in
     double.  A ZERO vector has no direction — it raises in-plan rather
-    than silently landing at the origin of someone's cell."""
+    than silently landing at the origin of someone's cell.  A NULL norm
+    (NULL vector, or any NULL element poisoning the fold) raises the
+    same way (r13 ADVICE): all-NULL coordinates would otherwise flow
+    silently into codebook training and encoding."""
     v = F.transform(
         F.col(vec) if isinstance(vec, str) else vec,
         lambda x: x.cast("double"),
@@ -1684,15 +1687,28 @@ def l2_normalize_expr(vec: Column | str) -> Column:
     nrm = F.sqrt(
         F.aggregate(v, F.lit(0.0), lambda acc, x: acc + x * x)
     )
-    return F.when(
-        nrm == 0.0,
-        F.raise_error(
-            F.lit(
-                "l2_normalize: zero vector cannot be normalized — drop or "
-                "impute zero embeddings before ingest"
-            )
-        ),
-    ).otherwise(F.transform(v, lambda x: x / nrm))
+    return (
+        F.when(
+            nrm.isNull(),
+            F.raise_error(
+                F.lit(
+                    "l2_normalize: NULL vector or NULL element cannot be "
+                    "normalized — drop or impute null embeddings before "
+                    "ingest"
+                )
+            ),
+        )
+        .when(
+            nrm == 0.0,
+            F.raise_error(
+                F.lit(
+                    "l2_normalize: zero vector cannot be normalized — drop "
+                    "or impute zero embeddings before ingest"
+                )
+            ),
+        )
+        .otherwise(F.transform(v, lambda x: x / nrm))
+    )
 
 
 def ivf_pq_centroids(

@@ -3890,3 +3890,61 @@ def contamination_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") % 10 == 0),
         min_common=2,
     )
+
+
+@register(
+    "paragraph_dedup_boilerplate",
+    """
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    para AS (
+        SELECT doc_id, start // 2 AS ppos,
+               array_to_string(list_slice(toks, start + 1, start + 2), ' ')
+                   AS para
+        FROM (
+            SELECT doc_id, toks,
+                   unnest(generate_series(0, len(toks) - 1, 2)) AS start
+            FROM tok
+        )
+    ),
+    win AS (
+        SELECT doc_id, ppos, para,
+               row_number() OVER (PARTITION BY para
+                                  ORDER BY doc_id, ppos) AS rn
+        FROM para
+    )
+    SELECT doc_id,
+           string_agg(para, ' | ' ORDER BY ppos) AS dedup_text,
+           CAST(count(*) AS BIGINT) AS n_kept
+    FROM win WHERE rn = 1
+    GROUP BY doc_id
+    """,
+    note="Cross-document PARAGRAPH dedup (r14 directive #6) — the "
+    "boilerplate-removal pass of public curation pipelines: explode on "
+    "paragraph boundaries, keep the globally FIRST occurrence of every "
+    "distinct paragraph (first-wins by doc_id then position, the "
+    "exact_dedup tiebreak), reassemble survivors in document order via "
+    "array_join(transform(array_sort(collect_list(struct(pos, para))))). "
+    "The synthetic corpus has no newlines, so the entry materializes "
+    "2-word chunks as paragraphs (' | '-joined — heavy cross-doc "
+    "repetition: ~14k paragraph instances over ~940 distinct at sf0.01) "
+    "and runs the GENERIC operator over them; the oracle replays the "
+    "same chunking with list_slice and string_agg ORDER BY.  One "
+    "shuffle on the paragraph hash + one on doc_id for reassembly; "
+    "documents that are fully boilerplate drop out on both engines "
+    "(operators/dedup.py:paragraph_dedup)",
+)
+def paragraph_dedup_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import paragraph_dedup
+
+    docs = t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    starts = F.sequence(F.lit(0), F.size(toks) - F.lit(1), F.lit(2))
+    paras = F.transform(
+        starts, lambda s: F.array_join(F.slice(toks, s + 1, 2), " ")
+    )
+    prepped = docs.select(
+        "doc_id", F.array_join(paras, " | ").alias("text")
+    )
+    return paragraph_dedup(prepped, sep=" | ")

@@ -195,6 +195,105 @@ def start_text_delta_dedup_stream(
     return writer.start()
 
 
+def start_contamination_screen_stream(
+    spark: SparkSession,
+    landing_root: str,
+    evalset_path: str,
+    quarantine_path: str,
+    checkpoint_dir: str,
+    eval_keys_path: str | None = None,
+    text_col: str = "text",
+    n: int = 3,
+    min_common: int = 2,
+    perms: int | None = None,
+    bands: int | None = None,
+    max_files_per_trigger: int | None = None,
+    trigger: dict | None = None,
+    schema=None,
+):
+    """Per-batch train/eval contamination screen (r14 directive #5) —
+    ``contamination_lsh`` in the index-stream shape: every micro-batch of
+    newly landed training documents is signed to its constant
+    ``bands`` band keys and probed against the FROZEN eval-suite band
+    index, and the verified contaminated pairs land in a per-batch
+    partition of the ``quarantine_path`` store (same idempotent
+    ``ingest_batch`` dynamic-overwrite discipline as every stream here —
+    a replayed batch recomputes against the same frozen index and
+    overwrites exactly itself).
+
+    The eval index is the PERSISTED ``build_minhash_index`` store at
+    ``eval_keys_path`` (built once; benchmarks change rarely) — its
+    ``params`` tag is validated IN-PLAN against this stream's
+    (n, perms, bands) by ``contamination_lsh``'s guard, mirroring
+    ``minhash_delta_dedup``: a stream started with a mismatched band
+    family fails its first non-empty batch loudly instead of silently
+    collapsing recall.  When ``eval_keys_path`` is None the index is
+    built from ``evalset_path`` at stream start (small suites).  The
+    eval set itself is read for the exact-overlap verification of the
+    banded candidates only — O(|batch| signatures + candidates) per
+    batch, never corpus-sized.
+
+    Because the screen decomposes by document (a pair's n_common depends
+    only on the train doc and the eval doc), the union of all per-batch
+    quarantine partitions equals the batch ``contamination_lsh`` over the
+    union of batches — test-asserted over multiple micro-batches.
+    Returns the StreamingQuery."""
+    from ..operators.dedup import (
+        MINHASH_BANDS,
+        MINHASH_PERMS,
+        build_minhash_index,
+        contamination_lsh,
+    )
+
+    perms = MINHASH_PERMS if perms is None else perms
+    bands = MINHASH_BANDS if bands is None else bands
+    if schema is None:
+        schema = (
+            spark.read.option("recursiveFileLookup", "true")
+            .parquet(landing_root).schema
+        )
+    evalset = spark.read.parquet(evalset_path)
+    if eval_keys_path is not None:
+        eval_keys = spark.read.parquet(eval_keys_path)
+    else:
+        eval_keys = build_minhash_index(evalset, text_col, n, perms, bands)
+    # the frozen index is tiny (benchmark suites); pin it once so every
+    # micro-batch broadcasts the same rows without a re-read
+    eval_keys = eval_keys.localCheckpoint(eager=True)
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.select("doc_id", text_col).localCheckpoint(eager=True)
+        if batch.isEmpty():
+            return
+        hits = contamination_lsh(
+            batch,
+            evalset,
+            text_col,
+            n,
+            min_common,
+            perms,
+            bands,
+            eval_keys=eval_keys,
+        )
+        _write_partition(hits, batch_id, quarantine_path)
+
+    reader = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(landing_root)
+    writer = (
+        stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    writer = writer.trigger(**(trigger or {"availableNow": True}))
+    return writer.start()
+
+
 def start_embedding_delta_dedup_stream(
     spark: SparkSession,
     landing_root: str,
@@ -772,6 +871,7 @@ def relayout_store_by_cluster(
     index_path: str,
     serving_path: str,
     checkpoint_dir: str | None = None,
+    since_batch: int | None = None,
 ) -> dict:
     """Materialize the SERVING layout of a streaming index store — the
     job the stream docstrings promise ("relayout by cluster for
@@ -804,7 +904,27 @@ def relayout_store_by_cluster(
     ``ingest_batch``-partitioned store — either would silently REPLACE
     an append store with the batch-column-less serving layout, breaking
     the stream's replay idempotency on its next start ("leaves the
-    append store untouched" is the contract)."""
+    append store untouched" is the contract).
+
+    INCREMENTAL MODE (r14 — the scale-slope fix): pass ``since_batch``
+    (the previous relayout's ``max_ingest_batch``) to fold only the
+    append-store TAIL (``ingest_batch > since_batch``) into the existing
+    copy.  The refresh reads the tail partitions (partition-pruned on
+    ``ingest_batch``), computes the set of TOUCHED clusters, unions the
+    copy's old rows for just those clusters with the tail, and
+    dynamic-partition-overwrites ONLY those cluster partitions —
+    untouched cluster partitions' files are never rewritten
+    (test-asserted by file listing).  Cost is O(tail + touched-cluster
+    rows), not O(store): at 100 TB the steady-state refresh touches a
+    few cluster partitions per cycle instead of rewriting the full
+    serving copy (measured: BENCH_RELAYOUT.json — refresh time tracks
+    tail size across store sizes).  The staging + ``._compacting``
+    discipline is identical to the full mode; the returned
+    ``max_ingest_batch`` advances the high-water mark for the next
+    refresh / ``serve_frame``.  A compaction or retrain AFTER the copy
+    was cut rewrites history below the mark — detected exactly like
+    ``serve_frame``'s stale-copy guard (``max(ingest_batch) <
+    since_batch``) and refused: run a FULL relayout to a fresh path."""
     if checkpoint_dir is not None:
         _assert_drained_checkpoint(spark, checkpoint_dir)
     if serving_path.rstrip("/") == index_path.rstrip("/"):
@@ -831,6 +951,69 @@ def relayout_store_by_cluster(
             "cluster column — this job relays out IVF-family index stores"
         )
     max_batch = log.agg(F.max("ingest_batch")).collect()[0][0]
+    if since_batch is not None:
+        if target is None:
+            raise ValueError(
+                f"relayout_store_by_cluster: since_batch={since_batch} asks "
+                f"for an incremental refresh but {serving_path} holds no "
+                "serving copy — run a full relayout (since_batch=None) first"
+            )
+        if max_batch is None or max_batch < since_batch:
+            raise ValueError(
+                f"relayout_store_by_cluster: the append store's max "
+                f"ingest_batch is {max_batch} but the serving copy was cut "
+                f"at since_batch={since_batch} — the log was compacted or "
+                "retrained AFTER the copy was cut (history below the mark "
+                "was rewritten), so an incremental refresh would keep "
+                "serving stale rows; run a FULL relayout to a fresh path"
+            )
+        tail = log.filter(F.col("ingest_batch") > F.lit(since_batch)).drop(
+            "ingest_batch"
+        )
+        # touched clusters: bounded by n_centroids (an index-store column,
+        # never data-sized) — the one driver-side collect of this job
+        touched = sorted(
+            r[0] for r in tail.select("cluster").distinct().collect()
+        )
+        if not touched:
+            # nothing landed since the mark: the copy is already fresh
+            return {
+                "rows": 0,
+                "n_clusters": 0,
+                "touched_clusters": [],
+                "max_ingest_batch": max_batch,
+                "mode": "incremental",
+            }
+        # partition-column read-back can narrow the cluster dtype; align
+        # the copy side to the log's type before the union
+        cluster_type = dict(tail.dtypes)["cluster"]
+        old_rows = (
+            target.withColumn("cluster", F.col("cluster").cast(cluster_type))
+            .filter(F.col("cluster").isin([int(c) for c in touched]))
+            .select(tail.columns)
+        )
+        refreshed = old_rows.unionByName(tail)
+        stage = serving_path + "._compact_staging"
+        refreshed.write.mode("overwrite").parquet(stage)
+        staged = spark.read.parquet(stage)
+        n_rows = staged.count()
+        marker = serving_path + "._compacting"
+        _fs_mkdirs(spark, marker)
+        # dynamic overwrite: only the cluster partitions PRESENT in the
+        # staged data (the touched set) are replaced; every other
+        # partition's files stay as the previous relayout wrote them
+        staged.write.mode("overwrite").option(
+            "partitionOverwriteMode", "dynamic"
+        ).partitionBy("cluster").parquet(serving_path)
+        _fs_delete(spark, marker)
+        _fs_delete(spark, stage)
+        return {
+            "rows": n_rows,
+            "n_clusters": len(touched),
+            "touched_clusters": touched,
+            "max_ingest_batch": max_batch,
+            "mode": "incremental",
+        }
     serving = log.drop("ingest_batch")
     stage = serving_path + "._compact_staging"
     serving.write.mode("overwrite").parquet(stage)
@@ -847,8 +1030,10 @@ def relayout_store_by_cluster(
     return {
         "rows": n_rows,
         "n_clusters": n_clusters,
-        # the copy's high-water mark: pass to serve_frame as since_batch
+        # the copy's high-water mark: pass to serve_frame as since_batch,
+        # or back to relayout_store_by_cluster for an incremental refresh
         "max_ingest_batch": max_batch,
+        "mode": "full",
     }
 
 
@@ -890,6 +1075,17 @@ def serve_frame(
     of serving it (re-run ``relayout_store_by_cluster``).  A relayout
     taken AFTER a compaction is fine: its ``max_ingest_batch`` is the
     base itself, and later appends land above it."""
+    if since_batch is None:
+        # r13 ADVICE: a relayout of an EMPTY append store returns
+        # max_ingest_batch=None (it wrote no copy) — letting that None
+        # flow into the comparison below would TypeError, or silently
+        # drop every tail row through a lit(None) filter
+        raise ValueError(
+            "serve_frame: since_batch is None — the relayout that would "
+            "have cut this copy saw an empty append store, so there is no "
+            "high-water mark to serve from; re-run "
+            "relayout_store_by_cluster after the stream has appended"
+        )
     serving = _read_or_none(spark, serving_path)
     if serving is None:
         raise ValueError(

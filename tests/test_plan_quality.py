@@ -758,6 +758,8 @@ FULL_REGISTRY_ORDER = [
     # contamination screen
     "pack_with_text",
     "contamination_lsh",
+    # round 14: cross-document paragraph dedup (boilerplate removal)
+    "paragraph_dedup_boilerplate",
 ]
 
 

@@ -568,3 +568,34 @@ def test_l2_normalize_pq_build_and_serve(spark):
     assert ivf_pq_topk_serve(
         flagged, cents, qs, k=3, l2_normalize=True
     ).count() > 0
+
+
+def test_l2_normalize_null_vector_or_element_raises(spark):
+    """r13 ADVICE: a NULL vector (or a NULL element poisoning the norm
+    fold) must fail loudly like the zero vector does — silently emitting
+    all-NULL coordinates would flow into codebook training unnoticed."""
+    import pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    from open_bus_siri_etl_spark.operators.similarity import l2_normalize_expr
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.DoubleType())),
+        ]
+    )
+    ok = spark.createDataFrame([(1, [3.0, 4.0])], schema).select(
+        l2_normalize_expr("embedding").alias("n")
+    )
+    assert ok.collect()[0]["n"] == [0.6, 0.8]
+    null_vec = spark.createDataFrame([(1, None)], schema)
+    with pytest.raises(Exception, match="NULL vector or NULL element"):
+        null_vec.select(l2_normalize_expr("embedding").alias("n")).collect()
+    null_elem = spark.createDataFrame([(1, [1.0, None])], schema)
+    with pytest.raises(Exception, match="NULL vector or NULL element"):
+        null_elem.select(l2_normalize_expr("embedding").alias("n")).collect()
+    zero = spark.createDataFrame([(1, [0.0, 0.0])], schema)
+    with pytest.raises(Exception, match="zero vector"):
+        zero.select(l2_normalize_expr("embedding").alias("n")).collect()

@@ -681,3 +681,168 @@ def test_serve_frame_refuses_stale_copy_after_compaction(spark, tmp_path):
     assert _multiset(fresh.select(cols)) == _multiset(
         spark.read.parquet(index_path).drop("ingest_batch").select(cols)
     )
+
+
+def _partition_files(serving_path):
+    """{cluster_dir_name: {(file_name, mtime_ns, size)}} under a
+    cluster-partitioned serving copy."""
+    import os
+
+    out = {}
+    for entry in os.scandir(serving_path):
+        if not entry.is_dir() or not entry.name.startswith("cluster="):
+            continue
+        files = set()
+        for f in os.scandir(entry.path):
+            if f.name.endswith(".parquet"):
+                st = f.stat()
+                files.add((f.name, st.st_mtime_ns, st.st_size))
+        out[entry.name] = files
+    return out
+
+
+def test_incremental_relayout_matches_full_and_skips_untouched(
+    spark, tmp_path
+):
+    """r14 directive #1: relayout_store_by_cluster(since_batch=mark)
+    folds only the post-mark tail into the serving copy — result row-
+    multiset equals a from-scratch FULL relayout, but the untouched
+    cluster partitions' files are byte-identical on disk (same names,
+    mtimes, sizes: never rewritten), so refresh cost scales with the
+    tail, not the store."""
+    from open_bus_siri_etl_spark.streaming.delta_dedup import (
+        relayout_store_by_cluster,
+        serve_frame,
+    )
+
+    emb = _emb(spark)
+    landing = tmp_path / "landing"
+    _land(emb.filter("vec_id % 2 = 0"), landing, n_batches=2)
+    index_path = str(tmp_path / "index")
+    cents_path = str(tmp_path / "cents")
+    bounds_path = str(tmp_path / "bounds")
+    ckpt = str(tmp_path / "ckpt")
+    serving = str(tmp_path / "serving")
+    q = start_sq8_index_stream(
+        spark, str(landing), index_path, cents_path, bounds_path, ckpt,
+        max_files_per_trigger=1,
+    )
+    q.awaitTermination(180)
+    out = relayout_store_by_cluster(
+        spark, index_path, serving, checkpoint_dir=ckpt
+    )
+    assert out["mode"] == "full"
+
+    # guard: an incremental refresh needs an existing copy
+    with pytest.raises(ValueError, match="full relayout"):
+        relayout_store_by_cluster(
+            spark, index_path, str(tmp_path / "nowhere"),
+            since_batch=out["max_ingest_batch"],
+        )
+
+    # late tail: ONE vector → exactly one touched cluster, others untouched
+    emb.filter("vec_id = 1").coalesce(1).write.parquet(
+        str(landing / "batch_late")
+    )
+    q2 = start_sq8_index_stream(
+        spark, str(landing), index_path, cents_path, bounds_path, ckpt,
+        max_files_per_trigger=1,
+    )
+    q2.awaitTermination(180)
+
+    before = _partition_files(serving)
+    assert len(before) > 1  # multiple cluster partitions to distinguish
+    out2 = relayout_store_by_cluster(
+        spark, index_path, serving, checkpoint_dir=ckpt,
+        since_batch=out["max_ingest_batch"],
+    )
+    assert out2["mode"] == "incremental"
+    assert out2["n_clusters"] == len(out2["touched_clusters"]) == 1
+    assert out2["max_ingest_batch"] > out["max_ingest_batch"]
+    after = _partition_files(serving)
+
+    # untouched cluster partitions: files byte-identical (not rewritten)
+    touched_dirs = {f"cluster={c}" for c in out2["touched_clusters"]}
+    untouched = set(before) - touched_dirs
+    assert untouched, "late vector touched every cluster — fixture broke"
+    for d in untouched:
+        assert after[d] == before[d], f"untouched partition {d} was rewritten"
+
+    # refreshed copy ≡ full relayout of the same log (row multiset)
+    full2 = str(tmp_path / "serving_full")
+    relayout_store_by_cluster(spark, index_path, full2, checkpoint_dir=ckpt)
+    cols = sorted(spark.read.parquet(full2).columns)
+    assert _multiset(spark.read.parquet(serving).select(cols)) == _multiset(
+        spark.read.parquet(full2).select(cols)
+    )
+
+    # the advanced mark serves fresh with an empty tail union
+    fresh = serve_frame(spark, serving, index_path, out2["max_ingest_batch"])
+    assert _multiset(fresh.select(cols)) == _multiset(
+        spark.read.parquet(index_path).drop("ingest_batch").select(cols)
+    )
+
+    # no-op refresh: nothing landed since the new mark
+    out3 = relayout_store_by_cluster(
+        spark, index_path, serving, checkpoint_dir=ckpt,
+        since_batch=out2["max_ingest_batch"],
+    )
+    assert out3["mode"] == "incremental"
+    assert out3["rows"] == 0 and out3["touched_clusters"] == []
+    assert out3["max_ingest_batch"] == out2["max_ingest_batch"]
+    assert _partition_files(serving) == after  # untouched entirely
+
+
+def test_incremental_relayout_refuses_stale_mark_after_compaction(
+    spark, tmp_path
+):
+    """A compaction AFTER the copy was cut rewrites history below the
+    mark — the incremental refresh must refuse (same stale-copy guard as
+    serve_frame), never silently keep serving pre-compaction rows."""
+    from open_bus_siri_etl_spark.streaming.delta_dedup import (
+        compact_ivf_pq_store,
+        relayout_store_by_cluster,
+    )
+
+    emb = _emb(spark)
+    landing = tmp_path / "landing"
+    _land(emb, landing)
+    index_path = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    q = start_sq8_index_stream(
+        spark, str(landing), index_path, str(tmp_path / "cents"),
+        str(tmp_path / "bounds"), ckpt, max_files_per_trigger=1,
+    )
+    q.awaitTermination(180)
+    serving = str(tmp_path / "serving")
+    out = relayout_store_by_cluster(
+        spark, index_path, serving, checkpoint_dir=ckpt
+    )
+    assert out["max_ingest_batch"] >= 1
+    compact_ivf_pq_store(spark, index_path, checkpoint_dir=ckpt)
+    with pytest.raises(ValueError, match="compacted or retrained"):
+        relayout_store_by_cluster(
+            spark, index_path, serving, checkpoint_dir=ckpt,
+            since_batch=out["max_ingest_batch"],
+        )
+
+
+def test_serve_frame_refuses_none_since_batch(spark, tmp_path):
+    """r13 ADVICE: a relayout over an EMPTY append store returns
+    max_ingest_batch=None — passing that into serve_frame must raise a
+    clear ValueError, not TypeError on the comparison (or a silent
+    lit(None) tail filter)."""
+    from open_bus_siri_etl_spark.streaming.delta_dedup import (
+        relayout_store_by_cluster,
+        serve_frame,
+    )
+
+    out = relayout_store_by_cluster(
+        spark, str(tmp_path / "empty_index"), str(tmp_path / "serving")
+    )
+    assert out["max_ingest_batch"] is None
+    with pytest.raises(ValueError, match="since_batch is None"):
+        serve_frame(
+            spark, str(tmp_path / "serving"), str(tmp_path / "empty_index"),
+            out["max_ingest_batch"],
+        )

@@ -2356,3 +2356,70 @@ def test_pq_store_serve_frame_union_matches_full_store(spark, tmp_path):
     )
     pfs = re.findall(r"PartitionFilters: \[(.*?)\]", plan)
     assert any("cluster" in pf for pf in pfs), plan
+
+
+def test_pq_store_incremental_relayout_matches_full(spark, tmp_path):
+    """r14 directive #1, IVF-PQ family: the incremental serving-copy
+    refresh (since_batch=mark) is schema-agnostic like the full mode —
+    result multiset equals a from-scratch relayout of the same log, and
+    cluster partitions the tail never touched keep their files."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from open_bus_siri_etl_spark.streaming.delta_dedup import (
+        relayout_store_by_cluster,
+        start_ivf_pq_index_stream,
+    )
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+    )
+    landing = tmp_path / "landing"
+    emb.filter("vec_id % 2 = 0").coalesce(1).write.parquet(str(landing / "b0"))
+    index_path = str(tmp_path / "index")
+    cents_path = str(tmp_path / "cents")
+    ckpt = str(tmp_path / "ckpt")
+    serving = str(tmp_path / "serving")
+    q = start_ivf_pq_index_stream(spark, str(landing), index_path, cents_path, ckpt)
+    q.awaitTermination(180)
+    out = relayout_store_by_cluster(
+        spark, index_path, serving, checkpoint_dir=ckpt
+    )
+    emb.filter("vec_id = 1").coalesce(1).write.parquet(str(landing / "b1"))
+    q2 = start_ivf_pq_index_stream(spark, str(landing), index_path, cents_path, ckpt)
+    q2.awaitTermination(180)
+
+    def files(path):
+        out = {}
+        for e in os.scandir(path):
+            if e.is_dir() and e.name.startswith("cluster="):
+                out[e.name] = {
+                    (f.name, f.stat().st_mtime_ns)
+                    for f in os.scandir(e.path)
+                    if f.name.endswith(".parquet")
+                }
+        return out
+
+    before = files(serving)
+    out2 = relayout_store_by_cluster(
+        spark, index_path, serving, checkpoint_dir=ckpt,
+        since_batch=out["max_ingest_batch"],
+    )
+    assert out2["mode"] == "incremental" and out2["n_clusters"] == 1
+    after = files(serving)
+    untouched = set(before) - {f"cluster={c}" for c in out2["touched_clusters"]}
+    assert untouched
+    for d in untouched:
+        assert after[d] == before[d]
+
+    def multiset(df):
+        return sorted(tuple(str(v) for v in r) for r in df.collect())
+
+    full = str(tmp_path / "serving_full")
+    relayout_store_by_cluster(spark, index_path, full, checkpoint_dir=ckpt)
+    cols = sorted(spark.read.parquet(full).columns)
+    assert multiset(spark.read.parquet(serving).select(cols)) == multiset(
+        spark.read.parquet(full).select(cols)
+    )

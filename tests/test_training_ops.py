@@ -481,27 +481,38 @@ def test_lsh_multi_table_recall_floor(spark):
 
 
 def test_read_media_dir_binary_file_source(spark, tmp_path):
-    """binaryFile → MEDIA_SCHEMA → stub feature extraction end-to-end."""
+    """binaryFile → MEDIA_SCHEMA → REAL feature extraction end-to-end
+    (r14: the kernel routes recognized containers through the real
+    codecs, so the fixture files are well-formed BMP/WAV blobs)."""
     from open_bus_siri_etl_spark.operators.multimodal import (
         extract_features,
         read_media_dir,
     )
 
-    (tmp_path / "7.jpg").write_bytes(b"\xff\xd8fakejpeg")
-    (tmp_path / "12.wav").write_bytes(b"RIFFfakewav")
-    (tmp_path / "cover-art.png").write_bytes(b"\x89PNGfake")
+    bmp = _tiny_bmp(5, 3)
+    wav = _tiny_wav(8000, 4000)
+    (tmp_path / "7.bmp").write_bytes(bmp)
+    (tmp_path / "12.wav").write_bytes(wav)
+    (tmp_path / "cover-art.bmp").write_bytes(_tiny_bmp(2, 2))
 
     media = read_media_dir(spark, str(tmp_path))
     rows = {r["media_id"]: r for r in media.collect()}
-    assert rows[7]["meta"]["format"] == "file/jpg"
-    assert rows[12]["meta"]["n_bytes"] == 11
-    assert bytes(rows[7]["content"]) == b"\xff\xd8fakejpeg"
+    assert rows[7]["meta"]["format"] == "file/bmp"
+    assert rows[12]["meta"]["n_bytes"] == len(wav)
+    assert bytes(rows[7]["content"]) == bmp
     # non-numeric stem gets a stable hashed id distinct from the numeric ones
     assert len(rows) == 3 and set(rows) - {7, 12} != set()
 
     feats = {r["media_id"]: r for r in extract_features(media).collect()}
-    assert feats[7]["first_byte"] == 0xFF
-    assert feats[12]["n_bytes"] == 11
+    assert feats[7]["first_byte"] == ord("B")
+    assert feats[7]["kind"] == "bmp"
+    assert (feats[7]["width"], feats[7]["height"]) == (5, 3)
+    assert feats[7]["mean_luma"] == 0.0  # all-zero pixels
+    assert feats[12]["n_bytes"] == len(wav)
+    assert feats[12]["kind"] == "wav"
+    assert feats[12]["sample_rate"] == 8000
+    assert feats[12]["duration_ms"] == 500
+    assert feats[12]["rms"] == 0.0  # silent fixture
 
     only_wav = read_media_dir(spark, str(tmp_path), glob="*.wav").collect()
     assert len(only_wav) == 1 and only_wav[0]["media_id"] == 12
@@ -1390,19 +1401,29 @@ def test_png_decode_loud_failures():
     blob[20] ^= 0xFF  # flip an IHDR byte under its CRC
     with pytest.raises(ValueError, match="CRC"):
         decode_png(bytes(blob))
-    # Adam7 interlace stays a loud NotImplementedError (palette decodes
-    # since round 13 — its golden test lives below)
+    # Adam7 DECODES since round 14 (golden test below); an interlace
+    # method the spec doesn't define stays a loud ValueError
     import struct
     import zlib as _z
 
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 1)
-    adam7 = (
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 2)
+    bad_il = (
         b"\x89PNG\r\n\x1a\n"
         + struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
         + struct.pack(">I", _z.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
     )
-    with pytest.raises(NotImplementedError, match="interlace|Adam7"):
-        decode_png(adam7)
+    with pytest.raises(ValueError, match="interlace"):
+        decode_png(bad_il)
+    # an IHDR whose declared length is not 13 hits the ValueError
+    # contract, not struct.error (r13 ADVICE)
+    ihdr12 = struct.pack(">IIBBBB", 2, 2, 8, 2, 0, 0)
+    short_ihdr = (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", len(ihdr12)) + b"IHDR" + ihdr12
+        + struct.pack(">I", _z.crc32(b"IHDR" + ihdr12) & 0xFFFFFFFF)
+    )
+    with pytest.raises(ValueError, match="13"):
+        decode_png(short_ihdr)
     with pytest.raises(ValueError, match="truncated|missing"):
         decode_png(_tiny_png(2, 2, 3, bytes(12), filters=[0, 0])[:30])
 
@@ -1649,6 +1670,293 @@ def test_png_header_meta_skips_pixel_work():
     with pytest.raises(ValueError):
         decode_png(bytes(corrupt))
     assert png_header_meta(bytes(corrupt))["width"] == 4
+
+
+_ADAM7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+          (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+
+
+def _png_adam7(width: int, height: int, depth: int, color: int,
+               samples: list[int], plte: bytes | None = None) -> bytes:
+    """Hand-interlaced PNG: ``samples`` is the full image's per-SAMPLE
+    value list in row-major order (one int per sample at any depth);
+    each Adam7 pass extracts its pixels, packs them at ``depth`` bits
+    MSB-first, and codes them as its own filtered sub-image (filter 0 —
+    the defilter recurrences have their own goldens)."""
+    import struct
+    import zlib
+
+    spp = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[color]
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    def pack(vals: list[int]) -> bytes:
+        if depth == 16:
+            return b"".join(struct.pack(">H", v) for v in vals)
+        if depth == 8:
+            return bytes(vals)
+        out, acc, nb = bytearray(), 0, 0
+        for v in vals:
+            acc = (acc << depth) | (v & ((1 << depth) - 1))
+            nb += depth
+            if nb == 8:
+                out.append(acc)
+                acc, nb = 0, 0
+        if nb:
+            out.append(acc << (8 - nb))
+        return bytes(out)
+
+    raw = b""
+    for x0, y0, xs, ys in _ADAM7:
+        pw = (width - x0 + xs - 1) // xs if width > x0 else 0
+        ph = (height - y0 + ys - 1) // ys if height > y0 else 0
+        if pw <= 0 or ph <= 0:
+            continue
+        for py in range(ph):
+            y = y0 + py * ys
+            vals = []
+            for px in range(pw):
+                x = x0 + px * xs
+                o = (y * width + x) * spp
+                vals.extend(samples[o : o + spp])
+            raw += b"\x00" + pack(vals)
+    ihdr = struct.pack(">IIBBBBB", width, height, depth, color, 0, 0, 1)
+    blob = b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+    if plte is not None:
+        blob += chunk(b"PLTE", plte)
+    return blob + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b"")
+
+
+def test_png_adam7_decode_golden():
+    """r14 directive: Adam7 interlace decodes — pixels equal the
+    SEQUENTIAL encoding of the same image across the depth/color
+    families (RGB8, 2-bit palette with bit repacking, 16-bit gray), so
+    the 7-pass reassembly is pinned against the already-golden
+    sequential path."""
+    import struct
+
+    from open_bus_siri_etl_spark.operators.multimodal import decode_png
+
+    # RGB8 10x7 — pass geometry exercises every Adam7 pass
+    w, h = 10, 7
+    vals = [(y * 31 + x * 17 + c * 7) & 0xFF
+            for y in range(h) for x in range(w) for c in range(3)]
+    out = decode_png(_png_adam7(w, h, 8, 2, vals))
+    seq = decode_png(
+        _tiny_png(w, h, 3, bytes(vals),
+                  filters=[0, 1, 2, 3, 4, 0, 2])
+    )
+    assert out["pixels"] == seq["pixels"] == bytes(vals)
+
+    # 2-bit palette 9x5: sub-byte scatter must repack MSB-first
+    plte = bytes([10, 20, 30, 40, 50, 60, 70, 80, 90, 100, 110, 120])
+    idxs = [(y + x) % 4 for y in range(5) for x in range(9)]
+    pal = decode_png(_png_adam7(9, 5, 2, 3, idxs, plte=plte))
+    assert pal["pixels"] == b"".join(plte[i * 3 : i * 3 + 3] for i in idxs)
+    assert pal["n_channels"] == 3
+
+    # 16-bit gray 6x9: two-byte samples scatter whole
+    samples = [(y * 1000 + x * 77) & 0xFFFF for y in range(9) for x in range(6)]
+    g16 = decode_png(_png_adam7(6, 9, 16, 0, samples))
+    assert g16["pixels"] == b"".join(struct.pack(">H", s) for s in samples)
+    assert g16["bit_depth"] == 16
+
+
+def test_png_palette_expansion_is_capped(monkeypatch):
+    """r13 ADVICE (medium): the coded-stream cap alone does not bound
+    palette EXPANSION — a 1-bit palette+tRNS image expands ~32×.  With
+    the cap shrunk, a blob whose coded stream passes must still refuse
+    to allocate the expanded buffer."""
+    import pytest
+
+    from open_bus_siri_etl_spark.operators import multimodal
+
+    w, h = 1024, 2
+    plte = bytes([0, 0, 0, 255, 255, 255])
+    rows = [bytes((w * 1 + 7) // 8)] * h  # all index 0 at depth 1
+    blob = _png_blob(w, h, 1, 3, rows, [0, 0], plte=plte,
+                     trns=bytes([128]))
+    # sanity: decodes fine under the real cap, expanding to RGBA
+    assert multimodal.decode_png(blob)["n_channels"] == 4
+    # coded stream is h*(1+stride) = 2*129 = 258 bytes — under a 4096
+    # cap; the RGBA expansion is 2*1024*4 = 8192 — over it
+    monkeypatch.setattr(multimodal, "_PNG_MAX_PIXEL_BYTES", 4096)
+    with pytest.raises(ValueError, match="expansion"):
+        multimodal.decode_png(blob)
+
+
+def test_jpeg_header_meta_golden():
+    """r14 directive: JPEG header-only metadata — SOF0 baseline and SOF2
+    progressive frame headers decode (dimensions, channels, precision,
+    progressive flag); lossless/arithmetic SOFs, truncation, scan-before-
+    SOF and zero dimensions all loud-fail."""
+    import struct
+
+    import pytest
+
+    from open_bus_siri_etl_spark.operators.multimodal import jpeg_header_meta
+
+    def jpg(sof=0xC0, w=640, h=480, ncomp=3):
+        app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + bytes(9)
+        dqt = b"\xff\xdb" + struct.pack(">H", 67) + bytes(65)
+        sof_seg = (
+            bytes([0xFF, sof]) + struct.pack(">H", 8 + 3 * ncomp)
+            + bytes([8]) + struct.pack(">HH", h, w) + bytes([ncomp])
+            + bytes(3 * ncomp)
+        )
+        return b"\xff\xd8" + app0 + dqt + sof_seg + b"\xff\xd9"
+
+    m = jpeg_header_meta(jpg())
+    assert (m["kind"], m["width"], m["height"], m["n_channels"]) == (
+        "jpeg", 640, 480, 3)
+    assert m["progressive"] is False and m["bit_depth"] == 8
+    m2 = jpeg_header_meta(jpg(sof=0xC2, w=33, h=21, ncomp=1))
+    assert m2["progressive"] is True and (m2["width"], m2["height"]) == (33, 21)
+    with pytest.raises(NotImplementedError, match="lossless|arithmetic"):
+        jpeg_header_meta(jpg(sof=0xC3))
+    with pytest.raises(ValueError, match="truncated"):
+        jpeg_header_meta(jpg()[:10])  # cut mid-APP0
+    with pytest.raises(ValueError, match="zero"):
+        jpeg_header_meta(jpg(w=0))
+    with pytest.raises(ValueError, match="SOF"):
+        jpeg_header_meta(b"\xff\xd8\xff\xda\x00\x04\x00\x00")
+    with pytest.raises(ValueError, match="not a JPEG"):
+        jpeg_header_meta(b"\xff\xd8")
+
+
+def test_jpeg_through_media_meta_plumbing(spark):
+    """extract_media_meta dispatches JPEG next to BMP/WAV/PNG: the
+    progressive flag lands in the typed row and stays NULL for the
+    other kinds."""
+    import struct
+
+    from open_bus_siri_etl_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_media_meta,
+    )
+
+    sof = (
+        b"\xff\xc2" + struct.pack(">H", 11) + bytes([8])
+        + struct.pack(">HH", 7, 9) + bytes([1]) + bytes(3)
+    )
+    jpg = b"\xff\xd8" + sof + b"\xff\xd9"
+    media = spark.createDataFrame(
+        [
+            (1, jpg, {"format": "file/jpg", "n_bytes": len(jpg)}),
+            (2, _tiny_bmp(4, 4), {"format": "file/bmp", "n_bytes": 0}),
+        ],
+        MEDIA_SCHEMA,
+    )
+    out = {r["media_id"]: r for r in extract_media_meta(media).collect()}
+    assert out[1]["kind"] == "jpeg"
+    assert (out[1]["width"], out[1]["height"]) == (9, 7)
+    assert out[1]["progressive"] is True
+    assert out[2]["kind"] == "bmp" and out[2]["progressive"] is None
+
+
+def test_extract_features_real_pixels_golden(spark):
+    """r14 directive: extract_features computes REAL pixel/sample
+    features through the shipped codecs — PNG mean/max luma + histogram
+    against hand-computed Rec.601 values, WAV RMS against the fixture's
+    samples, fake/blob keeps the stub with real columns NULL, and an
+    unknown container loud-fails."""
+    import math
+    import struct
+
+    import pytest
+
+    from open_bus_siri_etl_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+    )
+
+    # 2x1 RGB PNG: pixels (255,0,0) and (0,255,0) → lumas 76, 149
+    png = _tiny_png(2, 1, 3, bytes([255, 0, 0, 0, 255, 0]), filters=[0])
+    # PCM16 WAV with known samples
+    samples = [0, 3, -4, 12]
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    fmt = struct.pack("<HHIIHH", 1, 1, 1000, 2000, 2, 16)
+    wav = (
+        struct.pack("<4sI4s", b"RIFF", 36 + len(data), b"WAVE")
+        + struct.pack("<4sI", b"fmt ", 16) + fmt
+        + struct.pack("<4sI", b"data", len(data)) + data
+    )
+    media = spark.createDataFrame(
+        [
+            (1, png, {"format": "file/png", "n_bytes": len(png)}),
+            (2, wav, {"format": "file/wav", "n_bytes": len(wav)}),
+            (3, b"plain text", {"format": "fake/blob", "n_bytes": 10}),
+        ],
+        MEDIA_SCHEMA,
+    )
+    out = {r["media_id"]: r for r in extract_features(media).collect()}
+    png_row = out[1]
+    assert png_row["kind"] == "png"
+    assert (png_row["width"], png_row["height"], png_row["n_channels"]) == (2, 1, 3)
+    # (299*255)//1000 = 76; (587*255)//1000 = 149
+    assert png_row["max_luma"] == 149
+    assert png_row["mean_luma"] == (76 + 149) / 2
+    hist = list(png_row["luma_hist"])
+    assert hist[76 // 32] == 1 and hist[149 // 32] == 1 and sum(hist) == 2
+    wav_row = out[2]
+    assert wav_row["kind"] == "wav"
+    assert wav_row["sample_rate"] == 1000 and wav_row["n_samples"] == 4
+    assert wav_row["rms"] == pytest.approx(
+        math.sqrt(sum(s * s for s in samples) / 4)
+    )
+    stub = out[3]
+    assert stub["kind"] == "opaque" and stub["n_bytes"] == 10
+    assert stub["width"] is None and stub["rms"] is None
+
+    bad = spark.createDataFrame(
+        [(9, b"GIF89a....", {"format": "file/gif", "n_bytes": 10})],
+        MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception, match="no codec"):
+        extract_features(bad).collect()
+
+
+def test_resize_images_box_filter_golden(spark):
+    """r14 directive: resize_images is a REAL box-filter downsample for
+    decodable containers — a 4x2 gray PNG downsampled to 2x1 averages
+    each 2x2 box (floor), output format tags the channel count; audio
+    and unknown containers loud-fail, fake/blob keeps the stub."""
+    import pytest
+
+    from open_bus_siri_etl_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        resize_images,
+    )
+
+    # gray 4x2: rows [10,20,30,40], [50,60,70,80]
+    pix = bytes([10, 20, 30, 40, 50, 60, 70, 80])
+    png = _tiny_png(4, 2, 1, pix, filters=[0, 2])
+    media = spark.createDataFrame(
+        [
+            (1, png, {"format": "file/png", "n_bytes": len(png)}),
+            (2, b"abc", {"format": "fake/blob", "n_bytes": 3}),
+        ],
+        MEDIA_SCHEMA,
+    )
+    out = {r["media_id"]: r for r in resize_images(media, 2, 1).collect()}
+    # boxes: {10,20,50,60} -> 35, {30,40,70,80} -> 55
+    assert bytes(out[1]["content"]) == bytes([35, 55])
+    assert out[1]["meta"]["format"] == "raw/u8c1"
+    assert (out[1]["meta"]["width"], out[1]["meta"]["height"]) == (2, 1)
+    # fake/blob path: truncate/cycle stub, unchanged
+    assert bytes(out[2]["content"]) == b"ab"
+    assert out[2]["meta"]["format"] == "fake/raw"
+
+    wav_media = spark.createDataFrame(
+        [(3, _tiny_wav(8000, 10), {"format": "file/wav", "n_bytes": 0})],
+        MEDIA_SCHEMA,
+    )
+    with pytest.raises(Exception, match="no pixel codec"):
+        resize_images(wav_media, 2, 2).collect()
 
 
 def test_minhash_index_params_and_disjointness_guards(spark):
