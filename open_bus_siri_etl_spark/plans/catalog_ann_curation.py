@@ -3948,3 +3948,91 @@ def paragraph_dedup_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.array_join(paras, " | ").alias("text")
     )
     return paragraph_dedup(prepped, sep=" | ")
+
+
+@register(
+    "multimodal_wav_real_decode",
+    """
+    WITH d AS (
+        SELECT doc_id, text, strlen(text) AS dsize FROM documents
+    ),
+    s AS (
+        SELECT doc_id, text,
+               unnest(generate_series(1, CAST(dsize AS BIGINT))) AS i
+        FROM d
+    ),
+    msq AS (
+        SELECT doc_id,
+               avg(power(ascii(substring(text, CAST(i AS INT), 1)) - 128, 2))
+                   AS mean_sq
+        FROM s GROUP BY doc_id
+    )
+    SELECT d.doc_id AS media_id,
+           CAST(44 + d.dsize AS BIGINT) AS n_bytes,
+           'wav' AS kind,
+           CAST(16000 AS INTEGER) AS sample_rate,
+           CAST(d.dsize AS BIGINT) AS n_samples,
+           CAST(d.dsize * 1000 // 16000 AS BIGINT) AS duration_ms,
+           round(sqrt(msq.mean_sq), 6) AS rms
+    FROM d JOIN msq ON d.doc_id = msq.doc_id
+    """,
+    note="REAL container decode with an exact oracle (r14 directive #2): "
+    "each document's bytes are wrapped IN-PLAN into a well-formed PCM8 "
+    "mono 16 kHz WAV container (RIFF/fmt/data chunks, little-endian "
+    "sizes built with hex/unhex byte swaps — all JVM-side), and "
+    "extract_features routes it through decode_wav_samples: the emitted "
+    "sample_rate / n_samples / duration_ms / RMS come from actually "
+    "parsing the chunk list and decoding the samples, not from the "
+    "stub.  The oracle recomputes every column from length arithmetic "
+    "and per-byte sample stats (8-bit PCM samples are (byte-128): "
+    "integer squares sum exactly in float64, so the RMS matches "
+    "bit-for-bit; round(6) guards the compare).  Arrow mapInPandas is "
+    "the documented Python seam; everything else is column expressions "
+    "(operators/multimodal.py:extract_features, decode_wav_samples)",
+)
+def multimodal_wav_real_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.multimodal import extract_features
+
+    docs = t(spark, sf_dir, "documents")
+    payload = F.encode("text", "utf-8")
+    dsize = F.octet_length(payload)
+
+    def le32(col: Column) -> Column:
+        h = F.lpad(F.hex(col.cast("long")), 8, "0")
+        return F.unhex(
+            F.concat(
+                F.substring(h, 7, 2), F.substring(h, 5, 2),
+                F.substring(h, 3, 2), F.substring(h, 1, 2),
+            )
+        )
+
+    import struct as _struct
+
+    fmt_chunk = (
+        b"fmt " + _struct.pack("<I", 16)
+        + _struct.pack("<HHIIHH", 1, 1, 16000, 16000, 1, 8)
+    )
+    wav = F.concat(
+        F.lit(b"RIFF"),
+        le32(dsize + F.lit(36)),
+        F.lit(b"WAVE" + fmt_chunk + b"data"),
+        le32(dsize),
+        payload,
+    )
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        wav.alias("content"),
+        F.struct(
+            F.lit("file/wav").alias("format"),
+            (dsize + F.lit(44)).cast("long").alias("n_bytes"),
+        ).alias("meta"),
+    )
+    return extract_features(media).select(
+        "media_id",
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        "kind",
+        "sample_rate",
+        F.col("n_samples").cast("long").alias("n_samples"),
+        F.col("duration_ms").cast("long").alias("duration_ms"),
+        F.round("rms", 6).alias("rms"),
+    )

@@ -32,9 +32,12 @@ def test_pricing_summary_partial_agg(spark):
 
 
 def test_no_python_udf_in_native_paths(spark):
-    """Everything except the multimodal mapInPandas stub must be JVM-only."""
+    """Everything except the multimodal mapInPandas kernels must be
+    JVM-only (multimodal_wav_real_decode is the r14 REAL-codec twin of
+    the multimodal_features stub — codec work is the documented Arrow
+    seam)."""
     for name, q in REGISTRY.items():
-        if name == "multimodal_features":
+        if name in ("multimodal_features", "multimodal_wav_real_decode"):
             continue
         plan = explain_str(q.fn(spark, SF))
         assert "BatchEvalPython" not in plan, name
@@ -758,8 +761,10 @@ FULL_REGISTRY_ORDER = [
     # contamination screen
     "pack_with_text",
     "contamination_lsh",
-    # round 14: cross-document paragraph dedup (boilerplate removal)
+    # round 14: cross-document paragraph dedup (boilerplate removal),
+    # real-WAV-container decode with an exact sample-stat oracle
     "paragraph_dedup_boilerplate",
+    "multimodal_wav_real_decode",
 ]
 
 
@@ -920,3 +925,33 @@ def test_contamination_lsh_broadcasts_eval_and_bounds_shuffle(spark):
     # verification re-shingles only candidates: the LeftSemi restriction
     # must be in the plan
     assert "LeftSemi" in plan
+
+
+def test_paragraph_dedup_two_shuffles_no_sort_killer(spark):
+    """r14 paragraph dedup's scale contract: exactly two Exchanges —
+    hash on the paragraph string for the first-wins window, hash on
+    doc_id for the ordered reassembly (which rides array_sort over
+    collect_list, NOT a per-document sort window or a global Sort) —
+    and no CartesianProduct."""
+    import re
+
+    plan = explain_str(REGISTRY["paragraph_dedup_boilerplate"].fn(spark, SF))
+    exchanges = re.findall(r"\(\d+\) Exchange", plan)
+    assert len(exchanges) == 2, plan
+    assert "CartesianProduct" not in plan
+    # the reassembly must not plan a second window sort on doc_id: the
+    # only Sort nodes allowed are the paragraph-window's partition-local
+    # sort (row_number needs it) feeding the first-wins filter
+    assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_multimodal_wav_real_decode_is_map_only(spark):
+    """The real-codec entry stays the multimodal scale shape: binary
+    wrap (column expressions) -> one Arrow MapInPandas -> projection,
+    with NO Exchange anywhere — throughput scales with cores x IO."""
+    import re
+
+    plan = explain_str(REGISTRY["multimodal_wav_real_decode"].fn(spark, SF))
+    assert "MapInPandas" in plan
+    assert not re.findall(r"\(\d+\) Exchange", plan), plan
+    assert "CartesianProduct" not in plan

@@ -2423,3 +2423,108 @@ def test_pq_store_incremental_relayout_matches_full(spark, tmp_path):
     assert multiset(spark.read.parquet(serving).select(cols)) == multiset(
         spark.read.parquet(full).select(cols)
     )
+
+
+def test_contamination_screen_stream_equals_batch_screen(spark, tmp_path):
+    """r14 directive #5: the per-batch contamination screen in the
+    index-stream shape — two landed train batches screened against the
+    frozen eval band index; the union of per-batch quarantine partitions
+    equals the batch contamination_lsh over the union of batches (the
+    screen decomposes by train document), and each partition holds only
+    its own batch's doc_ids (idempotent replay layout)."""
+    from pyspark.sql import functions as F
+
+    from open_bus_siri_etl_spark.operators.dedup import (
+        build_minhash_index,
+        contamination_lsh,
+    )
+    from open_bus_siri_etl_spark.streaming.delta_dedup import (
+        start_contamination_screen_stream,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+    )
+    evalset = docs.filter(F.col("doc_id") % 10 == 0)
+    train = docs.filter(F.col("doc_id") % 10 != 0)
+    eval_path = str(tmp_path / "evalset")
+    evalset.coalesce(1).write.parquet(eval_path)
+    keys_path = str(tmp_path / "eval_keys")
+    build_minhash_index(evalset, "text").coalesce(1).write.parquet(keys_path)
+
+    landing = tmp_path / "landing"
+    for k in range(2):
+        train.filter(F.col("doc_id") % 2 == k).coalesce(1).write.parquet(
+            str(landing / f"batch_{k}")
+        )
+    quarantine = str(tmp_path / "quarantine")
+    q = start_contamination_screen_stream(
+        spark, str(landing), eval_path, quarantine,
+        str(tmp_path / "ckpt"), eval_keys_path=keys_path,
+        min_common=2, max_files_per_trigger=1,
+    )
+    q.awaitTermination(180)
+
+    def multiset(df):
+        return sorted(tuple(str(v) for v in r) for r in df.collect())
+
+    got = spark.read.parquet(quarantine)
+    want = contamination_lsh(train, evalset, min_common=2)
+    cols = ["doc_id", "eval_id", "n_common"]
+    assert multiset(got.select(cols)) == multiset(want.select(cols))
+    assert got.count() > 0  # the fixture split actually contaminates
+    # partition layout: each batch's partition holds only its own docs
+    batches = got.select("ingest_batch").distinct().count()
+    assert batches >= 2
+    per = got.groupBy("ingest_batch").agg(
+        F.max(F.col("doc_id") % 2).alias("mx"),
+        F.min(F.col("doc_id") % 2).alias("mn"),
+    ).collect()
+    assert all(r["mx"] == r["mn"] for r in per)
+
+
+def test_contamination_screen_stream_params_mismatch_refused(spark, tmp_path):
+    """The minhash_delta_dedup guard in stream shape: a frozen eval index
+    built under a DIFFERENT band family must fail the stream's first
+    non-empty batch loudly (in-plan params check), never silently screen
+    with collapsed recall."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from open_bus_siri_etl_spark.operators.dedup import build_minhash_index
+    from open_bus_siri_etl_spark.streaming.delta_dedup import (
+        start_contamination_screen_stream,
+    )
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select("doc_id", "text")
+    )
+    evalset = docs.filter(F.col("doc_id") % 10 == 0)
+    eval_path = str(tmp_path / "evalset")
+    evalset.coalesce(1).write.parquet(eval_path)
+    keys_path = str(tmp_path / "eval_keys")
+    # a 4-band family index, probed by a default-(8-band) stream
+    build_minhash_index(evalset, "text", bands=4).coalesce(1).write.parquet(
+        keys_path
+    )
+    landing = tmp_path / "landing"
+    docs.filter(F.col("doc_id") % 10 != 0).coalesce(1).write.parquet(
+        str(landing / "b0")
+    )
+    q = start_contamination_screen_stream(
+        spark, str(landing), eval_path, str(tmp_path / "quarantine"),
+        str(tmp_path / "ckpt"), eval_keys_path=keys_path,
+    )
+    with pytest.raises(Exception, match="band family|was built as"):
+        q.awaitTermination(180)
+        if q.exception() is not None:
+            raise q.exception()
+    # nothing was quarantined under the mismatched family
+    import os
+
+    assert not os.path.isdir(str(tmp_path / "quarantine")) or not [
+        p for p in os.listdir(str(tmp_path / "quarantine"))
+        if p.startswith("ingest_batch=")
+    ]

@@ -898,6 +898,151 @@ def sq8_scale_tier(spark, work: Path, n: int = 10_000_000,
     return out
 
 
+def pq_scale_tier(spark, work: Path, n: int = 10_000_000,
+                  n_topics: int = 4096, n_cent: int = 4096,
+                  n_probe: int = 64, train_mod: int = 41) -> dict:
+    """IVF-PQ at the 10M tier (r14 directive #4) — the family whose
+    MEMORY story matters most here: 8 codes/vector (N_SUB=8) is ~80 MB
+    of payload for 10M vectors vs ~0.64 GB of SQ8 codes and ~2.56 GB of
+    raw float32 — the regime where a serving fleet holds the whole PQ
+    store in page cache while SQ8 already spills.
+
+    Same corpus/geometry as ``sq8_scale_tier`` so the rows are directly
+    comparable: topic-structured 10M x 64d (sigma 0.8, 4096 topics),
+    nlist 4096 / n_probe 64, codebooks trained on the 1-in-41 subsample
+    (train() on a sample, add() everything).  The COARSE codebook is
+    REUSED from the SQ8 tier's persisted kmeans when present — identical
+    cells mean recall differences are pure quantizer resolution, not
+    assignment luck.  Measured rungs: residual-ADC (the 6-bit grid), and
+    exact refine at shortlist 100 / 400 — the r11 1M tiers needed ~50;
+    the r13 residual finding predicts the ADC grid dilutes at 10M the
+    same way SQ8's did, with refine as the cure, and the 400 rung prices
+    how far the shortlist must grow."""
+    import os
+
+    from open_bus_siri_etl_spark.operators.similarity import (
+        _nearest_centroids,
+        ivf_residuals,
+    )
+
+    tag = f"{n}"
+    corpus, queries = synth_clustered(
+        spark, work, n, tag, n_topics=n_topics, chunk=500_000
+    )
+    corpus.count()
+
+    def _dir_bytes(path: str) -> int:
+        total = 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                total += os.path.getsize(os.path.join(root, f))
+        return total
+
+    train_sub = corpus.filter(F.col("vec_id") % train_mod == 0)
+    # coarse codebook: shared with the SQ8 tier (sq8s_tc) when present
+    tcp = str(work / f"sq8s_tc_{tag}")
+    if not os.path.isdir(tcp):
+        t0 = time.time()
+        tc = kmeans_codebook(train_sub, k=n_cent, iters=2, kernel="matmul")
+        tc.coalesce(1).write.mode("overwrite").parquet(tcp)
+        coarse_train_sec = round(time.time() - t0, 3)
+    else:
+        coarse_train_sec = 0.0
+    tc = spark.read.parquet(tcp)
+
+    rfp = str(work / f"pqs_rf_{tag}")
+    if not os.path.isdir(rfp):
+        t0 = time.time()
+        res = ivf_residuals(train_sub, tc, n_cent, dim=DIM)
+        kmeans_subspace_codebook(
+            res, n_sub=N_SUB, sub_dim=SUB_DIM, k=PQ_CENTROIDS, iters=2,
+            kernel="matmul",
+        ).coalesce(1).write.mode("overwrite").parquet(rfp)
+        fine_train_sec = round(time.time() - t0, 3)
+    else:
+        fine_train_sec = 0.0
+    rf = spark.read.parquet(rfp)
+
+    ipath = str(work / f"pqs_ix_{tag}")
+    if not os.path.isdir(ipath):
+        t0 = time.time()
+        build_ivf_pq_index(
+            corpus, cents=tc, fine_cents=rf, coarse_metric="l2",
+            residual=True, n_centroids=n_cent, n_sub=N_SUB,
+            sub_dim=SUB_DIM, pq_centroids=PQ_CENTROIDS, dim=DIM,
+        ).write.mode("overwrite").partitionBy("cluster").parquet(ipath)
+        build_sec = round(time.time() - t0, 3)
+    else:
+        build_sec = 0.0
+    index = spark.read.parquet(ipath)
+
+    # exact baseline: shared with the SQ8 tier
+    expath = str(work / f"sq8s_exact_{tag}")
+    if not os.path.isdir(expath):
+        t0 = time.time()
+        cosine_topk(corpus, queries, k=K, dim=DIM).write.mode(
+            "overwrite"
+        ).parquet(expath)
+        exact_sec = round(time.time() - t0, 3)
+    else:
+        exact_sec = 0.0
+    exact = spark.read.parquet(expath)
+
+    asg = index.select(F.col("vec_id").alias("neighbor_id"), "cluster")
+    qprobe = _nearest_centroids(
+        queries.select(
+            F.col("vec_id").alias("_id"), F.col("embedding").alias("_vec")
+        ),
+        F.broadcast(tc.select("cent_id", "cent_vec")),
+        "cluster", n_probe, DIM, metric="l2",
+    ).select(F.col("_id").alias("query_id"), "cluster")
+    ceiling = (
+        exact.join(asg, "neighbor_id")
+        .join(qprobe, ["query_id", "cluster"], "left_semi")
+        .count()
+    ) / (N_QUERIES * K)
+
+    out = {
+        "n_vectors": n, "n_topics": n_topics, "sigma": 0.8,
+        "n_centroids": n_cent, "n_probe": n_probe,
+        "pruning_frac": round(n_probe / n_cent, 4),
+        "train_mod": train_mod,
+        "coarse_train_sec": coarse_train_sec,
+        "fine_train_sec": fine_train_sec,
+        "build_sec": build_sec, "exact_sec": exact_sec,
+        "candidate_recall_ceiling": round(ceiling, 4),
+        "pq_store_parquet_bytes": _dir_bytes(ipath),
+        "codes_per_vector": N_SUB,
+        "rungs": [],
+    }
+    for refine_k in (0, 100, 400):
+        t0 = time.time()
+        served = serve_refined(
+            spark, index, tc, rf, corpus, queries, n_cent, n_probe,
+            refine_k,
+        )
+        n_rows = served.count()
+        serve_sec = round(time.time() - t0, 3)
+        served = _pin(spark, served)
+        recall = (
+            ann_recall(exact, served, k=K)
+            .agg(F.avg("recall").alias("r")).collect()[0]["r"]
+        )
+        out["rungs"].append(
+            {
+                "refine_k": refine_k,
+                "serve_sec": serve_sec,
+                "serve_speedup_vs_exact": (
+                    round(exact_sec / serve_sec, 2) if exact_sec else None
+                ),
+                "recall_at_10": round(recall, 4),
+                "rows_served": n_rows,
+            }
+        )
+        print(json.dumps({"pq_scale": out["rungs"][-1]}), flush=True)
+    return out
+
+
 def sq8_residual_regime(spark, work: Path, n: int = 1_000_000,
                         n_topics: int = 1024, n_cent: int = 1024,
                         n_probe: int = 16, sigma: float = 0.2) -> dict:
@@ -1119,6 +1264,7 @@ def main() -> None:
         ),
         "--sq8-scale-only": ("sq8_scale_10m", sq8_scale_tier),
         "--sq8-regime-only": ("sq8_residual_regime", sq8_residual_regime),
+        "--pq-scale-only": ("pq_scale_10m", pq_scale_tier),
     }
     hit = [f for f in only_flags if f in sys.argv]
     if hit:
