@@ -25,6 +25,7 @@ import numpy as np
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window
+from pyspark.sql import types as T
 
 
 EMBEDDING_DIM = 64
@@ -1453,6 +1454,74 @@ def ann_recall(
     )
 
 
+def _pq_codes_matmul(
+    corpus: DataFrame,
+    cents: DataFrame,
+    n_sub: int,
+    sub_dim: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Large-k PQ encode kernel (r14): ONE Arrow ``mapInPandas`` scan
+    computing every subspace argmin per batch — replacing the
+    crossJoin(|corpus| x k rows) + ``n_sub`` ranking windows + chained
+    re-joins plan, which at the 10M x 64-centroid tier puts 640M scored
+    rows through a single shuffle (the measured scale killer that
+    motivated this kernel; BENCH_IVFPQ.json ``pq_scale_10m`` carries the
+    kernel-path build time).
+
+    Bit-parity with the expression plan, the ``_assign_matmul``
+    discipline verbatim: sequential fold over each subspace's dims
+    (acc += (x_j - c_j)^2, matching ``aggregate()``'s left-to-right
+    order), half-up 6dp rounding on the non-negative binary double
+    (floor(x*1e6 + 0.5)/1e6 == both engines' round() on these values),
+    first-min ``np.argmin`` over the cent_id-SORTED codebook matrix
+    (== the window's ties-to-smaller-cent_id), and ``recon_d2`` summed
+    over subspaces in m-order before its own half-up rounding (== the
+    left-assoc column sum).  Parity is test-pinned against the crossJoin
+    plan.  The codebook collects to the driver (bounded k x dim — the
+    kmeans precedent), which also fires any undersize guard eagerly."""
+    import numpy as np
+
+    rows = sorted(
+        cents.select("cent_id", "cent_vec").collect(),
+        key=lambda r: r["cent_id"],
+    )
+    cent_ids = np.asarray([int(r["cent_id"]) for r in rows], dtype="int64")
+    C = np.asarray(
+        [list(map(float, r["cent_vec"])) for r in rows], dtype=np.float64
+    )
+    id_field = corpus.schema[id_col]
+    out_schema = T.StructType(
+        [T.StructField(id_field.name, id_field.dataType)]
+        + [T.StructField(f"code{m}", T.LongType()) for m in range(n_sub)]
+        + [T.StructField("recon_d2", T.DoubleType())]
+    )
+
+    def encode(batches: "Iterator[pd.DataFrame]") -> "Iterator[pd.DataFrame]":
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            data = {id_col: pdf[id_col].to_numpy()}
+            total = np.zeros(len(pdf), dtype=np.float64)
+            for m in range(n_sub):
+                acc = np.zeros((len(pdf), C.shape[0]), dtype=np.float64)
+                for j in range(m * sub_dim, (m + 1) * sub_dim):
+                    dj = X[:, j][:, None] - C[:, j][None, :]
+                    acc += dj * dj
+                d = np.floor(acc * 1e6 + 0.5) / 1e6
+                idx = np.argmin(d, axis=1)
+                data[f"code{m}"] = cent_ids[idx]
+                total = total + d[np.arange(len(pdf)), idx]
+            data["recon_d2"] = np.floor(total * 1e6 + 0.5) / 1e6
+            yield pd.DataFrame(data)
+
+    return corpus.select(id_col, vec_col).mapInPandas(encode, out_schema)
+
+
 def pq_codes_df(
     corpus: DataFrame,
     n_sub: int = 4,
@@ -1461,6 +1530,7 @@ def pq_codes_df(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     cents: DataFrame | None = None,
+    kernel: str = "auto",
 ) -> DataFrame:
     """Product-quantization codes: dims split into ``n_sub`` subspaces of
     ``sub_dim``; per-subspace codebook = the ``n_centroids`` lowest-id
@@ -1471,8 +1541,14 @@ def pq_codes_df(
 
     Output: (vec_id, code0..code{n_sub-1}, recon_d2).  Scale shape: the
     codebook (n_sub x n_centroids x sub_dim doubles) broadcasts;
-    assignment is one scan of the corpus; per-subspace argmin windows are
-    keyed by vec_id.
+    assignment is one scan of the corpus.  At small codebooks the
+    per-subspace argmin rides ranking windows keyed by vec_id; at
+    ``n_centroids >= MATMUL_ASSIGN_MIN_K`` (``kernel="auto"``) the
+    encode reroutes through ``_pq_codes_matmul`` — one Arrow scan
+    instead of an |corpus| x k row explosion through the shuffle, bit-
+    identical output (parity-tested; the ``_nearest_centroids`` /
+    kmeans large-k precedent).  ``kernel="expr"``/``"matmul"`` force a
+    path.
 
     Pass ``cents`` (a (cent_id, cent_vec) frame) to encode against a
     FROZEN codebook instead of re-deriving it from ``corpus`` — the
@@ -1487,6 +1563,12 @@ def pq_codes_df(
             .select(
                 F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
             )
+        )
+    if kernel == "matmul" or (
+        kernel == "auto" and n_centroids >= MATMUL_ASSIGN_MIN_K
+    ):
+        return _pq_codes_matmul(
+            corpus, cents, n_sub, sub_dim, id_col, vec_col
         )
     pairs = corpus.crossJoin(F.broadcast(cents))
     sub_d2 = [

@@ -3313,3 +3313,52 @@ def test_contamination_lsh_restricts_exact_overlap_to_banded_pairs(spark):
         contamination_lsh(
             train, ev, min_common=2, perms=32, bands=4, eval_keys=idx
         ).collect()
+
+
+def test_pq_codes_matmul_path_equals_crossjoin(spark):
+    """r14 scale fix: PQ subspace encode above MATMUL_ASSIGN_MIN_K
+    centroids routes through one Arrow matmul scan instead of the
+    crossJoin(N x K) + n_sub ranking windows + chained re-join plan
+    (640M scored rows through one shuffle at the 10M x 64 tier — the
+    measured build killer).  The kernel carries the module determinism
+    contract (sequential per-subspace fold, 6dp half-up, first-min ==
+    ties-to-smaller-cent_id, recon_d2 summed in m-order then rounded),
+    so both plans must agree row-for-row on every code AND recon_d2 —
+    for the lowest-id codebook and a TRAINED subspace codebook alike."""
+    from open_bus_siri_etl_spark.operators.clustering import (
+        kmeans_subspace_codebook,
+    )
+    from open_bus_siri_etl_spark.operators.similarity import (
+        MATMUL_ASSIGN_MIN_K,
+        pq_codes_df,
+    )
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+    )
+    k = MATMUL_ASSIGN_MIN_K
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    # lowest-id codebook, auto-derived inside both paths
+    slow = pq_codes_df(emb, 4, 16, k, kernel="expr")
+    fast = pq_codes_df(emb, 4, 16, k, kernel="matmul")
+    assert [f.name for f in slow.schema.fields] == [
+        f.name for f in fast.schema.fields
+    ]
+    assert rows(slow) == rows(fast)
+
+    # trained subspace codebook (the bench's 10M shape), frozen frame
+    rf = kmeans_subspace_codebook(emb, n_sub=4, sub_dim=16, k=k, iters=2)
+    slow_t = pq_codes_df(emb, 4, 16, k, cents=rf, kernel="expr")
+    fast_t = pq_codes_df(emb, 4, 16, k, cents=rf, kernel="auto")
+    assert rows(slow_t) == rows(fast_t)
+    # auto keeps the expression plan below the threshold (catalog oracle
+    # entries at pq_centroids=8 must stay JVM-only)
+    plan = (
+        pq_codes_df(emb, 4, 16, 8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "MapInPandas" not in plan
