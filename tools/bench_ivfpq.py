@@ -953,12 +953,22 @@ def pq_scale_tier(spark, work: Path, n: int = 10_000_000,
     rfp = str(work / f"pqs_rf_{tag}")
     if not os.path.isdir(rfp):
         t0 = time.time()
-        res = ivf_residuals(train_sub, tc, n_cent, dim=DIM)
+        # STAGE the training residuals once: the subspace Lloyd loop
+        # re-triggers its input plan ~2x per subspace (init collect +
+        # assign/mean per iter), and recomputing the 244k x 4096 coarse
+        # assignment inside ivf_residuals ~16x dominates training time —
+        # a parquet stage turns each re-read into a 244k-row scan
+        res_stage = str(work / f"pqs_res_train_{tag}")
+        ivf_residuals(train_sub, tc, n_cent, dim=DIM).write.mode(
+            "overwrite"
+        ).parquet(res_stage)
+        res = spark.read.parquet(res_stage)
         kmeans_subspace_codebook(
             res, n_sub=N_SUB, sub_dim=SUB_DIM, k=PQ_CENTROIDS, iters=2,
             kernel="matmul",
         ).coalesce(1).write.mode("overwrite").parquet(rfp)
         fine_train_sec = round(time.time() - t0, 3)
+        shutil.rmtree(res_stage, ignore_errors=True)
     else:
         fine_train_sec = 0.0
     rf = spark.read.parquet(rfp)
