@@ -71,7 +71,12 @@ def _assign_expr(vecd: DataFrame, cents: list[list[float]], id_col: str) -> Data
     )
 
 
-def _assign_matmul(vecd: DataFrame, cents: list[list[float]], id_col: str) -> DataFrame:
+def _assign_matmul(
+    vecd: DataFrame,
+    cents: list[list[float]],
+    id_col: str,
+    emit_vec: bool = True,
+) -> DataFrame:
     """Large-k kernel: Arrow-batched numpy distance matrix per partition.
 
     Float parity with _assign_expr: the fold over dimensions is sequential
@@ -80,18 +85,21 @@ def _assign_matmul(vecd: DataFrame, cents: list[list[float]], id_col: str) -> Da
     double (floor(x*1e6 + 0.5)/1e6 — distances are non-negative), matching
     what both engines' round() computes on these values.  np.argmin takes
     the first minimum, matching array_position(array_min) ties-to-smaller.
+
+    ``emit_vec=False`` (r14): callers that only need (id, cluster) — the
+    final ``kmeans_assign`` pass — skip re-serializing the vector column
+    back across the Arrow boundary; Spark cannot prune columns INSIDE a
+    mapInPandas, so the pruning must happen in the declared output schema.
     """
     import numpy as np
 
     cmat = [list(map(float, c)) for c in cents]
     id_field = vecd.schema[id_col]
-    out_schema = T.StructType(
-        [
-            T.StructField(id_field.name, id_field.dataType),
-            T.StructField("v", T.ArrayType(T.DoubleType())),
-            T.StructField("cluster", T.IntegerType()),
-        ]
-    )
+    fields = [T.StructField(id_field.name, id_field.dataType)]
+    if emit_vec:
+        fields.append(T.StructField("v", T.ArrayType(T.DoubleType())))
+    fields.append(T.StructField("cluster", T.IntegerType()))
+    out_schema = T.StructType(fields)
 
     def assign(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         import pandas as pd
@@ -106,15 +114,73 @@ def _assign_matmul(vecd: DataFrame, cents: list[list[float]], id_col: str) -> Da
                 dj = X[:, j][:, None] - C[:, j][None, :]
                 acc += dj * dj
             d = np.floor(acc * 1e6 + 0.5) / 1e6
+            out = {id_col: pdf[id_col].to_numpy()}
+            if emit_vec:
+                out["v"] = pdf["v"]
+            out["cluster"] = np.argmin(d, axis=1).astype("int32")
+            yield pd.DataFrame(out)
+
+    return vecd.mapInPandas(assign, schema=out_schema)
+
+
+def _partial_sums_matmul(vecd: DataFrame, cents: list[list[float]]) -> DataFrame:
+    """Training-only fused kernel (r14, guide §2.3 'aggregate before you
+    shuffle'): assign AND partially reduce in one Arrow pass, emitting per
+    partition at most k rows of (cluster, n, s=Σx) instead of shipping
+    every (id, v, cluster) row back to the JVM and posexploding n x dim
+    rows into the mean aggregation.  The JVM-side mean over these partials
+    is sum(s_i)/sum(n) per coordinate — the same total in a different
+    float-addition order, absorbed by the contract's 6dp rounding exactly
+    like the engine-vs-oracle order difference already is (parity of the
+    final assignments is pinned by the catalog oracle at both SFs and by
+    tests/test_training_ops.py kernel-parity cases).
+
+    Distance/argmin float discipline is byte-identical to _assign_matmul
+    (sequential fold, 6dp half-up, first-min ties).
+    """
+    import numpy as np
+
+    cmat = [list(map(float, c)) for c in cents]
+    out_schema = T.StructType(
+        [
+            T.StructField("cluster", T.IntegerType()),
+            T.StructField("n", T.LongType()),
+            T.StructField("s", T.ArrayType(T.DoubleType())),
+        ]
+    )
+
+    def psums(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import pandas as pd
+
+        C = np.asarray(cmat, dtype=np.float64)  # k x dim
+        k, dim = C.shape
+        S = np.zeros((k, dim), dtype=np.float64)
+        N = np.zeros(k, dtype=np.int64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.asarray(pdf["v"].tolist(), dtype=np.float64)  # n x dim
+            acc = np.zeros((len(pdf), k), dtype=np.float64)
+            for j in range(dim):  # sequential fold = expr-kernel order
+                dj = X[:, j][:, None] - C[:, j][None, :]
+                acc += dj * dj
+            d = np.floor(acc * 1e6 + 0.5) / 1e6
+            cl = np.argmin(d, axis=1)
+            for c in np.unique(cl):
+                m = cl == c
+                S[c] += X[m].sum(axis=0)
+                N[c] += int(m.sum())
+        nz = np.nonzero(N)[0]
+        if len(nz):
             yield pd.DataFrame(
                 {
-                    id_col: pdf[id_col].to_numpy(),
-                    "v": pdf["v"],
-                    "cluster": np.argmin(d, axis=1).astype("int32"),
+                    "cluster": nz.astype("int32"),
+                    "n": N[nz],
+                    "s": [S[c].tolist() for c in nz],
                 }
             )
 
-    return vecd.mapInPandas(assign, schema=out_schema)
+    return vecd.select("v").mapInPandas(psums, schema=out_schema)
 
 
 def _resolve_kernel(k: int, kernel: str):
@@ -143,13 +209,28 @@ def _train_centroids(
         )
     dim = len(cents[0])
     for _ in range(iters - 1):
-        assign = assign_fn(vecd, cents, id_col)
-        rows = (
-            assign.select("cluster", F.posexplode("v").alias("i", "val"))
-            .groupBy("cluster", "i")
-            .agg(F.round(F.avg("val"), 6).alias("m"))
-            .collect()
-        )
+        if assign_fn is _assign_matmul:
+            # r14: fused assign+partial-sum Arrow pass — the update's
+            # aggregation input is (#partitions x k) partial rows instead
+            # of an n x dim posexplode, and the vector column never
+            # crosses the Python->JVM boundary a second time (guide §2.3,
+            # §4.1).  sum(s)/sum(n) == avg(val) up to float order; 6dp
+            # rounding (the module contract) absorbs the difference.
+            rows = (
+                _partial_sums_matmul(vecd, cents)
+                .select("cluster", "n", F.posexplode("s").alias("i", "val"))
+                .groupBy("cluster", "i")
+                .agg(F.round(F.sum("val") / F.sum("n"), 6).alias("m"))
+                .collect()
+            )
+        else:
+            assign = assign_fn(vecd, cents, id_col)
+            rows = (
+                assign.select("cluster", F.posexplode("v").alias("i", "val"))
+                .groupBy("cluster", "i")
+                .agg(F.round(F.avg("val"), 6).alias("m"))
+                .collect()
+            )
         got = {(r["cluster"], r["i"]): r["m"] for r in rows}
         cents = [
             [got.get((c, i), cents[c][i]) for i in range(dim)]
@@ -177,6 +258,11 @@ def kmeans_assign(
         id_col, F.transform(vec_col, lambda x: x.cast("double")).alias("v")
     )
     cents = _train_centroids(vecd, k, iters, id_col, assign_fn)
+    if assign_fn is _assign_matmul:
+        # r14: the caller only needs (id, cluster) — don't re-serialize the
+        # vector column out of the Arrow kernel (schema-level pruning; a
+        # .select after mapInPandas cannot prune inside the Python worker)
+        return _assign_matmul(vecd, cents, id_col, emit_vec=False)
     return assign_fn(vecd, cents, id_col).select(id_col, "cluster")
 
 

@@ -59,11 +59,21 @@ def flagship_snowflake(spark: SparkSession, sf_dir: str) -> DataFrame:
         t(spark, sf_dir, "nation"),
         t(spark, sf_dir, "region"),
     )
+    # r14: pre-join the dimension chain customer⋈nation⋈region into one
+    # (c_custkey, n_name, r_name) frame BEFORE touching the fact stream
+    # (inner-join reassociation — result identical), so every lineitem row
+    # probes 2 hash tables instead of 4.  The two snowflake hops now run on
+    # the customer-sized side; the fact side sees one orders probe and one
+    # geo probe.  Same #broadcasts, half the per-row join work on the side
+    # that is 100 TB in production.
+    geo = (
+        cu.join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
+        .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
+        .select("c_custkey", "n_name", "r_name")
+    )
     return (
         li.join(od.filter(F.col("o_orderdate") >= "1996-01-01"), li.l_orderkey == od.o_orderkey)
-        .join(cu, od.o_custkey == cu.c_custkey)
-        .join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
-        .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
+        .join(geo, od.o_custkey == geo.c_custkey)
         .groupBy("r_name", "n_name")
         .agg(
             F.count(F.lit(1)).alias("n_items"),
@@ -163,17 +173,24 @@ def discovery_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     note="D2 deterministic first-wins dedup (cache-guard semantics, process_snapshot.py:110-111)",
 )
 def dedup_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    # r14: first-wins as min(struct(...)) hash aggregate instead of the
+    # sort+window row_number form.  event_id is unique (driver testdata:
+    # zero (ts,event_id) dupes at every SF), so the lexicographic struct
+    # minimum over (ts, event_id, value) IS the rn=1 row of ORDER BY ts,
+    # event_id — identical rows, but the plan drops both Sort nodes and the
+    # shuffle carries one partial-agg row per key per partition.  At 100 TB
+    # a hash agg beats sort+WindowGroupLimit on every skewless key set.
+    first = F.min(F.struct("ts", "event_id", "value")).alias("s")
     return (
         t(spark, sf_dir, "events")
-        .withColumn("rn", F.row_number().over(w))
-        .filter("rn = 1")
+        .groupBy("user_id", "event_type")
+        .agg(first)
         .select(
             "user_id",
             "event_type",
-            F.col("ts").alias("first_ts"),
-            F.col("value").alias("first_value"),
-            F.col("event_id").alias("first_event_id"),
+            F.col("s.ts").alias("first_ts"),
+            F.col("s.value").alias("first_value"),
+            F.col("s.event_id").alias("first_event_id"),
         )
     )
 
@@ -233,15 +250,18 @@ def event_counters(spark: SparkSession, sf_dir: str) -> DataFrame:
     note="A2/T2 argmax resume-point (max loaded snapshot, process_snapshot.py:495-498)",
 )
 def latest_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    # r14: argmax as max(struct(ts, event_id)) — lexicographic struct max
+    # = max ts, ties to max event_id, exactly ORDER BY ts DESC, event_id
+    # DESC rn=1 (event_id unique, no NULLs in the driver testdata).  Same
+    # rows as the window form with no Sort and partial-agg-sized shuffle.
     return (
         t(spark, sf_dir, "events")
-        .withColumn("rn", F.row_number().over(w))
-        .filter("rn = 1")
+        .groupBy("user_id")
+        .agg(F.max(F.struct("ts", "event_id")).alias("s"))
         .select(
             "user_id",
-            F.col("ts").alias("latest_ts"),
-            F.col("event_id").alias("latest_event_id"),
+            F.col("s.ts").alias("latest_ts"),
+            F.col("s.event_id").alias("latest_event_id"),
         )
     )
 

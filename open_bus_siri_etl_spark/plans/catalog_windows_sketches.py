@@ -805,7 +805,11 @@ def heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sketches import misra_gries_candidates
 
     ev = t(spark, sf_dir, "events")
-    n_total = ev.count()  # scalar, one tiny count job
+    # r14: the global N rides the plan as a broadcast 1-row aggregate
+    # (cross-join of a scalar, the bloom_filter_probe pattern) instead of
+    # an eager driver-side ev.count() — one action instead of two, and the
+    # threshold filter stays a cheap stream filter.
+    tot = ev.agg(F.count(F.lit(1)).alias("_n_total"))
     cands = misra_gries_candidates(ev.select("user_id"), "user_id", capacity=256)
     cnt = (
         ev.join(F.broadcast(cands), "user_id", "left_semi")
@@ -813,7 +817,9 @@ def heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     return (
-        cnt.filter(F.col("cnt") * 256 > F.lit(n_total))
+        cnt.crossJoin(F.broadcast(tot))
+        .filter(F.col("cnt") * 256 > F.col("_n_total"))
+        .drop("_n_total")
         .orderBy(F.desc("cnt"), "user_id")
         .limit(20)
     )
