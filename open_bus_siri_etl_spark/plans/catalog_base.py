@@ -36,8 +36,30 @@ import weakref
 # collide a new SparkSession with a dead one's id and silently skip the pin
 _SESSIONS_PINNED: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
 
+# r14 (guide §1/§5 — driver-side overhead): one relation per (session,
+# path): every spark.read.parquet() call re-lists the directory and re-reads
+# a footer for schema inference through py4j (~50 ms per table per call —
+# flagship_snowflake paid 5 of those on EVERY fn() build, ~0.4 s of its
+# bench time was plan construction).  Catalog inputs are immutable snapshot
+# dirs, so the DataFrame (a logical plan node — no data, no .cache()) is
+# memoized per session.  Downstream transformations build on the shared
+# relation exactly as they would on a catalog table.  WeakKeyDictionary:
+# dead sessions drop their memo with them.
+_RELATION_MEMO: "weakref.WeakKeyDictionary[SparkSession, dict]" = (
+    weakref.WeakKeyDictionary()
+)
+
 
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    memo = _RELATION_MEMO.setdefault(spark, {})
+    key = (sf_dir, name)
+    got = memo.get(key)
+    if got is None:
+        got = memo[key] = _t_uncached(spark, sf_dir, name)
+    return got
+
+
+def _t_uncached(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # timestamp semantics must not depend on the caller's session timezone
     # (the driver's harness session may not be UTC): pin it here, so
     # date_format/date_trunc/to_timestamp agree with the tz-naive oracle.
