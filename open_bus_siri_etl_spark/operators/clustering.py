@@ -335,24 +335,115 @@ def kmeans_subspace_codebook(
     Each subspace's kmeans inherits the module determinism contract
     (min-id init on the subvector slices, 6dp rounding, min-index ties,
     per-coordinate carry-forward), so PQ codes stay oracle-exact.
-    Training cost: n_sub independent Lloyd runs over sub_dim-wide slices
-    — same total scan bytes as one full-dim run per iteration."""
-    assign_fn = _resolve_kernel(k, kernel)
-    per_sub: list[list[list[float]]] = []
-    for m in range(n_sub):
-        vecd = df.select(
-            id_col,
-            F.transform(
-                F.slice(vec_col, m * sub_dim + 1, sub_dim),
-                lambda x: x.cast("double"),
-            ).alias("v"),
+
+    Training cost (r14, guide §2.3/§2.4): the n_sub Lloyd runs are FUSED
+    on the expr-kernel path — ONE TakeOrdered seeds every subspace (the
+    same k lowest-id rows, sliced on the driver) and each iteration is
+    ONE job whose projection assigns all n_sub subspaces from a single
+    scan (explode over per-subspace (m, cluster, slice) structs →
+    grouped mean), instead of n_sub separate init jobs plus n_sub
+    separate scan+collect jobs per iteration.  Per-subspace arithmetic
+    (slice → zip_with squared diff → left-fold sum → 6dp round →
+    first-min argmin → 6dp-rounded mean with carry-forward) is the
+    _assign_expr/_train_centroids spec unchanged, so the trained
+    centroids are identical to the unfused loop's.  Large-k subspaces
+    (above EXPR_KERNEL_MAX_K) keep the per-subspace matmul-kernel loop.
+    """
+    if not (kernel == "expr" or (kernel == "auto" and k <= EXPR_KERNEL_MAX_K)):
+        assign_fn = _resolve_kernel(k, kernel)
+        per_sub: list[list[list[float]]] = []
+        for m in range(n_sub):
+            vecd = df.select(
+                id_col,
+                F.transform(
+                    F.slice(vec_col, m * sub_dim + 1, sub_dim),
+                    lambda x: x.cast("double"),
+                ).alias("v"),
+            )
+            per_sub.append(_train_centroids(vecd, k, iters, id_col, assign_fn))
+        rows = [
+            (c + 1, c, [float(x) for m in range(n_sub) for x in per_sub[m][c]])
+            for c in range(k)
+        ]
+        return df.sparkSession.createDataFrame(rows, _CODEBOOK_SCHEMA)
+
+    vecd = df.select(
+        id_col, F.transform(vec_col, lambda x: x.cast("double")).alias("v")
+    )
+    init_rows = vecd.orderBy(id_col).limit(k).collect()
+    if len(init_rows) < k:
+        raise ValueError(
+            f"kmeans: k={k} but the input has only {len(init_rows)} rows — "
+            "min-id init needs k distinct vectors (a streaming trainer's "
+            "FIRST batch must carry at least max(n_centroids, "
+            "pq_centroids) rows; this is the trained-path twin of the "
+            "frozen-codebook undersize guard)"
         )
-        per_sub.append(_train_centroids(vecd, k, iters, id_col, assign_fn))
+    per_sub = [
+        [
+            [float(x) for x in r["v"][m * sub_dim : (m + 1) * sub_dim]]
+            for r in init_rows
+        ]
+        for m in range(n_sub)
+    ]
+    for _ in range(iters - 1):
+        per_sub = _fused_subspace_update(vecd, per_sub, n_sub, sub_dim, k)
     rows = [
         (c + 1, c, [float(x) for m in range(n_sub) for x in per_sub[m][c]])
         for c in range(k)
     ]
     return df.sparkSession.createDataFrame(rows, _CODEBOOK_SCHEMA)
+
+
+def _fused_subspace_update(
+    vecd: DataFrame,
+    per_sub: list[list[list[float]]],
+    n_sub: int,
+    sub_dim: int,
+    k: int,
+) -> list[list[list[float]]]:
+    """One Lloyd mean-update for ALL subspaces in a single scan: per
+    subspace the projection computes the expr-kernel assignment over the
+    slice (identical float spec to ``_assign_expr``), packages (m,
+    cluster, slice) structs, explodes, and the grouped 6dp mean updates
+    every (subspace, cluster, coordinate) at once.  Row volume through
+    the partial agg is n_sub x sub_dim x n = dim x n — the same bytes
+    the unfused loop pushed through n_sub separate jobs."""
+
+    def dist_to(sl, cent: list[float]):
+        diff = F.zip_with(
+            sl, F.array(*[F.lit(c) for c in cent]), lambda a, b: (a - b) * (a - b)
+        )
+        return F.round(F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x), 6)
+
+    branches = []
+    for m in range(n_sub):
+        sl = F.slice("v", m * sub_dim + 1, sub_dim)
+        d = F.array(*[dist_to(sl, c) for c in per_sub[m]])
+        branches.append(
+            F.struct(
+                F.lit(m).alias("m"),
+                (F.array_position(d, F.array_min(d)) - 1)
+                .cast("int")
+                .alias("cluster"),
+                sl.alias("sv"),
+            )
+        )
+    rows = (
+        vecd.select(F.explode(F.array(*branches)).alias("b"))
+        .select("b.m", "b.cluster", F.posexplode("b.sv").alias("i", "val"))
+        .groupBy("m", "cluster", "i")
+        .agg(F.round(F.avg("val"), 6).alias("mn"))
+        .collect()
+    )
+    got = {(r["m"], r["cluster"], r["i"]): r["mn"] for r in rows}
+    return [
+        [
+            [got.get((m, c, i), per_sub[m][c][i]) for i in range(sub_dim)]
+            for c in range(k)
+        ]
+        for m in range(n_sub)
+    ]
 
 
 def kmeans_ivf_topk(
@@ -596,6 +687,7 @@ def ivf_pq_kmeans_topk(
         sub_dim=sub_dim, pq_centroids=pq_centroids,
         id_col=id_col, vec_col=vec_col, dim=dim,
         fine_cents=fine, coarse_metric="l2",
+        eager_check=False,  # same-plan frames: provenance cannot mismatch
     )
 
 
@@ -634,9 +726,16 @@ def ivf_pq_residual_topk(
     )
 
     coarse = kmeans_codebook(corpus, n_centroids, iters, id_col, vec_col)
+    # r14: the residual frame feeds every fine-training action (init
+    # TakeOrdered + one update job per iteration), and each re-trigger
+    # recomputes the full coarse assignment — localCheckpoint materializes
+    # it once (the cframe/CC lineage-control pattern; a production
+    # pipeline stages residuals to parquet, as tools/bench_ivfpq.py does
+    # for the 10M tier).  The serve plan's own residual encode inside
+    # build_ivf_pq_index is unchanged.
     res = ivf_residuals(
         corpus, coarse, n_centroids, id_col, vec_col, dim, "l2"
-    )
+    ).localCheckpoint()
     fine = kmeans_subspace_codebook(
         res, n_sub, sub_dim, pq_centroids, iters, id_col, vec_col
     )
@@ -651,6 +750,7 @@ def ivf_pq_residual_topk(
         sub_dim=sub_dim, pq_centroids=pq_centroids,
         id_col=id_col, vec_col=vec_col, dim=dim,
         fine_cents=fine, coarse_metric="l2", residual=True,
+        eager_check=False,  # same-plan frames: provenance cannot mismatch
     )
 
 

@@ -392,6 +392,7 @@ def sq8_topk_serve(
     residual: bool = False,
     n_centroids: int | None = None,
     l2_normalize: bool = False,
+    eager_check: bool = True,
 ) -> DataFrame:
     """Serve top-k from a persisted SQ8 store: the query batch probes its
     ``n_probe`` nearest coarse cells (tiny frame), equi-joins the store on
@@ -436,7 +437,13 @@ def sq8_topk_serve(
         n_c, coarse_metric, residual, len(bounds), l2_normalize
     )
     live_fp = sq8_fingerprint(cents, bounds, "_live_fp")
-    _eager_provenance_check(index, "sq8_fp", expected, live_fp, op)
+    if eager_check:
+        # r14: inline build→serve compositions pass eager_check=False —
+        # same-plan frames cannot mismatch, and the bounded sample would
+        # execute the unpersisted index-encode subplan once at plan build
+        # and again at action time.  Persisted serves keep the guard; the
+        # in-plan per-row check below runs either way.
+        _eager_provenance_check(index, "sq8_fp", expected, live_fp, op)
     index = index.crossJoin(F.broadcast(live_fp)).select(
         F.when(
             F.col("params") != expected,
@@ -563,6 +570,7 @@ def sq8_residual_ivf_topk(
         index, cents, queries, bounds, k=k, n_probe=n_probe,
         id_col=id_col, vec_col=vec_col, dim=dim, residual=True,
         n_centroids=n_centroids,
+        eager_check=False,  # same-plan frames: provenance cannot mismatch
     )
 
 
@@ -582,6 +590,7 @@ def sq8_refine_serve(
     residual: bool = False,
     n_centroids: int | None = None,
     l2_normalize: bool = False,
+    eager_check: bool = True,
 ) -> DataFrame:
     """SQ8 shortlist + EXACT REFINE from the persisted store — FAISS's
     IndexRefineFlat stage over IndexIVFScalarQuantizer: the SQ8 serve
@@ -622,6 +631,7 @@ def sq8_refine_serve(
         id_col=id_col, vec_col=vec_col, dim=dim,
         coarse_metric=coarse_metric, residual=residual,
         n_centroids=n_centroids, l2_normalize=l2_normalize,
+        eager_check=eager_check,
     ).select("query_id", "neighbor_id")
     qv = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
@@ -672,6 +682,7 @@ def sq8_refine_topk(
         index, cents, queries, bounds, corpus, k=k, shortlist=shortlist,
         n_probe=n_probe, id_col=id_col, vec_col=vec_col, dim=dim,
         n_centroids=n_centroids,
+        eager_check=False,  # same-plan frames: provenance cannot mismatch
     )
 
 
@@ -722,4 +733,5 @@ def sq8_ivf_topk(
     return sq8_topk_serve(
         index, cents, queries, bounds, k=k, n_probe=n_probe,
         id_col=id_col, vec_col=vec_col, dim=dim, n_centroids=n_centroids,
+        eager_check=False,  # same-plan frames: provenance cannot mismatch
     )

@@ -2124,6 +2124,7 @@ def ivf_pq_topk_serve(
     coarse_metric: str = "cosine",
     residual: bool = False,
     l2_normalize: bool = False,
+    eager_check: bool = True,
 ) -> DataFrame:
     """Serve IVF-PQ top-k from the PERSISTED index — corpus vectors are
     never an input, so the per-query-batch cost is structurally
@@ -2172,7 +2173,17 @@ def ivf_pq_topk_serve(
         if fine_cents is None
         else _codebook_fingerprint_pair(cents, fine_cents, "_live_fp")
     )
-    _eager_provenance_check(index, "cb_fp", expected, live_fp, op)
+    if eager_check:
+        # r14: inline build→serve compositions (ivf_pq_topk and friends)
+        # pass eager_check=False — there the index subplan is built from
+        # the SAME frames in the SAME plan, so provenance cannot mismatch,
+        # while the limit(16) sample would EXECUTE the whole unpersisted
+        # index-encode job once at plan build and again at action time
+        # (measured: ~half of ivf_pq_topk's build seconds).  Persisted
+        # serves (the production path, where the sample is one cheap row-
+        # group read) keep the eager guard; the in-plan check below runs
+        # for every surviving row either way.
+        _eager_provenance_check(index, "cb_fp", expected, live_fp, op)
     idx = index.crossJoin(F.broadcast(live_fp)).select(
         F.when(
             F.col("params") != expected,
@@ -2306,6 +2317,7 @@ def ivf_pq_topk(
         k=k, n_centroids=n_centroids, n_probe=n_probe, n_sub=n_sub,
         sub_dim=sub_dim, pq_centroids=pq_centroids,
         id_col=id_col, vec_col=vec_col, dim=dim,
+        eager_check=False,  # same-plan frames: provenance cannot mismatch
     )
 
 
