@@ -316,6 +316,57 @@ def cosine_delta_pairs(
 MATMUL_ASSIGN_MIN_K = 64
 
 
+def _inline_nearest_one(
+    df: DataFrame,
+    rows: list,
+    out: str,
+    dim: int | None,
+    metric: str,
+) -> DataFrame:
+    """keep-1 assignment against a collected, cent_id-sorted codebook as one
+    codegen'd array expression per row (no crossJoin, no window shuffle).
+    Score expressions mirror ``_nearest_centroids``'s crossJoin branch
+    term-for-term with the centroid as a literal double array, so results
+    are IEEE-identical; first-index-of-extreme == ties-to-smaller-cent_id."""
+    ids = [int(r["cent_id"]) for r in rows]
+    vecs = [[float(x) for x in r["cent_vec"]] for r in rows]
+    if metric == "l2":
+
+        def _score(c: list[float]) -> Column:
+            return F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("_vec"),
+                        F.array(*[F.lit(v) for v in c]),
+                        lambda x, y: (x.cast("double") - y.cast("double"))
+                        * (x.cast("double") - y.cast("double")),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            )
+
+        d = F.array(*[_score(c) for c in vecs])
+        best = F.array_position(d, F.array_min(d))
+    else:
+
+        def _score(c: list[float]) -> Column:
+            lit = F.array(*[F.lit(v) for v in c])
+            return _dot(F.col("_vec"), lit, dim) / (
+                _norm(F.col("_vec"), dim) * _norm(lit, dim)
+            )
+
+        d = F.array(*[_score(c) for c in vecs])
+        best = F.array_position(d, F.array_max(d))
+    id_map = F.array(*[F.lit(i) for i in ids])
+    return df.select(
+        "_id",
+        "_vec",
+        F.element_at(id_map, best.cast("int")).cast("long").alias(out),
+    )
+
+
 def _nearest_centroids(
     df: DataFrame,
     cents,
@@ -381,6 +432,32 @@ def _nearest_centroids(
             .cast("long")
             .alias(out),
         )
+    if keep == 1:
+        # r14 (guide §2.4 — remove shuffles outright): single-nearest
+        # assignment against a codebook-sized frame needs no crossJoin +
+        # per-row rank window (an n x k row explosion through one
+        # Exchange + Sort).  Collect the codebook (bounded by contract —
+        # every caller passes a <= max(n_centroids, pq_centroids)-row
+        # frame; the collect also fires any in-plan undersize guard
+        # eagerly, the matmul-path precedent) and evaluate the k scores
+        # as ONE codegen'd array expression per row, map-only.
+        # Float parity with the crossJoin path: each score is the SAME
+        # expression tree with the centroid as a literal array (IEEE ops
+        # on identical operands), and first-index-of-extreme over the
+        # cent_id-sorted array IS the window's ties-to-smaller-cent_id.
+        # Bounded at MATMUL_ASSIGN_MIN_K scores (catalog geometries are
+        # k <= 16): above that an inline k x dim literal tree is a plan
+        # explosion, and the l2 family already routes through the Arrow
+        # matmul kernel there — larger cosine codebooks (frontier-only)
+        # keep the crossJoin plan.  An empty codebook also falls through
+        # (crossJoin with an empty frame = empty result, the historical
+        # contract; the inline expression would emit NULL clusters).
+        rows = sorted(
+            cents.select("cent_id", "cent_vec").collect(),
+            key=lambda r: r["cent_id"],
+        )
+        if 0 < len(rows) <= MATMUL_ASSIGN_MIN_K:
+            return _inline_nearest_one(df, rows, out, dim, metric)
     scored = df.crossJoin(cents)
     if metric == "l2":
         scored = scored.withColumn(
