@@ -26,10 +26,27 @@ from pyspark.sql import types as T
 
 
 def misra_gries_candidates(
-    df: DataFrame, key_col: str, capacity: int = 256
+    df: DataFrame,
+    key_col: str,
+    capacity: int = 256,
+    distinct: bool = True,
+    emit_part_rows: bool = False,
 ) -> DataFrame:
     """Per-partition Misra-Gries summaries, returned as the distinct union
     of surviving candidate keys.
+
+    ``distinct=False`` (r14, guide §2.4): skip the cross-partition
+    ``.distinct()`` — an Exchange + two HashAggregates that consumers
+    joining candidates as a broadcast LEFT SEMI build side never needed
+    (duplicate build keys cannot change a semi join).  The union-with-
+    duplicates still satisfies the no-false-negative guarantee verbatim.
+
+    ``emit_part_rows=True`` (r14, guide §1.2 "don't compute things
+    twice"): each non-empty partition additionally reports its row count
+    — one leading (key=NULL, _part_rows=n_p) row, candidates carry 0 —
+    so the global N = sum(_part_rows) rides the SAME single pass instead
+    of a second full scan.  The NULL key is inert in a semi join (NULL
+    never equals) and carries no counter semantics.
 
     Guarantee (mergeable-summaries form, Agarwal et al. 2012): within a
     partition of n_p rows the summary undercounts any key by at most
@@ -46,23 +63,41 @@ def misra_gries_candidates(
     state is candidate-sized instead of key-cardinality-sized.
     """
     field = df.schema[key_col]
-    out_schema = T.StructType([T.StructField(field.name, field.dataType)])
+    fields = [T.StructField(field.name, field.dataType)]
+    if emit_part_rows:
+        fields.append(T.StructField("_part_rows", T.LongType()))
+    out_schema = T.StructType(fields)
 
     def summarize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         counters: dict = {}
+        n_rows = 0
         for pdf in batches:
             # merge the batch's exact counts, then shrink back to capacity
             # by subtracting the (capacity+1)-th largest counter from all
             # (the merge step of mergeable MG summaries)
+            n_rows += len(pdf)
             for k, c in pdf[key_col].value_counts().items():
                 counters[k] = counters.get(k, 0) + int(c)
             if len(counters) > capacity:
                 vals = sorted(counters.values(), reverse=True)
                 sub = vals[capacity]
                 counters = {k: v - sub for k, v in counters.items() if v > sub}
-        yield pd.DataFrame({key_col: list(counters.keys())})
+        if emit_part_rows:
+            # a shrink can legitimately empty the summary (all counters tied
+            # at the subtrahend) while n_p > 0, so the row count must not
+            # piggyback on a candidate row
+            if n_rows:
+                yield pd.DataFrame(
+                    {
+                        key_col: [None] + list(counters.keys()),
+                        "_part_rows": [n_rows] + [0] * len(counters),
+                    }
+                )
+        else:
+            yield pd.DataFrame({key_col: list(counters.keys())})
 
-    return df.select(key_col).mapInPandas(summarize, schema=out_schema).distinct()
+    out = df.select(key_col).mapInPandas(summarize, schema=out_schema)
+    return out.distinct() if distinct else out
 
 
 def histogram_bins(

@@ -805,12 +805,24 @@ def heavy_hitters_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sketches import misra_gries_candidates
 
     ev = t(spark, sf_dir, "events")
-    # r14: the global N rides the plan as a broadcast 1-row aggregate
-    # (cross-join of a scalar, the bloom_filter_probe pattern) instead of
-    # an eager driver-side ev.count() — one action instead of two, and the
-    # threshold filter stays a cheap stream filter.
-    tot = ev.agg(F.count(F.lit(1)).alias("_n_total"))
-    cands = misra_gries_candidates(ev.select("user_id"), "user_id", capacity=256)
+    # r14 (guide §1.2/§2.4): ONE sketch pass feeds both downstream needs —
+    # the kernel also reports per-partition row counts, the ≤(capacity+1)
+    # rows/partition summary is localCheckpoint'ed (bounded, candidate-
+    # sized — the CC/cframe lineage pattern), and then BOTH the exact
+    # global N and the candidate broadcast read that materialized summary.
+    # Replaces a second full events scan (the r13 broadcast-tot aggregate)
+    # and the candidates' cross-partition distinct (an Exchange + two
+    # HashAggregates a broadcast LEFT SEMI build never needed).  N is
+    # exact (sum of per-partition counts), so results are unchanged.
+    summary = misra_gries_candidates(
+        ev.select("user_id"),
+        "user_id",
+        capacity=256,
+        distinct=False,
+        emit_part_rows=True,
+    ).localCheckpoint(eager=True)
+    tot = summary.agg(F.sum("_part_rows").alias("_n_total"))
+    cands = summary.select("user_id")
     cnt = (
         ev.join(F.broadcast(cands), "user_id", "left_semi")
         .groupBy("user_id")

@@ -639,6 +639,40 @@ def test_misra_gries_candidates_capture_heavy_keys(spark):
         assert heavy <= cands
 
 
+def test_misra_gries_part_rows_and_nodistinct(spark):
+    """r14 single-pass options: emit_part_rows reports the EXACT global N
+    (sum of per-partition counts, NULL-key carrier rows) at any
+    partitioning, and distinct=False still satisfies the no-false-negative
+    guarantee (duplicates are inert in the semi-join consumer)."""
+    from open_bus_siri_etl_spark.operators.sketches import misra_gries_candidates
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+    n = ev.count()
+    heavy = {
+        r["user_id"]
+        for r in ev.groupBy("user_id")
+        .count()
+        .filter(F.col("count") * 64 > n)
+        .collect()
+    }
+    for parts in (1, 7):
+        summary = misra_gries_candidates(
+            ev.repartition(parts).select("user_id"),
+            "user_id",
+            capacity=64,
+            distinct=False,
+            emit_part_rows=True,
+        ).collect()
+        assert sum(r["_part_rows"] for r in summary) == n
+        cands = {r["user_id"] for r in summary if r["user_id"] is not None}
+        assert heavy <= cands
+        # carrier rows are NULL-keyed and one per non-empty partition
+        carriers = [r for r in summary if r["_part_rows"] > 0]
+        assert all(r["user_id"] is None for r in carriers)
+        assert len(carriers) <= parts
+
+
 def test_fuzzy_join_dist1_matches_brute_force(spark):
     """Deletion-neighborhood blocking must return exactly the lev<=1 pairs
     a brute-force cross join finds (the catalog oracle's contract)."""
