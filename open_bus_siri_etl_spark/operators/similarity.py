@@ -1456,25 +1456,25 @@ def semantic_dedup_pairs(
         .limit(n_centroids)
         .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec"))
     )
-    scored = (
-        corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec"))
-        .crossJoin(cents)
-        .withColumn(
-            "cent_cos",
-            _dot(F.col("_vec"), F.col("cent_vec"), dim)
-            / (_norm(F.col("_vec"), dim) * _norm(F.col("cent_vec"), dim)),
-        )
-    )
-    w = Window.partitionBy("_id").orderBy(F.desc("cent_cos"), "cent_id")
-    assigned = (
-        scored.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") == 1)
-        .select(
-            F.col("_id"),
-            F.col("_vec"),
-            _norm(F.col("_vec"), dim).alias("_nrm"),
-            F.col("cent_id").alias("cluster"),
-        )
+    # r14 (guide §2.1 — remove shuffles outright): the keep-1 assignment
+    # previously duplicated the crossJoin + rank-window plan inline (an
+    # n x k row explosion through one Exchange + Sort carrying the
+    # vectors); route it through the shared _nearest_centroids helper,
+    # whose inline path evaluates the k cosine scores as one codegen'd
+    # array expression per row — map-only, IEEE-identical scores, same
+    # ties-to-smaller-cent_id (the ivf_topk spec this function shares).
+    assigned = _nearest_centroids(
+        corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")),
+        cents,
+        "cluster",
+        1,
+        dim,
+        metric="cosine",
+    ).select(
+        "_id",
+        "_vec",
+        _norm(F.col("_vec"), dim).alias("_nrm"),
+        "cluster",
     )
     a = assigned.select(
         F.col("_id").alias("vec_a"),

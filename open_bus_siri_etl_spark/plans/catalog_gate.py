@@ -65,8 +65,11 @@ def flagship_snowflake(spark: SparkSession, sf_dir: str) -> DataFrame:
     # probes 2 hash tables instead of 4.  The two snowflake hops now run on
     # the customer-sized side; the fact side sees one orders probe and one
     # geo probe.  Same #broadcasts, half the per-row join work on the side
-    # that is 100 TB in production.
-    geo = (
+    # that is 100 TB in production.  geo carries an explicit broadcast hint:
+    # it is customer-sized (a dimension) but the static planner cannot see
+    # that through the two-join composition and would fall back to a
+    # sort-merge join with two extra Exchanges on the fact stream.
+    geo = F.broadcast(
         cu.join(F.broadcast(na), cu.c_nationkey == na.n_nationkey)
         .join(F.broadcast(re), na.n_regionkey == re.r_regionkey)
         .select("c_custkey", "n_name", "r_name")

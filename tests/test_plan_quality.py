@@ -508,11 +508,13 @@ def test_library_sketches_have_no_exact_distinct(spark):
 
 def test_semantic_dedup_pairs_no_corpus_cartesian(spark):
     """SemDeDup's pair search must be an equi-join on cluster (sum |c|^2
-    work), and the only cross join in the plan is the broadcast centroid
-    assignment — never corpus x corpus."""
+    work) — never corpus x corpus.  r14: the centroid assignment no longer
+    needs even a broadcast cross join — it is an inline map-only array
+    expression (the _nearest_centroids keep-1 path), so NO nested-loop
+    join of any kind may appear."""
     plan = explain_str(REGISTRY["semantic_dedup_pairs"].fn(spark, SF))
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" in plan  # tiny centroid set only
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_vocab_coverage_broadcasts_vocab(spark):
