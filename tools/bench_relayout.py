@@ -86,6 +86,12 @@ def main() -> None:
         "stores": [],
     }
     try:
+        # warm-up pass on a throwaway store: the first relayout of a fresh
+        # session pays JVM/codegen/committer warm-up that would otherwise
+        # land entirely on tier 1 and invert the measured slope
+        warm = str(work / "index_warm")
+        synth_store(spark, warm, 50_000, batch=0, start=0)
+        relayout_store_by_cluster(spark, warm, str(work / "serving_warm"))
         for n in STORE_SIZES:
             index = str(work / f"index_{n}")
             serving = str(work / f"serving_{n}")
