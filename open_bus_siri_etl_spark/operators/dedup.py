@@ -170,15 +170,30 @@ def shingle_postings(
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, text_col: str = "text", n: int = 3, threshold: float = 0.5
+    df: DataFrame,
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    postings: DataFrame | None = None,
 ) -> DataFrame:
     """All document pairs with shingle-set Jaccard ≥ threshold.
 
     posting self-join on shingle → per-pair intersection count → Jaccard
     via |A|+|B|−|A∩B|.  Jaccard is a ratio of exact integers → the double
     division is bit-identical across engines.
+
+    ``postings``: a precomputed (doc_id, shingle) posting frame for ``df``
+    (e.g. ``build_shingle_index``, possibly staged) — callers that already
+    hold the corpus's posting list skip re-shingling it (r14: the delta
+    catalog entries shingle the history ONCE and share the frame between
+    the batch pair list and the delta probe).  Same rows either way: the
+    posting list is a pure function of the corpus.
     """
-    post = shingle_postings(df, text_col, n)
+    post = (
+        postings.select("doc_id", "shingle")
+        if postings is not None
+        else shingle_postings(df, text_col, n)
+    )
     sizes = post.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     a = post.alias("a")
     b = post.alias("b")
@@ -465,35 +480,41 @@ def connected_components(
     labels = edges.groupBy("u").agg(
         F.least(F.first("u"), F.min("v")).alias("component")
     ).localCheckpoint(eager=True)
+    ctype = labels.schema["component"].dataType
+    prev_ckpt = labels
 
     for _ in range(max_iter):
+        # r14 (guide §2.1/§5): the old label rides the SAME shuffle as the
+        # min-label aggregation (max over a column that is NULL on the
+        # nbr/hop branches and the old component on the unique own row),
+        # so the convergence check below reads the materialized result
+        # with a limit-1 scan instead of re-joining the two checkpointed
+        # labelings — one multi-stage job per iteration, not two.
         nbr = edges.join(
             labels.select(F.col("u").alias("v"), F.col("component").alias("c")),
             "v",
-        ).select("u", "c")
-        own = labels.select("u", F.col("component").alias("c"))
+        ).select("u", "c", F.lit(None).cast(ctype).alias("o"))
+        own = labels.select(
+            "u", F.col("component").alias("c"), F.col("component").alias("o")
+        )
         hop = labels.join(
             labels.select(
                 F.col("u").alias("component"), F.col("component").alias("c")
             ),
             "component",
-        ).select("u", "c")
+        ).select("u", "c", F.lit(None).cast(ctype).alias("o"))
         new = (
             own.union(nbr)
             .union(hop)
             .groupBy("u")
-            .agg(F.min("c").alias("component"))
+            .agg(F.min("c").alias("component"), F.max("o").alias("_old"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "u")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new
-        if changed == 0:
+        changed = not new.filter(F.col("component") != F.col("_old")).isEmpty()
+        prev_ckpt.unpersist()  # the previous round's checkpointed labeling
+        prev_ckpt = new
+        labels = new.select("u", "component")
+        if not changed:
             break
     return labels.select(F.col("u").alias("node"), "component")
 
@@ -822,25 +843,47 @@ def attach_components(
     )
 
 
-def neardup_membership(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+def neardup_membership(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    postings: DataFrame | None = None,
+) -> DataFrame:
     """(doc_id, component) for every document: ngram_jaccard_pairs ->
     connected components -> singleton closure — the shared prefix of the
-    neardup_components and neardup_survivors catalog entries."""
-    pairs = ngram_jaccard_pairs(docs, threshold=threshold).select("doc_a", "doc_b")
+    neardup_components and neardup_survivors catalog entries.
+
+    ``postings``: optional precomputed posting frame for ``docs``, passed
+    through to ``ngram_jaccard_pairs`` (same rows, one shingling)."""
+    pairs = ngram_jaccard_pairs(
+        docs, threshold=threshold, postings=postings
+    ).select("doc_a", "doc_b")
     return attach_components(docs, pairs, "doc_id")
 
 
 def neardup_survivor_rows(
-    docs: DataFrame, threshold: float = 0.5, size_col: str = "n_chars"
+    docs: DataFrame,
+    threshold: float = 0.5,
+    size_col: str = "n_chars",
+    membership: DataFrame | None = None,
 ) -> DataFrame:
     """One surviving document per near-dup cluster under keep-the-longest
     (max size_col, ties to min doc_id): per-component max + equi-rejoin on
     (component, size), both map-side-combinable aggregates — never a
     global sort.  Output: (component, kept_doc_id, kept_n_chars,
-    n_members)."""
-    mem = neardup_membership(docs, threshold).join(
-        docs.select("doc_id", size_col), "doc_id"
-    )
+    n_members).
+
+    ``membership``: optional precomputed ``neardup_membership(docs)``
+    frame.  A caller that also needs the labeling itself (the delta
+    entries feed it to the contraction) passes it here so the
+    pair-generation + connected-components chain — whose label
+    propagation runs EAGER driver-side iterations — executes once, not
+    twice, for identical rows (r14, guide §1.2: don't compute the same
+    thing twice)."""
+    mem = (
+        membership
+        if membership is not None
+        else neardup_membership(docs, threshold)
+    ).join(docs.select("doc_id", size_col), "doc_id")
     best = (
         mem.groupBy("component")
         .agg(

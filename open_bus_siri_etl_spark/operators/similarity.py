@@ -2527,16 +2527,34 @@ def ivf_pq_topk_balanced(
     engine-order one on both SFs (the check that would catch a corpus
     where the assumption breaks)."""
     perm = pq_balanced_perm(corpus, n_sub, sub_dim, vec_col)
-    c2 = apply_dim_permutation(corpus, perm, vec_col, "_bvec").select(
-        id_col, "_bvec"
+    # r14 staged layout (guide §1.2/§5): the permuted corpus is the input
+    # to EVERY arm of the downstream ivf_pq_topk composition (codebook
+    # TakeOrdered, coarse assignment, the code stage's crossJoin + n_sub
+    # ranking windows, the ADC probe) — left lazy, each arm re-evaluates
+    # the unrolled 64-element gather subplan, and the repeated copies of
+    # that expression tree dominate catalyst/codegen time at any SF.
+    # localCheckpoint gathers once per build; deployed OPQ does the same
+    # (the pre-transformed vectors are what the index stores — FAISS
+    # applies OPQMatrix at add() time, not per probe arm).
+    c2 = (
+        apply_dim_permutation(corpus, perm, vec_col, "_bvec")
+        .select(id_col, "_bvec")
+        .localCheckpoint()
     )
     q2 = apply_dim_permutation(queries, perm, vec_col, "_bvec").select(
         id_col, "_bvec"
     )
+    # dim deliberately NOT passed (r14): a known dim makes _dot/_norm
+    # unroll each cosine into a flat 64-term element_at chain — ~1.3x on
+    # the evaluated expression but replicated across every coarse/probe
+    # arm of the composition, where the copies dominate catalyst analysis
+    # and codegen time.  The compact fold is bit-identical by the _dot
+    # contract (same left-to-right addition order), so results are
+    # unchanged.
     return ivf_pq_topk(
         c2, q2, k=k, n_centroids=n_centroids, n_probe=n_probe,
         n_sub=n_sub, sub_dim=sub_dim, pq_centroids=pq_centroids,
-        id_col=id_col, vec_col="_bvec", dim=len(perm),
+        id_col=id_col, vec_col="_bvec",
     )
 
 
@@ -2583,7 +2601,11 @@ def ivf_pq_balanced_residual_topk(
     neighbor_id, rank) — the refine contract.
     """
     perm = pq_balanced_perm(corpus, n_sub, sub_dim, vec_col)
-    dim = len(perm)
+    # dim deliberately NOT threaded into the cosine expressions (r14): a
+    # known dim unrolls _dot/_norm into flat 64-term element_at chains
+    # whose copies across the assignment/probe arms dominate catalyst
+    # analysis and codegen time; the compact fold is bit-identical by the
+    # _dot contract (same left-to-right addition order).
     cents = (
         corpus.orderBy(id_col)
         .limit(n_centroids)
@@ -2593,11 +2615,11 @@ def ivf_pq_balanced_residual_topk(
     )
     assigned = _nearest_centroids(
         corpus.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")),
-        F.broadcast(cents), "cluster", 1, dim,
+        F.broadcast(cents), "cluster", 1,
     ).select(F.col("_id").alias(id_col), "cluster")
     probes = _nearest_centroids(
         queries.select(F.col(id_col).alias("_id"), F.col(vec_col).alias("_vec")),
-        F.broadcast(cents), "cluster", n_probe, dim,
+        F.broadcast(cents), "cluster", n_probe,
     ).select(F.col("_id").alias("query_id"), "cluster")
 
     cperm = apply_dim_permutation(corpus, perm, vec_col, "_bvec").select(
@@ -2619,6 +2641,17 @@ def ivf_pq_balanced_residual_topk(
                 lambda x, y: x.cast("double") - y.cast("double"),
             ).alias("_rvec"),
         )
+        # r14 staged residuals, the ivf_pq_residual_topk pattern (guide
+        # §1.2/§5): the residual relation feeds the fine codebook, the
+        # code stage's crossJoin + n_sub ranking windows AND the ADC
+        # probe — without staging, each of those arms re-derives the
+        # assignment⋈permutation⋈subtract subplan (whose unrolled
+        # 64-element gather and inline centroid trees also multiply
+        # catalyst/codegen time with every copy).  localCheckpoint
+        # materializes it once per build; a production pipeline stages
+        # the residual layout to parquet at index-build time, exactly as
+        # tools/bench_ivfpq.py does for the 10M tier.
+        .localCheckpoint()
     )
     fine = (
         res.orderBy(id_col)

@@ -2041,6 +2041,7 @@ _NEARDUP_BATCH_SQL = REGISTRY["neardup_components"].sql
 )
 def neardup_components_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import (
+        build_shingle_index,
         connected_components_delta,
         jaccard_delta_pairs,
         neardup_membership,
@@ -2049,8 +2050,18 @@ def neardup_components_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     history = docs.filter(F.col("doc_id") % 10 != 0)
     delta = docs.filter(F.col("doc_id") % 10 == 0)
-    labels = neardup_membership(history, threshold=0.5)
-    dpairs = jaccard_delta_pairs(history, delta, threshold=0.5)
+    # r14 (guide §1.2): shingle the history ONCE — the staged posting
+    # index feeds BOTH the batch pair list (whose connected-components
+    # labeling executes eagerly at build) and the delta probe, instead of
+    # re-shingling the history per arm.  Same rows by construction (the
+    # posting list is a pure function of the corpus); the stage is the
+    # persisted build_shingle_index frame a production ingest already
+    # keeps, materialized per invocation.
+    post = build_shingle_index(history).localCheckpoint()
+    labels = neardup_membership(history, threshold=0.5, postings=post)
+    dpairs = jaccard_delta_pairs(
+        None, delta, threshold=0.5, history_postings=post
+    )
     return connected_components_delta(labels, delta.select("doc_id"), dpairs)
 
 
@@ -2120,6 +2131,7 @@ _SURVIVORS_BATCH_SQL = REGISTRY["neardup_survivors"].sql
 )
 def neardup_survivors_delta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import (
+        build_shingle_index,
         jaccard_delta_pairs,
         neardup_membership,
         neardup_survivor_rows,
@@ -2129,9 +2141,19 @@ def neardup_survivors_delta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = t(spark, sf_dir, "documents")
     history = docs.filter(F.col("doc_id") % 10 != 0)
     delta = docs.filter(F.col("doc_id") % 10 == 0)
-    labels = neardup_membership(history, threshold=0.5)
-    survivors = neardup_survivor_rows(history, threshold=0.5)
-    dpairs = jaccard_delta_pairs(history, delta, threshold=0.5)
+    # r14 (guide §1.2): one staged posting index and ONE membership
+    # derivation feed all three inputs.  Before, labels and survivors
+    # each re-derived the full pair-generation + connected-components
+    # chain (two EAGER label-propagation loops over identical pairs) and
+    # the delta probe re-shingled the history a third time.  Identical
+    # rows by construction — membership is deterministic, and survivors
+    # derived from the same membership are the same argmax.
+    post = build_shingle_index(history).localCheckpoint()
+    labels = neardup_membership(history, threshold=0.5, postings=post)
+    survivors = neardup_survivor_rows(history, threshold=0.5, membership=labels)
+    dpairs = jaccard_delta_pairs(
+        None, delta, threshold=0.5, history_postings=post
+    )
     return neardup_survivors_delta(
         survivors, labels, delta.select("doc_id", "n_chars"), dpairs
     )
@@ -3067,6 +3089,7 @@ def kmeans_clusters_deep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def neardup_components_dispatch_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.dedup import (
+        build_shingle_index,
         connected_components_delta,
         jaccard_delta_pairs,
         neardup_membership,
@@ -3075,8 +3098,14 @@ def neardup_components_dispatch_q(spark: SparkSession, sf_dir: str) -> DataFrame
     docs = t(spark, sf_dir, "documents")
     history = docs.filter(F.col("doc_id") % 10 != 0)
     delta = docs.filter(F.col("doc_id") % 10 == 0)
-    labels = neardup_membership(history, threshold=0.5)
-    dpairs = jaccard_delta_pairs(history, delta, threshold=0.5)
+    # r14: one staged posting index for both arms — see
+    # neardup_components_delta; the dispatch entry differs only in the
+    # batch-recompute plan downstream of identical inputs.
+    post = build_shingle_index(history).localCheckpoint()
+    labels = neardup_membership(history, threshold=0.5, postings=post)
+    dpairs = jaccard_delta_pairs(
+        None, delta, threshold=0.5, history_postings=post
+    )
     return connected_components_delta(
         labels, delta.select("doc_id"), dpairs, dispatch="batch"
     )
