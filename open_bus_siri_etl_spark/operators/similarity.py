@@ -1599,6 +1599,83 @@ def _pq_codes_matmul(
     return corpus.select(id_col, vec_col).mapInPandas(encode, out_schema)
 
 
+def _pq_codes_inline(
+    corpus: DataFrame,
+    rows: list,
+    n_sub: int,
+    sub_dim: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Small-k PQ encode as one map-only projection (r14): per subspace,
+    the k 6dp-rounded squared-L2 distances to the collected, cent_id-
+    sorted codebook evaluated as a literal-array expression; the code is
+    the first-min index mapped through the cent_id list (== the window
+    plan's ties-to-smaller-cent_id) and ``recon_d2`` sums the selected
+    per-subspace distances in m-order before its own 6dp round (== the
+    crossJoin plan's left-assoc column sum).  IEEE-identical operands and
+    fold order keep the output row-identical to the crossJoin + ranking-
+    windows plan — parity-pinned in tests — while the plan drops one
+    Exchange + Sort per subspace and the (n_sub - 1) re-joins."""
+    ids = [int(r["cent_id"]) for r in rows]
+    id_map = F.lit(ids)
+
+    def d2_arr(m: int) -> Column:
+        # ONE nested-array literal per subspace (k x sub_dim, a single
+        # plan node) + a higher-order transform — NOT k unrolled
+        # per-centroid trees: the compact form keeps the plan node count
+        # comparable to the crossJoin branch's column expressions, so
+        # downstream catalyst analysis doesn't pay for k copies of the
+        # distance tree.  Evaluation is element-wise identical: zip_with
+        # pairs the same doubles, the fold adds in the same order, the
+        # 6dp round is unchanged.
+        cmat_m = F.lit(
+            [
+                [float(v) for v in r["cent_vec"][m * sub_dim : (m + 1) * sub_dim]]
+                for r in rows
+            ]
+        )
+        return F.transform(
+            cmat_m,
+            lambda c: F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.slice(F.col(vec_col), m * sub_dim + 1, sub_dim),
+                        c,
+                        lambda x, y: (x.cast("double") - y.cast("double"))
+                        * (x.cast("double") - y.cast("double")),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ),
+        )
+
+    staged = corpus.select(
+        F.col(id_col),
+        *[d2_arr(m).alias(f"_darr{m}") for m in range(n_sub)],
+    )
+    best = [
+        F.array_position(F.col(f"_darr{m}"), F.array_min(f"_darr{m}"))
+        for m in range(n_sub)
+    ]
+    sel = [F.element_at(F.col(f"_darr{m}"), best[m].cast("int")) for m in range(n_sub)]
+    recon = sel[0]
+    for m in range(1, n_sub):
+        recon = recon + sel[m]
+    return staged.select(
+        id_col,
+        *[
+            F.element_at(id_map, best[m].cast("int"))
+            .cast("bigint")
+            .alias(f"code{m}")
+            for m in range(n_sub)
+        ],
+        F.round(recon, 6).alias("recon_d2"),
+    )
+
+
 def pq_codes_df(
     corpus: DataFrame,
     n_sub: int = 4,
@@ -1647,6 +1724,31 @@ def pq_codes_df(
         return _pq_codes_matmul(
             corpus, cents, n_sub, sub_dim, id_col, vec_col
         )
+    if kernel == "auto":
+        # r14 (guide §2.1 — remove shuffles outright; the c7236f4 keep-1
+        # precedent applied to the PQ encode): below the matmul threshold
+        # the codebook is bounded by contract, so the per-subspace argmin
+        # needs no crossJoin + n_sub ranking windows + (n_sub - 1)
+        # re-joins (each window an Exchange + Sort over |corpus| x k
+        # scored rows).  Collect the codebook (<= MATMUL_ASSIGN_MIN_K
+        # rows; fires any in-plan undersize guard eagerly, the
+        # _nearest_centroids/matmul precedent) and evaluate every
+        # subspace's k distances as one codegen'd array expression per
+        # row — map-only.  Scores mirror the crossJoin branch
+        # term-for-term (the centroid slice as a literal double array,
+        # same fold, same 6dp rounding), and first-index-of-min over the
+        # cent_id-sorted array IS the window's (d2, cent_id) tie-break;
+        # parity is test-pinned.  An empty codebook falls through to the
+        # crossJoin plan (empty-in/empty-out contract); kernel="expr"
+        # keeps the historical plan for the parity tests.
+        rows = sorted(
+            cents.select("cent_id", "cent_vec").collect(),
+            key=lambda r: r["cent_id"],
+        )
+        if rows:
+            return _pq_codes_inline(
+                corpus, rows, n_sub, sub_dim, id_col, vec_col
+            )
     pairs = corpus.crossJoin(F.broadcast(cents))
     sub_d2 = [
         F.round(

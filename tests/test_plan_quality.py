@@ -533,11 +533,17 @@ def test_funnel_conversion_single_event_pass(spark):
 
 
 def test_pq_codes_broadcasts_codebook(spark):
-    """PQ assignment must broadcast the tiny codebook (the only cross join
-    in the plan) — the corpus never cartesians with itself."""
+    """PQ assignment must never cartesian the corpus with itself.  r14:
+    below the matmul threshold the encode inlines the collected codebook
+    as per-subspace literal arrays (_pq_codes_inline), so the plan is
+    map-only — no join of ANY kind, no per-subspace ranking windows (the
+    historical broadcast crossJoin + window plan remains reachable via
+    kernel="expr" and is parity-pinned in test_quantization.py)."""
     plan = explain_str(REGISTRY["pq_codes"].fn(spark, SF))
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" in plan
+    assert "Join" not in plan
+    assert "Window" not in plan
+    assert "Exchange" not in plan
 
 
 def test_join_key_skew_report_no_global_sort(spark):

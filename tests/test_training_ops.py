@@ -3396,3 +3396,55 @@ def test_pq_codes_matmul_path_equals_crossjoin(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "MapInPandas" not in plan
+
+
+def test_pq_codes_inline_path_equals_crossjoin(spark):
+    """r14 (cont.): BELOW the matmul threshold the auto encode inlines the
+    collected codebook as one nested-array literal + transform per
+    subspace (_pq_codes_inline) — map-only, no crossJoin, no ranking
+    windows, no re-joins.  The expressions mirror the crossJoin branch
+    term-for-term (same zip_with operands, same left-fold order, same 6dp
+    rounds; first-min over the cent_id-sorted array == the window's
+    (d2, cent_id) tie-break; recon_d2 summed in m-order before its own
+    round), so codes AND recon_d2 must match row-for-row — for the
+    lowest-id codebook, a trained subspace codebook, and a non-default
+    geometry.  An empty corpus must stay empty (the crossJoin fallback)."""
+    from pyspark.sql import functions as F
+
+    from open_bus_siri_etl_spark.operators.clustering import (
+        kmeans_subspace_codebook,
+    )
+    from open_bus_siri_etl_spark.operators.similarity import pq_codes_df
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+    )
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    slow = pq_codes_df(emb, 4, 16, 8, kernel="expr")
+    fast = pq_codes_df(emb, 4, 16, 8, kernel="auto")
+    assert [f.name for f in slow.schema.fields] == [
+        f.name for f in fast.schema.fields
+    ]
+    assert rows(slow) == rows(fast)
+
+    # trained subspace codebook (frozen frame) + non-default geometry
+    rf = kmeans_subspace_codebook(emb, n_sub=2, sub_dim=32, k=5, iters=2)
+    slow_t = pq_codes_df(emb, 2, 32, 5, cents=rf, kernel="expr")
+    fast_t = pq_codes_df(emb, 2, 32, 5, cents=rf, kernel="auto")
+    assert rows(slow_t) == rows(fast_t)
+
+    # the inline plan is map-only: no join of any kind, no window
+    plan = (
+        pq_codes_df(emb, 4, 16, 8)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    for bad in ("Join", "Window", "Exchange", "MapInPandas"):
+        assert bad not in plan, f"{bad} in inline pq_codes plan"
+
+    # empty corpus: the inline dispatch falls through to the crossJoin
+    # plan and the result stays empty
+    assert pq_codes_df(emb.filter(F.col("vec_id") < -1), 4, 16, 8).count() == 0
