@@ -635,6 +635,137 @@ def kmeans_ivf_topk_oos(
     return _topk_per_query(sim, k, [F.desc("cosine")])
 
 
+def kmeans_codebook_pair(
+    df: DataFrame,
+    n_centroids: int = 8,
+    n_sub: int = 4,
+    sub_dim: int = 16,
+    pq_centroids: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> tuple[DataFrame, DataFrame]:
+    """Train the coarse codebook AND the subspace PQ codebook in one pass
+    structure (r14, guide §1.2/§2.4): ``ivf_pq_kmeans_topk`` needs both,
+    and the two independent trainers each ran their own init TakeOrdered
+    plus their own per-iteration update job over the SAME corpus.  Here
+    ONE TakeOrdered seeds both (the two inits are by contract the k
+    lowest-id rows — full vectors for the coarse side, subspace slices of
+    the same rows for the fine side) and each Lloyd iteration is ONE job:
+    the coarse assignment branch (the ``_assign_expr`` spec over the full
+    vector, tagged m=-1) is unioned with the per-subspace fine branches
+    (the ``_fused_subspace_update`` spec verbatim) and a single grouped
+    6dp mean updates every (side, cluster, coordinate) at once.  Per-side
+    arithmetic is byte-identical to the independent trainers — same
+    expression trees, same groups, same rounding — so the returned
+    frames equal ``kmeans_codebook`` / ``kmeans_subspace_codebook``
+    exactly (test-pinned; both trainings inherit the module determinism
+    contract, which is also what makes merge-order float noise a
+    non-event: the 6dp round absorbs it exactly as it does for the
+    independent jobs).
+
+    Falls back to the two independent trainers when either side exceeds
+    the expr-kernel bound (the fused branches are codegen'd expression
+    lists; large-k sides belong on the Arrow kernel instead).
+
+    Returns ``(coarse_frame, fine_frame)`` in the
+    ``(cent_rank, cent_id, cent_vec)`` codebook layout.
+    """
+    if n_centroids > EXPR_KERNEL_MAX_K or pq_centroids > EXPR_KERNEL_MAX_K:
+        return (
+            kmeans_codebook(df, n_centroids, iters, id_col, vec_col),
+            kmeans_subspace_codebook(
+                df, n_sub, sub_dim, pq_centroids, iters, id_col, vec_col
+            ),
+        )
+    vecd = df.select(
+        id_col, F.transform(vec_col, lambda x: x.cast("double")).alias("v")
+    )
+    need = max(n_centroids, pq_centroids)
+    init_rows = vecd.orderBy(id_col).limit(need).collect()
+    if len(init_rows) < need:
+        raise ValueError(
+            f"kmeans: k={need} but the input has only {len(init_rows)} "
+            "rows — min-id init needs k distinct vectors (a streaming "
+            "trainer's FIRST batch must carry at least max(n_centroids, "
+            "pq_centroids) rows; this is the trained-path twin of the "
+            "frozen-codebook undersize guard)"
+        )
+    dim = len(init_rows[0]["v"])
+    coarse = [[float(x) for x in r["v"]] for r in init_rows[:n_centroids]]
+    per_sub = [
+        [
+            [float(x) for x in r["v"][m * sub_dim : (m + 1) * sub_dim]]
+            for r in init_rows[:pq_centroids]
+        ]
+        for m in range(n_sub)
+    ]
+
+    def dist_to(sl, cent: list[float]):
+        diff = F.zip_with(
+            sl, F.array(*[F.lit(c) for c in cent]), lambda a, b: (a - b) * (a - b)
+        )
+        return F.round(F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x), 6)
+
+    for _ in range(iters - 1):
+        branches = []
+        # coarse branch, tagged m=-1: the _assign_expr spec over the full
+        # vector (per-centroid zip_with squared diff -> left fold -> 6dp
+        # round -> first-min argmin)
+        dc = F.array(*[dist_to(F.col("v"), c) for c in coarse])
+        branches.append(
+            F.struct(
+                F.lit(-1).alias("m"),
+                (F.array_position(dc, F.array_min(dc)) - 1)
+                .cast("int")
+                .alias("cluster"),
+                F.col("v").alias("sv"),
+            )
+        )
+        for m in range(n_sub):
+            sl = F.slice("v", m * sub_dim + 1, sub_dim)
+            d = F.array(*[dist_to(sl, c) for c in per_sub[m]])
+            branches.append(
+                F.struct(
+                    F.lit(m).alias("m"),
+                    (F.array_position(d, F.array_min(d)) - 1)
+                    .cast("int")
+                    .alias("cluster"),
+                    sl.alias("sv"),
+                )
+            )
+        rows = (
+            vecd.select(F.explode(F.array(*branches)).alias("b"))
+            .select("b.m", "b.cluster", F.posexplode("b.sv").alias("i", "val"))
+            .groupBy("m", "cluster", "i")
+            .agg(F.round(F.avg("val"), 6).alias("mn"))
+            .collect()
+        )
+        got = {(r["m"], r["cluster"], r["i"]): r["mn"] for r in rows}
+        coarse = [
+            [got.get((-1, c, i), coarse[c][i]) for i in range(dim)]
+            for c in range(n_centroids)
+        ]
+        per_sub = [
+            [
+                [got.get((m, c, i), per_sub[m][c][i]) for i in range(sub_dim)]
+                for c in range(pq_centroids)
+            ]
+            for m in range(n_sub)
+        ]
+    coarse_rows = [
+        (c + 1, c, [float(x) for x in coarse[c]]) for c in range(n_centroids)
+    ]
+    fine_rows = [
+        (c + 1, c, [float(x) for m in range(n_sub) for x in per_sub[m][c]])
+        for c in range(pq_centroids)
+    ]
+    return (
+        df.sparkSession.createDataFrame(coarse_rows, _CODEBOOK_SCHEMA),
+        df.sparkSession.createDataFrame(fine_rows, _CODEBOOK_SCHEMA),
+    )
+
+
 def ivf_pq_kmeans_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -670,11 +801,13 @@ def ivf_pq_kmeans_topk(
     """
     from .similarity import build_ivf_pq_index, ivf_pq_topk_serve
 
-    coarse = kmeans_codebook(
-        corpus, n_centroids, iters, id_col, vec_col
-    )
-    fine = kmeans_subspace_codebook(
-        corpus, n_sub, sub_dim, pq_centroids, iters, id_col, vec_col
+    # r14: one shared init TakeOrdered + one fused update job per Lloyd
+    # iteration trains BOTH codebooks (kmeans_codebook_pair) — the two
+    # independent trainers scanned the corpus twice per iteration for
+    # byte-identical centroids (test-pinned equality)
+    coarse, fine = kmeans_codebook_pair(
+        corpus, n_centroids, n_sub, sub_dim, pq_centroids, iters,
+        id_col, vec_col,
     )
     index = build_ivf_pq_index(
         corpus, n_centroids, n_sub, sub_dim, pq_centroids,

@@ -3398,6 +3398,41 @@ def test_pq_codes_matmul_path_equals_crossjoin(spark):
     assert "MapInPandas" not in plan
 
 
+def test_kmeans_codebook_pair_equals_independent_trainers(spark):
+    """r14: kmeans_codebook_pair fuses the coarse + subspace trainings
+    into one shared init TakeOrdered and ONE update job per Lloyd
+    iteration.  Per-side arithmetic is the independent trainers' spec
+    verbatim (the coarse branch is _assign_expr's distance/argmin over
+    the full vector, the fine branches are _fused_subspace_update's), so
+    both returned frames must equal kmeans_codebook /
+    kmeans_subspace_codebook EXACTLY — symmetric and asymmetric k, and
+    iters > 2 (multi-round carry-forward)."""
+    from open_bus_siri_etl_spark.operators.clustering import (
+        kmeans_codebook,
+        kmeans_codebook_pair,
+        kmeans_subspace_codebook,
+    )
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", "embedding")
+    )
+
+    def rows(df):
+        return sorted(tuple(r) for r in df.collect())
+
+    for (nc, ns, sd, pq, it) in [(8, 4, 16, 8, 2), (5, 2, 32, 8, 3)]:
+        c1, f1 = kmeans_codebook_pair(emb, nc, ns, sd, pq, it)
+        assert rows(c1) == rows(kmeans_codebook(emb, nc, it))
+        assert rows(f1) == rows(kmeans_subspace_codebook(emb, ns, sd, pq, it))
+
+    # undersize input raises like the independent trainers do
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="min-id init"):
+        kmeans_codebook_pair(emb.limit(3), 8, 4, 16, 8, 2)
+
+
 def test_pq_codes_inline_path_equals_crossjoin(spark):
     """r14 (cont.): BELOW the matmul threshold the auto encode inlines the
     collected codebook as one nested-array literal + transform per
