@@ -51,17 +51,27 @@ EXPR_KERNEL_MAX_K = 16
 
 
 def _assign_expr(vecd: DataFrame, cents: list[list[float]], id_col: str) -> DataFrame:
-    """Small-k kernel: one codegen'd distance expression per centroid."""
-
-    def dist_to(cent: list[float]):
-        diff = F.zip_with(
-            "v", F.array(*[F.lit(c) for c in cent]), lambda a, b: (a - b) * (a - b)
-        )
-        return F.round(
-            F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x), 6
-        )
-
-    d = F.array(*[dist_to(c) for c in cents])
+    """Small-k kernel: the k distance expressions evaluated from ONE
+    nested-array centroid literal + transform (r14: k unrolled
+    per-centroid literal trees — k x dim Literal nodes plus k copies of
+    the fold — dominated catalyst analysis on the trained builds, the
+    same finding the PQ-encode inline made; the compact form is ONE
+    literal + one lambda tree).  Arithmetic is element-wise identical:
+    zip_with pairs the same doubles, the fold adds in the same order,
+    the 6dp round is unchanged, so assignments are bit-equal to the
+    historical per-centroid form (kernel parity tests)."""
+    cmat = F.lit([[float(x) for x in c] for c in cents])
+    d = F.transform(
+        cmat,
+        lambda cent: F.round(
+            F.aggregate(
+                F.zip_with("v", cent, lambda a, b: (a - b) * (a - b)),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ),
+    )
     return vecd.withColumn("d", d).select(
         id_col,
         "v",
@@ -410,16 +420,26 @@ def _fused_subspace_update(
     the partial agg is n_sub x sub_dim x n = dim x n — the same bytes
     the unfused loop pushed through n_sub separate jobs."""
 
-    def dist_to(sl, cent: list[float]):
-        diff = F.zip_with(
-            sl, F.array(*[F.lit(c) for c in cent]), lambda a, b: (a - b) * (a - b)
+    def dist_arr(sl, cents: list[list[float]]):
+        # r14: one nested-array literal + transform per subspace instead
+        # of k unrolled per-centroid trees (the _assign_expr form) — same
+        # zip_with operands, same fold order, same 6dp round
+        return F.transform(
+            F.lit([[float(x) for x in c] for c in cents]),
+            lambda cent: F.round(
+                F.aggregate(
+                    F.zip_with(sl, cent, lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ),
         )
-        return F.round(F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x), 6)
 
     branches = []
     for m in range(n_sub):
         sl = F.slice("v", m * sub_dim + 1, sub_dim)
-        d = F.array(*[dist_to(sl, c) for c in per_sub[m]])
+        d = dist_arr(sl, per_sub[m])
         branches.append(
             F.struct(
                 F.lit(m).alias("m"),
@@ -701,18 +721,28 @@ def kmeans_codebook_pair(
         for m in range(n_sub)
     ]
 
-    def dist_to(sl, cent: list[float]):
-        diff = F.zip_with(
-            sl, F.array(*[F.lit(c) for c in cent]), lambda a, b: (a - b) * (a - b)
+    def dist_arr(sl, cents: list[list[float]]):
+        # r14: one nested-array literal + transform instead of k unrolled
+        # per-centroid trees — same zip_with operands, same fold order,
+        # same 6dp round (the _assign_expr compact form)
+        return F.transform(
+            F.lit([[float(x) for x in c] for c in cents]),
+            lambda cent: F.round(
+                F.aggregate(
+                    F.zip_with(sl, cent, lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ),
         )
-        return F.round(F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x), 6)
 
     for _ in range(iters - 1):
         branches = []
         # coarse branch, tagged m=-1: the _assign_expr spec over the full
         # vector (per-centroid zip_with squared diff -> left fold -> 6dp
         # round -> first-min argmin)
-        dc = F.array(*[dist_to(F.col("v"), c) for c in coarse])
+        dc = dist_arr(F.col("v"), coarse)
         branches.append(
             F.struct(
                 F.lit(-1).alias("m"),
@@ -724,7 +754,7 @@ def kmeans_codebook_pair(
         )
         for m in range(n_sub):
             sl = F.slice("v", m * sub_dim + 1, sub_dim)
-            d = F.array(*[dist_to(sl, c) for c in per_sub[m]])
+            d = dist_arr(sl, per_sub[m])
             branches.append(
                 F.struct(
                     F.lit(m).alias("m"),

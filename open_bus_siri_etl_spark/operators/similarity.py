@@ -316,6 +316,62 @@ def cosine_delta_pairs(
 MATMUL_ASSIGN_MIN_K = 64
 
 
+def _inline_score_array(vecs: list, dim: int | None, metric: str) -> Column:
+    """The k scores of ``_vec`` against a collected, cent_id-sorted
+    codebook as ONE array expression (nested-array literal + transform —
+    r14: k unrolled per-centroid literal trees dominated catalyst
+    analysis on trained builds, the _pq_codes_inline finding).  Score
+    arithmetic mirrors ``_nearest_centroids``'s crossJoin branch
+    operand-for-operand, so values are IEEE-identical to the window
+    plan's."""
+    if metric == "l2":
+        # same zip_with operands, same fold order, same 6dp round as the
+        # crossJoin branch
+        return F.transform(
+            F.lit(vecs),
+            lambda c: F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("_vec"),
+                        c,
+                        lambda x, y: (x.cast("double") - y.cast("double"))
+                        * (x.cast("double") - y.cast("double")),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ),
+        )
+    # cosine: zip the nested codebook literal with a per-centroid norm
+    # literal computed on the driver.  The Python fold mirrors _norm's
+    # expression tree operand-for-operand (same left-to-right IEEE double
+    # adds, correctly-rounded sqrt), so each nc is bit-equal to the
+    # constant the optimizer folded out of the historical per-centroid
+    # _norm(lit) subtree; the query norm is shared across the k scores
+    # (identical value, evaluated once instead of k times).
+    import math
+
+    nrms = []
+    for c in vecs:
+        sq = [x * x for x in c]
+        if dim is None:
+            acc = 0.0
+            for s in sq:
+                acc = acc + s
+        else:
+            acc = sq[0]
+            for s in sq[1:]:
+                acc = acc + s
+        nrms.append(math.sqrt(acc))
+    qn = _norm(F.col("_vec"), dim)
+    return F.zip_with(
+        F.lit(vecs),
+        F.lit(nrms),
+        lambda c, nc: _dot(F.col("_vec"), c, dim) / (qn * nc),
+    )
+
+
 def _inline_nearest_one(
     df: DataFrame,
     rows: list,
@@ -326,44 +382,65 @@ def _inline_nearest_one(
     """keep-1 assignment against a collected, cent_id-sorted codebook as one
     codegen'd array expression per row (no crossJoin, no window shuffle).
     Score expressions mirror ``_nearest_centroids``'s crossJoin branch
-    term-for-term with the centroid as a literal double array, so results
-    are IEEE-identical; first-index-of-extreme == ties-to-smaller-cent_id."""
+    term-for-term (``_inline_score_array``), so results are
+    IEEE-identical; first-index-of-extreme == ties-to-smaller-cent_id."""
     ids = [int(r["cent_id"]) for r in rows]
     vecs = [[float(x) for x in r["cent_vec"]] for r in rows]
-    if metric == "l2":
-
-        def _score(c: list[float]) -> Column:
-            return F.round(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("_vec"),
-                        F.array(*[F.lit(v) for v in c]),
-                        lambda x, y: (x.cast("double") - y.cast("double"))
-                        * (x.cast("double") - y.cast("double")),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ),
-                6,
-            )
-
-        d = F.array(*[_score(c) for c in vecs])
-        best = F.array_position(d, F.array_min(d))
-    else:
-
-        def _score(c: list[float]) -> Column:
-            lit = F.array(*[F.lit(v) for v in c])
-            return _dot(F.col("_vec"), lit, dim) / (
-                _norm(F.col("_vec"), dim) * _norm(lit, dim)
-            )
-
-        d = F.array(*[_score(c) for c in vecs])
-        best = F.array_position(d, F.array_max(d))
+    d = _inline_score_array(vecs, dim, metric)
+    best = F.array_position(
+        d, F.array_min(d) if metric == "l2" else F.array_max(d)
+    )
     id_map = F.array(*[F.lit(i) for i in ids])
     return df.select(
         "_id",
         "_vec",
         F.element_at(id_map, best.cast("int")).cast("long").alias(out),
+    )
+
+
+def _inline_nearest_n(
+    df: DataFrame,
+    rows: list,
+    out: str,
+    keep: int,
+    dim: int | None,
+    metric: str,
+) -> DataFrame:
+    """keep-n probe against a collected, cent_id-sorted codebook as one
+    map-only sorted-slice explode (r14, guide §2.4 — remove shuffles
+    outright): the crossJoin + rank-window plan pushed |rows| x k scored
+    rows CARRYING THE VECTORS through one Exchange + Sort per probe —
+    on every ANN serve path, per query batch.  Here the k scores are one
+    array expression (``_inline_score_array``, IEEE-identical to the
+    crossJoin branch), zipped with the cent_ids, sorted by the window's
+    exact ordering — (score asc, cent_id asc) for l2, (score desc,
+    cent_id asc) for cosine — sliced to ``keep`` and exploded: map-only,
+    2 (or keep) output rows per input row, no Exchange, no Sort node.
+    Same boundary assumption as the keep-1 inline path: scores are
+    never NULL/NaN (NULL ids are guarded upstream; zero vectors raise in
+    the normalized family), where array_sort and a rank window order
+    degenerate values differently."""
+    ids = [int(r["cent_id"]) for r in rows]
+    vecs = [[float(x) for x in r["cent_vec"]] for r in rows]
+    d = _inline_score_array(vecs, dim, metric)
+    pairs = F.arrays_zip(
+        d.alias("s"), F.lit([int(i) for i in ids]).alias("i")
+    )
+    if metric == "l2":
+        # lexicographic struct sort == Window.orderBy(d2 asc, cent_id asc)
+        ordered = F.array_sort(pairs)
+    else:
+        ordered = F.array_sort(
+            pairs,
+            lambda a, b: F.when(a["s"] > b["s"], F.lit(-1))
+            .when(a["s"] < b["s"], F.lit(1))
+            .when(a["i"] < b["i"], F.lit(-1))
+            .when(a["i"] > b["i"], F.lit(1))
+            .otherwise(F.lit(0)),
+        )
+    return (
+        df.select("_id", "_vec", F.explode(F.slice(ordered, 1, keep)).alias("_t"))
+        .select("_id", "_vec", F.col("_t.i").cast("long").alias(out))
     )
 
 
@@ -432,32 +509,37 @@ def _nearest_centroids(
             .cast("long")
             .alias(out),
         )
-    if keep == 1:
-        # r14 (guide §2.4 — remove shuffles outright): single-nearest
-        # assignment against a codebook-sized frame needs no crossJoin +
-        # per-row rank window (an n x k row explosion through one
-        # Exchange + Sort).  Collect the codebook (bounded by contract —
-        # every caller passes a <= max(n_centroids, pq_centroids)-row
-        # frame; the collect also fires any in-plan undersize guard
-        # eagerly, the matmul-path precedent) and evaluate the k scores
-        # as ONE codegen'd array expression per row, map-only.
-        # Float parity with the crossJoin path: each score is the SAME
-        # expression tree with the centroid as a literal array (IEEE ops
-        # on identical operands), and first-index-of-extreme over the
-        # cent_id-sorted array IS the window's ties-to-smaller-cent_id.
-        # Bounded at MATMUL_ASSIGN_MIN_K scores (catalog geometries are
-        # k <= 16): above that an inline k x dim literal tree is a plan
-        # explosion, and the l2 family already routes through the Arrow
-        # matmul kernel there — larger cosine codebooks (frontier-only)
-        # keep the crossJoin plan.  An empty codebook also falls through
-        # (crossJoin with an empty frame = empty result, the historical
-        # contract; the inline expression would emit NULL clusters).
-        rows = sorted(
-            cents.select("cent_id", "cent_vec").collect(),
-            key=lambda r: r["cent_id"],
-        )
-        if 0 < len(rows) <= MATMUL_ASSIGN_MIN_K:
+    # r14 (guide §2.4 — remove shuffles outright): assignment/probe
+    # against a codebook-sized frame needs no crossJoin + per-row rank
+    # window (an n x k row explosion through one Exchange + Sort).
+    # Collect the codebook (bounded by contract — every caller passes a
+    # <= max(n_centroids, pq_centroids)-row frame; the collect also
+    # fires any in-plan undersize guard eagerly, the matmul-path
+    # precedent) and evaluate the k scores as ONE codegen'd array
+    # expression per row, map-only: keep=1 takes first-index-of-extreme
+    # (== the window's ties-to-smaller-cent_id), keep>1 sorts the
+    # (score, cent_id) pairs by the window's exact ordering, slices and
+    # explodes (keep rows per input row, still no Exchange/Sort node —
+    # this is every ANN serve path's per-query-batch probe).
+    # Float parity with the crossJoin path: each score is the SAME
+    # arithmetic with the centroid from a nested-array literal (IEEE ops
+    # on identical operands — _inline_score_array).
+    # Bounded at MATMUL_ASSIGN_MIN_K scores (catalog geometries are
+    # k <= 16): above that an inline k x dim literal tree is a plan
+    # explosion, and the keep-1 l2 family already routes through the
+    # Arrow matmul kernel there — larger cosine codebooks
+    # (frontier-only) keep the crossJoin plan.  An empty codebook also
+    # falls through (crossJoin with an empty frame = empty result, the
+    # historical contract; the inline expression would emit NULL
+    # clusters).
+    rows = sorted(
+        cents.select("cent_id", "cent_vec").collect(),
+        key=lambda r: r["cent_id"],
+    )
+    if 0 < len(rows) <= MATMUL_ASSIGN_MIN_K:
+        if keep == 1:
             return _inline_nearest_one(df, rows, out, dim, metric)
+        return _inline_nearest_n(df, rows, out, keep, dim, metric)
     scored = df.crossJoin(cents)
     if metric == "l2":
         scored = scored.withColumn(

@@ -3483,3 +3483,46 @@ def test_pq_codes_inline_path_equals_crossjoin(spark):
     # empty corpus: the inline dispatch falls through to the crossJoin
     # plan and the result stays empty
     assert pq_codes_df(emb.filter(F.col("vec_id") < -1), 4, 16, 8).count() == 0
+
+
+def test_nearest_centroids_keepn_inline_equals_crossjoin(spark):
+    """r14 (cont.): the keep-n probe against a bounded codebook is a
+    map-only sorted-slice explode (_inline_nearest_n) — no crossJoin, no
+    rank window, no Exchange/Sort on the query side of ANY serve path.
+    Scores are the crossJoin branch's exact arithmetic from a nested
+    codebook literal, the sort order mirrors the window's (score
+    asc/desc, cent_id asc), so the probed (id, centroid) multiset must
+    equal the historical window plan's for BOTH metrics, any keep
+    (including keep > k), and with/without a threaded dim."""
+    import open_bus_siri_etl_spark.operators.similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = (
+        emb.orderBy("vec_id").limit(8)
+        .select(F.col("vec_id").alias("cent_id"),
+                F.col("embedding").alias("cent_vec"))
+    )
+    df = emb.select(
+        F.col("vec_id").alias("_id"), F.col("embedding").alias("_vec")
+    )
+
+    def rows(d):
+        return sorted((r["_id"], r["c"]) for r in d.select("_id", "c").collect())
+
+    for metric in ("cosine", "l2"):
+        for keep, dim in ((2, None), (3, None), (12, None), (2, 64)):
+            fast = sim._nearest_centroids(df, cents, "c", keep, dim, metric=metric)
+            # the inline plan is map-only on the probe side: no join, no window
+            plan = fast._jdf.queryExecution().executedPlan().toString()
+            for bad in ("Join", "Window", "Sort", "Exchange"):
+                assert bad not in plan, f"{bad} in keep-{keep} {metric} probe plan"
+            old = sim.MATMUL_ASSIGN_MIN_K
+            sim.MATMUL_ASSIGN_MIN_K = 0  # force the crossJoin+window branch
+            try:
+                slow = sim._nearest_centroids(
+                    df, cents, "c", keep, dim, metric=metric
+                )
+            finally:
+                sim.MATMUL_ASSIGN_MIN_K = old
+            assert dict(slow.dtypes)["c"] == dict(fast.dtypes)["c"], (metric, keep)
+            assert rows(fast) == rows(slow) and rows(fast), (metric, keep, dim)
