@@ -173,6 +173,12 @@ def main() -> None:
         "load_flag": load_flag,
         "idle_gate_waited_sec": idle_waited,
         "idle_gate_threshold": gate_threshold,
+        # scaling legibility (r14 verdict item 2): the artifact itself must
+        # prove the parallelism that was actually applied, so a reduced-core
+        # driver run can distinguish "CPUS honored but overhead-bound at this
+        # SF" from "CPUS ignored".  Both values come from the live context.
+        "cpus_applied": spark.sparkContext.defaultParallelism,
+        "master": spark.sparkContext.master,
     }
     if timing_note:
         out["timing_note"] = timing_note

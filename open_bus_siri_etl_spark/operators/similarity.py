@@ -354,7 +354,11 @@ def _inline_score_array(vecs: list, dim: int | None, metric: str) -> Column:
 
     nrms = []
     for c in vecs:
-        sq = [x * x for x in c]
+        # fold over the first ``dim`` elements only, mirroring the unrolled
+        # _norm(cent_vec, dim) the crossJoin branch evaluates — a caller
+        # passing dim < len(c) must see identical scores on both plans
+        # (r14 ADVICE)
+        sq = [x * x for x in (c if dim is None else c[:dim])]
         if dim is None:
             acc = 0.0
             for s in sq:
@@ -419,7 +423,25 @@ def _inline_nearest_n(
     Same boundary assumption as the keep-1 inline path: scores are
     never NULL/NaN (NULL ids are guarded upstream; zero vectors raise in
     the normalized family), where array_sort and a rank window order
-    degenerate values differently."""
+    degenerate values differently.  A NULL *vector* is the one degenerate
+    input nothing upstream enforces, and it would order
+    NONDETERMINISTICALLY here (the cosine comparator returns 0 for NULL
+    scores) where the window plan pins NULLs last — so it raises in-plan
+    instead (r14 ADVICE; the standard guard style)."""
+    df = df.withColumn(
+        "_vec",
+        F.when(F.col("_vec").isNotNull(), F.col("_vec")).otherwise(
+            F.raise_error(
+                F.format_string(
+                    "nearest_centroids: NULL vector for id %s — the inline "
+                    "keep-n probe has no deterministic NULL-score ordering "
+                    "(the window plan orders NULLs last); filter or fix "
+                    "NULL vectors upstream",
+                    F.col("_id").cast("string"),
+                )
+            )
+        ),
+    )
     ids = [int(r["cent_id"]) for r in rows]
     vecs = [[float(x) for x in r["cent_vec"]] for r in rows]
     d = _inline_score_array(vecs, dim, metric)
@@ -441,6 +463,162 @@ def _inline_nearest_n(
     return (
         df.select("_id", "_vec", F.explode(F.slice(ordered, 1, keep)).alias("_t"))
         .select("_id", "_vec", F.col("_t.i").cast("long").alias(out))
+    )
+
+
+def _probe_matmul(
+    df: DataFrame,
+    rows: list,
+    out: str,
+    keep: int,
+    dim: int | None,
+    metric: str,
+) -> DataFrame:
+    """Large-k probe kernel (r15, guide §4/§2.4): one Arrow mapInPandas
+    scan against the driver-held codebook for codebooks ABOVE
+    ``MATMUL_ASSIGN_MIN_K``, replacing the crossJoin + rank-window
+    fallback — the last n x k row explosion on a serve path (the
+    crossJoin pushed |rows| x k scored rows CARRYING THE VECTORS through
+    one Exchange + Sort per probe; the kernel is map-only).
+
+    Float parity with ``_crossjoin_nearest``, per metric:
+
+    - l2: distances accumulate as a SEQUENTIAL fold over dimensions
+      (acc += (x_j - c_j)^2, j = 0..width-1) — bit-for-bit the
+      zip_with/aggregate left-to-right order — then round half-up on the
+      binary double (floor(x*1e6 + 0.5)/1e6, distances non-negative),
+      exactly the ``_assign_matmul`` discipline.  The l2 crossJoin branch
+      folds the FULL vector width regardless of ``dim`` (as does the
+      inline path), so the kernel does too.
+    - cosine: dot and query-norm accumulate as the same sequential fold
+      over the first ``dim`` dimensions (all, when dim is None);
+      centroid norms are the driver-side fold ``_inline_score_array``
+      uses (bit-equal to the constants the optimizer folds out of
+      _norm(lit) subtrees); the score is dot / (q_nrm * c_nrm) with the
+      same operand grouping, UNROUNDED — IEEE-identical to the crossJoin
+      expression on identical operands.
+
+    Ordering: rows arrive cent_id-sorted, so np.argsort(kind='stable')
+    over (-)score reproduces the window's (score, cent_id asc) exactly,
+    and for keep=1 the first-extreme index IS ties-to-smaller-cent_id.
+    A NULL vector fails the numpy conversion loudly (task error), never
+    a silent mis-ordering.  ``_vec`` passes through with its input
+    dtype, matching the crossJoin output schema."""
+    import numpy as np
+
+    ids = [int(r["cent_id"]) for r in rows]
+    cmat = [[float(x) for x in r["cent_vec"]] for r in rows]
+    id_field = df.schema["_id"]
+    vec_field = df.schema["_vec"]
+    out_schema = T.StructType(
+        [
+            T.StructField(id_field.name, id_field.dataType),
+            T.StructField(vec_field.name, vec_field.dataType),
+            T.StructField(out, T.LongType()),
+        ]
+    )
+
+    def probe(batches):
+        import pandas as pd
+
+        C = np.asarray(cmat, dtype=np.float64)  # k x width
+        idarr = np.asarray(ids, dtype=np.int64)
+        k = C.shape[0]
+        kk = min(keep, k)
+        if metric == "cosine":
+            Cd = C if dim is None else C[:, :dim]
+            # driver-fold centroid norms: same sequential adds + sqrt as
+            # _inline_score_array / the folded _norm(lit) constants
+            cn = np.empty(k, dtype=np.float64)
+            for i in range(k):
+                acc = 0.0
+                for x in Cd[i]:
+                    acc = acc + x * x
+                cn[i] = np.sqrt(acc)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.asarray(pdf["_vec"].tolist(), dtype=np.float64)
+            n = len(pdf)
+            if metric == "l2":
+                acc = np.zeros((n, k), dtype=np.float64)
+                for j in range(C.shape[1]):  # sequential fold order
+                    dj = X[:, j][:, None] - C[:, j][None, :]
+                    acc += dj * dj
+                d = np.floor(acc * 1e6 + 0.5) / 1e6
+                sel = (
+                    np.argmin(d, axis=1)[:, None]
+                    if kk == 1
+                    else np.argsort(d, axis=1, kind="stable")[:, :kk]
+                )
+            else:
+                Xd = X if dim is None else X[:, :dim]
+                dot = np.zeros((n, k), dtype=np.float64)
+                qsq = np.zeros(n, dtype=np.float64)
+                for j in range(Xd.shape[1]):  # sequential fold order
+                    dot += Xd[:, j][:, None] * Cd[:, j][None, :]
+                    qsq += Xd[:, j] * Xd[:, j]
+                s = dot / (np.sqrt(qsq)[:, None] * cn[None, :])
+                sel = (
+                    np.argmax(s, axis=1)[:, None]
+                    if kk == 1
+                    else np.argsort(-s, axis=1, kind="stable")[:, :kk]
+                )
+            rep = np.repeat(np.arange(n), kk)
+            yield pd.DataFrame(
+                {
+                    "_id": pdf["_id"].to_numpy()[rep],
+                    "_vec": pdf["_vec"].take(rep).to_numpy(),
+                    out: idarr[sel.ravel()],
+                }
+            )
+
+    return df.select("_id", "_vec").mapInPandas(probe, schema=out_schema)
+
+
+def _crossjoin_nearest(
+    df: DataFrame,
+    cents,
+    out: str,
+    keep: int,
+    dim: int | None,
+    metric: str,
+) -> DataFrame:
+    """The historical crossJoin + rank-window probe plan: |df| x |cents|
+    scored rows through one Exchange + Sort.  Production dispatch only
+    reaches it for an EMPTY codebook (crossJoin with an empty frame =
+    empty result, the contract); it is kept whole as the reference
+    implementation the kernel parity tests diff against."""
+    scored = df.crossJoin(cents)
+    if metric == "l2":
+        scored = scored.withColumn(
+            "cent_d2",
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("_vec"),
+                        F.col("cent_vec"),
+                        lambda x, y: (x.cast("double") - y.cast("double"))
+                        * (x.cast("double") - y.cast("double")),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ),
+        )
+        w = Window.partitionBy("_id").orderBy("cent_d2", "cent_id")
+    else:
+        scored = scored.withColumn(
+            "cent_cos",
+            _dot(F.col("_vec"), F.col("cent_vec"), dim)
+            / (_norm(F.col("_vec"), dim) * _norm(F.col("cent_vec"), dim)),
+        )
+        w = Window.partitionBy("_id").orderBy(F.desc("cent_cos"), "cent_id")
+    return (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= keep)
+        .select("_id", "_vec", F.col("cent_id").alias(out))
     )
 
 
@@ -526,10 +704,13 @@ def _nearest_centroids(
     # on identical operands — _inline_score_array).
     # Bounded at MATMUL_ASSIGN_MIN_K scores (catalog geometries are
     # k <= 16): above that an inline k x dim literal tree is a plan
-    # explosion, and the keep-1 l2 family already routes through the
-    # Arrow matmul kernel there — larger cosine codebooks
-    # (frontier-only) keep the crossJoin plan.  An empty codebook also
-    # falls through (crossJoin with an empty frame = empty result, the
+    # explosion, so larger codebooks — BOTH metrics, any keep — route
+    # through the Arrow matmul probe kernel (r15; the l2 keep-1 family
+    # had the kernel since r11, the cosine/keep-n fallback was the last
+    # crossJoin n x k row explosion on a serve path).  The collect is
+    # load-bearing on every non-empty path (literal source below the
+    # threshold, kernel matrix above it).  An empty codebook falls
+    # through to the crossJoin plan (empty frame = empty result, the
     # historical contract; the inline expression would emit NULL
     # clusters).
     rows = sorted(
@@ -540,37 +721,9 @@ def _nearest_centroids(
         if keep == 1:
             return _inline_nearest_one(df, rows, out, dim, metric)
         return _inline_nearest_n(df, rows, out, keep, dim, metric)
-    scored = df.crossJoin(cents)
-    if metric == "l2":
-        scored = scored.withColumn(
-            "cent_d2",
-            F.round(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("_vec"),
-                        F.col("cent_vec"),
-                        lambda x, y: (x.cast("double") - y.cast("double"))
-                        * (x.cast("double") - y.cast("double")),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ),
-                6,
-            ),
-        )
-        w = Window.partitionBy("_id").orderBy("cent_d2", "cent_id")
-    else:
-        scored = scored.withColumn(
-            "cent_cos",
-            _dot(F.col("_vec"), F.col("cent_vec"), dim)
-            / (_norm(F.col("_vec"), dim) * _norm(F.col("cent_vec"), dim)),
-        )
-        w = Window.partitionBy("_id").orderBy(F.desc("cent_cos"), "cent_id")
-    return (
-        scored.withColumn("_r", F.row_number().over(w))
-        .filter(F.col("_r") <= keep)
-        .select("_id", "_vec", F.col("cent_id").alias(out))
-    )
+    if len(rows) > MATMUL_ASSIGN_MIN_K:
+        return _probe_matmul(df, rows, out, keep, dim, metric)
+    return _crossjoin_nearest(df, cents, out, keep, dim, metric)
 
 
 def ivf_topk(

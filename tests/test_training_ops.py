@@ -3509,20 +3509,95 @@ def test_nearest_centroids_keepn_inline_equals_crossjoin(spark):
     def rows(d):
         return sorted((r["_id"], r["c"]) for r in d.select("_id", "c").collect())
 
+    # dim=32 < the actual vector width: the r15 ADVICE fix — the inline
+    # cosine path's driver-side centroid norms must fold over c[:dim]
+    # exactly as the crossJoin branch's unrolled _norm(cent_vec, dim) does
     for metric in ("cosine", "l2"):
-        for keep, dim in ((2, None), (3, None), (12, None), (2, 64)):
+        for keep, dim in ((2, None), (3, None), (12, None), (2, 64), (2, 32)):
             fast = sim._nearest_centroids(df, cents, "c", keep, dim, metric=metric)
             # the inline plan is map-only on the probe side: no join, no window
             plan = fast._jdf.queryExecution().executedPlan().toString()
             for bad in ("Join", "Window", "Sort", "Exchange"):
                 assert bad not in plan, f"{bad} in keep-{keep} {metric} probe plan"
-            old = sim.MATMUL_ASSIGN_MIN_K
-            sim.MATMUL_ASSIGN_MIN_K = 0  # force the crossJoin+window branch
-            try:
-                slow = sim._nearest_centroids(
-                    df, cents, "c", keep, dim, metric=metric
-                )
-            finally:
-                sim.MATMUL_ASSIGN_MIN_K = old
+            # the historical crossJoin+window reference plan (r15: factored
+            # out as _crossjoin_nearest; production dispatch reaches it only
+            # for an empty codebook, the parity contract lives here)
+            slow = sim._crossjoin_nearest(df, cents, "c", keep, dim, metric)
             assert dict(slow.dtypes)["c"] == dict(fast.dtypes)["c"], (metric, keep)
             assert rows(fast) == rows(slow) and rows(fast), (metric, keep, dim)
+
+
+def test_probe_matmul_equals_crossjoin_above_threshold(spark):
+    """r15 (verdict item 1): codebooks ABOVE MATMUL_ASSIGN_MIN_K — both
+    metrics, any keep — route through the Arrow probe kernel
+    (_probe_matmul): one mapInPandas scan against the driver-held
+    codebook, no crossJoin, no rank window, no Exchange/Sort — closing
+    the last n x k row explosion on a serve path (the >64-centroid
+    cosine fallback).  The kernel's float discipline mirrors the
+    crossJoin expressions operand-for-operand (sequential dim folds,
+    l2 6dp half-up round, cosine unrounded dot/(qn*cn)), and stable
+    argsort over cent_id-sorted rows reproduces the window's
+    ties-to-smaller-cent_id — so the probed (id, centroid) multiset,
+    the output dtypes, and the _vec passthrough must all equal the
+    historical window plan's."""
+    import open_bus_siri_etl_spark.operators.similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    k = sim.MATMUL_ASSIGN_MIN_K + 16  # strictly above the inline bound
+    cents = (
+        emb.orderBy("vec_id").limit(k)
+        .select(F.col("vec_id").alias("cent_id"),
+                F.col("embedding").alias("cent_vec"))
+    )
+    df = emb.select(
+        F.col("vec_id").alias("_id"), F.col("embedding").alias("_vec")
+    )
+
+    def rows(d):
+        return sorted((r["_id"], r["c"]) for r in d.select("_id", "c").collect())
+
+    for metric in ("cosine", "l2"):
+        for keep, dim in ((1, None), (2, None), (5, 64), (1, 64)):
+            fast = sim._nearest_centroids(df, cents, "c", keep, dim, metric=metric)
+            plan = fast._jdf.queryExecution().executedPlan().toString()
+            assert "MapInPandas" in plan, (metric, keep)
+            for bad in ("Join", "Window", "Sort", "Exchange"):
+                assert bad not in plan, f"{bad} in k={k} {metric} probe plan"
+            slow = sim._crossjoin_nearest(df, cents, "c", keep, dim, metric)
+            assert dict(slow.dtypes) == dict(fast.dtypes), (metric, keep)
+            assert rows(fast) == rows(slow) and rows(fast), (metric, keep, dim)
+    # _vec passes through byte-identically (the crossJoin output contract)
+    got = (
+        sim._nearest_centroids(df, cents, "v", 1, None, metric="cosine")
+        .select("_id", "_vec")
+        .collect()
+    )
+    want = {r["_id"]: list(r["_vec"]) for r in df.collect()}
+    assert {r["_id"]: list(r["_vec"]) for r in got} == want
+
+
+def test_inline_keepn_probe_null_vector_raises(spark):
+    """r15 ADVICE: the inline keep-n probe's array comparator has no
+    deterministic placement for NULL scores (the window plan orders
+    NULLs last), so a NULL vector must raise in-plan instead of
+    silently yielding a run-varying probe set."""
+    import pytest
+
+    import open_bus_siri_etl_spark.operators.similarity as sim
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    cents = (
+        emb.orderBy("vec_id").limit(8)
+        .select(F.col("vec_id").alias("cent_id"),
+                F.col("embedding").alias("cent_vec"))
+    )
+    df = emb.select(
+        F.col("vec_id").alias("_id"),
+        F.when(F.col("vec_id") % 97 == 3, None)
+        .otherwise(F.col("embedding"))
+        .alias("_vec"),
+    )
+    for metric in ("cosine", "l2"):
+        bad = sim._nearest_centroids(df, cents, "c", 2, None, metric=metric)
+        with pytest.raises(Exception, match="NULL vector"):
+            bad.collect()
