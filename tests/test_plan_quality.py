@@ -963,3 +963,143 @@ def test_multimodal_wav_real_decode_is_map_only(spark):
     assert "MapInPandas" in plan
     assert not re.findall(r"\(\d+\) Exchange", plan), plan
     assert "CartesianProduct" not in plan
+
+
+def test_structagg_firstwins_argmax_boundary_assumptions(spark):
+    """r15 (verdict item 5): dedup_first_wins / latest_per_key were
+    restructured in r14 from row_number windows to min/max(struct(...))
+    partial aggregates.  The equivalence to the DECLARED SQL rests on two
+    data-shape assumptions — non-NULL (ts, event_id) and unique
+    (ts, event_id) within a partition key — because (a) the DuckDB oracle
+    orders NULLs LAST on ASC where both Spark forms place them first, and
+    (b) with duplicate sort keys row_number() is underdetermined while
+    min(struct) deterministically takes the smallest payload.  This test
+    pins BOTH halves: the degenerate-input behavior of the two Spark
+    forms (they agree — Spark's asc-nulls-first / desc-nulls-last
+    defaults match struct min/max NULL ordering), and the assumptions
+    actually holding in the driver testdata at both correctness SFs."""
+    import datetime as dt
+
+    from pyspark.sql import Window
+
+    TS = dt.datetime(2020, 1, 1, 12, 0, 0)
+    rows = [
+        (1, "a", None, 10, 1.0),            # NULL ts among non-NULLs
+        (1, "a", TS, 11, 2.0),
+        (1, "a", TS + dt.timedelta(minutes=5), 12, 3.0),
+        (2, "a", None, 20, 1.0),            # all-NULL ts group
+        (2, "a", None, 21, 2.0),
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "user_id long, event_type string, ts timestamp, event_id long, "
+        "value double",
+    )
+    # first-wins: Spark window (asc = nulls first) == min(struct) (NULL
+    # struct field sorts smallest) — pinned so a Spark default change or a
+    # restructure that breaks this shows up here, not in the oracle gate
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    win = sorted(
+        (r["user_id"], r["ts"], r["event_id"], r["value"])
+        for r in ev.withColumn("rn", F.row_number().over(w))
+        .filter("rn=1")
+        .collect()
+    )
+    agg = sorted(
+        (r["user_id"], r["s"]["ts"], r["s"]["event_id"], r["s"]["value"])
+        for r in ev.groupBy("user_id", "event_type")
+        .agg(F.min(F.struct("ts", "event_id", "value")).alias("s"))
+        .collect()
+    )
+    assert win == agg
+    # argmax: desc = nulls LAST; max(struct) never picks a NULL-ts row
+    # unless the whole group is NULL, where the event_id tiebreak matches
+    w2 = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    win2 = sorted(
+        (r["user_id"], r["ts"], r["event_id"])
+        for r in ev.withColumn("rn", F.row_number().over(w2))
+        .filter("rn=1")
+        .collect()
+    )
+    agg2 = sorted(
+        (r["user_id"], r["s"]["ts"], r["s"]["event_id"])
+        for r in ev.groupBy("user_id")
+        .agg(F.max(F.struct("ts", "event_id")).alias("s"))
+        .collect()
+    )
+    assert win2 == agg2
+    # duplicate (ts, event_id) sort keys: row_number is UNDERDETERMINED
+    # (plan-dependent row order decides), min(struct) deterministically
+    # takes the smallest trailing payload — assert the deterministic form
+    dup = spark.createDataFrame(
+        [(3, "a", TS, 30, 6.0), (3, "a", TS, 30, 5.0)],
+        "user_id long, event_type string, ts timestamp, event_id long, "
+        "value double",
+    )
+    got = (
+        dup.groupBy("user_id", "event_type")
+        .agg(F.min(F.struct("ts", "event_id", "value")).alias("s"))
+        .collect()
+    )
+    assert [r["s"]["value"] for r in got] == [5.0]
+    # the assumptions hold in the driver testdata at BOTH correctness SFs:
+    # zero NULL ts/event_id, zero duplicate (ts, event_id) per key
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        e = spark.read.parquet(f"{sf}/events.parquet")
+        assert (
+            e.filter(F.col("ts").isNull() | F.col("event_id").isNull()).count()
+            == 0
+        ), sf
+        dupes = (
+            e.groupBy("user_id", "event_type", "ts", "event_id")
+            .count()
+            .filter("count > 1")
+            .count()
+        )
+        assert dupes == 0, sf
+
+
+def test_semantic_dedup_selfjoin_reuses_exchange_above_broadcast(spark):
+    """r15 (verdict item 7): at corpus scale semantic_dedup_pairs'
+    within-cluster self-join exceeds the broadcast threshold and planers
+    take a sort-merge join whose two sides are the SAME assignment
+    subplan.  The at-scale shape this entry depends on — compute the
+    assignment + norm ONCE, shuffle it once, read it twice — is Spark's
+    exchange reuse, which requires the two sides to canonicalize equal.
+    Pin it: with broadcast forced off (and AQE off, so the static
+    ReuseExchange rule decides — AQE's runtime stage reuse keys on the
+    same canonicalized equality), the plan must carry exactly one
+    materialized exchange, one corpus scan, and a minimal shuffle payload
+    (id, vec, pre-exchange norm, cluster — the norm must NOT be
+    recomputed per joined pair)."""
+    from open_bus_siri_etl_spark.operators.similarity import (
+        semantic_dedup_pairs,
+    )
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    old_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        plan = (
+            semantic_dedup_pairs(emb)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thr)
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+    assert plan.count("SortMergeJoin") == 1, plan
+    assert plan.count("ReusedExchange") == 1, plan
+    assert plan.count("Scan parquet") == 1, plan
+    # one materialized hash exchange (the second is the reuse reference)
+    import re
+
+    materialized = re.findall(r"\+- Exchange hashpartitioning", plan)
+    assert len(materialized) == 1, plan
+    # minimal payload: the reused exchange ships exactly 4 columns and the
+    # norm rides the exchange (computed N times pre-shuffle, not N^2 post)
+    m = re.search(r"ReusedExchange \[([^\]]*)\]", plan)
+    assert m and len(m.group(1).split(",")) == 4, plan
