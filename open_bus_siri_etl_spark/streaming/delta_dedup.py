@@ -467,8 +467,13 @@ def _compact_log(
         log = log.filter(F.col("ingest_batch") != keep_batch)
     else:
         kept = None
-    n_before = log.count()
-    n_parts = log.select("ingest_batch").distinct().count()
+    # r15 (guide §1.2): both stats in ONE full-log pass — count() plus a
+    # separate distinct().count() scanned the store twice for metadata
+    pre = log.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("ingest_batch").alias("p"),
+    ).collect()[0]
+    n_before, n_parts = pre["n"], pre["p"]
     cur = latest_wins(log, key_cols, "ingest_batch")
     if drop_deleted:
         cur = cur.filter(~F.col("deleted"))
@@ -1018,8 +1023,12 @@ def relayout_store_by_cluster(
     stage = serving_path + "._compact_staging"
     serving.write.mode("overwrite").parquet(stage)
     staged = spark.read.parquet(stage)
-    n_rows = staged.count()
-    n_clusters = staged.select("cluster").distinct().count()
+    # r15 (guide §1.2): one pass over the staged copy for both stats
+    st = staged.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("cluster").alias("c"),
+    ).collect()[0]
+    n_rows, n_clusters = st["n"], st["c"]
     marker = serving_path + "._compacting"
     _fs_mkdirs(spark, marker)
     staged.write.mode("overwrite").partitionBy("cluster").parquet(

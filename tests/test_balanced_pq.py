@@ -2,6 +2,8 @@
 round-robin allocation contract, and the claim that balancing beats
 contiguous slicing when the variance is position-structured."""
 
+import pytest
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import functions as F
@@ -79,6 +81,7 @@ def test_balanced_layout_cuts_reconstruction_error(spark):
     assert balanced < plain * 0.95, (balanced, plain)
 
 
+@pytest.mark.slow
 def test_balanced_residual_refine_contract_and_recall(spark):
     """The stacked composition: refine-contract output, and recall on
     the adversarial variance layout must be >= the plain balanced ADC

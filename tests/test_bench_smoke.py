@@ -3,6 +3,8 @@
 harness contract (rc 0, one parseable JSON line with the required keys) is
 guarded here at sf0.001."""
 
+import pytest
+
 import json
 import os
 import subprocess
@@ -21,6 +23,7 @@ def _run(cmd, env_extra):
     return json.loads(last)
 
 
+@pytest.mark.slow
 def test_bench_py_contract():
     d = _run(
         [sys.executable, "bench.py"],
@@ -34,6 +37,7 @@ def test_bench_py_contract():
     assert d["repeats"] == 1 and d["timing"] == "min_of_repeats"
 
 
+@pytest.mark.slow
 def test_bench_training_contract():
     d = _run(
         [sys.executable, "tools/bench_training.py"],

@@ -136,6 +136,7 @@ def test_read_snapshots_brotli_e2e(spark, tmp_path):
     assert len(visits) == 5  # 3 valid + 2 invalid
 
 
+@pytest.mark.slow
 def test_process_snapshot_from_brotli_golden(spark, warehouse, tmp_path):
     """The reference's native input codec through the full golden pipeline:
     3 facts, 2 dead letters, dims 3/3/3/3, control row loaded."""

@@ -3,6 +3,8 @@ reference cli.py:11-83) — commands run in-process via main(argv) against a
 temp warehouse/landing pair wired through the same env vars a reference
 user would set."""
 
+import pytest
+
 import json
 
 from open_bus_siri_etl_spark.cli import main
@@ -10,6 +12,7 @@ from open_bus_siri_etl_spark.cli import main
 from .fixtures import TEST_SNAPSHOT_DATA
 
 
+@pytest.mark.slow
 def test_cli_surface(spark, tmp_path, monkeypatch, capsys):
     from open_bus_siri_etl_spark.sources.snapshots import write_snapshot_fixture
 

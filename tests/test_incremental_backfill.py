@@ -3,6 +3,8 @@ the Structured Streaming ingest, and validation — mirroring the reference's
 scenario tests (test_process_snapshot.py:177-193, test_process_old_missing_
 snapshots.py:6-56)."""
 
+import pytest
+
 import datetime
 
 from pyspark.sql import functions as F
@@ -15,6 +17,7 @@ from open_bus_siri_etl_spark.streaming.incremental import process_new_snapshots
 from .fixtures import TEST_SNAPSHOT_DATA, get_test_snapshot_data
 
 
+@pytest.mark.slow
 def test_process_new_snapshots(spark, warehouse, tmp_path):
     """Port of reference test :177-193: counts per tick + resume behavior."""
     landing = str(tmp_path / "landing")
@@ -43,6 +46,7 @@ def test_process_new_snapshots(spark, warehouse, tmp_path):
     assert warehouse.read("siri_vehicle_location").count() == 6
 
 
+@pytest.mark.slow
 def test_backfill_planning_and_drain(spark, warehouse, tmp_path):
     """Gap-run folding + chunking (reference unit test cases) + bulk drain."""
     landing = str(tmp_path / "landing")
@@ -113,6 +117,7 @@ def test_streaming_ingest(spark, warehouse, tmp_path):
     assert warehouse.read("siri_vehicle_location").count() == 6
 
 
+@pytest.mark.slow
 def test_validation_clean_and_dirty(spark, warehouse, tmp_path):
     from open_bus_siri_etl_spark.pipeline import process_snapshot
     from open_bus_siri_etl_spark.validate import validate_snapshots
@@ -166,6 +171,7 @@ def test_read_snapshots_brotli_multi_file(spark, tmp_path):
         assert n_visits == 5
 
 
+@pytest.mark.slow
 def test_streaming_restart_with_new_files(spark, warehouse, tmp_path):
     """Exactly-once across a stop/restart: the checkpoint skips files the
     first run committed, and only new landings are processed — per-snapshot
@@ -231,6 +237,7 @@ def test_register_pending_gtfs_date_clamp(spark, warehouse):
     )
 
 
+@pytest.mark.slow
 def test_daemon_soak_multi_tick_late_files(spark, warehouse, tmp_path):
     """Daemon-under-churn soak (reference process_snapshot.py:485-529
     semantics): >=3 ticks with files landing between ticks, including a LATE

@@ -141,6 +141,7 @@ def test_process_snapshot_existing_objects(spark, warehouse, landing):
     assert_golden(spark, warehouse)
 
 
+@pytest.mark.slow
 def test_loading_status_blocks_concurrent(spark, warehouse, landing):
     """reference :167-174: fresh-heartbeat loading row blocks; force overrides."""
     run(spark, warehouse, landing)
@@ -154,6 +155,7 @@ def test_loading_status_blocks_concurrent(spark, warehouse, landing):
     assert_golden(spark, warehouse)
 
 
+@pytest.mark.slow
 def test_error_snapshot_reprocessed_in_place(spark, warehouse, landing):
     """reference :159-164: errored snapshot reprocessed, same control id."""
     run(spark, warehouse, landing)

@@ -2,6 +2,8 @@
 silently regress — pushdown reaches the scan, small dims broadcast, hot
 paths stay in whole-stage codegen with no Python UDFs."""
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from open_bus_siri_etl_spark.plans.catalog import REGISTRY
@@ -31,6 +33,7 @@ def test_pricing_summary_partial_agg(spark):
     assert "LessThanOrEqual(l_shipdate" in plan  # filter pushed to scan
 
 
+@pytest.mark.slow
 def test_no_python_udf_in_native_paths(spark):
     """Everything except the multimodal mapInPandas kernels must be
     JVM-only (multimodal_wav_real_decode is the r14 REAL-codec twin of

@@ -36,6 +36,7 @@ def _multiset(df):
 
 
 @pytest.mark.parametrize("residual", [False, True])
+@pytest.mark.slow
 def test_sq8_stream_append_is_rebuild(spark, tmp_path, residual):
     """Drained availableNow over 3 landed batches: codebook AND bounds
     freeze from the first batch, the accumulated store equals the batch
@@ -73,6 +74,7 @@ def test_sq8_stream_append_is_rebuild(spark, tmp_path, residual):
     )
 
 
+@pytest.mark.slow
 def test_sq8_stream_family_flip_refused(spark, tmp_path):
     """Restarting over an existing store with residual flipped must fail
     at START (the params-tag guard), not at some later serve."""
@@ -93,6 +95,7 @@ def test_sq8_stream_family_flip_refused(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_sq8_stream_refuses_dim_mismatched_append(spark, tmp_path):
     """ADVICE r11: the append guard must compare the FULL tag including
     the :d{dim} suffix — a store encoded against 64-dim bounds must not
@@ -159,6 +162,7 @@ def test_sq8_stream_refuses_wrong_family_bounds(spark, tmp_path):
         raise AssertionError("stream adopted wrong-family bounds")
 
 
+@pytest.mark.slow
 def test_sq8_stream_out_of_range_append_clamps(spark, tmp_path):
     """FAISS add()-beyond-train() semantics: a second batch far outside
     the first batch's trained range encodes to clamped edge codes (0 /
@@ -215,6 +219,7 @@ def test_sq8_stream_out_of_range_append_clamps(spark, tmp_path):
     assert served.count() == 8 * 5
 
 
+@pytest.mark.slow
 def test_sq8_store_compaction_multiset_and_serve_unchanged(spark, tmp_path):
     """compact_ivf_pq_store is schema-agnostic small-file maintenance:
     folding the SQ8 store's per-batch partitions into the base changes
@@ -255,6 +260,7 @@ def test_sq8_store_compaction_multiset_and_serve_unchanged(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_sq8_retrain_recovers_bounds_and_rotates_provenance(spark, tmp_path):
     """The retrain job the clamp-degradation number was missing: after a
     drifted (10x-scaled) append clamps, retrain_sq8_store re-trains the
@@ -331,6 +337,7 @@ def test_sq8_retrain_recovers_bounds_and_rotates_provenance(spark, tmp_path):
     assert _multiset(streamed) == _multiset(rebuilt)
 
 
+@pytest.mark.slow
 def test_sq8_retrain_trained_codebook(spark, tmp_path):
     """trained=True retrain: the coarse kmeans codebook retrains too,
     the staged pair swaps atomically, and the re-encoded store equals a
@@ -401,6 +408,7 @@ def test_sq8_retrain_trained_codebook(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_sq8_store_relayout_by_cluster_prunes_partitions(spark, tmp_path):
     """relayout_store_by_cluster materializes the SERVING layout: row
     multiset = the append store minus ingest_batch, sq8_topk_serve
@@ -493,6 +501,7 @@ def test_relayout_refuses_to_replace_the_append_store(spark, tmp_path):
     assert "ingest_batch" in spark.read.parquet(index_path).columns
 
 
+@pytest.mark.slow
 def test_serve_frame_unions_fresh_tail_with_pruned_copy(spark, tmp_path):
     """The relayout staleness trade, closed: batches landed AFTER the
     relayout exist only in the append store; serve_frame unions the
@@ -571,6 +580,7 @@ def test_serve_frame_unions_fresh_tail_with_pruned_copy(spark, tmp_path):
     assert any("ingest_batch" in pf for pf in pfs), plan
 
 
+@pytest.mark.slow
 def test_sq8_stream_l2_normalize_append_is_rebuild_and_provenance(
     spark, tmp_path
 ):
@@ -642,6 +652,7 @@ def test_sq8_stream_l2_normalize_append_is_rebuild_and_provenance(
         )
 
 
+@pytest.mark.slow
 def test_serve_frame_refuses_stale_copy_after_compaction(spark, tmp_path):
     """The serve_frame stale-copy guard: a compaction run AFTER the
     relayout folds every batch into the ingest_batch=-1 base — the tail
@@ -701,6 +712,7 @@ def _partition_files(serving_path):
     return out
 
 
+@pytest.mark.slow
 def test_incremental_relayout_matches_full_and_skips_untouched(
     spark, tmp_path
 ):

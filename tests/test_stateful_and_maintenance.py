@@ -5,11 +5,13 @@ import datetime
 import glob
 import os
 
+import pytest
 from pyspark.sql import functions as F
 
 from open_bus_siri_etl_spark.operators.skew import salted_agg_count, salted_join
 
 
+@pytest.mark.slow
 def test_stateful_sessionizer_stream(spark, tmp_path):
     from open_bus_siri_etl_spark.streaming.stateful import sessionize_stream
 
@@ -57,6 +59,7 @@ def test_stateful_sessionizer_stream(spark, tmp_path):
     assert start == base and end == base + datetime.timedelta(minutes=1)
 
 
+@pytest.mark.slow
 def test_windowed_agg_stream_merges_late_row(spark, tmp_path):
     """The tumbling-window plan runs incrementally under a watermark: a late
     row arriving in a later micro-batch but inside the watermark merges into
@@ -102,6 +105,7 @@ def test_windowed_agg_stream_merges_late_row(spark, tmp_path):
     assert out == {base: 2, base + datetime.timedelta(hours=1): 1}
 
 
+@pytest.mark.slow
 def test_salted_join_equals_plain_join(spark):
     big = spark.createDataFrame(
         [(i, "hot" if i % 10 else "cold") for i in range(1000)], "id long, k string"
@@ -124,6 +128,7 @@ def test_salted_agg_equals_plain_agg(spark):
     assert got == {"hot": 4950, "cold": 50}
 
 
+@pytest.mark.slow
 def test_compact_reduces_files_preserves_data(spark, warehouse):
     for i in range(6):
         warehouse.append(
@@ -235,6 +240,7 @@ def test_bucketed_join_has_no_exchange(spark, warehouse):
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
 
 
+@pytest.mark.slow
 def test_stream_stream_join(spark, tmp_path):
     """Click at t+5min matches the view; click at t+40min is outside the
     10-min join window; user 9's click has no view at all."""
@@ -274,6 +280,7 @@ def test_stream_stream_join(spark, tmp_path):
     assert [(r["user_id"], r["delay_seconds"]) for r in rows] == [(1, 300)]
 
 
+@pytest.mark.slow
 def test_incremental_rollup_matches_full(spark, warehouse, tmp_path):
     """Continuous-aggregate maintenance: per-day refresh of only touched
     dates must converge to the same table a full rebuild produces, including
@@ -327,6 +334,7 @@ def test_incremental_rollup_matches_full(spark, warehouse, tmp_path):
     )[1].split("]")[0]
 
 
+@pytest.mark.slow
 def test_dead_letter_replay(spark, warehouse, tmp_path):
     """Quarantine recovery: a now-parseable dead-letter row moves into
     dims+facts with counter fidelity; genuinely bad rows keep their original
@@ -396,6 +404,7 @@ def test_dead_letter_replay(spark, warehouse, tmp_path):
     assert warehouse.read("siri_vehicle_location").count() == 4
 
 
+@pytest.mark.slow
 def test_fact_files_time_clustered(spark, warehouse, tmp_path):
     """Rows inside every written fact file must be time-ordered so parquet
     row-group min/max stats prune time-range scans within a date partition."""
@@ -428,6 +437,7 @@ def test_fact_files_time_clustered(spark, warehouse, tmp_path):
         assert col == sorted(col), f
 
 
+@pytest.mark.slow
 def test_windowed_agg_stream_drops_beyond_watermark(spark, tmp_path):
     """A row older than the advanced watermark is DROPPED from streaming
     state (update mode): its window never re-emits, while a within-watermark
@@ -517,6 +527,7 @@ def _fact_file_stats(warehouse):
     }
 
 
+@pytest.mark.slow
 def test_reload_leaves_sibling_snapshot_files_untouched(spark, warehouse, tmp_path):
     """The judge-flagged scale property: reloading one snapshot must not
     rewrite co-resident snapshots' files (reference per-snapshot DELETE,
@@ -549,6 +560,7 @@ def test_reload_leaves_sibling_snapshot_files_untouched(spark, warehouse, tmp_pa
     assert facts.select("snapshot_id").distinct().count() == 2
 
 
+@pytest.mark.slow
 def test_post_compaction_reload_rewrites_only_compacted_files(
     spark, warehouse, tmp_path
 ):
@@ -594,6 +606,7 @@ def test_post_compaction_reload_rewrites_only_compacted_files(
     assert grouped
 
 
+@pytest.mark.slow
 def test_delete_fact_snapshots_unlinks_group(spark, warehouse, tmp_path):
     _land_and_process(spark, warehouse, tmp_path, "2019/05/05/16/00", "16:00")
     _land_and_process(spark, warehouse, tmp_path, "2019/05/05/16/01", "16:01")
@@ -627,6 +640,7 @@ def test_unserialized_dim_upserts_double_insert(spark, warehouse):
     assert dup == 1  # the hazard is real: key 1 inserted twice
 
 
+@pytest.mark.slow
 def test_concurrent_dim_upserts_no_dups(spark, warehouse):
     """The locked path: many threads upserting overlapping key ranges
     concurrently never double-insert — each upsert's read-novelty-append
@@ -664,6 +678,7 @@ def test_table_lock_times_out_on_stale_lock(warehouse):
             pass
 
 
+@pytest.mark.slow
 def test_control_log_appends_not_rewrites(spark, warehouse):
     """Control-table status transitions must APPEND versioned rows, never
     rewrite existing files (the append-log design that removes the
@@ -760,6 +775,7 @@ class _ObjectStoreSimFS:
         self._posix.rmdir(path)
 
 
+@pytest.mark.slow
 def test_warehouse_on_object_store_sim_fs(spark, tmp_path):
     """Full write→reload→compact→reload-compacted cycle on a TableFS impl
     with object-store semantics: correctness must not depend on POSIX rename
@@ -801,6 +817,7 @@ def test_warehouse_on_object_store_sim_fs(spark, tmp_path):
     assert {"glob", "makedirs", "rename", "remove", "rmtree", "mkdir_atomic", "rmdir"} <= verbs
 
 
+@pytest.mark.slow
 def test_stream_dedup_within_watermark(spark, tmp_path):
     """An at-least-once source redelivers an event in a later micro-batch:
     dropDuplicatesWithinWatermark must emit the key once, while a genuinely
@@ -980,6 +997,7 @@ def test_log_seq_lamport_floor_beats_skewed_clock(spark, warehouse):
     assert len(rows) == 1 and rows[0]["etl_status"] == control.ETL_LOADING
 
 
+@pytest.mark.slow
 def test_streaming_heavy_hitters_bounded_state(spark, tmp_path):
     """Misra-Gries summaries in streaming state: the hot key's counter
     accumulates ACROSS micro-batches, every emitted count is a valid lower
@@ -1139,6 +1157,7 @@ def test_transform_with_state_running_stats(spark, tmp_path):
     assert (f2.n, f2.total, f2.vmin, f2.vmax) == (2, 4.0, -1.0, 5.0)
 
 
+@pytest.mark.slow
 def test_group_state_running_stats(spark, tmp_path):
     """The applyInPandasWithState twin of running_stats_stream: identical
     per-key cross-batch totals via the classic GroupState API, whose
@@ -1181,6 +1200,7 @@ def test_group_state_running_stats(spark, tmp_path):
     assert (f2.n, f2.total, f2.vmin, f2.vmax) == (2, 4.0, -1.0, 5.0)
 
 
+@pytest.mark.slow
 def test_log_table_time_travel(spark, warehouse):
     """read_as_of reconstructs a log table exactly as a reader at that
     log_seq saw it — the append-only log IS the version history."""
@@ -1210,6 +1230,7 @@ def test_log_table_time_travel(spark, warehouse):
         warehouse.read_as_of("siri_vehicle_location", 1)
 
 
+@pytest.mark.slow
 def test_text_delta_dedup_stream_restart_equals_batch(spark, tmp_path):
     """Round-9 directive: the streaming daemon meets the delta indexes.
     Documents land as one parquet file per ingest; the stream processes
@@ -1290,6 +1311,7 @@ def test_text_delta_dedup_stream_restart_equals_batch(spark, tmp_path):
     assert got == want and got
 
 
+@pytest.mark.slow
 def test_embedding_delta_dedup_stream_equals_manual_fold(spark, tmp_path):
     """The embedding twin of the delta-dedup stream: drained availableNow,
     the per-batch pair partitions equal a manual sequential fold of
@@ -1365,6 +1387,7 @@ def test_embedding_delta_dedup_stream_equals_manual_fold(spark, tmp_path):
     ) == multiset(emb)
 
 
+@pytest.mark.slow
 def test_text_curation_stream_restart_equals_batch(spark, tmp_path):
     """Round-9, beyond the directive: the FULL streaming curation loop —
     per micro-batch pairs + label-log updates + survivor-log
@@ -1430,6 +1453,7 @@ def test_text_curation_stream_restart_equals_batch(spark, tmp_path):
     ) == multiset(neardup_survivor_rows(docs, threshold=0.5))
 
 
+@pytest.mark.slow
 def test_ivf_pq_index_stream_equals_batch_build(spark, tmp_path):
     """The streaming IVF-PQ indexer, drained availableNow over 3 landed
     batches: the codebook is frozen from the FIRST batch (FAISS
@@ -1497,6 +1521,7 @@ def test_latest_wins_tiebreak_deterministic(spark):
     assert ra == rb == [(1, 300), (2, 50)]
 
 
+@pytest.mark.slow
 def test_curation_log_compaction_preserves_views_and_stream(spark, tmp_path):
     """Round-10 directive: compaction of the curation label/survivor logs
     (the control-table compact() shape for the streaming state).  After a
@@ -1579,6 +1604,7 @@ def test_curation_log_compaction_preserves_views_and_stream(spark, tmp_path):
     ) == multiset(neardup_survivor_rows(docs, threshold=0.5))
 
 
+@pytest.mark.slow
 def test_ivf_pq_index_stream_serves_each_prefix_like_inline(spark, tmp_path):
     """Round-10 directive: the streaming indexer's MID-STREAM snapshots
     are servable, not just its drained end state — after each ingested
@@ -1632,6 +1658,7 @@ def test_ivf_pq_index_stream_serves_each_prefix_like_inline(spark, tmp_path):
         assert multiset(served) == multiset(inline), f"prefix {k}"
 
 
+@pytest.mark.slow
 def test_ivf_pq_index_stream_trained_residual_equals_batch(spark, tmp_path):
     """Round-10: the streaming indexer with trained=True, residual=True
     (FAISS train-then-add with REAL quantizers) — codebooks train on the
@@ -1787,6 +1814,7 @@ def test_compact_curation_logs_missing_root_raises(spark, tmp_path):
         compact_curation_logs(spark, str(tmp_path / "nope"))
 
 
+@pytest.mark.slow
 def test_cc_dispatch_rule_pinned_to_artifact(spark):
     """Round-10 directive #5: below the measured crossover the delta CC
     fold LOSES to the batch recompute (BENCH_CC_DELTA.json 0.73x/0.90x at
@@ -1880,6 +1908,7 @@ def test_compact_refuses_uncommitted_checkpoint(spark, tmp_path):
     assert stats["labels"]["rows_after"] == 1
 
 
+@pytest.mark.slow
 def test_curation_auto_compaction_flat_and_restart_safe(spark, tmp_path):
     """Round-10 directive #2: the curation stream compacts its own logs
     when the labels log crosses a partition-count threshold — NO manual
@@ -2008,6 +2037,7 @@ def test_ivf_pq_stream_trained_rejects_contiguous_standin(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_ivf_pq_stream_untrained_rejects_trained_codebook(spark, tmp_path):
     """The symmetric family flip: a trained=False stream adopting a
     cb_kind='trained' codebook would assign with the wrong family
@@ -2046,6 +2076,7 @@ def test_ivf_pq_stream_untrained_rejects_trained_codebook(spark, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_retrain_ivf_pq_store_rotates_and_equals_fresh_build(spark, tmp_path):
     """Round-10 directive #4: the retrain-and-reindex path.  After a
     trained+residual stream drains, retrain_ivf_pq_store trains NEW
@@ -2222,6 +2253,7 @@ def test_compact_log_keep_batch_preserves_replay_partition(spark, tmp_path):
     assert view() == before
 
 
+@pytest.mark.slow
 def test_compact_ivf_pq_store_pure_relayout_and_stream_resumes(spark, tmp_path):
     """The streaming IVF-PQ store's small-file maintenance: compaction
     folds the per-batch partitions into the ingest_batch=-1 base as a
@@ -2291,6 +2323,7 @@ def test_compact_ivf_pq_store_pure_relayout_and_stream_resumes(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_pq_store_serve_frame_union_matches_full_store(spark, tmp_path):
     """serve_frame is schema-agnostic (r13): the same fresh-serve union
     that closes the SQ8 relayout staleness trade works over the IVF-PQ
@@ -2358,6 +2391,7 @@ def test_pq_store_serve_frame_union_matches_full_store(spark, tmp_path):
     assert any("cluster" in pf for pf in pfs), plan
 
 
+@pytest.mark.slow
 def test_pq_store_incremental_relayout_matches_full(spark, tmp_path):
     """r14 directive #1, IVF-PQ family: the incremental serving-copy
     refresh (since_batch=mark) is schema-agnostic like the full mode —
@@ -2425,6 +2459,7 @@ def test_pq_store_incremental_relayout_matches_full(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_contamination_screen_stream_equals_batch_screen(spark, tmp_path):
     """r14 directive #5: the per-batch contamination screen in the
     index-stream shape — two landed train batches screened against the

@@ -323,6 +323,7 @@ def test_greedy_pack_respects_budget(spark):
     assert bad == 0 and chunked.count() == docs.count()
 
 
+@pytest.mark.slow
 def test_auto_cosine_pairs_dispatch(spark):
     """The size-based dispatcher must pick the broadcast kernel under the cap
     and the tiled kernel over it, with identical results either way."""
@@ -431,6 +432,7 @@ def test_global_row_number_avoids_single_partition(spark):
     assert plan.count("SinglePartition") == 1
 
 
+@pytest.mark.slow
 def test_distributed_ntile_edge_cases(spark):
     """k=1 (everything in tile 1), k=n (one row per tile), k>n (tile == rn,
     the q=0 branch must not divide by zero)."""
@@ -453,6 +455,7 @@ def test_distributed_ntile_edge_cases(spark):
         assert got == want, k
 
 
+@pytest.mark.slow
 def test_lsh_multi_table_recall_floor(spark):
     """Multi-table LSH must recover most of the exact top-10 (measured 0.90
     at 16 tables x 4 planes on the synthetic embeddings; floor 0.75), and
@@ -542,6 +545,7 @@ def test_global_row_number_on_skewed_keys(spark):
     assert got == want
 
 
+@pytest.mark.slow
 def test_ivf_recall_rises_with_probes(spark):
     """IVF ANN quality evidence on the synthetic embeddings: recall@10 must
     rise monotonically-ish with n_probe and reach 1.0 when probing every
@@ -940,6 +944,7 @@ def test_windowed_dedup_closed_form(spark):
     assert kept == [1, 4, 5, 6]
 
 
+@pytest.mark.slow
 def test_windowed_dedup_property_matches_python_fold(spark):
     """Property: on ANY event multiset, windowed_dedup keeps exactly the
     rows a sequential per-key fold keeps (first of each burst, repeats
@@ -1029,6 +1034,7 @@ def test_cosine_delta_pairs_composes_to_full_scan(spark):
     assert {**old, **inc} == full
 
 
+@pytest.mark.slow
 def test_cosine_delta_pairs_interleaved_ids(spark):
     """The delta need not carry the highest ids (backfill ingest): a corpus
     id greater than a delta id must still pair, oriented (least, greatest).
@@ -2148,6 +2154,7 @@ def test_asof_join_row_semantics_null_payload(spark):
     assert out["v_asof"] is None
 
 
+@pytest.mark.slow
 def test_minhash_index_append_is_rebuild(spark):
     """The text band index's append contract, exercised across two ingest
     epochs (the twin of test_lsh_bucket_index_append_is_rebuild):
@@ -2215,6 +2222,7 @@ def test_multimodal_codecs_reject_unsupported_variants():
         decode_wav(adpcm)
 
 
+@pytest.mark.slow
 def test_connected_components_delta_multi_epoch(spark):
     """Incremental clustering folded over TWO successive ingests equals
     batch recomputation over everything — labels from epoch k feed epoch
@@ -2254,6 +2262,7 @@ def test_connected_components_delta_multi_epoch(spark):
         ).count()
 
 
+@pytest.mark.slow
 def test_connected_components_delta_embedding_family(spark):
     """connected_components_delta is pair-family-GENERIC: folding an
     embedding ingest's exact cosine delta pairs into an existing
@@ -2307,6 +2316,7 @@ def test_connected_components_delta_embedding_family(spark):
     assert inc == batch and len(inc) == emb.count()
 
 
+@pytest.mark.slow
 def test_jaccard_delta_pairs_persisted_posting_index(spark, tmp_path):
     """The third delta index (exact-Jaccard posting index, round 8):
     probing a PERSISTED build_shingle_index frame gives exactly the
@@ -2443,6 +2453,7 @@ def test_wav_truncation_and_short_fmt_raise():
         decode_wav(short)
 
 
+@pytest.mark.slow
 def test_codec_properties():
     """Round-9 directive #7: hypothesis-generated containers round-trip
     through the codecs, and malformed truncations RAISE rather than
@@ -2513,6 +2524,7 @@ def test_codec_properties():
     bmp_too_short_raises()
 
 
+@pytest.mark.slow
 def test_neardup_survivors_delta_multi_epoch(spark):
     """Round-9 directive #3: incremental survivor selection folded over
     TWO successive ingests equals batch recomputation — both the survivor
@@ -2559,6 +2571,7 @@ def test_neardup_survivors_delta_multi_epoch(spark):
         ).count()
 
 
+@pytest.mark.slow
 def test_neardup_survivors_delta_tie_across_merge(spark):
     """The sufficient-statistic argument, pinned: two components with the
     SAME max size merge through a delta pair — the kept id must be the
@@ -2595,6 +2608,7 @@ def test_neardup_survivors_delta_tie_across_merge(spark):
     assert set(out) == {10, 30}
 
 
+@pytest.mark.slow
 def test_delta_indexes_three_epoch_parquet_append(spark, tmp_path):
     """Round-9 directive #2 (correctness half): the 'incremental append IS
     the full rebuild' claim carried by all THREE delta indexes, exercised
@@ -2676,6 +2690,7 @@ def test_delta_indexes_three_epoch_parquet_append(spark, tmp_path):
     )
 
 
+@pytest.mark.slow
 def test_ivf_pq_persisted_index_serve_matches_inline(spark, tmp_path):
     """The persisted IVF-PQ path (build_ivf_pq_index + ivf_pq_centroids
     written to parquet, read back, served via ivf_pq_topk_serve) returns
@@ -2859,6 +2874,7 @@ def test_kmeans_codebook_l2_assignment_matches_kmeans_assign(spark):
     )
 
 
+@pytest.mark.slow
 def test_ivf_pq_kmeans_persisted_serve_matches_inline(spark, tmp_path):
     """The trained-quantizer persisted path (both codebook frames and the
     index written to parquet, read back, served) returns EXACTLY the
@@ -2895,6 +2911,7 @@ def test_ivf_pq_kmeans_persisted_serve_matches_inline(spark, tmp_path):
     assert inline == served and inline
 
 
+@pytest.mark.slow
 def test_ivf_pq_kmeans_append_is_rebuild(spark):
     """FAISS train-then-add with TRAINED codebooks: frozen kmeans frames
     make cluster assignment and PQ codes per-row functions of (vector,
@@ -2918,6 +2935,7 @@ def test_ivf_pq_kmeans_append_is_rebuild(spark):
     assert full == appended and full
 
 
+@pytest.mark.slow
 def test_ivf_pq_kmeans_stale_codebook_raises(spark):
     """Both staleness directions stay fail-loud for the SPLIT codebook:
     (a) serving a trained-L2 index as the cosine family trips the params
@@ -2983,6 +3001,7 @@ def test_kmeans_oos_equals_bruteforce_at_full_probe(spark):
     assert oos == exact and oos
 
 
+@pytest.mark.slow
 def test_kmeans_oos_recall_rises_with_probes(spark):
     """Out-of-sample trained IVF recall@5 is monotone in n_probe (more
     probed clusters can only add candidates to the exact re-rank) and
@@ -3030,6 +3049,7 @@ def test_kmeans_ivf_missing_query_id_raises(spark):
         kmeans_ivf_topk(emb, bad, k=5).collect()
 
 
+@pytest.mark.slow
 def test_ivf_pq_residual_persisted_serve_matches_inline(spark, tmp_path):
     """The residual path persists and serves like the others: trained
     coarse + residual-trained fine frames and the residual index written
@@ -3073,6 +3093,7 @@ def test_ivf_pq_residual_persisted_serve_matches_inline(spark, tmp_path):
     assert inline == served and inline
 
 
+@pytest.mark.slow
 def test_ivf_pq_residual_family_mismatch_raises(spark):
     """Residual codes under a whole-vector distance table (or vice versa)
     silently corrupt every ADC distance — the R params-tag suffix makes
@@ -3109,6 +3130,7 @@ def test_ivf_pq_residual_family_mismatch_raises(spark):
         ).count()
 
 
+@pytest.mark.slow
 def test_ivf_pq_refine_full_probe_equals_exact(spark):
     """With every cluster probed and an unbounded shortlist, the refine
     stage degenerates to brute force — ivf_pq_refine_topk must equal
@@ -3131,6 +3153,7 @@ def test_ivf_pq_refine_full_probe_equals_exact(spark):
     assert refined == exact and refined
 
 
+@pytest.mark.slow
 def test_ivf_pq_residual_append_is_rebuild(spark):
     """Residual codes are still per-row functions of (vector, frozen
     codebooks) — the cluster assignment fixes the re-centering, so the
@@ -3264,6 +3287,7 @@ def test_sq8_serving_defaults_pinned_to_tier_artifact():
     )
 
 
+@pytest.mark.slow
 def test_nearest_centroids_matmul_path_equals_crossjoin(spark):
     """Round-11 scale fix: the keep-1 L2 coarse assignment above
     MATMUL_ASSIGN_MIN_K routes through the Arrow matmul kernel (one scan
@@ -3314,6 +3338,7 @@ def test_nearest_centroids_matmul_path_equals_crossjoin(spark):
     assert asg == want
 
 
+@pytest.mark.slow
 def test_contamination_lsh_restricts_exact_overlap_to_banded_pairs(spark):
     """contamination_lsh == contamination_overlap restricted to pairs
     sharing >= 1 full band (the verification is EXACT, banding only
@@ -3349,6 +3374,7 @@ def test_contamination_lsh_restricts_exact_overlap_to_banded_pairs(spark):
         ).collect()
 
 
+@pytest.mark.slow
 def test_pq_codes_matmul_path_equals_crossjoin(spark):
     """r14 scale fix: PQ subspace encode above MATMUL_ASSIGN_MIN_K
     centroids routes through one Arrow matmul scan instead of the
@@ -3398,6 +3424,7 @@ def test_pq_codes_matmul_path_equals_crossjoin(spark):
     assert "MapInPandas" not in plan
 
 
+@pytest.mark.slow
 def test_kmeans_codebook_pair_equals_independent_trainers(spark):
     """r14: kmeans_codebook_pair fuses the coarse + subspace trainings
     into one shared init TakeOrdered and ONE update job per Lloyd
@@ -3433,6 +3460,7 @@ def test_kmeans_codebook_pair_equals_independent_trainers(spark):
         kmeans_codebook_pair(emb.limit(3), 8, 4, 16, 8, 2)
 
 
+@pytest.mark.slow
 def test_pq_codes_inline_path_equals_crossjoin(spark):
     """r14 (cont.): BELOW the matmul threshold the auto encode inlines the
     collected codebook as one nested-array literal + transform per
@@ -3485,6 +3513,7 @@ def test_pq_codes_inline_path_equals_crossjoin(spark):
     assert pq_codes_df(emb.filter(F.col("vec_id") < -1), 4, 16, 8).count() == 0
 
 
+@pytest.mark.slow
 def test_nearest_centroids_keepn_inline_equals_crossjoin(spark):
     """r14 (cont.): the keep-n probe against a bounded codebook is a
     map-only sorted-slice explode (_inline_nearest_n) — no crossJoin, no

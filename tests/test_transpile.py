@@ -3,6 +3,8 @@ string-level guards for each rewrite rule, so a rule regression is caught
 without running either engine.  The end-to-end row-identity proof lives in
 test_sqlapi.py; these pin the mechanics."""
 
+import pytest
+
 from open_bus_siri_etl_spark.plans.sqlapi import transpile
 
 
@@ -143,6 +145,7 @@ def test_asof_rewrite_refuses_trailing_conjunct():
     assert ("ASOF" in transpile(q2)) or ("__asof_next" not in transpile(q2))
 
 
+@pytest.mark.slow
 def test_asof_rewrite_property_vs_duckdb(spark):
     """Hypothesis-generated ASOF shapes (round-7 directive): table vs
     subquery vs nested-paren-depth-2 subquery right sides, inner and LEFT,

@@ -15,6 +15,8 @@ the vehicle_ref drift and nothing else.  A pre-corruption run is the
 positive control (both snapshots 'no errors').
 """
 
+import pytest
+
 from open_bus_siri_etl_spark import schemas
 from open_bus_siri_etl_spark.pipeline import process_snapshot
 from open_bus_siri_etl_spark.sources.snapshots import write_snapshot_fixture
@@ -26,6 +28,7 @@ SID_BAD = "2019/05/05/16/00"
 SID_CLEAN = "2019/05/05/16/01"
 
 
+@pytest.mark.slow
 def test_validation_pinpoints_seeded_defects(spark, warehouse, tmp_path):
     landing = str(tmp_path / "landing")
     write_snapshot_fixture(landing, SID_BAD, get_test_snapshot_data(time_str="16:00"))
