@@ -219,28 +219,26 @@ def _train_centroids(
         )
     dim = len(cents[0])
     for _ in range(iters - 1):
-        if assign_fn is _assign_matmul:
-            # r14: fused assign+partial-sum Arrow pass — the update's
-            # aggregation input is (#partitions x k) partial rows instead
-            # of an n x dim posexplode, and the vector column never
-            # crosses the Python->JVM boundary a second time (guide §2.3,
-            # §4.1).  sum(s)/sum(n) == avg(val) up to float order; 6dp
-            # rounding (the module contract) absorbs the difference.
-            rows = (
-                _partial_sums_matmul(vecd, cents)
-                .select("cluster", "n", F.posexplode("s").alias("i", "val"))
-                .groupBy("cluster", "i")
-                .agg(F.round(F.sum("val") / F.sum("n"), 6).alias("m"))
-                .collect()
-            )
-        else:
-            assign = assign_fn(vecd, cents, id_col)
-            rows = (
-                assign.select("cluster", F.posexplode("v").alias("i", "val"))
-                .groupBy("cluster", "i")
-                .agg(F.round(F.avg("val"), 6).alias("m"))
-                .collect()
-            )
+        # r14 (matmul kernel) / r15 (ALL kernel sizes): fused
+        # assign+partial-sum Arrow pass — the update's aggregation input
+        # is (#partitions x k) partial rows instead of an n x dim
+        # posexplode (a dim-fold row explosion through the partial agg's
+        # input pipeline), and the vector column never crosses the
+        # Python->JVM boundary a second time (guide §2.3, §4.1).
+        # Distances/argmin inside the kernel are bit-identical to
+        # _assign_expr (kernel parity tests); sum(s)/sum(n) == avg(val)
+        # up to float order, which the module contract's 6dp rounding
+        # absorbs (measured identical on the testdata corpora; pinned by
+        # the catalog oracle at both SFs).  The expr kernel remains the
+        # ASSIGNMENT path — codegen'd, no Python boundary — for
+        # kmeans_assign callers and the final pass.
+        rows = (
+            _partial_sums_matmul(vecd, cents)
+            .select("cluster", "n", F.posexplode("s").alias("i", "val"))
+            .groupBy("cluster", "i")
+            .agg(F.round(F.sum("val") / F.sum("n"), 6).alias("m"))
+            .collect()
+        )
         got = {(r["cluster"], r["i"]): r["m"] for r in rows}
         cents = [
             [got.get((c, i), cents[c][i]) for i in range(dim)]
