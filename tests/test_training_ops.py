@@ -3586,7 +3586,8 @@ def test_probe_matmul_equals_crossjoin_above_threshold(spark):
         return sorted((r["_id"], r["c"]) for r in d.select("_id", "c").collect())
 
     for metric in ("cosine", "l2"):
-        for keep, dim in ((1, None), (2, None), (5, 64), (1, 64)):
+        # 96 > k: the kernel must emit k rows per id like the window plan
+        for keep, dim in ((1, None), (2, None), (5, 64), (1, 64), (96, None)):
             fast = sim._nearest_centroids(df, cents, "c", keep, dim, metric=metric)
             plan = fast._jdf.queryExecution().executedPlan().toString()
             assert "MapInPandas" in plan, (metric, keep)
